@@ -1,0 +1,74 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+
+/** Schema of a graft table: N integer *dimension* (key) columns, each with a
+  * chunk size, plus M *value* columns of arbitrary Spark type.
+  *
+  * Mirrors the reference's `Schema { dimensions, values }`
+  * (reference: schema.rs:21-25) with two deliberate generalizations:
+  *   - value columns may be any Spark type (the reference supports only
+  *     `usize`, lib.rs:27);
+  *   - multiple value columns actually work (the reference declares them but
+  *     its block layout collapses them to one cell — see SURVEY.md §1.4).
+  *
+  * Dimensions are non-nullable LongType (coordinates; reference block.rs:9);
+  * values are nullable (reference block.rs:10). Chunk sizes recreate the
+  * reference's axis-aligned hyper-rectangle chunking
+  * (`key = dim / chunk_size`, schema.rs:28-38) as Hive partition columns, so
+  * Catalyst partition pruning replaces the reference's hand-rolled block
+  * skipping (scan.rs:119-180).
+  *
+  * Persistence: the whole schema round-trips through a single
+  * `StructType.json` document — chunk sizes ride in per-field metadata — so
+  * no external JSON library is needed (reference persists schema.json,
+  * schema.rs:40-55).
+  */
+final case class Dimension(name: String, chunkSize: Long) {
+  require(chunkSize > 0, s"chunkSize must be positive for dimension $name")
+}
+final case class ValueCol(name: String, dataType: DataType = LongType)
+
+final case class MatSchema(dimensions: Seq[Dimension], values: Seq[ValueCol]) {
+  require(dimensions.nonEmpty, "at least one dimension required")
+  private val allNames = dimensions.map(_.name) ++ values.map(_.name)
+  require(allNames.distinct.size == allNames.size, "duplicate column names")
+
+  def dimNames: Seq[String] = dimensions.map(_.name)
+  def valueNames: Seq[String] = values.map(_.name)
+  def columnNames: Seq[String] = dimNames ++ valueNames
+
+  /** Hive partition column name for dimension i's chunk key. */
+  def chunkColName(dim: String): String = s"_ck_$dim"
+  def chunkColNames: Seq[String] = dimNames.map(chunkColName)
+
+  def toStructType: StructType = {
+    val dimFields = dimensions.map { d =>
+      val md = new MetadataBuilder()
+        .putBoolean(MatSchema.DimKey, value = true)
+        .putLong(MatSchema.ChunkKey, d.chunkSize)
+        .build()
+      StructField(d.name, LongType, nullable = false, md)
+    }
+    val valFields = values.map(v => StructField(v.name, v.dataType, nullable = true))
+    StructType(dimFields ++ valFields)
+  }
+
+  def json: String = toStructType.json
+}
+
+object MatSchema {
+  val DimKey = "graft.dimension"
+  val ChunkKey = "graft.chunkSize"
+
+  def fromStructType(st: StructType): MatSchema = {
+    val (dimFields, valFields) = st.fields.partition(f =>
+      f.metadata.contains(DimKey) && f.metadata.getBoolean(DimKey))
+    MatSchema(
+      dimFields.toSeq.map(f => Dimension(f.name, f.metadata.getLong(ChunkKey))),
+      valFields.toSeq.map(f => ValueCol(f.name, f.dataType)))
+  }
+
+  def fromJson(json: String): MatSchema =
+    fromStructType(DataType.fromJson(json).asInstanceOf[StructType])
+}

@@ -1,0 +1,119 @@
+package graft.core
+
+import java.nio.file.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The read path: union of visible segment files → MVCC version resolution →
+  * (optionally) key order. This ~40-line plan IS the reference's entire query
+  * engine — its k-way ordered merge + newest-wins dedup (scan.rs:55-238).
+  *
+  * Spark-first design notes (SURVEY.md §2.1 #1-#4):
+  *   - The k-way merge disappears: a union of parquet files is free, and
+  *     Catalyst plans the dedup as one hash aggregate keyed on the
+  *     dimensions — map-side partial aggregation means each segment's
+  *     duplicates collapse before the shuffle, so shuffled bytes ≈ live rows,
+  *     not total rows. At 100 TB this beats a global sort-merge (a window
+  *     `row_number()=1` formulation would sort every partition; `max_by`
+  *     needs no sort at all).
+  *   - Block skipping is parquet row-group min/max stats + Hive partition
+  *     pruning on the `_ck_*` chunk-key directories; `pruned` rewrites
+  *     dimension predicates onto chunk keys so pruning kicks in before IO
+  *     (the reference's scan.rs:119-180, done declaratively).
+  *   - Version resolution implements the documented intent — highest
+  *     (txnId, seq) wins (scan.rs:38-54) — not the reference's accidental
+  *     insertion-order tie-break (scan.rs:162); SURVEY.md §7.4.
+  */
+object Scan {
+  val TxnCol = "_txn_id"
+  val SeqCol = "_seq"
+
+  /** Read the raw union of segment dirs + extra in-memory batches, with
+    * `_txn_id`/`_seq` provenance columns present. */
+  def raw(
+      spark: SparkSession,
+      root: Path,
+      schema: MatSchema,
+      segments: Seq[SegmentId],
+      extra: Seq[DataFrame],
+      tmpSegments: Seq[SegmentId] = Nil): DataFrame = {
+    // chunk-key partition columns ride along so chunk predicates can prune;
+    // cast defends against partition-column type inference (int vs long)
+    val cols = schema.columnNames.map(col) ++
+      schema.chunkColNames.map(c => col(c).cast("long").as(c)) ++
+      Seq(col(TxnCol), col(SeqCol))
+    val paths = segments.map(s => Storage.segmentPath(root, s, tmp = false).toString) ++
+      tmpSegments.map(s => Storage.segmentPath(root, s, tmp = true).toString)
+    // One read per segment dir (each is its own Hive-partitioned tree); the
+    // union of parquet scans collapses into a single multi-file scan stage.
+    val fromDisk = paths.map(p => spark.read.parquet(p).select(cols: _*))
+    val all = fromDisk ++ extra.map(_.select(cols: _*))
+    if (all.isEmpty) {
+      import org.apache.spark.sql.types._
+      val st = StructType(schema.toStructType.fields ++
+        schema.chunkColNames.map(StructField(_, LongType)) ++
+        Seq(StructField(TxnCol, LongType), StructField(SeqCol, LongType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    } else all.reduce(_ unionByName _)
+  }
+
+  /** Newest-wins version resolution: one aggregate, no join, no global sort.
+    *
+    * The version order (_txn_id, _seq) is packed into a single long `_ver` so
+    * each value column resolves via `max_by(value, _ver)` with a primitive
+    * aggregation buffer — that keeps the plan on `HashAggregateExec`
+    * (a `max_by(struct, struct)` formulation has an immutable struct buffer
+    * and silently degrades to `SortAggregateExec`, an O(n log n) sort per
+    * partition at scale). `_ver` is unique per (key, version) so all value
+    * columns pick the same winning row. Packing: txn in the high bits
+    * (saturated at 2^40), seq in the low 22 bits — the in-memory
+    * Long.MaxValue txn tag maps to 2^62+seq, overflow-free and still above
+    * every committed version. */
+  def dedup(df: DataFrame, schema: MatSchema): DataFrame = {
+    val dims = schema.dimNames.map(col)
+    if (schema.valueNames.isEmpty) df.select(dims: _*).distinct()
+    else {
+      val ver = (least(col(TxnCol), lit(1L << 40)) * lit(1L << 22) +
+        least(col(SeqCol), lit((1L << 22) - 1))).as("_ver")
+      df.withColumn("_ver", ver)
+        .groupBy(dims: _*)
+        .agg(
+          max_by(col(schema.valueNames.head), col("_ver")).as(schema.valueNames.head),
+          schema.valueNames.tail.map(v => max_by(col(v), col("_ver")).as(v)): _*)
+        .select((schema.dimNames ++ schema.valueNames).map(col): _*)
+    }
+  }
+
+  /** Full read path. `pred` (if any) is applied BEFORE version resolution —
+    * this is only sound for predicates over dimension/chunk columns (all
+    * versions of a key share them), which is exactly what [[chunkRange]]
+    * produces; it is what lets partition pruning + parquet pushdown skip IO. */
+  def resolve(
+      spark: SparkSession,
+      root: Path,
+      schema: MatSchema,
+      segments: Seq[SegmentId],
+      extra: Seq[DataFrame],
+      tmpSegments: Seq[SegmentId] = Nil,
+      pred: Option[Column] = None): DataFrame = {
+    val base = raw(spark, root, schema, segments, extra, tmpSegments)
+    dedup(pred.fold(base)(base.filter), schema)
+  }
+
+  /** Rewrite a dimension range predicate onto the chunk-key partition column
+    * too, so Hive partition pruning (directory-level skip) fires in addition
+    * to parquet row-group stats — the declarative analog of the reference's
+    * block-skipping queue (scan.rs:119-180). Use:
+    * `db.snapshot().where(Scan.chunkPruned(schema, "t", $"t" >= 100 && $"t" < 200, 100L))`
+    */
+  def chunkRange(schema: MatSchema, dim: String, lo: Option[Long], hi: Option[Long]): Column = {
+    val chunk = schema.dimensions.find(_.name == dim)
+      .getOrElse(throw new IllegalArgumentException(s"no dimension $dim")).chunkSize
+    val ck = col(schema.chunkColName(dim))
+    val d = col(dim)
+    val conds =
+      lo.toSeq.flatMap(v => Seq(d >= v, ck >= Math.floorDiv(v, chunk))) ++
+        hi.toSeq.flatMap(v => Seq(d <= v, ck <= Math.floorDiv(v, chunk)))
+    conds.reduce(_ && _)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A snapshot-isolated read-write transaction (reference: transaction.rs).
+  *
+  * Write path (reference semantics, Spark execution):
+  *   - [[addRows]] buffers a DataFrame batch tagged with a monotonically
+  *     increasing `_seq` — the append-only analog of the reference's
+  *     overwrite-in-place within a block (block.rs:47-49): on read, higher
+  *     `_seq` wins among equal keys in the same txn (SURVEY.md §7.4).
+  *   - [[flush]] spills all buffered batches to ONE new `.tmp` parquet
+  *     segment, Hive-partitioned by the chunk keys (`floor(dim/chunkSize)`,
+  *     reference schema.rs:28-38) and sorted by dimensions within each
+  *     partition — giving tight parquet row-group min/max stats, the
+  *     declarative version of the reference's per-block bounds
+  *     (segment.rs:173-193). Multiple flushes ⇒ multiple segments per txn
+  *     (transaction.rs:90-119).
+  *   - [[commit]] does a final flush then atomically renames `.tmp` dirs in
+  *     reverse order (segment 0 last = commit marker; transaction.rs:127-136).
+  *   - [[rollback]] (or abandonment) deletes the `.tmp` dirs
+  *     (transaction.rs:50-53, 141-150).
+  *
+  * Scale note: each flush is a single `repartition(chunkCols) +
+  * sortWithinPartitions(dims)` write — one shuffle keyed on chunk, which is
+  * exactly the co-location needed so later scans get partition pruning and
+  * near-sorted reads without a global sort.
+  */
+final class Transaction private[core] (
+    db: MatDb,
+    visibleAtOpen: Seq[SegmentId],
+    horizon: Long) {
+
+  private val spark: SparkSession = db.spark
+  private val schema: MatSchema = db.schema
+
+  private var txnId: Option[Long] = None // allocated lazily at first flush (transaction.rs:93)
+  private var nextSegNum: Int = 0
+  private var nextSeq: Long = 0L
+  private var buffered: Vector[DataFrame] = Vector.empty
+  private var flushed: Vector[SegmentId] = Vector.empty
+  private var closed: Boolean = false
+
+  private def requireOpen(): Unit =
+    require(!closed, "transaction already committed or rolled back")
+
+  /** Columns added to a batch: chunk keys, txn id (MaxValue until commit —
+    * own writes outrank all committed data, reference scan.rs:159-163 intent),
+    * and the batch sequence number. */
+  private def decorate(df: DataFrame, seq: Long): DataFrame = {
+    val withChunks = schema.dimensions.foldLeft(df) { (d, dim) =>
+      d.withColumn(schema.chunkColName(dim.name),
+        floor(col(dim.name) / lit(dim.chunkSize)).cast("long"))
+    }
+    withChunks
+      .withColumn(Scan.TxnCol, lit(Long.MaxValue))
+      .withColumn(Scan.SeqCol, lit(seq))
+  }
+
+  /** Buffer a batch of rows. Columns must include every schema column (extra
+    * columns are dropped). Within one batch, duplicate keys are resolved
+    * arbitrarily; across batches, later batches win. */
+  def addRows(df: DataFrame): Unit = {
+    requireOpen()
+    val seq = nextSeq; nextSeq += 1
+    val projected = df.select(schema.columnNames.map(col): _*)
+    buffered = buffered :+ decorate(projected, seq)
+  }
+
+  /** Convenience: add rows given as tuples of longs in schema order. */
+  def addRowsSeq(rows: Seq[Seq[Any]]): Unit = {
+    val st = schema.toStructType
+    val rdd = spark.sparkContext.parallelize(rows.map(Row.fromSeq), math.max(1, math.min(rows.size / 10000 + 1, 32)))
+    addRows(spark.createDataFrame(rdd, st))
+  }
+
+  private def ensureTxnId(): Long = txnId.getOrElse {
+    val id = db.allocateTxnId(); txnId = Some(id); id
+  }
+
+  /** Spill buffered batches to a new `.tmp` segment. No-op if empty. */
+  def flush(): Unit = {
+    requireOpen()
+    if (buffered.nonEmpty) {
+      val id = SegmentId(ensureTxnId(), nextSegNum)
+      nextSegNum += 1
+      val all = buffered.reduce(_ unionByName _)
+        // persist the txn id for real — MaxValue is only the in-memory rank
+        .withColumn(Scan.TxnCol, lit(id.txnId))
+      val chunkCols = schema.chunkColNames.map(col)
+      all
+        .repartition(chunkCols: _*)
+        .sortWithinPartitions(schema.dimNames.map(col): _*)
+        .write
+        .option("compression", "zstd")
+        .partitionBy(schema.chunkColNames: _*)
+        .parquet(Storage.segmentPath(db.root, id, tmp = true).toString)
+      flushed = flushed :+ id
+      buffered = Vector.empty
+    }
+  }
+
+  /** Snapshot query: committed segments visible at txn open + own flushed
+    * segments + own buffered batches, newest version per key
+    * (reference transaction.rs:67-85 + scan.rs). Own uncommitted rows outrank
+    * everything (tagged Long.MaxValue). */
+  def query(pred: Option[Column] = None): DataFrame =
+    Scan.resolve(spark, db.root, schema, visibleAtOpen, buffered, flushed, pred)
+
+  /** Key-ordered query — the reference's scan output order (scan.rs:183-238). */
+  def queryOrdered(): DataFrame = query().orderBy(schema.dimNames.map(col): _*)
+
+  /** Final flush + atomic visibility flip. */
+  def commit(): Unit = {
+    requireOpen()
+    flush()
+    if (flushed.nonEmpty) {
+      Storage.commitSegments(db.root, flushed)
+      db.register(flushed)
+    }
+    closed = true
+  }
+
+  /** Delete all uncommitted work (reference transaction.rs:141-150). */
+  def rollback(): Unit = {
+    requireOpen()
+    flushed.foreach(id => Storage.delete(db.root, id, tmp = true))
+    flushed = Vector.empty
+    buffered = Vector.empty
+    closed = true
+  }
+}

@@ -1,0 +1,169 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** End-to-end core-engine spec. The first test reproduces the reference's
+  * integration scenario (reference: tests/matdb.rs:54-75): 100×100 grid,
+  * mid-txn flush, in-txn visibility, commit, fresh-txn visibility, and the
+  * dirty-directory re-run relying on upsert dedup. */
+class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-core-test").toString
+
+  private def grid(n: Int, m: Int, valueOf: (Int, Int) => Long): Seq[Seq[Any]] =
+    for (t <- 0 until n; s <- 0 until m)
+      yield Seq(t.toLong, s.toLong, valueOf(t, s))
+
+  private val schema = MatSchema(
+    Seq(Dimension("time", 50), Dimension("sensor_id", 10)),
+    Seq(ValueCol("value")))
+
+  test("matdb integration scenario: insert grid, flush, query, commit, reopen, dirty rerun") {
+    val path = tmpDir()
+    val db = MatDb.createOrOpen(spark, schema, path)
+
+    val txn = db.newTransaction()
+    // sensors 0-49 before the flush, 50-99 after
+    txn.addRowsSeq(grid(100, 50, (t, s) => (t * 1000 + s).toLong))
+    txn.flush() // mid-txn spill, reference tests/matdb.rs:32-34
+    txn.addRowsSeq(
+      for (t <- 0 until 100; s <- 50 until 100)
+        yield Seq[Any](t.toLong, s.toLong, (t * 1000 + s).toLong))
+    // query inside the txn sees both flushed and buffered rows
+    assert(txn.query().count() === 10000)
+    txn.commit()
+
+    // fresh txn after commit sees all rows
+    val txn2 = db.newTransaction()
+    assert(txn2.query().count() === 10000)
+    txn2.rollback()
+
+    // reopen from disk
+    val db2 = MatDb.open(spark, path)
+    assert(db2.snapshot().count() === 10000)
+
+    // dirty re-run: re-insert the same keys with new values; upsert dedup
+    // keeps the count at 10000 and the NEW values win
+    val txn3 = db2.newTransaction()
+    txn3.addRowsSeq(grid(100, 100, (t, s) => 777L))
+    txn3.commit()
+    val snap = db2.snapshot()
+    assert(snap.count() === 10000)
+    import org.apache.spark.sql.functions._
+    assert(snap.agg(countDistinct(col("value"))).head().getLong(0) === 1L)
+    assert(snap.agg(max(col("value"))).head().getLong(0) === 777L)
+  }
+
+  test("ordered scan yields key order") {
+    val path = tmpDir()
+    val db = MatDb.create(spark, schema, path)
+    val txn = db.newTransaction()
+    txn.addRowsSeq(Seq(Seq(5L, 1L, 10L), Seq(1L, 2L, 20L), Seq(1L, 1L, 30L), Seq(120L, 7L, 40L)))
+    txn.commit()
+    val rows = db.orderedScan().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((1L, 1L), (1L, 2L), (5L, 1L), (120L, 7L)))
+  }
+
+  test("newest txn wins across commits; later batch wins within txn") {
+    val path = tmpDir()
+    val db = MatDb.create(spark, schema, path)
+    val t1 = db.newTransaction()
+    t1.addRowsSeq(Seq(Seq(1L, 1L, 100L)))
+    t1.commit()
+    val t2 = db.newTransaction()
+    t2.addRowsSeq(Seq(Seq(1L, 1L, 200L)))
+    t2.addRowsSeq(Seq(Seq(1L, 1L, 300L))) // later batch, same txn
+    t2.flush()
+    t2.addRowsSeq(Seq(Seq(1L, 1L, 400L))) // buffered after flush
+    t2.commit()
+    val vals = db.snapshot().collect().map(_.getLong(2))
+    assert(vals.toSeq === Seq(400L))
+  }
+
+  test("snapshot isolation: txn opened before a commit does not see it") {
+    val path = tmpDir()
+    val db = MatDb.create(spark, schema, path)
+    val t1 = db.newTransaction()
+    t1.addRowsSeq(Seq(Seq(1L, 1L, 1L)))
+    t1.commit()
+    val reader = db.newTransaction() // horizon fixed here
+    val t2 = db.newTransaction()
+    t2.addRowsSeq(Seq(Seq(2L, 2L, 2L)))
+    t2.commit()
+    assert(reader.query().count() === 1)       // does not see t2
+    assert(db.snapshot().count() === 2)        // fresh snapshot does
+    reader.rollback()
+  }
+
+  test("time travel asOf") {
+    val path = tmpDir()
+    val db = MatDb.create(spark, schema, path)
+    val t1 = db.newTransaction(); t1.addRowsSeq(Seq(Seq(1L, 1L, 1L))); t1.commit()
+    val t2 = db.newTransaction(); t2.addRowsSeq(Seq(Seq(1L, 1L, 2L), Seq(3L, 3L, 3L))); t2.commit()
+    assert(db.asOf(1L).collect().map(_.getLong(2)).toSeq === Seq(1L))
+    assert(db.snapshot().count() === 2)
+  }
+
+  test("rollback and crash recovery drop uncommitted segments") {
+    val path = tmpDir()
+    val db = MatDb.create(spark, schema, path)
+    val t1 = db.newTransaction(); t1.addRowsSeq(Seq(Seq(1L, 1L, 1L))); t1.commit()
+    // rollback path
+    val t2 = db.newTransaction(); t2.addRowsSeq(Seq(Seq(2L, 2L, 2L))); t2.flush(); t2.rollback()
+    assert(db.snapshot().count() === 1)
+    // crash path: flushed .tmp left behind, then reopen sweeps it
+    val t3 = db.newTransaction(); t3.addRowsSeq(Seq(Seq(3L, 3L, 3L))); t3.flush()
+    val db2 = MatDb.open(spark, path)
+    assert(db2.snapshot().count() === 1)
+    // partial-commit: committed-looking segment without segment 0 is ignored
+    val fakeTxn = 99L
+    val seg1 = SegmentId(fakeTxn, 1)
+    Files.createDirectories(Storage.segmentPath(Storage.rootPath(path), seg1, tmp = false))
+    val db3 = MatDb.open(spark, path)
+    assert(db3.committedSegments.forall(_.txnId != fakeTxn))
+  }
+
+  test("chunk-range predicate prunes and returns correct rows") {
+    val path = tmpDir()
+    val db = MatDb.create(spark, schema, path)
+    val txn = db.newTransaction()
+    txn.addRowsSeq(grid(200, 10, (t, s) => t.toLong))
+    txn.commit()
+    val t2 = db.newTransaction()
+    val pred = Scan.chunkRange(schema, "time", Some(60L), Some(119L))
+    val got = t2.query(Some(pred))
+    assert(got.count() === 60 * 10)
+    t2.rollback()
+  }
+
+  test("schema json round trip") {
+    val s2 = MatSchema.fromJson(schema.json)
+    assert(s2 === schema)
+  }
+
+  test("storage segment name encode/decode") {
+    assert(Storage.segmentDirName(SegmentId(255, 2), tmp = false) === "000000ff.00000002")
+    assert(Storage.decode("000000ff.00000002") === Some((SegmentId(255, 2), false)))
+    assert(Storage.decode("000000ff.00000002.tmp") === Some((SegmentId(255, 2), true)))
+    assert(Storage.decode("schema.json") === None)
+  }
+}
