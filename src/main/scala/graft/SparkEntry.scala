@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{CoreOps, Pipeline, Q, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The battery is assembled from three modules:
+  *   - [[graft.queries.CoreOps]]    q01-q05: the reference engine's own
+  *     operator semantics (scan order, MVCC upsert, snapshot horizon,
+  *     range pruning, count) — the table-format implementation itself lives
+  *     in [[graft.core]].
+  *   - [[graft.queries.Relational]] q06-q35: full relational checklist.
+  *   - [[graft.queries.Pipeline]]   q40-q52: LLM-data-pipeline operators
+  *     (text analysis, dedup family, similarity search, multimodal).
+  */
 object SparkEntry {
+  private lazy val battery: Seq[Q.Entry] =
+    CoreOps.entries ++ Relational.entries ++ Pipeline.entries
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    battery.find(_.name == "q16_pricing_summary").get.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    battery.map(e => e.name -> e.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted only for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    battery.flatMap(e => e.oracle.map(e.name -> _)).toMap
 }

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Queries q01-q05: the reference engine's own operator semantics
+  * (SURVEY.md §2.1/§2.2) demonstrated over the driver's test tables.
+  * The real implementations live in graft.core (table format + MVCC scan);
+  * these express the same semantics relationally so the DuckDB oracle can
+  * check them. */
+object CoreOps {
+
+  val entries: Seq[Entry] = Seq(
+
+    // #2 MVCC version resolution: newest event wins per key point — the
+    // engine's upsert dedup (reference scan.rs:212-236) with events as the
+    // versioned row set, event_id as the commit order.
+    Entry("q01_upsert_latest", Some(
+      """SELECT user_id, event_type,
+        |       arg_max(value, event_id) AS latest_value,
+        |       max(event_id) AS latest_event_id
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin)) { (s, d) =>
+      table(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(
+          max_by(col("value"), col("event_id")).as("latest_value"),
+          max(col("event_id")).as("latest_event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // #1 full key-ordered scan (reference scan.rs:183-238): the merge's
+    // emergent key order as an explicit ORDER BY over the composite key.
+    Entry("q02_ordered_scan", Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)) { (s, d) =>
+      table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // #9 snapshot-horizon visibility (reference database.rs:85-89): rows
+    // below a horizon fixed by a scalar subquery over the same table.
+    Entry("q03_snapshot_horizon", Some(
+      """SELECT event_id, user_id, event_type
+        |FROM events
+        |WHERE event_id * 2 < (SELECT max(event_id) FROM events)
+        |ORDER BY event_id""".stripMargin)) { (s, d) =>
+      sql(s, d, Seq("events"),
+        """SELECT event_id, user_id, event_type
+          |FROM events
+          |WHERE event_id * 2 < (SELECT max(event_id) FROM events)
+          |ORDER BY event_id""".stripMargin)
+    },
+
+    // #3 block/segment skipping: a dimension range predicate, answered by
+    // parquet min/max pruning (reference's zone maps, segment.rs:173-193).
+    Entry("q04_range_prune", Some(
+      """SELECT l_orderkey, l_linenumber, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)) { (s, d) =>
+      table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // #11 count aggregation (reference sensor-log.rs:340-349).
+    Entry("q05_grouped_count", Some(
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)) { (s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }
+  )
+}

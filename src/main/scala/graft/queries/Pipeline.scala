@@ -1,0 +1,401 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Queries q40-q52: the LLM-training-data pipeline operators — text
+  * analysis, fingerprinting, exact / n-gram-Jaccard / MinHash-LSH / SimHash
+  * deduplication, embedding similarity search (brute force + LSH buckets),
+  * and multimodal (binary column) plumbing.
+  *
+  * Cross-engine trick making even the hash-based ops oracle-checkable: a
+  * 56-bit deterministic string hash computable in BOTH engines —
+  * Spark `conv(substr(md5(s),1,14),16,10)::long`,
+  * DuckDB `('0x'||substr(md5(s),1,14))::BIGINT`. All MinHash permutations
+  * and SimHash bits derive from it with plain int64 arithmetic, so LSH
+  * candidate generation is bit-identical across engines and the oracle can
+  * replay the whole pipeline (false negatives of LSH don't hurt parity).
+  */
+object Pipeline {
+
+  private val P = 1000000007L // modulus for minhash permutations
+  private val NumPerm = 16    // minhash permutations
+  private val BandSize = 4    // rows per LSH band -> 4 bands
+  private val SimBits = 56    // simhash width (fits the 56-bit hash)
+
+  /** 56-bit md5-based hash — Spark side. */
+  private def h56(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+  /** 56-bit md5-based hash — DuckDB side. */
+  private def h56Sql(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 14))::BIGINT)"
+
+  /** Normalized whitespace tokens — identical in both engines. */
+  private def toksSpark(c: Column): Column = split(lower(c), "\\s+")
+  private val toksSql = "string_split_regex(lower(text), '\\s+')"
+
+  // ---- shared Spark fragments ----------------------------------------
+
+  /** doc_id + exploded DISTINCT word 3-gram shingles. */
+  private def shingles(df: DataFrame): DataFrame = {
+    val tok = df.select(col("doc_id"), toksSpark(col("text")).as("ws"))
+      .where(size(col("ws")) >= 3)
+    tok.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(0), size(col("ws")) - 3),
+        i => concat_ws(" ", element_at(col("ws"), i + 1),
+          element_at(col("ws"), i + 2), element_at(col("ws"), i + 3))))).as("g"))
+  }
+
+  /** DuckDB equivalent of [[shingles]] as a CTE body. */
+  private val shinglesSql =
+    """tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') ws
+      |        FROM documents WHERE len(string_split_regex(lower(text), '\s+')) >= 3),
+      |sh AS (SELECT doc_id,
+      |              list_distinct(list_transform(range(1, len(ws) - 1),
+      |                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) gs
+      |       FROM tok),
+      |ex AS (SELECT doc_id, unnest(gs) g FROM sh)""".stripMargin
+
+  /** Exact-Jaccard pair table over shingle sets (inverted-index join — the
+    * scale-correct plan: explode, equi-join on shingle, count; never a
+    * doc×doc cross join). Spark side. */
+  private def jaccardPairs(df: DataFrame): DataFrame = {
+    val ex = shingles(df)
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+  }
+
+  /** DuckDB equivalent of [[jaccardPairs]] as CTEs on top of shinglesSql. */
+  private val jaccardPairsSql =
+    """sizes AS (SELECT doc_id, count(*) n FROM ex GROUP BY doc_id),
+      |shared AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
+      |           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b, shared,
+      |                 CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) jaccard
+      |          FROM shared JOIN sizes sa ON sa.doc_id = doc_a
+      |                      JOIN sizes sb ON sb.doc_id = doc_b)""".stripMargin
+
+  /** Left-fold dot product of two double arrays — order-identical in both
+    * engines (Spark `aggregate` init 0.0; DuckDB `list_reduce` starts at the
+    * first product: 0.0+p1 == p1 exactly). */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def embD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  val entries: Seq[Entry] = Seq(
+
+    // ---- text analysis -------------------------------------------------
+    Entry("q40_text_stats", Some(
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+        |       CAST(length(text) AS BIGINT) AS n_chars_m,
+        |       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) AS punct_ratio,
+        |       CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |         / len(regexp_extract_all(text, '\S+')) AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      table(s, d, "documents").select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit("[.,;:!?]")).cast("long").as("n_punct"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") / length(col("text"))).as("punct_ratio"),
+        (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          regexp_count(col("text"), lit("\\S+"))).as("avg_word_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // language id via stopword-count heuristic (n-gram-free langid).
+    Entry("q41_lang_id", Some(
+      """SELECT doc_id, lang,
+        |       CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|is|and)\b')) AS BIGINT) AS s_en,
+        |       CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS BIGINT) AS s_de,
+        |       CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|es)\b')) AS BIGINT) AS s_es,
+        |       CAST(len(regexp_extract_all(lower(text), '\b(le|les|et|est|une)\b')) AS BIGINT) AS s_fr,
+        |       CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|to|is|and)\b')) >=
+        |                 greatest(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')),
+        |                          len(regexp_extract_all(lower(text), '\b(el|la|de|que|es)\b')),
+        |                          len(regexp_extract_all(lower(text), '\b(le|les|et|est|une)\b')), 1)
+        |            THEN 'en'
+        |            WHEN len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) >=
+        |                 greatest(len(regexp_extract_all(lower(text), '\b(el|la|de|que|es)\b')),
+        |                          len(regexp_extract_all(lower(text), '\b(le|les|et|est|une)\b')), 1)
+        |            THEN 'de'
+        |            WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|es)\b')) >=
+        |                 greatest(len(regexp_extract_all(lower(text), '\b(le|les|et|est|une)\b')), 1)
+        |            THEN 'es'
+        |            WHEN len(regexp_extract_all(lower(text), '\b(le|les|et|est|une)\b')) >= 1
+        |            THEN 'fr'
+        |            ELSE 'und' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      def cnt(pat: String) = regexp_count(lower(col("text")), lit(pat)).cast("long")
+      val en = cnt("\\b(the|a|of|to|is|and)\\b")
+      val de = cnt("\\b(der|die|das|und|ist)\\b")
+      val es = cnt("\\b(el|la|de|que|es)\\b")
+      val fr = cnt("\\b(le|les|et|est|une)\\b")
+      table(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"),
+        when(en >= greatest(de, es, fr, lit(1L)), "en")
+          .when(de >= greatest(es, fr, lit(1L)), "de")
+          .when(es >= greatest(fr, lit(1L)), "es")
+          .when(fr >= 1, "fr")
+          .otherwise("und").as("pred_lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // composite quality score — all per-row double ops, written in the
+    // identical evaluation order on both sides.
+    Entry("q42_quality_score", Some(
+      """SELECT doc_id,
+        |       0.4 * least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50, 1.0)
+        |       + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text))
+        |       + 0.3 * least(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|is|and)\b')) AS DOUBLE)
+        |                     / 10, 1.0) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val ntok = regexp_count(col("text"), lit("\\S+")).cast("double")
+      val npunct = regexp_count(col("text"), lit("[.,;:!?]")).cast("double")
+      val nstop = regexp_count(lower(col("text")), lit("\\b(the|a|of|to|is|and)\\b")).cast("double")
+      table(s, d, "documents").select(
+        col("doc_id"),
+        (lit(0.4) * least(ntok / 50, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - npunct / length(col("text"))) +
+          lit(0.3) * least(nstop / 10, lit(1.0))).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // BPE-ish token counting (letter runs / digits / punctuation marks).
+    Entry("q43_bpe_tokens", Some(
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      table(s, d, "documents").select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long").as("n_bpe"))
+        .orderBy(col("doc_id"))
+    },
+
+    // document fingerprinting: md5 of the normalized text + a 56-bit int fp.
+    Entry("q44_fingerprint", Some(
+      s"""SELECT doc_id,
+         |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         |                               ' +', ' ', 'g'))) AS fp_md5,
+         |       ${h56Sql("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))")} AS fp56
+         |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      table(s, d, "documents").select(
+        col("doc_id"), md5(norm).as("fp_md5"), h56(norm).as("fp56"))
+        .orderBy(col("doc_id"))
+    },
+
+    // exact dedup on a normalized key (prefix-40): groups of copies, keeper
+    // = min doc_id (hash-groupBy — the exact-dedup primitive).
+    Entry("q45_dedup_exact", Some(
+      """SELECT md5(substr(lower(text), 1, 40)) AS group_fp,
+        |       count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM documents
+        |GROUP BY substr(lower(text), 1, 40)
+        |HAVING count(*) > 1
+        |ORDER BY group_fp""".stripMargin)) { (s, d) =>
+      table(s, d, "documents")
+        .groupBy(substring(lower(col("text")), 1, 40).as("k"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+        .where(col("n_copies") > 1)
+        .select(md5(col("k")).as("group_fp"), col("n_copies"), col("keep_id"))
+        .orderBy(col("group_fp"))
+    },
+
+    // n-gram Jaccard near-dup pairs — exact, via inverted-index join.
+    Entry("q46_ngram_jaccard", Some(
+      s"""WITH $shinglesSql,
+         |$jaccardPairsSql
+         |SELECT doc_a, doc_b, shared, jaccard
+         |FROM pairs WHERE jaccard >= 0.25
+         |ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
+      jaccardPairs(table(s, d, "documents"))
+        .where(col("jaccard") >= 0.25)
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // MinHash + LSH banding near-dup candidates, verified with exact
+    // Jaccard. The banding (4 bands x 4 rows) is replayed exactly by the
+    // oracle, so LSH false negatives are parity-neutral.
+    Entry("q47_minhash_lsh", Some(minhashOracleSql)) { (s, d) =>
+      val ex = shingles(table(s, d, "documents"))
+        .withColumn("hp", h56(col("g")) % P)
+      val mh = ex.groupBy(col("doc_id")).agg(
+        minhashCol(0), (1 until NumPerm).map(minhashCol): _*)
+      val bands = (0 until NumPerm / BandSize).map { b =>
+        val cols = (b * BandSize until (b + 1) * BandSize).map(j => s"m$j")
+        mh.select(col("doc_id"), lit(b).as("band"),
+          concat_ws(",", cols.map(col): _*).as("sig"))
+      }.reduce(_ unionByName _)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      jaccardPairs(table(s, d, "documents"))
+        .join(cand, Seq("doc_a", "doc_b"))
+        .where(col("jaccard") >= 0.2)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // SimHash document signatures (56-bit, bit-majority over token hashes).
+    Entry("q48_simhash", Some(simhashOracleSql)) { (s, d) =>
+      val tok = table(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(toksSpark(col("text")))).as("w"))
+        .withColumn("h", h56(col("w")))
+      val bitSums = tok.groupBy(col("doc_id")).agg(
+        simBitSum(0), (1 until SimBits).map(simBitSum): _*)
+      val sim = (0 until SimBits).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+      bitSums.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
+    },
+
+    // brute-force cosine top-k — the exact ANN baseline. Query vectors are
+    // broadcast; the scan over candidates is embarrassingly parallel.
+    Entry("q50_cosine_topk", Some(
+      s"""WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id, embedding ce FROM embeddings),
+         |scored AS (
+         |  SELECT qid, vec_id,
+         |         ${dotSql("qe", "ce")} /
+         |         sqrt(${dotSql("qe", "qe")} * ${dotSql("ce", "ce")}) AS score
+         |  FROM q CROSS JOIN c WHERE vec_id != qid)
+         |SELECT qid, vec_id, score,
+         |       CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn
+         |      FROM scored) t
+         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)) { (s, d) =>
+      val e = table(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), embD(col("embedding")).as("qe"))
+      val c = e.select(col("vec_id"), embD(col("embedding")).as("ce"))
+      val scored = broadcast(q).join(c, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (dotD(col("qe"), col("ce")) /
+            sqrt(dotD(col("qe"), col("qe")) * dotD(col("ce"), col("ce")))).as("score"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))).cast("long"))
+        .where(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    },
+
+    // random-hyperplane LSH bucketing — the scale path for ANN: 16-bit
+    // signatures from deterministic pseudo-planes; candidate search then
+    // only probes the query's bucket.
+    Entry("q51_ann_lsh_bucket", Some(
+      """SELECT vec_id,
+        |       list_reduce(list_transform(range(0, 16), j ->
+        |         CASE WHEN list_reduce(list_transform(range(0, 64), i ->
+        |                     CAST(embedding[i+1] AS DOUBLE) * (((j*1009 + i*31) % 97) / 97.0 - 0.5)),
+        |                   (x, y) -> x + y) >= 0
+        |              THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END),
+        |         (x, y) -> x + y) AS bucket
+        |FROM embeddings ORDER BY vec_id""".stripMargin)) { (s, d) =>
+      // identical arithmetic as the oracle, in Spark's higher-order SQL
+      table(s, d, "embeddings")
+        .select(col("vec_id"), expr(
+          """aggregate(transform(sequence(0, 15), j ->
+            |  IF(aggregate(transform(sequence(0, 63), i ->
+            |       cast(element_at(embedding, i + 1) as double)
+            |       * (((j*1009 + i*31) % 97) / 97.0 - 0.5)),
+            |     cast(0.0 as double), (acc, x) -> acc + x) >= 0,
+            |     shiftleft(cast(1 as bigint), j), cast(0 as bigint))),
+            |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin).as("bucket"))
+        .orderBy(col("vec_id"))
+    },
+
+    // multimodal plumbing: opaque binary column + typed metadata + a
+    // deterministic stand-in for feature extraction (real decoders aren't in
+    // this container; the Spark-side schema/partitioning is the real part —
+    // see graft.multimodal for the mapPartitions decode pipeline).
+    Entry("q52_multimodal_binary", Some(
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS digest,
+        |       CAST(octet_length(encode(text)) % 256 AS DOUBLE) / 255.0 AS f_len,
+        |       CAST(ascii(substr(text, 1, 1)) AS DOUBLE) / 255.0 AS f_first
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val bin = encode(col("text"), "utf-8")
+      table(s, d, "documents").select(
+        col("doc_id"),
+        length(bin).cast("long").as("n_bytes"),
+        md5(bin).as("digest"),
+        ((length(bin) % 256).cast("double") / 255.0).as("f_len"),
+        (ascii(substring(col("text"), 1, 1)).cast("double") / 255.0).as("f_first"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  // ---- generated helpers ----------------------------------------------
+
+  /** minhash permutation j as a Spark aggregate column (over `hp`). */
+  private def minhashCol(j: Int): Column =
+    min((lit(37L + 101L * j) * col("hp") + lit(17L + 13L * j)) % P).as(s"m$j")
+
+  /** simhash bit-sum j as a Spark aggregate column (over `h`). */
+  private def simBitSum(j: Int): Column =
+    sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+
+  /** DuckDB oracle replaying the full minhash+banding+verify pipeline. */
+  private lazy val minhashOracleSql: String = {
+    val mhCols = (0 until NumPerm)
+      .map(j => s"min(((${37L + 101L * j} * hp) + ${17L + 13L * j}) % $P) m$j").mkString(",\n         ")
+    val bandJoins = (0 until NumPerm / BandSize).map { b =>
+      val cond = (b * BandSize until (b + 1) * BandSize)
+        .map(j => s"x.m$j = y.m$j").mkString(" AND ")
+      s"SELECT x.doc_id doc_a, y.doc_id doc_b FROM mh x JOIN mh y ON $cond AND x.doc_id < y.doc_id"
+    }.mkString("\n  UNION\n  ")
+    s"""WITH $shinglesSql,
+       |hs AS (SELECT doc_id, ${h56Sql("g")} % $P hp FROM ex),
+       |mh AS (SELECT doc_id,
+       |         $mhCols
+       |       FROM hs GROUP BY doc_id),
+       |cand AS (
+       |  $bandJoins
+       |),
+       |$jaccardPairsSql
+       |SELECT p.doc_a, p.doc_b, p.jaccard
+       |FROM pairs p JOIN cand c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+       |WHERE p.jaccard >= 0.2
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+  }
+
+  /** DuckDB oracle computing the same 56-bit simhash. */
+  private lazy val simhashOracleSql: String = {
+    val bitCols = (0 until SimBits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) b$j").mkString(",\n         ")
+    val simExpr = (0 until SimBits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) w
+       |            FROM documents),
+       |hs AS (SELECT doc_id, ${h56Sql("w")} h FROM tok),
+       |bits AS (SELECT doc_id,
+       |         $bitCols
+       |         FROM hs GROUP BY doc_id)
+       |SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash
+       |FROM bits ORDER BY doc_id""".stripMargin
+  }
+}
