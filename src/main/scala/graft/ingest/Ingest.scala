@@ -1,0 +1,91 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File ingestion with the reference example's semantics
+  * (reference: examples/sensor-log.rs), Spark-first:
+  *
+  *   - glob + gzip + parallel parse are native to `spark.read.csv`
+  *     (sensor-log.rs:220-233 expands globs and decompresses by hand,
+  *     fanning out N-1 parser threads, sensor-log.rs:241-305 — all of that
+  *     disappears into the file source's split planning);
+  *   - `%d/%m/%Y %I:%M:%S %p` timestamps with `a.m.`/`p.m.` markers
+  *     normalized then parsed (sensor-log.rs:123-128);
+  *   - float readings stored as x1000 fixed-point longs (sensor-log.rs:130-136);
+  *   - malformed lines preserved, not crashed on (PERMISSIVE + corrupt-record
+  *     column; sensor-log.rs:137-175 skips with a message).
+  */
+object Ingest {
+
+  /** Raw sensor-log TSV schema: timestamp, component, sensor, kind, value. */
+  val sensorLogSchema: StructType = StructType(Seq(
+    StructField("ts_raw", StringType),
+    StructField("component", StringType),
+    StructField("sensor", StringType),
+    StructField("kind", StringType),
+    StructField("value_raw", StringType),
+    StructField("_corrupt", StringType)))
+
+  /** Read TSV files (plain or .gz, glob patterns OK) permissively. */
+  def readSensorLog(spark: SparkSession, pattern: String): DataFrame =
+    spark.read
+      .option("sep", "\t")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(sensorLogSchema)
+      .csv(pattern)
+
+  /** `31/12/1995 11:59:59 p.m.` -> timestamp. Normalizes the reference's
+    * `a.m.`/`p.m.` markers to parseable AM/PM (sensor-log.rs:124-125).
+    * try_to_timestamp: malformed rows yield NULL instead of failing the job
+    * under ANSI mode (the reference skips bad lines, sensor-log.rs:137-175). */
+  def parseSensorTimestamp(c: Column): Column =
+    try_to_timestamp(
+      regexp_replace(regexp_replace(c, "[aA]\\.[mM]\\.", "AM"), "[pP]\\.[mM]\\.", "PM"),
+      lit("d/M/yyyy h:mm:ss a"))
+
+  /** Fixed-point encode: double -> x10^scale long (sensor-log.rs:130-136). */
+  def fixedPoint(c: Column, scale: Int = 3): Column =
+    round(c * math.pow(10, scale)).cast("long")
+
+  /** Parsed + coerced sensor rows: (ts_millis, component, sensor, kind,
+    * value_mils) with malformed lines dropped into the returned `bad` count
+    * rather than failing the job. */
+  def parseSensorLog(raw: DataFrame): DataFrame =
+    raw.where(col("_corrupt").isNull)
+      .select(
+        unix_millis(parseSensorTimestamp(col("ts_raw"))).as("time"),
+        col("component"), col("sensor"), col("kind"),
+        fixedPoint(expr("try_cast(value_raw AS DOUBLE)")).as("value"))
+      .where(col("time").isNotNull && col("value").isNotNull)
+
+  /** Dictionary get-or-create (reference sensor-log.rs:27-105: hand-rolled
+    * hash-map id assignment persisted to sensors.json).
+    *
+    * Spark-first: the dictionary is itself a table. New keys get
+    * `max(existing_id) + dense_rank(key)`; lookups are broadcast hash joins.
+    * At 100 TB the dictionary stays small (distinct sensors), so the join
+    * side is always broadcastable and id assignment shuffles only the
+    * DISTINCT new keys, never the fact rows. */
+  def dictionaryGetOrCreate(
+      existing: DataFrame, // columns: keyCols :+ "id"
+      rows: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    val newKeys = rows.select(keys: _*).distinct()
+      .join(broadcast(existing.select(keys: _*)), keyCols, "left_anti")
+    val base = existing.agg(coalesce(max(col("id")), lit(0L)).as("m"))
+    val assigned = newKeys
+      .withColumn("_rk", dense_rank().over(Window.orderBy(keys: _*)).cast("long"))
+      .crossJoin(broadcast(base))
+      .select(keys :+ (col("m") + col("_rk")).as("id"): _*)
+    existing.select(keys :+ col("id"): _*).unionByName(assigned)
+  }
+
+  /** Encode fact rows against a dictionary: broadcast-join keys -> id. */
+  def encodeWithDictionary(rows: DataFrame, dict: DataFrame, keyCols: Seq[String]): DataFrame =
+    rows.join(broadcast(dict), keyCols, "left")
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.core.MatDb
+
+/** Structured Streaming surface (SURVEY.md §2.3 "Streaming"): the reference
+  * has none, but its append-only segment model is micro-batch shaped — the
+  * sensor-log loader (sensor-log.rs:241-305) is a batch ingest of an
+  * unbounded feed. Here the same feed is a stream:
+  *
+  *   - [[segmentStream]]: file-source stream over a graft table's committed
+  *     segment directories — every committed transaction becomes a
+  *     micro-batch (the streaming read path of the table format);
+  *   - tumbling / sliding / session windows with watermarks;
+  *   - [[dedupWithinWatermark]]: the engine's upsert semantics on a stream;
+  *   - [[runningMaxByKey]]: arbitrary stateful op via mapGroupsWithState;
+  *   - [[MatDbSink]]: foreachBatch sink committing each micro-batch as one
+  *     graft transaction — streaming writes get the same atomic-visibility
+  *     guarantees as batch writes.
+  */
+object Streams {
+
+  /** Stream of rows appended to a graft table: parquet file-source over the
+    * committed segment glob. New committed segments are picked up per
+    * micro-batch; `.tmp` (uncommitted) dirs never match the glob. */
+  def segmentStream(spark: SparkSession, dbPath: String): DataFrame = {
+    val db = MatDb.open(spark, dbPath)
+    val st = org.apache.spark.sql.types.StructType(
+      db.schema.toStructType.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_txn_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_seq", org.apache.spark.sql.types.LongType)))
+    spark.readStream
+      .schema(st)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dbPath + "/[0-9a-f]*.[0-9a-f]*/*")
+  }
+
+  /** Tumbling-window counts with a watermark for late data. */
+  def tumblingCounts(events: DataFrame, tsCol: String, watermark: String, window: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+
+  /** Sliding-window aggregate. */
+  def slidingCounts(events: DataFrame, tsCol: String, watermark: String,
+      window: String, slide: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window, slide))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Session windows (gap-based) per user. */
+  def sessionCounts(events: DataFrame, tsCol: String, watermark: String, gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Streaming upsert analog: newest row per key within the watermark —
+    * the MVCC dedup of the batch scan (graft.core.Scan) on a stream. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  final case class KeyedValue(key: Long, value: Double, eventTimeMillis: Long)
+  final case class RunningMax(key: Long, max: Double, n: Long)
+
+  /** Custom stateful operator: running max + count per key via
+    * mapGroupsWithState (KeyValueGroupedDataset state API). */
+  def runningMaxByKey(ds: Dataset[KeyedValue]): Dataset[RunningMax] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .mapGroupsWithState[RunningMax, RunningMax](GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[KeyedValue], state: GroupState[RunningMax]) =>
+          val prev = state.getOption.getOrElse(RunningMax(key, Double.MinValue, 0L))
+          val next = rows.foldLeft(prev)((acc, r) =>
+            RunningMax(key, math.max(acc.max, r.value), acc.n + 1))
+          state.update(next)
+          next
+      }
+  }
+
+  /** foreachBatch sink: each micro-batch commits as ONE graft transaction —
+    * atomic visibility per batch, rollback on failure (nothing renamed). */
+  def matDbSink(stream: DataFrame, db: MatDb, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val txn = db.newTransaction()
+        txn.addRows(batch)
+        txn.commit()
+      }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.TestSpark
+import graft.ingest.Ingest
+import graft.functions.{Fingerprint64, Scored, TopKAggregator}
+import graft.multimodal.Multimodal
+
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeTsv(dir: java.nio.file.Path, name: String, lines: Seq[String], gzip: Boolean): Unit = {
+    val f = dir.resolve(name)
+    if (gzip) {
+      val out = new GZIPOutputStream(Files.newOutputStream(f))
+      out.write(lines.mkString("\n").getBytes("UTF-8")); out.close()
+    } else Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("tsv + gz + glob ingest with timestamp parse, fixed point, corrupt lines") {
+    val dir = Files.createTempDirectory("graft-ingest")
+    val good = Seq(
+      "31/12/1995 11:59:59 p.m.\tpump\ttemp\tC\t12.345",
+      "1/1/1996 12:00:01 a.m.\tpump\ttemp\tC\t-3.2",
+      "2/1/1996 6:30:00 a.m.\tfan\trpm\tr\t850.5")
+    val bad = Seq("not a timestamp\tx\ty\tz\tnope")
+    writeTsv(dir, "a.tsv", good.take(2) ++ bad, gzip = false)
+    writeTsv(dir, "b.tsv.gz", good.drop(2), gzip = true)
+
+    val raw = Ingest.readSensorLog(spark, s"$dir/*.tsv*")
+    val parsed = Ingest.parseSensorLog(raw)
+    val rows = parsed.orderBy("time").collect()
+    assert(rows.length === 3) // bad line dropped, not fatal
+    assert(rows(0).getAs[Long]("value") === 12345L) // x1000 fixed point
+    assert(rows(1).getAs[Long]("value") === -3200L)
+    assert(rows(2).getAs[Long]("value") === 850500L)
+    // 11:59:59 p.m. on 31/12/1995 UTC
+    assert(rows(0).getAs[Long]("time") === 820454399000L)
+  }
+
+  test("dictionary get-or-create assigns stable ids and encodes via broadcast join") {
+    import spark.implicits._
+    val existing = Seq(("pump", "temp", 1L), ("fan", "rpm", 2L))
+      .toDF("component", "sensor", "id")
+    val rows = Seq(("pump", "temp", 10.0), ("valve", "flow", 5.0), ("valve", "flow", 6.0))
+      .toDF("component", "sensor", "v")
+    val dict = Ingest.dictionaryGetOrCreate(existing, rows, Seq("component", "sensor"))
+    val byKey = dict.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byKey(("pump", "temp")) === 1L) // existing ids untouched
+    assert(byKey(("valve", "flow")) === 3L) // max + rank
+    val encoded = Ingest.encodeWithDictionary(rows, dict, Seq("component", "sensor"))
+    assert(encoded.where(col("id").isNull).count() === 0)
+  }
+}
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("fingerprint64 matches reference FNV-1a and is codegen'd") {
+    import spark.implicits._
+    Fingerprint64.register(spark)
+    val df = Seq("", "a", "hello world").toDF("s")
+      .selectExpr("s", "fingerprint64(s) AS fp")
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent scalar reference implementation
+    def fnv(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0xcbf29ce484222325L)((h, b) => (h ^ (b & 0xffL)) * 0x100000001b3L)
+    assert(got("") === fnv(""))
+    assert(got("a") === fnv("a"))
+    assert(got("hello world") === fnv("hello world"))
+    // over a file source (local Seqs collapse to LocalTableScan and prove
+    // nothing): the expression must stay inside the WholeStageCodegen span
+    val fileDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "fingerprint64(text) AS fp")
+      .where("fp IS NOT NULL")
+    assert(fileDf.count() > 0)
+    // "*(n)" prefixes mark WholeStageCodegen stages; the Project computing
+    // fingerprint64 must carry one (an interpreted fallback would drop it)
+    val plan = fileDf.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("fingerprint64")), plan)
+  }
+
+  test("topk aggregator keeps k best per group with deterministic ties") {
+    import spark.implicits._
+    val topk = new TopKAggregator(2).toColumn
+    val ds = Seq(
+      (1L, Scored(10, 0.5)), (1L, Scored(11, 0.9)), (1L, Scored(12, 0.7)),
+      (2L, Scored(20, 0.1))).toDS()
+    val out = ds.groupByKey(_._1).mapValues(_._2).agg(topk.name("top"))
+      .collect().toMap
+    assert(out(1L).map(_.id) === Seq(11L, 12L))
+    assert(out(2L).map(_.id) === Seq(20L))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("binary media pipeline: schema, partitioning, deterministic stub decode") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(docs, partitions = 4)
+    assert(media.rdd.getNumPartitions === 4)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.schema.fieldNames.toSeq ===
+      Seq("doc_id", "kind", "n_bytes", "width", "height", "features"))
+    val rows = feats.collect()
+    assert(rows.length === docs.count())
+    assert(rows.forall(_.features.length == 8))
+    assert(rows.forall(r => r.width >= 16 && r.height >= 16))
+    // deterministic: same input -> same features both runs
+    val again = Multimodal.extractFeatures(media).collect()
+      .map(r => r.doc_id -> r.features.toSeq).toMap
+    assert(rows.forall(r => again(r.doc_id) == r.features.toSeq))
+    // n_bytes matches the utf-8 payload length
+    val nc = docs.select(col("doc_id"), length(encode(col("text"), "utf-8")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r => nc(r.doc_id) == r.n_bytes))
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Dimension, MatDb, MatSchema, TestSpark, ValueCol}
+import graft.streaming.Streams
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window counts with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.tumblingCounts(df, "ts", "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:05:00"), "click", 1.0),
+        (ts("2024-01-01 00:45:00"), "click", 2.0),
+        (ts("2024-01-01 01:05:00"), "view", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("tumbling")
+        .select(col("window.start").cast("string"), col("event_type"), col("cnt"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(out.contains(("2024-01-01 00:00:00", "click", 2L)))
+      assert(out.contains(("2024-01-01 01:00:00", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("session windows group events within gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val q = Streams.sessionCounts(df, "ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:03:00"), 1L), // same session (gap < 5m)
+        (ts("2024-01-01 00:20:00"), 1L)) // new session
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").collect()
+      assert(sessions.map(_.getAs[Long]("cnt")).sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark = streaming upsert-dedup analog") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = Streams.dedupWithinWatermark(df, "ts", "1 hour", Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L, "click"),
+        (ts("2024-01-01 00:01:00"), 1L, "click"), // dup key within watermark
+        (ts("2024-01-01 00:02:00"), 2L, "view"))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() === 2)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running max per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.KeyedValue]
+    val q = Streams.runningMaxByKey(input.toDS())
+      .writeStream.format("memory").queryName("runmax").outputMode("update").start()
+    try {
+      input.addData(Streams.KeyedValue(1, 5.0, 0), Streams.KeyedValue(1, 9.0, 1))
+      q.processAllAvailable()
+      input.addData(Streams.KeyedValue(1, 7.0, 2)) // lower than running max
+      q.processAllAvailable()
+      val rows = spark.table("runmax").collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[Double]("max"), r.getAs[Long]("n")))
+      assert(rows.last === ((1L, 9.0, 3L)))
+    } finally q.stop()
+  }
+
+  test("segment stream + matdb foreachBatch sink: stream micro-batches become transactions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-stream-db").toString
+    val schema = MatSchema(Seq(Dimension("k", 10)), Seq(ValueCol("v")))
+    val db = MatDb.create(spark, schema, path)
+    val checkpoint = Files.createTempDirectory("graft-ckpt").toString
+
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.matDbSink(input.toDF().toDF("k", "v"), db, checkpoint).start()
+    try {
+      input.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      assert(db.snapshot().count() === 2)
+      input.addData((1L, 11L)) // upsert same key in a later txn
+      q.processAllAvailable()
+      val vals = db.snapshot().orderBy("k").collect().map(_.getLong(1))
+      assert(vals.toSeq === Seq(11L, 20L))
+      assert(db.committedSegments.map(_.txnId).distinct.size === 2)
+    } finally q.stop()
+
+    // the committed segments are themselves streamable
+    val seg = Streams.segmentStream(spark, path)
+    assert(seg.isStreaming)
+    val q2 = seg.writeStream.format("memory").queryName("segs").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      // raw stream sees all versions (3 rows: 2 from txn1 + 1 from txn2)
+      assert(spark.table("segs").count() === 3)
+    } finally q2.stop()
+  }
+}
