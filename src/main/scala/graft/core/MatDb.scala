@@ -54,6 +54,35 @@ final class MatDb private (
     import org.apache.spark.sql.functions.col
     snapshot().orderBy(schema.dimNames.map(col): _*)
   }
+
+  /** Compact the table: rewrite the resolved snapshot as one new
+    * transaction, then drop the superseded segments. Counterpart of Delta's
+    * OPTIMIZE+VACUUM; the reference accumulates segments forever.
+    *
+    * Crash-safe ordering: the rewrite commits through the normal protocol
+    * first (its rows outrank every older version in the MVCC resolution), so
+    * a crash before the deletes only leaves redundant — never missing —
+    * data, and the next compact reclaims it. Caveat (documented): time
+    * travel to transactions older than the compaction is gone, and
+    * single-writer semantics apply as everywhere else.
+    *
+    * Returns the compaction transaction id, or -1 if the table was empty. */
+  def compact(): Long = {
+    val txn = newTransaction()
+    txn.addRows(snapshot())
+    txn.commit()
+    txn.id match {
+      case None => -1L // empty table, nothing rewritten
+      case Some(cid) =>
+        val old = synchronized {
+          val (stale, keep) = committed.partition(_.txnId < cid)
+          committed = keep
+          stale
+        }
+        old.foreach(s => Storage.delete(root, s, tmp = false))
+        cid
+    }
+  }
 }
 
 object MatDb {

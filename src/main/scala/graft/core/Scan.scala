@@ -27,6 +27,7 @@ import org.apache.spark.sql.functions._
 object Scan {
   val TxnCol = "_txn_id"
   val SeqCol = "_seq"
+  val ChunkPrefix = "_ck_"
 
   /** Read the raw union of segment dirs + extra in-memory batches, with
     * `_txn_id`/`_seq` provenance columns present. */
@@ -38,8 +39,15 @@ object Scan {
       extra: Seq[DataFrame],
       tmpSegments: Seq[SegmentId] = Nil): DataFrame = {
     // chunk-key partition columns ride along so chunk predicates can prune;
-    // cast defends against partition-column type inference (int vs long)
-    val cols = schema.columnNames.map(col) ++
+    // cast defends against partition-column type inference (int vs long).
+    // Dimension columns carry their chunk size as attribute metadata so
+    // graft.plans.ChunkPruneRule can derive chunk predicates automatically.
+    val dimCols = schema.dimensions.map { dim =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(MatSchema.ChunkKey, dim.chunkSize).build()
+      col(dim.name).as(dim.name, md)
+    }
+    val cols = dimCols ++ schema.valueNames.map(col) ++
       schema.chunkColNames.map(c => col(c).cast("long").as(c)) ++
       Seq(col(TxnCol), col(SeqCol))
     val paths = segments.map(s => Storage.segmentPath(root, s, tmp = false).toString) ++

@@ -36,6 +36,9 @@ final class Transaction private[core] (
   private val schema: MatSchema = db.schema
 
   private var txnId: Option[Long] = None // allocated lazily at first flush (transaction.rs:93)
+
+  /** The transaction id, once allocated by the first flush. */
+  def id: Option[Long] = txnId
   private var nextSegNum: Int = 0
   private var nextSeq: Long = 0L
   private var buffered: Vector[DataFrame] = Vector.empty
@@ -49,7 +52,16 @@ final class Transaction private[core] (
     * own writes outrank all committed data, reference scan.rs:159-163 intent),
     * and the batch sequence number. */
   private def decorate(df: DataFrame, seq: Long): DataFrame = {
-    val withChunks = schema.dimensions.foldLeft(df) { (d, dim) =>
+    // dims re-aliased with chunk-size metadata: it persists into the parquet
+    // footer, so scan attributes carry it and graft.plans.ChunkPruneRule can
+    // derive partition predicates on pushed-down filters
+    val dimCols = schema.dimensions.map { dim =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(MatSchema.ChunkKey, dim.chunkSize).build()
+      col(dim.name).as(dim.name, md)
+    }
+    val withMd = df.select(dimCols ++ schema.valueNames.map(col): _*)
+    val withChunks = schema.dimensions.foldLeft(withMd) { (d, dim) =>
       d.withColumn(schema.chunkColName(dim.name),
         floor(col(dim.name) / lit(dim.chunkSize)).cast("long"))
     }

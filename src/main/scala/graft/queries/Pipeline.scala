@@ -327,6 +327,55 @@ object Pipeline {
         .orderBy(col("vec_id"))
     },
 
+    // IVF-style ANN: coarse-quantize every vector to its nearest of 8
+    // deterministic pseudo-centroids, then probe only the query's bucket —
+    // the scale path (search cost 1/K of brute force); recall traded per
+    // probe count. Assignment via argmax of centroid dots:
+    // array_position(dots, array_max(dots)) is engine-portable argmax.
+    Entry("q53_ann_ivf", Some(
+      s"""WITH assigned AS (
+         |  SELECT vec_id, embedding,
+         |         list_position(dl, list_max(dl)) - 1 AS bucket
+         |  FROM (SELECT vec_id, embedding,
+         |               list_transform(range(0, 8), c ->
+         |                 list_reduce(list_transform(range(0, 64), i ->
+         |                   CAST(embedding[i+1] AS DOUBLE) * (((c*131 + i*17) % 29) / 29.0 - 0.5)),
+         |                   (x, y) -> x + y)) dl
+         |        FROM embeddings) t),
+         |q AS (SELECT vec_id qid, embedding qe, bucket FROM assigned WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT qid, a.vec_id,
+         |         ${dotSql("qe", "a.embedding")} /
+         |         sqrt(${dotSql("qe", "qe")} * ${dotSql("a.embedding", "a.embedding")}) AS score
+         |  FROM q JOIN assigned a USING (bucket) WHERE a.vec_id != qid)
+         |SELECT qid, vec_id, score, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn
+         |      FROM scored) t
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)) { (s, d) =>
+      val dl = expr(
+        """transform(sequence(0, 7), c ->
+          |  aggregate(transform(sequence(0, 63), i ->
+          |    cast(element_at(embedding, i + 1) as double) * (((c*131 + i*17) % 29) / 29.0 - 0.5)),
+          |  cast(0.0 as double), (acc, x) -> acc + x))""".stripMargin)
+      val assigned = table(s, d, "embeddings")
+        .withColumn("dl", dl)
+        .withColumn("bucket", expr("array_position(dl, array_max(dl)) - 1"))
+        .select(col("vec_id"), embD(col("embedding")).as("emb"), col("bucket"))
+      val q = assigned.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("emb").as("qe"), col("bucket"))
+      val scored = broadcast(q).join(assigned, Seq("bucket"))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (dotD(col("qe"), col("emb")) /
+            sqrt(dotD(col("qe"), col("qe")) * dotD(col("emb"), col("emb")))).as("score"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))).cast("long"))
+        .where(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    },
+
     // multimodal plumbing: opaque binary column + typed metadata + a
     // deterministic stand-in for feature extraction (real decoders aren't in
     // this container; the Spark-side schema/partitioning is the real part —

@@ -57,6 +57,32 @@ object Demo {
     println(s"[demo] chunk-pruned time in [5,7]: ${pruned.count()} rows (expect 15)")
     pruned.explain()
     t4.rollback()
+
+    // automatic chunk pruning: plain dimension predicate + the Catalyst rule
+    graft.plans.GraftPlans.enable(spark)
+    val auto = db2.snapshot().where("time >= 5 and time <= 7")
+    println(s"[demo] rule-pruned time in [5,7]: ${auto.count()} rows (expect 15)")
+    val pf = auto.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    println(s"[demo] rule-derived partition filters:\n$pf")
+
+    // compaction: many segments -> one transaction, same data
+    println(s"[demo] segments before compact: ${db2.committedSegments.size}")
+    val cid = db2.compact()
+    println(s"[demo] compacted into txn $cid; segments now: ${db2.committedSegments.size}; " +
+      s"count still ${db2.snapshot().count()} (expect 50)")
+
+    // format("graft") interop
+    val srcPath = java.nio.file.Files.createTempDirectory("demo-src").toString
+    import spark.implicits._
+    Seq((1L, 1L, 100L)).toDF("time", "sensor_id", "value")
+      .write.format("graft").option("dimensions", "time:50,sensor_id:10").save(srcPath)
+    Seq((1L, 1L, 200L)).toDF("time", "sensor_id", "value")
+      .write.format("graft").mode("append").save(srcPath)
+    println("[demo] format(\"graft\") read (expect value=200), asOf 1 (expect 100):")
+    spark.read.format("graft").load(srcPath).show()
+    spark.read.format("graft").option("asOf", "1").load(srcPath).show()
+
     spark.stop()
     println("[demo] done")
   }

@@ -155,6 +155,29 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     t2.rollback()
   }
 
+  test("compact rewrites to one transaction and drops superseded segments") {
+    val path = tmpDir()
+    val db = MatDb.create(spark, schema, path)
+    for (i <- 1 to 3) {
+      val t = db.newTransaction()
+      t.addRowsSeq(Seq(Seq(i.toLong, 1L, i * 10L), Seq(0L, 0L, i.toLong)))
+      t.commit()
+    }
+    assert(db.committedSegments.map(_.txnId).distinct.size === 3)
+    val before = db.snapshot().collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cid = db.compact()
+    assert(cid > 0)
+    assert(db.committedSegments.map(_.txnId).distinct === Seq(cid))
+    val after = db.snapshot().collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(after === before)
+    assert(after((0L, 0L)) === 3L) // upserted value survived compaction
+    // reopen from disk agrees; a later txn still upserts over the compacted data
+    val db2 = MatDb.open(spark, path)
+    assert(db2.snapshot().count() === before.size)
+    val t = db2.newTransaction(); t.addRowsSeq(Seq(Seq(0L, 0L, 99L))); t.commit()
+    assert(db2.snapshot().where("time = 0 and sensor_id = 0").head().getLong(2) === 99L)
+  }
+
   test("schema json round trip") {
     val s2 = MatSchema.fromJson(schema.json)
     assert(s2 === schema)
