@@ -260,15 +260,27 @@ object Pipeline {
     },
 
     // SimHash document signatures (56-bit, bit-majority over token hashes).
-    Entry("q48_simhash", Some(simhashOracleSql)) { (s, d) =>
-      val tok = table(s, d, "documents")
-        .select(col("doc_id"), explode(array_distinct(toksSpark(col("text")))).as("w"))
-        .withColumn("h", h56(col("w")))
-      val bitSums = tok.groupBy(col("doc_id")).agg(
-        simBitSum(0), (1 until SimBits).map(simBitSum): _*)
-      val sim = (0 until SimBits).map(j =>
-        when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
-      bitSums.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
+    Entry("q48_simhash", Some(s"SELECT * FROM ($simhashCoreSql) t ORDER BY doc_id")) { (s, d) =>
+      simhashSpark(s, d).orderBy(col("doc_id"))
+    },
+
+    // SimHash near-dup pairs by Hamming distance — the O(n^2)-but-cheap
+    // companion of q48 (at scale the join would be banded on simhash
+    // prefixes; the bit_count(xor) kernel is identical).
+    Entry("q49_simhash_hamming", Some(
+      s"""WITH sims AS ($simhashCoreSql)
+         |SELECT a.doc_id doc_a, b.doc_id doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
+      val sims = simhashSpark(s, d)
+      sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming",
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+        .where(col("hamming") <= 6)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
     },
 
     // brute-force cosine top-k — the exact ANN baseline. Query vectors are
@@ -432,8 +444,21 @@ object Pipeline {
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
   }
 
-  /** DuckDB oracle computing the same 56-bit simhash. */
-  private lazy val simhashOracleSql: String = {
+  /** (doc_id, simhash) — Spark side, unordered. */
+  private def simhashSpark(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tok = table(s, d, "documents")
+      .select(col("doc_id"), explode(array_distinct(toksSpark(col("text")))).as("w"))
+      .withColumn("h", h56(col("w")))
+    val bitSums = tok.groupBy(col("doc_id")).agg(
+      simBitSum(0), (1 until SimBits).map(simBitSum): _*)
+    val sim = (0 until SimBits).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    bitSums.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** DuckDB query computing the same 56-bit simhash (no ORDER BY). */
+  private lazy val simhashCoreSql: String = {
     val bitCols = (0 until SimBits)
       .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) b$j").mkString(",\n         ")
     val simExpr = (0 until SimBits)
@@ -445,6 +470,6 @@ object Pipeline {
        |         $bitCols
        |         FROM hs GROUP BY doc_id)
        |SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash
-       |FROM bits ORDER BY doc_id""".stripMargin
+       |FROM bits""".stripMargin
   }
 }

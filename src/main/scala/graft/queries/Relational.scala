@@ -491,6 +491,33 @@ object Relational {
         .orderBy(col("hour_bucket"))
     },
 
+    // ---- grouping sets --------------------------------------------------
+    Entry("q36_grouping_sets", Some(
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)) { (s, d) =>
+      sql(s, d, Seq("lineitem"),
+        """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
+    // ---- approximate aggregation (HLL) ----------------------------------
+    // No oracle: HLL sketches are implementation-specific; the driver
+    // records a rows-only check. The exact counterpart is q17_distinct_agg.
+    Entry("q37_approx_distinct", None) { (s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- scalar subquery ------------------------------------------------
     Entry("q35_scalar_subquery", Some(
       """SELECT o_orderkey, o_totalprice FROM orders
