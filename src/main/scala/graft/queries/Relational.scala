@@ -491,6 +491,41 @@ object Relational {
         .orderBy(col("hour_bucket"))
     },
 
+    // ---- json functions -------------------------------------------------
+    Entry("q38_json_funcs", Some(
+      """SELECT event_id,
+        |       CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract(props, '$.k') AS BIGINT) * 2 + length(event_type) AS derived
+        |FROM events ORDER BY event_id""".stripMargin)) { (s, d) =>
+      table(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        (get_json_object(col("props"), "$.k").cast("long") * 2 +
+          length(col("event_type"))).as("derived"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- array functions ------------------------------------------------
+    Entry("q39_array_funcs", Some(
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS BIGINT) AS n_dims,
+        |       CAST(embedding[1] AS DOUBLE) AS first_dim,
+        |       list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS max_dim,
+        |       list_reduce(list_transform(list_slice(embedding, 1, 8),
+        |                                  x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS head_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin)) { (s, d) =>
+      table(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        element_at(col("embedding"), 1).cast("double").as("first_dim"),
+        array_max(transform(col("embedding"), x => x.cast("double"))).as("max_dim"),
+        aggregate(transform(slice(col("embedding"), 1, 8), x => x.cast("double")),
+          lit(0.0), (a, b) => a + b).as("head_sum"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- grouping sets --------------------------------------------------
     Entry("q36_grouping_sets", Some(
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
