@@ -55,6 +55,12 @@ final class MatDb private (
     snapshot().orderBy(schema.dimNames.map(col): _*)
   }
 
+  /** Expose the resolved snapshot to Spark SQL as a temp view — the §7.1
+    * "sql" module: the entire SQL surface (joins, windows, CTEs, …) then
+    * applies to graft tables for free. */
+  def registerView(name: String, asOfTxn: Option[Long] = None): Unit =
+    snapshot(asOfTxn).createOrReplaceTempView(name)
+
   /** Compact the table: rewrite the resolved snapshot as one new
     * transaction, then drop the superseded segments. Counterpart of Delta's
     * OPTIMIZE+VACUUM; the reference accumulates segments forever.

@@ -83,6 +83,11 @@ object Demo {
     spark.read.format("graft").load(srcPath).show()
     spark.read.format("graft").option("asOf", "1").load(srcPath).show()
 
+    // full Spark SQL over a graft table via registerView
+    db2.registerView("demo_sensors")
+    println("[demo] SQL over registered view (expect 50 rows, sum over sensor 0):")
+    spark.sql("SELECT count(*) n, sum(value) s FROM demo_sensors WHERE sensor_id = 0").show()
+
     spark.stop()
     println("[demo] done")
   }

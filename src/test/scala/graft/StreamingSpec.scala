@@ -35,6 +35,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows count events in overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val df = input.toDF().toDF("ts", "value")
+    val q = Streams.slidingCounts(df, "ts", "10 minutes", "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("sliding").outputMode("complete").start()
+    try {
+      input.addData((ts("2024-01-01 00:40:00"), 1.0))
+      q.processAllAvailable()
+      // one event falls into two overlapping hour windows (00:00 and 00:30)
+      assert(spark.table("sliding").count() === 2)
+    } finally q.stop()
+  }
+
   test("session windows group events within gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -178,6 +178,19 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(db2.snapshot().where("time = 0 and sensor_id = 0").head().getLong(2) === 99L)
   }
 
+  test("registerView exposes the table to full Spark SQL") {
+    val path = tmpDir()
+    val db = MatDb.create(spark, schema, path)
+    val t = db.newTransaction()
+    t.addRowsSeq(Seq(Seq(1L, 1L, 10L), Seq(2L, 1L, 20L), Seq(2L, 2L, 30L)))
+    t.commit()
+    db.registerView("sensors")
+    val byId = spark.sql(
+      "SELECT sensor_id, sum(value) s, count(*) c FROM sensors GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(byId.toSeq === Seq((1L, 30L, 2L), (2L, 30L, 1L)))
+  }
+
   test("schema json round trip") {
     val s2 = MatSchema.fromJson(schema.json)
     assert(s2 === schema)
