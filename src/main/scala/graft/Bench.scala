@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the whole battery against SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":…,"queries":{…}}. A warm-up run of the
-  * first query is NOT done — timings include plan+execute as a user would
-  * see them; JVM warm-up lands in whichever query runs first, so queries
-  * run in sorted name order for stable attribution. */
+  * prints ONE JSON line {"metric":…,"queries":{…}}. A small untimed warm-up
+  * (scan + shuffle + codegen) runs first so JVM/codegen startup doesn't
+  * land in whichever query happens to run first; queries then run in
+  * sorted name order. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,6 +20,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: touch the scan path, a shuffle, and codegen once, untimed
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
