@@ -160,19 +160,12 @@ object Relational {
         |ORDER BY click_id""".stripMargin)) { (s, d) =>
       val ev = table(s, d, "events")
       val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_p"))
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
       val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_p"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("is_p").desc, col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.unionByName(purchases)
-        .withColumn("purchase_id",
-          last(when(col("is_p") === 1, col("event_id")), ignoreNulls = true).over(w))
-        .withColumn("purchase_ts",
-          last(when(col("is_p") === 1, col("ts")), ignoreNulls = true).over(w))
-        .where(col("is_p") === 0)
-        .select(col("event_id").as("click_id"), col("user_id"),
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Map("event_id" -> "purchase_id", "ts" -> "purchase_ts"))
+        .select(col("click_id"), col("user_id"),
           col("purchase_id"), expr("purchase_ts div 1000").as("purchase_ts_us"))
         .orderBy(col("click_id"))
     },

@@ -83,6 +83,14 @@ object PipelineDemo {
     println("[pipe] streamed table snapshot (expect k=1 -> 111 upserted):")
     sdb.snapshot().orderBy("k").show()
 
+    // 7. skew-resistant salted aggregation over the events table
+    val ev = graft.queries.Q.table(spark, "/root/testdata/sf0.001", "events")
+    val salted = graft.operators.SaltedAgg.aggregate(
+      ev.select(col("event_type"), col("user_id")), Seq("event_type"), 8,
+      graft.operators.SaltedAgg.countAll(), graft.operators.SaltedAgg.maxLong("user_id"))
+    println("[pipe] salted aggregation per event_type (expect 5 rows, plausible counts):")
+    salted.orderBy("event_type").show()
+
     spark.stop()
     println("[pipe] done")
   }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.TestSpark
+
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("asOf join picks the most recent right row at or before each left ts") {
+    import spark.implicits._
+    val trades = Seq((1L, 10L, "t1"), (1L, 25L, "t2"), (2L, 5L, "t3"))
+      .toDF("sym", "ts", "trade")
+    val quotes = Seq((1L, 8L, 100.0), (1L, 10L, 101.0), (1L, 20L, 102.0), (2L, 9L, 50.0))
+      .toDF("sym", "qts", "px")
+    val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "ts", "qts",
+      Map("px" -> "quote_px", "qts" -> "quote_ts"))
+      .orderBy("sym", "ts")
+      .collect().map(r => (r.getAs[Long]("sym"), r.getAs[String]("trade"),
+        Option(r.getAs[java.lang.Double]("quote_px")).map(_.toDouble),
+        Option(r.getAs[java.lang.Long]("quote_ts")).map(_.toLong)))
+    assert(out.toSeq === Seq(
+      (1L, "t1", Some(101.0), Some(10L)), // tie at ts=10: quote visible (<=)
+      (1L, "t2", Some(102.0), Some(20L)),
+      (2L, "t3", None, None)))            // no quote at or before ts=5
+  }
+
+  test("salted aggregation equals plain aggregation under heavy key skew") {
+    import spark.implicits._
+    // one hot key with 100k rows, many cold keys
+    val hot = spark.range(100000).select(lit(1L).as("k"), col("id").as("v"))
+    val cold = spark.range(1000).select((col("id") + 10).as("k"), col("id").as("v"))
+    val df = hot.unionByName(cold)
+    val salted = SaltedAgg.aggregate(df, Seq("k"), saltFactor = 16,
+      SaltedAgg.sumLong("v"), SaltedAgg.countAll(), SaltedAgg.maxLong("v"))
+    val plain = df.groupBy("k")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("cnt"), max("v").as("max_v"))
+    assert(salted.count() === plain.count())
+    val s = salted.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val p = plain.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(s.toSeq === p.toSeq)
+  }
+}
