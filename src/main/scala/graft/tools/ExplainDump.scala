@@ -1,0 +1,40 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Dump every battery query's formatted physical plan to a directory —
+  * diffable round-over-round so plan regressions (lost broadcast, lost
+  * pushdown, aggregate fallbacks) are visible in review, not just in
+  * timings. Usage: runMain graft.tools.ExplainDump [sfDir] [outDir] */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.drop(1).headOption.getOrElse("plans")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    SparkEntryPlans.dump(spark, sfDir, outDir)
+    spark.stop()
+    println(s"[plans] wrote ${graft.SparkEntry.queries.size} plans to $outDir/")
+  }
+}
+
+object SparkEntryPlans {
+  def dump(spark: SparkSession, sfDir: String, outDir: String): Unit =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val text =
+        try {
+          val df = fn(spark, sfDir)
+          // strip volatile ids/paths for stable diffs
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+            .replaceAll("#\\d+", "#N")
+            .replaceAll("plan_id=\\d+", "plan_id=N")
+        } catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+      Files.write(Paths.get(s"$outDir/$name.txt"), text.getBytes("UTF-8"))
+    }
+}
