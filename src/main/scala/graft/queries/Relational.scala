@@ -546,6 +546,27 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- exact percentiles ---------------------------------------------
+    // Over the integer-valued l_quantity so linear interpolation lands on
+    // exact .0/.5 doubles — engine-formula differences can't show up.
+    Entry("q54_percentiles", Some(
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS median_qty,
+        |       quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |       quantile_cont(l_quantity, 0.75) AS p75_qty,
+        |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) { (s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          percentile(col("l_quantity"), lit(0.25)).as("p25_qty"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- scalar subquery ------------------------------------------------
     Entry("q35_scalar_subquery", Some(
       """SELECT o_orderkey, o_totalprice FROM orders

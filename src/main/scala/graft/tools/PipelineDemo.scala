@@ -91,6 +91,13 @@ object PipelineDemo {
     println("[pipe] salted aggregation per event_type (expect 5 rows, plausible counts):")
     salted.orderBy("event_type").show()
 
+    // 8. skew-resistant salted join: events (skewed) x event-type dim
+    import spark.implicits._
+    val typeDim = Seq(("click", 1L), ("view", 2L), ("purchase", 3L), ("signup", 4L), ("error", 5L))
+      .toDF("event_type", "type_id")
+    val sj = graft.operators.SaltedJoin.join(ev, typeDim, Seq("event_type"), 8)
+    println(s"[pipe] salted join rows (expect ${ev.count()}): ${sj.count()}")
+
     spark.stop()
     println("[pipe] done")
   }

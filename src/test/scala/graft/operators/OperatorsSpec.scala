@@ -25,6 +25,18 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, "t3", None, None)))            // no quote at or before ts=5
   }
 
+  test("salted join equals plain join under heavy key skew") {
+    import spark.implicits._
+    val facts = spark.range(50000).select(lit(1L).as("k"), col("id").as("v"))
+      .unionByName(spark.range(100).select((col("id") + 2).as("k"), col("id").as("v")))
+    val dim = Seq((1L, "hot"), (2L, "cold"), (3L, "cold")).toDF("k", "label")
+    val salted = SaltedJoin.join(facts, dim, Seq("k"), saltFactor = 8)
+    val plain = facts.join(dim, Seq("k"))
+    assert(salted.count() === plain.count())
+    assert(salted.groupBy("label").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      === plain.groupBy("label").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap)
+  }
+
   test("salted aggregation equals plain aggregation under heavy key skew") {
     import spark.implicits._
     // one hot key with 100k rows, many cold keys
