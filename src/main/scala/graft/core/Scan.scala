@@ -54,7 +54,16 @@ object Scan {
       tmpSegments.map(s => Storage.segmentPath(root, s, tmp = true).toString)
     // One read per segment dir (each is its own Hive-partitioned tree); the
     // union of parquet scans collapses into a single multi-file scan stage.
-    val fromDisk = paths.map(p => spark.read.parquet(p).select(cols: _*))
+    // The schema is supplied explicitly — never inferred: a transaction
+    // that flushed zero rows leaves a data-file-less segment, which schema
+    // inference would refuse (and at scale, skipping footer-based inference
+    // also saves a listing round-trip per segment).
+    import org.apache.spark.sql.types._
+    val readSchema = StructType(
+      schema.toStructType.fields.map(_.copy(nullable = true)) ++
+        schema.chunkColNames.map(StructField(_, LongType)) ++
+        Seq(StructField(TxnCol, LongType), StructField(SeqCol, LongType)))
+    val fromDisk = paths.map(p => spark.read.schema(readSchema).parquet(p).select(cols: _*))
     val all = fromDisk ++ extra.map(_.select(cols: _*))
     if (all.isEmpty) {
       import org.apache.spark.sql.types._

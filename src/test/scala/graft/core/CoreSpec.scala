@@ -178,6 +178,20 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(db2.snapshot().where("time = 0 and sensor_id = 0").head().getLong(2) === 99L)
   }
 
+  test("committing an empty batch leaves the table fully readable") {
+    val path = tmpDir()
+    val db = MatDb.create(spark, schema, path)
+    val t1 = db.newTransaction()
+    t1.addRowsSeq(Seq(Seq(1L, 1L, 10L)))
+    t1.commit()
+    // empty DataFrame committed: flush writes a data-file-less segment
+    val t2 = db.newTransaction()
+    t2.addRows(db.snapshot().where("value < 0")) // empty
+    t2.commit()
+    assert(db.snapshot().count() === 1)
+    assert(MatDb.open(spark, path).snapshot().count() === 1)
+  }
+
   test("registerView exposes the table to full Spark SQL") {
     val path = tmpDir()
     val db = MatDb.create(spark, schema, path)
