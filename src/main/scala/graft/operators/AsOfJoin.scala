@@ -36,22 +36,31 @@ object AsOfJoin {
     val l = left.withColumn(ts, col(leftTs)).withColumn(side, lit(0))
     val r = right.withColumn(ts, col(rightTs)).withColumn(side, lit(1))
 
+    // All carried right columns travel in ONE struct so they always resolve
+    // from the SAME right row, and a genuinely NULL right value stays NULL
+    // instead of falling through to an older right row (a per-column
+    // last(..., ignoreNulls) would do both wrongly). The struct itself is
+    // non-null on right rows even when every field is null.
+    val payload = "_asof_payload"
+    val rStruct = struct(rightCols.map { case (from, to) => col(from).as(to) }.toSeq: _*)
     val lNorm = l.select(
       (keys.map(col) ++ Seq(col(ts), col(side))) ++
-        left.columns.filterNot(c => keys.contains(c)).map(col) ++
-        rightCols.values.toSeq.map(n => lit(null).as(n)): _*)
+        left.columns.filterNot(c => keys.contains(c)).map(col) :+
+        lit(null).cast(r.select(rStruct).schema.head.dataType).as(payload): _*)
     val rNorm = r.select(
       (keys.map(col) ++ Seq(col(ts), col(side))) ++
-        left.columns.filterNot(c => keys.contains(c)).map(c => lit(null).as(c)) ++
-        rightCols.map { case (from, to) => col(from).as(to) }.toSeq: _*)
+        left.columns.filterNot(c => keys.contains(c)).map(c => lit(null).as(c)) :+
+        rStruct.as(payload): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts), col(side).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = rightCols.values.foldLeft(lNorm.unionByName(rNorm)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = lNorm.unionByName(rNorm)
+      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
+    val expanded = rightCols.values.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col(payload).getField(c))
     }
-    filled.where(col(side) === 0).drop(ts, side)
+    expanded.where(col(side) === 0).drop(ts, side, payload)
   }
 }

@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
+  /** Join types where replicating `other` is sound: every replica of an
+    * `other` row either matches (same result as unsalted) or is dropped.
+    * Right/full outer would emit each unmatched `other` row saltFactor
+    * times — one per replica — so they are rejected. */
+  private val SoundJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross")
+
   def join(
       skewed: DataFrame,
       other: DataFrame,
@@ -19,6 +27,10 @@ object SaltedJoin {
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    require(SoundJoinTypes.contains(joinType.toLowerCase),
+      s"salted join is only sound for inner/left/left_semi/left_anti/cross; " +
+        s"'$joinType' would emit unmatched rows of the replicated side " +
+        s"$saltFactor times")
     val salted = skewed.withColumn("_salt",
       pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
     val replicated = other.withColumn("_salt",

@@ -24,17 +24,24 @@ object Streams {
 
   /** Stream of rows appended to a graft table: parquet file-source over the
     * committed segment glob. New committed segments are picked up per
-    * micro-batch; `.tmp` (uncommitted) dirs never match the glob. */
+    * micro-batch. The glob matches exactly `<8hex>.<8hex>` directory names,
+    * so `.tmp` (uncommitted) dirs can never match — glob `*` matches dots,
+    * which is why a lazy `[0-9a-f]*.[0-9a-f]*` would dirty-read them.
+    *
+    * Micro-batches are file-aligned, not transaction-aligned; for
+    * exactly-once txn-per-batch semantics use [[GraftStreamSource]]
+    * (`spark.readStream.format("graft-stream")`). */
   def segmentStream(spark: SparkSession, dbPath: String): DataFrame = {
     val db = MatDb.open(spark, dbPath)
     val st = org.apache.spark.sql.types.StructType(
       db.schema.toStructType.fields ++ Seq(
         org.apache.spark.sql.types.StructField("_txn_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("_seq", org.apache.spark.sql.types.LongType)))
+    val hex8 = "[0-9a-f]" * 8
     spark.readStream
       .schema(st)
       .option("pathGlobFilter", "*.parquet")
-      .parquet(dbPath + "/[0-9a-f]*.[0-9a-f]*/*")
+      .parquet(s"$dbPath/$hex8.$hex8/*")
   }
 
   /** Tumbling-window counts with a watermark for late data. */

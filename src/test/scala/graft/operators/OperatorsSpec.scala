@@ -25,6 +25,32 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, "t3", None, None)))            // no quote at or before ts=5
   }
 
+  test("asOf join: NULL right values do not fall through to older right rows") {
+    import spark.implicits._
+    val left = Seq((1L, 30L)).toDF("sym", "ts")
+    // newest quote at ts=20 has px=NULL: the join must carry (NULL, 20),
+    // not resurrect px=100.0 from the older ts=10 row
+    val right = Seq((1L, 10L, Some(100.0)), (1L, 20L, None))
+      .toDF("sym", "qts", "px")
+    val out = AsOfJoin.asOf(left, right, Seq("sym"), "ts", "qts",
+      Map("px" -> "quote_px", "qts" -> "quote_ts")).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Any]("quote_px") === null)
+    assert(out(0).getAs[Long]("quote_ts") === 20L)
+  }
+
+  test("salted join rejects join types that would duplicate the replicated side") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("k", "v")
+    val b = Seq((2L, "y")).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      SaltedJoin.join(a, b, Seq("k"), saltFactor = 4, joinType = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      SaltedJoin.join(a, b, Seq("k"), saltFactor = 4, joinType = "right")
+    }
+  }
+
   test("salted join equals plain join under heavy key skew") {
     import spark.implicits._
     val facts = spark.range(50000).select(lit(1L).as("k"), col("id").as("v"))
