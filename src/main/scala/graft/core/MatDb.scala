@@ -12,11 +12,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * allocated in-process (database.rs:74-79). Readers are snapshot-isolated:
   * a transaction sees only segments with `txnId < horizon` taken at open
   * (database.rs:68-72, 85-89), which doubles as time travel via [[asOf]].
+  *
+  * Commit durability is pluggable ([[Protocol]]): the reference's atomic
+  * directory renames (default), or an object-store-safe `_log` manifest that
+  * also makes [[overwrite]]/[[compact]] a single atomic swap.
   */
 final class MatDb private (
     val spark: SparkSession,
     val root: Path,
     val schema: MatSchema,
+    val protocol: Protocol,
     initialCommitted: Seq[SegmentId],
     firstTxnId: Long) {
 
@@ -28,8 +33,27 @@ final class MatDb private (
 
   private[core] def allocateTxnId(): Long = nextTxnId.getAndIncrement()
 
-  private[core] def register(ids: Seq[SegmentId]): Unit = synchronized {
-    committed = (committed ++ ids).sorted
+  /** Publish a transaction's flushed segments (append). Bookkeeping and the
+    * protocol call share the lock so `visibleAfter` is consistent. */
+  private[core] def commitTransaction(ids: Seq[SegmentId]): Unit = synchronized {
+    val after = (committed ++ ids).sorted
+    protocol.commit(root, ids, after)
+    committed = after
+  }
+
+  /** Publish a transaction's flushed segments as the ENTIRE table — the
+    * replace commit behind [[overwrite]] and [[compact]]. Atomic under the
+    * manifest protocol; under renames old and new coexist until the deletes
+    * below finish (see [[Protocol.replace]]). Superseded directories are
+    * deleted afterward in either case. */
+  private[core] def commitReplace(ids: Seq[SegmentId]): Unit = {
+    val old = synchronized {
+      val stale = committed
+      protocol.replace(root, ids, ids.sorted)
+      committed = ids.toVector.sorted
+      stale
+    }
+    old.foreach(s => protocol.deleteSegment(root, s))
   }
 
   /** Open a new snapshot-isolated transaction. Horizon = all txns committed
@@ -38,12 +62,15 @@ final class MatDb private (
     new Transaction(this, committed, nextTxnId.get())
   }
 
+  private[core] def segmentReadPaths(segments: Seq[SegmentId]): Seq[String] =
+    segments.map(s => protocol.readPath(root, s).toString)
+
   /** Read-only snapshot of the table: newest version of each key point, in
     * no particular order (add `.orderBy` for the reference's key-ordered
     * scan). `asOfTxn` gives time travel: only segments with txnId <= asOfTxn. */
   def snapshot(asOfTxn: Option[Long] = None): DataFrame = {
     val visible = synchronized(committed).filter(s => asOfTxn.forall(s.txnId <= _))
-    Scan.resolve(spark, root, schema, visible, extra = Nil)
+    Scan.resolve(spark, schema, segmentReadPaths(visible), extra = Nil)
   }
 
   def asOf(txnId: Long): DataFrame = snapshot(Some(txnId))
@@ -61,56 +88,67 @@ final class MatDb private (
   def registerView(name: String, asOfTxn: Option[Long] = None): Unit =
     snapshot(asOfTxn).createOrReplaceTempView(name)
 
+  /** Replace the table's contents with `df` in one transaction — the
+    * SaveMode.Overwrite semantics: keys absent from `df` are GONE afterward
+    * (not upserted around). Returns the new transaction id, or -1 if `df`
+    * carried no rows (the table still truncates: an empty replace commits). */
+  def overwrite(df: DataFrame): Long = {
+    val txn = newTransaction()
+    txn.addRows(df)
+    txn.commitReplacing()
+    txn.id.getOrElse(-1L)
+  }
+
   /** Compact the table: rewrite the resolved snapshot as one new
-    * transaction, then drop the superseded segments. Counterpart of Delta's
-    * OPTIMIZE+VACUUM; the reference accumulates segments forever.
-    *
-    * Crash-safe ordering: the rewrite commits through the normal protocol
-    * first (its rows outrank every older version in the MVCC resolution), so
-    * a crash before the deletes only leaves redundant — never missing —
-    * data, and the next compact reclaims it. Caveat (documented): time
-    * travel to transactions older than the compaction is gone, and
-    * single-writer semantics apply as everywhere else.
+    * transaction that REPLACES the old segment set (atomic under the
+    * manifest protocol), then delete the superseded directories.
+    * Counterpart of Delta's OPTIMIZE+VACUUM; the reference accumulates
+    * segments forever. Caveat (documented): time travel to transactions
+    * older than the compaction is gone.
     *
     * Returns the compaction transaction id, or -1 if the table was empty. */
   def compact(): Long = {
     val txn = newTransaction()
     txn.addRows(snapshot())
-    txn.commit()
-    txn.id match {
-      case None => -1L // empty table, nothing rewritten
-      case Some(cid) =>
-        val old = synchronized {
-          val (stale, keep) = committed.partition(_.txnId < cid)
-          committed = keep
-          stale
-        }
-        old.foreach(s => Storage.delete(root, s, tmp = false))
-        cid
-    }
+    txn.commitReplacing()
+    txn.id.getOrElse(-1L)
   }
 }
 
 object MatDb {
-  /** Create a new table directory (reference: database.rs:35-50). */
-  def create(spark: SparkSession, schema: MatSchema, path: String): MatDb = {
+  /** Create a new table directory (reference: database.rs:35-50).
+    * `protocol` = "rename" (reference-parity default) or "manifest". */
+  def create(spark: SparkSession, schema: MatSchema, path: String,
+      protocol: String = "rename"): MatDb = {
     val root = Storage.rootPath(path)
     Storage.writeSchema(root, schema)
-    new MatDb(spark, root, schema, Seq.empty, 1L)
+    val proto = Storage.forName(protocol)
+    // manifest tables are self-describing via _log/ — recover() creates it
+    // and returns the empty initial state
+    val (committed, nextTxn) =
+      if (proto == Storage.ManifestProtocol) proto.recover(root) else (Seq.empty[SegmentId], 1L)
+    new MatDb(spark, root, schema, proto, committed, nextTxn)
   }
 
-  /** Open an existing table: load schema, sweep leftovers, rebuild the
-    * committed set and next txn id (reference: database.rs:52-66, 100-127). */
+  /** Open an existing table: detect the protocol, load the schema, sweep
+    * leftovers, rebuild the committed set and next txn id
+    * (reference: database.rs:52-66, 100-127). */
   def open(spark: SparkSession, path: String): MatDb = {
     val root = Storage.rootPath(path)
     val schema = Storage.readSchema(root)
-    val (committed, nextTxn) = Storage.recover(root)
-    new MatDb(spark, root, schema, committed, nextTxn)
+    val proto = Storage.detect(root)
+    val (committed, nextTxn) = proto.recover(root)
+    new MatDb(spark, root, schema, proto, committed, nextTxn)
   }
 
-  def createOrOpen(spark: SparkSession, schema: MatSchema, path: String): MatDb = {
+  def createOrOpen(spark: SparkSession, schema: MatSchema, path: String,
+      protocol: String = "rename"): MatDb = {
     val root = Storage.rootPath(path)
     if (java.nio.file.Files.exists(Storage.schemaPath(root))) open(spark, path)
-    else create(spark, schema, path)
+    else create(spark, schema, path, protocol)
   }
+
+  /** Does a graft table exist at `path`? */
+  def exists(path: String): Boolean =
+    java.nio.file.Files.exists(Storage.schemaPath(Storage.rootPath(path)))
 }

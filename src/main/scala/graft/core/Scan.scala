@@ -30,14 +30,14 @@ object Scan {
   val ChunkPrefix = "_ck_"
 
   /** Read the raw union of segment dirs + extra in-memory batches, with
-    * `_txn_id`/`_seq` provenance columns present. */
+    * `_txn_id`/`_seq` provenance columns present. `paths` are the segment
+    * directories to read — resolved by the caller through the table's
+    * [[Protocol]], so this layer is protocol-agnostic. */
   def raw(
       spark: SparkSession,
-      root: Path,
       schema: MatSchema,
-      segments: Seq[SegmentId],
-      extra: Seq[DataFrame],
-      tmpSegments: Seq[SegmentId] = Nil): DataFrame = {
+      paths: Seq[String],
+      extra: Seq[DataFrame]): DataFrame = {
     // chunk-key partition columns ride along so chunk predicates can prune;
     // cast defends against partition-column type inference (int vs long).
     // Dimension columns carry their chunk size as attribute metadata so
@@ -50,8 +50,6 @@ object Scan {
     val cols = dimCols ++ schema.valueNames.map(col) ++
       schema.chunkColNames.map(c => col(c).cast("long").as(c)) ++
       Seq(col(TxnCol), col(SeqCol))
-    val paths = segments.map(s => Storage.segmentPath(root, s, tmp = false).toString) ++
-      tmpSegments.map(s => Storage.segmentPath(root, s, tmp = true).toString)
     // One read per segment dir (each is its own Hive-partitioned tree); the
     // union of parquet scans collapses into a single multi-file scan stage.
     // The schema is supplied explicitly — never inferred: a transaction
@@ -107,13 +105,11 @@ object Scan {
     * produces; it is what lets partition pruning + parquet pushdown skip IO. */
   def resolve(
       spark: SparkSession,
-      root: Path,
       schema: MatSchema,
-      segments: Seq[SegmentId],
+      paths: Seq[String],
       extra: Seq[DataFrame],
-      tmpSegments: Seq[SegmentId] = Nil,
       pred: Option[Column] = None): DataFrame = {
-    val base = raw(spark, root, schema, segments, extra, tmpSegments)
+    val base = raw(spark, schema, paths, extra)
     dedup(pred.fold(base)(base.filter), schema)
   }
 

@@ -1,6 +1,6 @@
 package graft.core
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
 import scala.jdk.CollectionConverters._
 import scala.util.matching.Regex
@@ -15,25 +15,70 @@ final case class SegmentId(txnId: Long, segNum: Int) extends Ordered[SegmentId] 
   }
 }
 
-/** On-disk layout and the commit/recovery protocol.
+/** How segment visibility is committed and recovered. Two interchangeable
+  * implementations behind one interface (both pass the same CoreSpec suite):
+  *
+  *   - [[Storage.RenameProtocol]] — the reference's design
+  *     (storage.rs:86-111): segments are written as `.tmp` directories and a
+  *     commit renames them visible in reverse order, segment 0 last as the
+  *     commit marker (transaction.rs:127-136). Visibility IS the directory
+  *     listing. Requires atomic rename — true on POSIX filesystems and HDFS,
+  *     false on object stores.
+  *
+  *   - [[Storage.ManifestProtocol]] — lakehouse-style: segments are written
+  *     directly under their final names but are invisible until a manifest
+  *     file `_log/<version>.json` (listing the FULL visible segment set)
+  *     lands via a single-file atomic move. Object-store safe (one
+  *     put-if-absent), supports atomic REPLACE (overwrite/compact swap the
+  *     whole set in one manifest), and is the natural base for optimistic
+  *     multi-writer (a concurrent commit loses the rename race and retries).
+  *
+  * A table's protocol is self-describing: `_log/` exists ⇔ manifest.
+  */
+sealed trait Protocol {
+  def name: String
+
+  /** Directory a flush writes segment `id` into (uncommitted). */
+  def writePath(root: Path, id: SegmentId): Path
+
+  /** Directory of a COMMITTED segment. */
+  def readPath(root: Path, id: SegmentId): Path
+
+  /** Make `newIds` visible. `visibleAfter` is the full post-commit set —
+    * the manifest protocol records it verbatim; the rename protocol derives
+    * visibility from the listing and ignores it. */
+  def commit(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Unit
+
+  /** Set the visible set to exactly `visibleAfter` (for overwrite/compact).
+    * Atomic for the manifest protocol (one manifest swap). The rename
+    * protocol cannot swap atomically: it commits `newIds` first, so until
+    * the caller deletes the superseded directories, old and new are both
+    * visible (MVCC still resolves overlapping keys to the new rows; keys
+    * absent from the new data resurface only in that window — documented
+    * rename-protocol caveat, the reason the manifest protocol exists). */
+  def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Unit
+
+  /** Delete a flushed-but-uncommitted segment (rollback). */
+  def discardInFlight(root: Path, id: SegmentId): Unit
+
+  /** Recover table state on open: sweep leftovers of crashed transactions,
+    * return (committed segment ids, next transaction id). */
+  def recover(root: Path): (Seq[SegmentId], Long)
+
+  /** Physically delete a committed segment directory (GC after compact /
+    * replace — only call once no live snapshot can reference it). */
+  def deleteSegment(root: Path, id: SegmentId): Unit
+}
+
+/** On-disk layout, naming, and the two commit protocols.
   *
   * Layout of a table directory:
   * {{{
   *   <root>/schema.json                    table schema (MatSchema JSON)
-  *   <root>/<txn%08x>.<seg%08x>/           committed segment (parquet dir)
-  *   <root>/<txn%08x>.<seg%08x>.tmp/       uncommitted segment
+  *   <root>/<txn%08x>.<seg%08x>/           segment (parquet dir)
+  *   <root>/<txn%08x>.<seg%08x>.tmp/       uncommitted segment (rename protocol)
+  *   <root>/_log/<version%08x>.json        manifest (manifest protocol only)
   * }}}
-  *
-  * Naming mirrors the reference (storage.rs:86-111). Commit renames
-  * `.tmp` directories to their visible names in *reverse* segment order so
-  * that segment 0 — the commit marker — appears last
-  * (reference: transaction.rs:127-136, segment.rs:195-200). Recovery on open
-  * deletes `.tmp` leftovers and ignores transactions whose segment 0 is
-  * missing (fixing the reference's acknowledged gap, database.rs:121 TODO).
-  *
-  * Local-FS rename is atomic, matching the reference's assumption. For
-  * object stores (no atomic rename) the same interface would be backed by a
-  * manifest commit — see SURVEY.md §7.4; out of scope for local mode.
   */
 object Storage {
   private val Committed: Regex = """^([0-9a-f]{8})\.([0-9a-f]{8})$""".r
@@ -64,31 +109,8 @@ object Storage {
       decode(p.getFileName.toString).map { case (id, tmp) => (p, id, tmp) }
     }
 
-  /** Recovery sweep (reference: database.rs:100-127): delete uncommitted
-    * `.tmp` segments; drop committed segments of transactions missing their
-    * segment 0 (partial commit — the rename protocol guarantees segment 0
-    * lands last, so its absence proves the commit never completed).
-    * Returns (committed segment ids, next transaction id). */
-  def recover(root: Path): (Seq[SegmentId], Long) = {
-    val entries = listEntries(root)
-    entries.filter(_._3).foreach(e => deleteRecursively(e._1))
-    val committed = entries.filterNot(_._3).map(_._2)
-    val complete = committed.groupBy(_.txnId).filter(_._2.exists(_.segNum == 0))
-    complete.values.flatten.toSeq.sorted match {
-      case segs =>
-        val maxTxn = (committed.map(_.txnId) :+ 0L).max // incomplete txns still burn their id
-        (segs, maxTxn + 1)
-    }
-  }
-
   def segmentPath(root: Path, id: SegmentId, tmp: Boolean): Path =
     root.resolve(segmentDirName(id, tmp))
-
-  /** Atomic visibility flip: rename in reverse order so segment 0 is last. */
-  def commitSegments(root: Path, ids: Seq[SegmentId]): Unit =
-    ids.sorted.reverse.foreach { id =>
-      Files.move(segmentPath(root, id, tmp = true), segmentPath(root, id, tmp = false))
-    }
 
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
@@ -97,8 +119,135 @@ object Storage {
       Files.delete(p)
     }
 
-  def delete(root: Path, id: SegmentId, tmp: Boolean): Unit =
-    deleteRecursively(segmentPath(root, id, tmp))
-
   def rootPath(s: String): Path = Paths.get(s)
+
+  /** Pick the protocol a table on disk uses (`_log/` marks manifest), or the
+    * requested one for a fresh table. */
+  def detect(root: Path): Protocol =
+    if (Files.isDirectory(logDir(root))) ManifestProtocol else RenameProtocol
+
+  def forName(name: String): Protocol = name match {
+    case "rename"   => RenameProtocol
+    case "manifest" => ManifestProtocol
+    case other => throw new IllegalArgumentException(
+      s"unknown commit protocol '$other' (expected rename or manifest)")
+  }
+
+  // ---- rename protocol --------------------------------------------------
+
+  case object RenameProtocol extends Protocol {
+    val name = "rename"
+
+    def writePath(root: Path, id: SegmentId): Path = segmentPath(root, id, tmp = true)
+    def readPath(root: Path, id: SegmentId): Path = segmentPath(root, id, tmp = false)
+
+    /** Atomic visibility flip: rename in reverse order so segment 0 — the
+      * commit marker — lands last (reference transaction.rs:127-136). */
+    def commit(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Unit =
+      newIds.sorted.reverse.foreach { id =>
+        Files.move(segmentPath(root, id, tmp = true), segmentPath(root, id, tmp = false))
+      }
+
+    /** Not atomic under renames (see [[Protocol.replace]]): commit the new
+      * segments; the caller deletes the superseded directories right after. */
+    def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Unit =
+      commit(root, newIds, visibleAfter)
+
+    def discardInFlight(root: Path, id: SegmentId): Unit =
+      deleteRecursively(segmentPath(root, id, tmp = true))
+
+    /** Recovery sweep (reference: database.rs:100-127): delete uncommitted
+      * `.tmp` segments; drop committed segments of transactions missing their
+      * segment 0 (partial commit — the rename protocol guarantees segment 0
+      * lands last, so its absence proves the commit never completed). */
+    def recover(root: Path): (Seq[SegmentId], Long) = {
+      val entries = listEntries(root)
+      entries.filter(_._3).foreach(e => deleteRecursively(e._1))
+      val committed = entries.filterNot(_._3).map(_._2)
+      val complete = committed.groupBy(_.txnId).filter(_._2.exists(_.segNum == 0))
+      // crashed and incomplete txns still burn their id (count .tmp too)
+      val maxTxn = (entries.map(_._2.txnId) :+ 0L).max
+      (complete.values.flatten.toSeq.sorted, maxTxn + 1)
+    }
+
+    def deleteSegment(root: Path, id: SegmentId): Unit =
+      deleteRecursively(segmentPath(root, id, tmp = false))
+  }
+
+  // ---- manifest protocol --------------------------------------------------
+
+  private def logDir(root: Path): Path = root.resolve("_log")
+  private val ManifestName: Regex = """^([0-9a-f]{8})\.json$""".r
+
+  case object ManifestProtocol extends Protocol {
+    val name = "manifest"
+
+    // visibility comes from the manifest, so segments go straight to their
+    // final names — no rename step to need atomicity from the data store
+    def writePath(root: Path, id: SegmentId): Path = segmentPath(root, id, tmp = false)
+    def readPath(root: Path, id: SegmentId): Path = segmentPath(root, id, tmp = false)
+
+    def commit(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Unit =
+      writeManifest(root, visibleAfter)
+
+    /** Atomic: the new manifest simply lists only `visibleAfter`. */
+    def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Unit =
+      writeManifest(root, visibleAfter)
+
+    def discardInFlight(root: Path, id: SegmentId): Unit =
+      deleteRecursively(segmentPath(root, id, tmp = false))
+
+    /** Visible set = latest manifest. Segment directories not referenced by
+      * it are leftovers of crashed or rolled-back transactions — swept here.
+      * Next txn id must outrank every id ever seen on disk (committed or
+      * orphaned), so crashed transactions still burn their id. */
+    def recover(root: Path): (Seq[SegmentId], Long) = {
+      Files.createDirectories(logDir(root))
+      val committed = latestManifest(root).map(readManifest).getOrElse(Seq.empty)
+      val onDisk = listEntries(root)
+      val live = committed.toSet
+      val maxTxn = ((onDisk.map(_._2.txnId) ++ committed.map(_.txnId)) :+ 0L).max
+      onDisk.filterNot(e => live.contains(e._2)).foreach(e => deleteRecursively(e._1))
+      (committed.sorted, maxTxn + 1)
+    }
+
+    def deleteSegment(root: Path, id: SegmentId): Unit =
+      deleteRecursively(segmentPath(root, id, tmp = false))
+
+    private def latestManifest(root: Path): Option[Path] = {
+      val dir = logDir(root)
+      if (!Files.isDirectory(dir)) None
+      else Files.list(dir).iterator().asScala.toSeq
+        .filter(p => ManifestName.matches(p.getFileName.toString))
+        .sortBy(_.getFileName.toString).lastOption
+    }
+
+    private def manifestVersion(p: Path): Long = p.getFileName.toString match {
+      case ManifestName(v) => java.lang.Long.parseLong(v, 16)
+      case _               => 0L
+    }
+
+    /** One JSON line per segment keeps parsing dependency-free (the schema
+      * document already uses the same hand-rolled style). */
+    private def readManifest(p: Path): Seq[SegmentId] = {
+      val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      """\[\s*(\d+)\s*,\s*(\d+)\s*\]""".r.findAllMatchIn(text)
+        .map(m => SegmentId(m.group(1).toLong, m.group(2).toInt)).toSeq
+    }
+
+    /** Single-file atomic publish: write to a dotted temp name, then move to
+      * `<version+1>.json`. ATOMIC_MOVE fails if the target exists — exactly
+      * the optimistic-concurrency check a second writer must lose. */
+    private def writeManifest(root: Path, visible: Seq[SegmentId]): Unit = {
+      val dir = logDir(root)
+      Files.createDirectories(dir)
+      val version = latestManifest(root).map(manifestVersion).getOrElse(-1L) + 1L
+      val body = visible.sorted.map(s => s"  [${s.txnId}, ${s.segNum}]").mkString(
+        "{\"segments\": [\n", ",\n", "\n]}\n")
+      val tmp = Files.createTempFile(dir, ".manifest-", ".tmp")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, dir.resolve(f"$version%08x.json"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
 }

@@ -91,7 +91,9 @@ final class Transaction private[core] (
     val id = db.allocateTxnId(); txnId = Some(id); id
   }
 
-  /** Spill buffered batches to a new `.tmp` segment. No-op if empty. */
+  /** Spill buffered batches to a new uncommitted segment (a `.tmp` dir under
+    * the rename protocol; a manifest-unreferenced final-name dir under the
+    * manifest protocol). No-op if empty. */
   def flush(): Unit = {
     requireOpen()
     if (buffered.nonEmpty) {
@@ -107,7 +109,7 @@ final class Transaction private[core] (
         .write
         .option("compression", "zstd")
         .partitionBy(schema.chunkColNames: _*)
-        .parquet(Storage.segmentPath(db.root, id, tmp = true).toString)
+        .parquet(db.protocol.writePath(db.root, id).toString)
       flushed = flushed :+ id
       buffered = Vector.empty
     }
@@ -117,8 +119,11 @@ final class Transaction private[core] (
     * segments + own buffered batches, newest version per key
     * (reference transaction.rs:67-85 + scan.rs). Own uncommitted rows outrank
     * everything (tagged Long.MaxValue). */
-  def query(pred: Option[Column] = None): DataFrame =
-    Scan.resolve(spark, db.root, schema, visibleAtOpen, buffered, flushed, pred)
+  def query(pred: Option[Column] = None): DataFrame = {
+    val paths = db.segmentReadPaths(visibleAtOpen) ++
+      flushed.map(id => db.protocol.writePath(db.root, id).toString)
+    Scan.resolve(spark, schema, paths, buffered, pred)
+  }
 
   /** Key-ordered query — the reference's scan output order (scan.rs:183-238). */
   def queryOrdered(): DataFrame = query().orderBy(schema.dimNames.map(col): _*)
@@ -127,17 +132,24 @@ final class Transaction private[core] (
   def commit(): Unit = {
     requireOpen()
     flush()
-    if (flushed.nonEmpty) {
-      Storage.commitSegments(db.root, flushed)
-      db.register(flushed)
-    }
+    if (flushed.nonEmpty) db.commitTransaction(flushed)
+    closed = true
+  }
+
+  /** Final flush + commit that REPLACES the table's previous contents —
+    * the overwrite/compact path ([[MatDb.commitReplace]]). An empty
+    * replacement still commits (it truncates the table). */
+  def commitReplacing(): Unit = {
+    requireOpen()
+    flush()
+    db.commitReplace(flushed)
     closed = true
   }
 
   /** Delete all uncommitted work (reference transaction.rs:141-150). */
   def rollback(): Unit = {
     requireOpen()
-    flushed.foreach(id => Storage.delete(db.root, id, tmp = true))
+    flushed.foreach(id => db.protocol.discardInFlight(db.root, id))
     flushed = Vector.empty
     buffered = Vector.empty
     closed = true

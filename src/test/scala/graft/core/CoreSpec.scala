@@ -19,27 +19,35 @@ object TestSpark {
   }
 }
 
-/** End-to-end core-engine spec. The first test reproduces the reference's
-  * integration scenario (reference: tests/matdb.rs:54-75): 100×100 grid,
-  * mid-txn flush, in-txn visibility, commit, fresh-txn visibility, and the
-  * dirty-directory re-run relying on upsert dedup. */
-class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
-  private lazy val spark = TestSpark.spark
+/** End-to-end core-engine behaviors, run once per commit protocol (the
+  * rename protocol of the reference and the object-store-safe manifest
+  * protocol must be indistinguishable through the public API). The first
+  * test reproduces the reference's integration scenario
+  * (reference: tests/matdb.rs:54-75): 100×100 grid, mid-txn flush, in-txn
+  * visibility, commit, fresh-txn visibility, and the dirty-directory re-run
+  * relying on upsert dedup. */
+abstract class CoreProtocolBehaviors(protocolName: String)
+    extends AnyFunSuite with BeforeAndAfterAll {
+  protected lazy val spark = TestSpark.spark
 
-  private def tmpDir(): String =
-    Files.createTempDirectory("graft-core-test").toString
+  protected def tmpDir(): String =
+    Files.createTempDirectory(s"graft-core-$protocolName").toString
+
+  protected def create(path: String): MatDb =
+    MatDb.create(spark, schema, path, protocolName)
 
   private def grid(n: Int, m: Int, valueOf: (Int, Int) => Long): Seq[Seq[Any]] =
     for (t <- 0 until n; s <- 0 until m)
       yield Seq(t.toLong, s.toLong, valueOf(t, s))
 
-  private val schema = MatSchema(
+  protected val schema = MatSchema(
     Seq(Dimension("time", 50), Dimension("sensor_id", 10)),
     Seq(ValueCol("value")))
 
   test("matdb integration scenario: insert grid, flush, query, commit, reopen, dirty rerun") {
     val path = tmpDir()
-    val db = MatDb.createOrOpen(spark, schema, path)
+    val db = MatDb.createOrOpen(spark, schema, path, protocolName)
+    assert(db.protocol.name === protocolName)
 
     val txn = db.newTransaction()
     // sensors 0-49 before the flush, 50-99 after
@@ -57,8 +65,9 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(txn2.query().count() === 10000)
     txn2.rollback()
 
-    // reopen from disk
+    // reopen from disk (protocol is self-describing)
     val db2 = MatDb.open(spark, path)
+    assert(db2.protocol.name === protocolName)
     assert(db2.snapshot().count() === 10000)
 
     // dirty re-run: re-insert the same keys with new values; upsert dedup
@@ -75,7 +84,7 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ordered scan yields key order") {
     val path = tmpDir()
-    val db = MatDb.create(spark, schema, path)
+    val db = create(path)
     val txn = db.newTransaction()
     txn.addRowsSeq(Seq(Seq(5L, 1L, 10L), Seq(1L, 2L, 20L), Seq(1L, 1L, 30L), Seq(120L, 7L, 40L)))
     txn.commit()
@@ -85,7 +94,7 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("newest txn wins across commits; later batch wins within txn") {
     val path = tmpDir()
-    val db = MatDb.create(spark, schema, path)
+    val db = create(path)
     val t1 = db.newTransaction()
     t1.addRowsSeq(Seq(Seq(1L, 1L, 100L)))
     t1.commit()
@@ -101,7 +110,7 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("snapshot isolation: txn opened before a commit does not see it") {
     val path = tmpDir()
-    val db = MatDb.create(spark, schema, path)
+    val db = create(path)
     val t1 = db.newTransaction()
     t1.addRowsSeq(Seq(Seq(1L, 1L, 1L)))
     t1.commit()
@@ -116,7 +125,7 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("time travel asOf") {
     val path = tmpDir()
-    val db = MatDb.create(spark, schema, path)
+    val db = create(path)
     val t1 = db.newTransaction(); t1.addRowsSeq(Seq(Seq(1L, 1L, 1L))); t1.commit()
     val t2 = db.newTransaction(); t2.addRowsSeq(Seq(Seq(1L, 1L, 2L), Seq(3L, 3L, 3L))); t2.commit()
     assert(db.asOf(1L).collect().map(_.getLong(2)).toSeq === Seq(1L))
@@ -125,26 +134,41 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("rollback and crash recovery drop uncommitted segments") {
     val path = tmpDir()
-    val db = MatDb.create(spark, schema, path)
+    val db = create(path)
     val t1 = db.newTransaction(); t1.addRowsSeq(Seq(Seq(1L, 1L, 1L))); t1.commit()
     // rollback path
     val t2 = db.newTransaction(); t2.addRowsSeq(Seq(Seq(2L, 2L, 2L))); t2.flush(); t2.rollback()
     assert(db.snapshot().count() === 1)
-    // crash path: flushed .tmp left behind, then reopen sweeps it
+    // crash path: flushed-but-uncommitted segment left behind, then reopen
+    // sweeps it (and the crashed txn still burned its id)
     val t3 = db.newTransaction(); t3.addRowsSeq(Seq(Seq(3L, 3L, 3L))); t3.flush()
+    val crashedId = t3.id.get
     val db2 = MatDb.open(spark, path)
     assert(db2.snapshot().count() === 1)
-    // partial-commit: committed-looking segment without segment 0 is ignored
-    val fakeTxn = 99L
-    val seg1 = SegmentId(fakeTxn, 1)
-    Files.createDirectories(Storage.segmentPath(Storage.rootPath(path), seg1, tmp = false))
-    val db3 = MatDb.open(spark, path)
-    assert(db3.committedSegments.forall(_.txnId != fakeTxn))
+    val t4 = db2.newTransaction(); t4.addRowsSeq(Seq(Seq(4L, 4L, 4L))); t4.commit()
+    assert(t4.id.get > crashedId)
+  }
+
+  test("overwrite replaces contents: absent keys are gone, not upserted around") {
+    import spark.implicits._
+    val path = tmpDir()
+    val db = create(path)
+    val t1 = db.newTransaction()
+    t1.addRowsSeq(Seq(Seq(1L, 1L, 10L), Seq(2L, 2L, 20L), Seq(3L, 3L, 30L)))
+    t1.commit()
+    val cid = db.overwrite(
+      Seq((1L, 1L, 11L), (9L, 9L, 90L)).toDF("time", "sensor_id", "value"))
+    assert(cid > 0)
+    val got = db.snapshot().collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got === Map(1L -> 11L, 9L -> 90L)) // keys 2 and 3 are gone
+    // survives reopen; old segment dirs were deleted
+    assert(MatDb.open(spark, path).snapshot().count() === 2)
+    assert(db.committedSegments.forall(_.txnId == cid))
   }
 
   test("chunk-range predicate prunes and returns correct rows") {
     val path = tmpDir()
-    val db = MatDb.create(spark, schema, path)
+    val db = create(path)
     val txn = db.newTransaction()
     txn.addRowsSeq(grid(200, 10, (t, s) => t.toLong))
     txn.commit()
@@ -157,7 +181,7 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("compact rewrites to one transaction and drops superseded segments") {
     val path = tmpDir()
-    val db = MatDb.create(spark, schema, path)
+    val db = create(path)
     for (i <- 1 to 3) {
       val t = db.newTransaction()
       t.addRowsSeq(Seq(Seq(i.toLong, 1L, i * 10L), Seq(0L, 0L, i.toLong)))
@@ -180,7 +204,7 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("committing an empty batch leaves the table fully readable") {
     val path = tmpDir()
-    val db = MatDb.create(spark, schema, path)
+    val db = create(path)
     val t1 = db.newTransaction()
     t1.addRowsSeq(Seq(Seq(1L, 1L, 10L)))
     t1.commit()
@@ -194,7 +218,7 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("registerView exposes the table to full Spark SQL") {
     val path = tmpDir()
-    val db = MatDb.create(spark, schema, path)
+    val db = create(path)
     val t = db.newTransaction()
     t.addRowsSeq(Seq(Seq(1L, 1L, 10L), Seq(2L, 1L, 20L), Seq(2L, 2L, 30L)))
     t.commit()
@@ -203,6 +227,21 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT sensor_id, sum(value) s, count(*) c FROM sensors GROUP BY 1 ORDER BY 1")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(byId.toSeq === Seq((1L, 30L, 2L), (2L, 30L, 1L)))
+  }
+}
+
+/** Rename protocol (reference-parity default) + rename-only invariants. */
+class CoreSpec extends CoreProtocolBehaviors("rename") {
+
+  test("partial commit: committed-looking segment without segment 0 is ignored") {
+    val path = tmpDir()
+    val db = create(path)
+    val t1 = db.newTransaction(); t1.addRowsSeq(Seq(Seq(1L, 1L, 1L))); t1.commit()
+    val fakeTxn = 99L
+    val seg1 = SegmentId(fakeTxn, 1)
+    Files.createDirectories(Storage.segmentPath(Storage.rootPath(path), seg1, tmp = false))
+    val db3 = MatDb.open(spark, path)
+    assert(db3.committedSegments.forall(_.txnId != fakeTxn))
   }
 
   test("schema json round trip") {
@@ -215,5 +254,38 @@ class CoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Storage.decode("000000ff.00000002") === Some((SegmentId(255, 2), false)))
     assert(Storage.decode("000000ff.00000002.tmp") === Some((SegmentId(255, 2), true)))
     assert(Storage.decode("schema.json") === None)
+  }
+}
+
+/** Manifest protocol + manifest-only invariants. */
+class CoreManifestSpec extends CoreProtocolBehaviors("manifest") {
+
+  test("visibility comes from the manifest, not the directory listing") {
+    val path = tmpDir()
+    val db = create(path)
+    val t1 = db.newTransaction(); t1.addRowsSeq(Seq(Seq(1L, 1L, 1L))); t1.commit()
+    // a segment directory that no manifest references must stay invisible
+    // (this is what makes writes to final names safe pre-commit)...
+    val t2 = db.newTransaction(); t2.addRowsSeq(Seq(Seq(2L, 2L, 2L))); t2.flush()
+    val orphan = Storage.segmentPath(Storage.rootPath(path), SegmentId(t2.id.get, 0), tmp = false)
+    assert(Files.isDirectory(orphan)) // written at its FINAL name already
+    assert(db.snapshot().count() === 1) // ...but not visible
+    // reopen: the orphan is swept
+    val db2 = MatDb.open(spark, path)
+    assert(db2.snapshot().count() === 1)
+    assert(!Files.exists(orphan))
+  }
+
+  test("replace commit is a single manifest swap; empty overwrite truncates") {
+    import spark.implicits._
+    val path = tmpDir()
+    val db = create(path)
+    val t1 = db.newTransaction(); t1.addRowsSeq(Seq(Seq(1L, 1L, 1L))); t1.commit()
+    db.overwrite(Seq.empty[(Long, Long, Long)].toDF("time", "sensor_id", "value"))
+    assert(db.snapshot().count() === 0)
+    assert(MatDb.open(spark, path).snapshot().count() === 0)
+    // the table still accepts new transactions after a truncate
+    val t2 = db.newTransaction(); t2.addRowsSeq(Seq(Seq(5L, 5L, 5L))); t2.commit()
+    assert(db.snapshot().count() === 1)
   }
 }
