@@ -62,14 +62,42 @@ object Ingest {
         fixedPoint(expr("try_cast(value_raw AS DOUBLE)")).as("value"))
       .where(col("time").isNotNull && col("value").isNotNull)
 
+  /** Dense ranks 1..N by key order over a DISTINCT-key DataFrame WITHOUT a
+    * single-partition window — the scale-safe replacement for
+    * `dense_rank().over(Window.orderBy(keys))`, whose empty `partitionBy`
+    * funnels every row through one task (exactly what breaks for
+    * LLM-pipeline vocabularies: URLs, n-grams, user ids at 100 TB).
+    *
+    * Plan: range-repartition by the keys (a parallel global sort — partition
+    * p's keys all precede partition p+1's), `row_number` within each physical
+    * partition, then add per-partition offsets computed with a broadcast
+    * triangular join over the TINY per-partition histogram (<= shuffle
+    * partitions rows — cluster-sized, not data-sized; no SinglePartition
+    * exchange anywhere). The resulting id is the global rank of the key, a
+    * pure function of the data: invariant to where the sampled range
+    * boundaries happen to land. */
+  def denseRankIds(distinctKeys: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val ranged = distinctKeys.repartitionByRange(keys.map(_.asc): _*)
+      .withColumn("_pid", spark_partition_id().cast("long"))
+    val rn = ranged.withColumn("_rn",
+      row_number().over(Window.partitionBy(col("_pid")).orderBy(keys: _*)).cast("long"))
+    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum(col("b._n")), lit(0L)).as("_off"))
+    rn.join(broadcast(offsets), "_pid")
+      .select(keys :+ (col("_off") + col("_rn")).as(idCol): _*)
+  }
+
   /** Dictionary get-or-create (reference sensor-log.rs:27-105: hand-rolled
     * hash-map id assignment persisted to sensors.json).
     *
     * Spark-first: the dictionary is itself a table. New keys get
-    * `max(existing_id) + dense_rank(key)`; lookups are broadcast hash joins.
-    * At 100 TB the dictionary stays small (distinct sensors), so the join
-    * side is always broadcastable and id assignment shuffles only the
-    * DISTINCT new keys, never the fact rows. */
+    * `max(existing_id) + rank(key)` via [[denseRankIds]] — id assignment
+    * shuffles only the DISTINCT new keys, in parallel (no global window);
+    * lookups are broadcast hash joins, so the fact rows never shuffle. */
   def dictionaryGetOrCreate(
       existing: DataFrame, // columns: keyCols :+ "id"
       rows: DataFrame,
@@ -78,8 +106,7 @@ object Ingest {
     val newKeys = rows.select(keys: _*).distinct()
       .join(broadcast(existing.select(keys: _*)), keyCols, "left_anti")
     val base = existing.agg(coalesce(max(col("id")), lit(0L)).as("m"))
-    val assigned = newKeys
-      .withColumn("_rk", dense_rank().over(Window.orderBy(keys: _*)).cast("long"))
+    val assigned = denseRankIds(newKeys, keyCols, "_rk")
       .crossJoin(broadcast(base))
       .select(keys :+ (col("m") + col("_rk")).as("id"): _*)
     existing.select(keys :+ col("id"): _*).unionByName(assigned)

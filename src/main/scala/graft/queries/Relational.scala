@@ -430,13 +430,16 @@ object Relational {
     },
 
     // ---- dictionary encode (reference sensor-log.rs:27-105) ------------
+    // rank-by-key id assignment WITHOUT a global window: denseRankIds
+    // range-partitions and offsets per-partition row numbers — same values
+    // as dense_rank() OVER (ORDER BY key), scale-safe plan.
     Entry("q32_dict_encode", Some(
       """SELECT p_brand, CAST(dense_rank() OVER (ORDER BY p_brand) AS BIGINT) AS brand_id
         |FROM (SELECT DISTINCT p_brand FROM part) t
         |ORDER BY p_brand""".stripMargin)) { (s, d) =>
-      table(s, d, "part").select(col("p_brand")).distinct()
-        .withColumn("brand_id",
-          dense_rank().over(Window.orderBy(col("p_brand"))).cast("long"))
+      graft.ingest.Ingest.denseRankIds(
+          table(s, d, "part").select(col("p_brand")).distinct(),
+          Seq("p_brand"), "brand_id")
         .orderBy(col("p_brand"))
     },
 

@@ -54,6 +54,19 @@ class IngestSpec extends AnyFunSuite {
     val encoded = Ingest.encodeWithDictionary(rows, dict, Seq("component", "sensor"))
     assert(encoded.where(col("id").isNull).count() === 0)
   }
+
+  test("dense id assignment matches dense_rank and never funnels to one partition") {
+    import spark.implicits._
+    val keys = (1 to 500).map(i => f"key_$i%04d").toDF("k").repartition(8)
+    val ids = Ingest.denseRankIds(keys, Seq("k"), "id")
+    val got = ids.orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(_._2).toSeq === (1L to 500L)) // dense, 1..N, in key order
+    assert(got.map(_._1).toSeq === (1 to 500).map(i => f"key_$i%04d"))
+    // the scale guarantee: no single-partition exchange anywhere in the plan
+    // (the old dense_rank-over-empty-partitionBy window had exactly that)
+    val plan = ids.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }
 
 class FunctionsSpec extends AnyFunSuite {
