@@ -39,15 +39,8 @@ object Pipeline {
   // ---- shared Spark fragments ----------------------------------------
 
   /** doc_id + exploded DISTINCT word 3-gram shingles. */
-  private def shingles(df: DataFrame): DataFrame = {
-    val tok = df.select(col("doc_id"), toksSpark(col("text")).as("ws"))
-      .where(size(col("ws")) >= 3)
-    tok.select(col("doc_id"),
-      explode(array_distinct(transform(
-        sequence(lit(0), size(col("ws")) - 3),
-        i => concat_ws(" ", element_at(col("ws"), i + 1),
-          element_at(col("ws"), i + 2), element_at(col("ws"), i + 3))))).as("g"))
-  }
+  private def shingles(df: DataFrame): DataFrame =
+    graft.operators.NearDup.shingles(df, "doc_id", "text")
 
   /** DuckDB equivalent of [[shingles]] as a CTE body. */
   private val shinglesSql =
@@ -59,24 +52,14 @@ object Pipeline {
       |       FROM tok),
       |ex AS (SELECT doc_id, unnest(gs) g FROM sh)""".stripMargin
 
-  /** Exact-Jaccard pair table over shingle sets (inverted-index join — the
-    * scale-correct plan: explode, equi-join on shingle, count; never a
-    * doc×doc cross join). Spark side. */
-  private def jaccardPairs(df: DataFrame): DataFrame = {
-    val ex = shingles(df)
-    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = ex.as("a").join(ex.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-  }
+  /** Document-frequency cap for q46 candidate generation (see
+    * [[graft.operators.NearDup]]): shingles shared by more docs than this
+    * are dropped from the inverted-index JOIN (quadratic hot-key blowup),
+    * never from the exact-Jaccard verify. The oracle replays the cap. */
+  private val DfCap = 100L
 
-  /** DuckDB equivalent of [[jaccardPairs]] as CTEs on top of shinglesSql. */
+  /** DuckDB pair CTEs (full, uncapped inverted join) on top of shinglesSql —
+    * q47's oracle-side exact verify. */
   private val jaccardPairsSql =
     """sizes AS (SELECT doc_id, count(*) n FROM ex GROUP BY doc_id),
       |shared AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
@@ -221,14 +204,30 @@ object Pipeline {
         .orderBy(col("group_fp"))
     },
 
-    // n-gram Jaccard near-dup pairs — exact, via inverted-index join.
+    // n-gram Jaccard near-dup pairs: df-capped inverted-index candidates +
+    // exact verify over full shingle sets (graft.operators.NearDup — the
+    // hot-shingle-skew-proof plan; the oracle replays the cap).
     Entry("q46_ngram_jaccard", Some(
       s"""WITH $shinglesSql,
-         |$jaccardPairsSql
+         |dfc AS (SELECT g, count(*) dfx FROM ex GROUP BY g),
+         |exc AS (SELECT e.doc_id, e.g FROM ex e JOIN dfc USING (g) WHERE dfx <= $DfCap),
+         |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         |         FROM exc a JOIN exc b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) n FROM ex GROUP BY doc_id),
+         |shared AS (SELECT c.doc_a, c.doc_b, count(*) shared
+         |           FROM cand c JOIN ex a ON a.doc_id = c.doc_a
+         |                       JOIN ex b ON b.doc_id = c.doc_b AND b.g = a.g
+         |           GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b, shared,
+         |                 CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) jaccard
+         |          FROM shared JOIN sizes sa ON sa.doc_id = doc_a
+         |                      JOIN sizes sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, shared, jaccard
          |FROM pairs WHERE jaccard >= 0.25
          |ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
-      jaccardPairs(table(s, d, "documents"))
+      import graft.operators.NearDup
+      val ex = shingles(table(s, d, "documents"))
+      NearDup.verifiedJaccard(ex, NearDup.candidatePairs(ex, "doc_id", DfCap), "doc_id")
         .where(col("jaccard") >= 0.25)
         .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -242,11 +241,14 @@ object Pipeline {
         .withColumn("hp", h56(col("g")) % P)
       val mh = ex.groupBy(col("doc_id")).agg(
         minhashCol(0), (1 until NumPerm).map(minhashCol): _*)
-      val bands = (0 until NumPerm / BandSize).map { b =>
-        val cols = (b * BandSize until (b + 1) * BandSize).map(j => s"m$j")
-        mh.select(col("doc_id"), lit(b).as("band"),
-          concat_ws(",", cols.map(col): _*).as("sig"))
-      }.reduce(_ unionByName _)
+      // all bands in ONE pass over mh via posexplode (a per-band
+      // union-of-selects re-scanned the signature aggregate once per band —
+      // 4x the shingle explode; now the two join sides are identical
+      // subplans, so the second side reuses the first's exchange)
+      val bandArr = array((0 until NumPerm / BandSize).map { b =>
+        concat_ws(",", (b * BandSize until (b + 1) * BandSize).map(j => col(s"m$j")): _*)
+      }: _*)
+      val bands = mh.select(col("doc_id"), posexplode(bandArr)).toDF("doc_id", "band", "sig")
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -256,17 +258,7 @@ object Pipeline {
       // broadcast the candidate pairs and count shared shingles only for
       // them — never materialize the full shared-pair table (that full
       // inverted join is q46's job; here it would be wasted work at scale)
-      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val shared = ex.select(col("doc_id").as("doc_a"), col("g"))
-        .join(broadcast(cand), Seq("doc_a"))
-        .join(ex.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      shared
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .withColumn("jaccard",
-          col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      graft.operators.NearDup.verifiedJaccard(ex, cand, "doc_id")
         .where(col("jaccard") >= 0.2)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))

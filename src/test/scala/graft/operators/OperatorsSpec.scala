@@ -63,6 +63,33 @@ class OperatorsSpec extends AnyFunSuite {
       === plain.groupBy("label").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap)
   }
 
+  test("near-dup df cap bounds candidate pairs under a planted hot shingle") {
+    import spark.implicits._
+    // 60 docs all sharing one hot 3-gram phrase, otherwise pairwise disjoint;
+    // plus one genuine near-dup pair sharing most of their (rare) shingles
+    val crowd = (1 to 60).map(i =>
+      (i.toLong, s"common hot phrase w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    val dupA = (1000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val dupB = (1001L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")
+    val docs = (crowd :+ dupA :+ dupB).toDF("doc_id", "text")
+    val ex = NearDup.shingles(docs, "doc_id", "text")
+
+    // uncapped: the hot shingle alone emits 60*59/2 crowd pairs
+    val uncapped = NearDup.candidatePairs(ex, "doc_id", dfCap = 10000L).count()
+    assert(uncapped >= 60L * 59 / 2)
+    // capped: the hot shingle is dropped from the join; only genuinely
+    // shared rare shingles generate candidates
+    val capped = NearDup.candidatePairs(ex, "doc_id", dfCap = 50L)
+    assert(capped.count() === 1)
+    // ...and the verified output still finds the real near-dup pair with
+    // its EXACT Jaccard (computed over full shingle sets, cap-independent)
+    val pairs = NearDup.jaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.25, dfCap = 50L).collect()
+    assert(pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+      === Seq((1000L, 1001L)))
+    assert(math.abs(pairs.head.getAs[Double]("jaccard") - 7.0 / 9.0) < 1e-12)
+  }
+
   test("salted aggregation equals plain aggregation under heavy key skew") {
     import spark.implicits._
     // one hot key with 100k rows, many cold keys
