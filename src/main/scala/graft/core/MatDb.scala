@@ -67,10 +67,14 @@ final class MatDb private (
 
   /** Read-only snapshot of the table: newest version of each key point, in
     * no particular order (add `.orderBy` for the reference's key-ordered
-    * scan). `asOfTxn` gives time travel: only segments with txnId <= asOfTxn. */
-  def snapshot(asOfTxn: Option[Long] = None): DataFrame = {
+    * scan). `asOfTxn` gives time travel: only segments with txnId <= asOfTxn.
+    * `pred` (optional) is applied BELOW the version-resolution aggregate —
+    * only sound for dimension/chunk predicates (see [[Scan.resolve]]); it is
+    * what lets partition pruning + parquet pushdown skip IO before dedup. */
+  def snapshot(asOfTxn: Option[Long] = None,
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val visible = synchronized(committed).filter(s => asOfTxn.forall(s.txnId <= _))
-    Scan.resolve(spark, schema, segmentReadPaths(visible), extra = Nil)
+    Scan.resolve(spark, schema, segmentReadPaths(visible), extra = Nil, pred)
   }
 
   def asOf(txnId: Long): DataFrame = snapshot(Some(txnId))
@@ -120,6 +124,7 @@ object MatDb {
     * `protocol` = "rename" (reference-parity default) or "manifest". */
   def create(spark: SparkSession, schema: MatSchema, path: String,
       protocol: String = "rename"): MatDb = {
+    graft.plans.GraftPlans.enable(spark)
     val root = Storage.rootPath(path)
     Storage.writeSchema(root, schema)
     val proto = Storage.forName(protocol)
@@ -134,6 +139,7 @@ object MatDb {
     * leftovers, rebuild the committed set and next txn id
     * (reference: database.rs:52-66, 100-127). */
   def open(spark: SparkSession, path: String): MatDb = {
+    graft.plans.GraftPlans.enable(spark)
     val root = Storage.rootPath(path)
     val schema = Storage.readSchema(root)
     val proto = Storage.detect(root)

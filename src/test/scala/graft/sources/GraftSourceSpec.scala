@@ -28,4 +28,71 @@ class GraftSourceSpec extends AnyFunSuite {
     df.createOrReplaceTempView("graft_tbl")
     assert(spark.sql("SELECT sum(value) FROM graft_tbl").head().getLong(0) === 31L)
   }
+
+  test("save modes honor the Spark contract: overwrite replaces, error throws, ignore no-ops") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-src-modes").toString
+    def read() = spark.read.format("graft").load(path)
+      .orderBy("time").collect().map(r => (r.getLong(0), r.getLong(2)))
+
+    Seq((1L, 1L, 10L), (2L, 1L, 20L)).toDF("time", "sensor_id", "value")
+      .write.format("graft").option("dimensions", "time:50,sensor_id:10").save(path)
+
+    // Overwrite: keys absent from the new data are GONE (not upserted around)
+    Seq((2L, 1L, 99L)).toDF("time", "sensor_id", "value")
+      .write.format("graft").mode("overwrite").save(path)
+    assert(read().toSeq === Seq((2L, 99L)))
+
+    intercept[IllegalStateException] {
+      Seq((3L, 1L, 30L)).toDF("time", "sensor_id", "value")
+        .write.format("graft").mode("errorifexists").save(path)
+    }
+    Seq((3L, 1L, 30L)).toDF("time", "sensor_id", "value")
+      .write.format("graft").mode("ignore").save(path)
+    assert(read().toSeq === Seq((2L, 99L))) // ignored, unchanged
+  }
+
+  test("value predicates apply AFTER version resolution, never before") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-src-valpred").toString
+    Seq((1L, 1L, 5L)).toDF("time", "sensor_id", "value")
+      .write.format("graft").option("dimensions", "time:50,sensor_id:10").save(path)
+    Seq((1L, 1L, 99L)).toDF("time", "sensor_id", "value")
+      .write.format("graft").mode("append").save(path)
+    // newest version of key (1,1) has value=99; a pre-dedup value filter
+    // would let the superseded (1,1,5) row win dedup of the filtered subset
+    val got = spark.read.format("graft").load(path)
+      .where(org.apache.spark.sql.functions.col("value") === 5L).collect()
+    assert(got.isEmpty, got.mkString(","))
+  }
+
+  test("dimension filters and projection push through the RDD boundary to parquet") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("graft-src-pushdown").toString
+    (0L until 100L).map(i => (i, i % 7, i * 10, i + 1))
+      .toDF("time", "sensor_id", "v1", "v2")
+      .write.format("graft").option("dimensions", "time:50,sensor_id:10").save(path)
+
+    // outer plan: the V1 relation records the pushed filters
+    val outer = spark.read.format("graft").load(path)
+      .where(col("time") >= 60L).select("time", "v1")
+    val outerPlan = outer.queryExecution.executedPlan.toString
+    assert(outerPlan.contains("PushedFilters") &&
+      outerPlan.contains("GreaterThanOrEqual(time,60)"), outerPlan)
+    assert(outer.collect().length === 40)
+
+    // inner plan (what buildScan actually executes): the dimension predicate
+    // reaches the parquet scan as PushedFilters AND as a _ck_time partition
+    // filter (ChunkPruneRule); the projection prunes the unused value column
+    // out of the scan entirely (dimensions stay — they are the dedup key)
+    val rel = new GraftRelation(spark.sqlContext, MatDb.open(spark, path), None)
+    val inner = rel.innerFrame(Array("time", "v1"),
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("time", 60L)))
+    val p = inner.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(time,60)"), p)
+    assert(p.contains("PartitionFilters") && p.contains("_ck_time"), p)
+    assert(!p.contains("v2"), p)
+    assert(inner.collect().length === 40)
+  }
 }
