@@ -65,6 +65,11 @@ sealed trait Protocol {
     * return (committed segment ids, next transaction id). */
   def recover(root: Path): (Seq[SegmentId], Long)
 
+  /** Committed segment ids WITHOUT any recovery sweep — the read-only
+    * listing for observers (e.g. the streaming source): a reader must never
+    * delete a concurrent writer's in-flight `.tmp`/unreferenced segments. */
+  def listCommitted(root: Path): Seq[SegmentId]
+
   /** Physically delete a committed segment directory (GC after compact /
     * replace — only call once no live snapshot can reference it). */
   def deleteSegment(root: Path, id: SegmentId): Unit
@@ -172,6 +177,14 @@ object Storage {
 
     def deleteSegment(root: Path, id: SegmentId): Unit =
       deleteRecursively(segmentPath(root, id, tmp = false))
+
+    /** Same completeness rule as [[recover]] (txns missing segment 0 never
+      * finished their commit), but purely observational. */
+    def listCommitted(root: Path): Seq[SegmentId] = {
+      val committed = listEntries(root).filterNot(_._3).map(_._2)
+      committed.groupBy(_.txnId).filter(_._2.exists(_.segNum == 0))
+        .values.flatten.toSeq.sorted
+    }
   }
 
   // ---- manifest protocol --------------------------------------------------
@@ -213,6 +226,9 @@ object Storage {
 
     def deleteSegment(root: Path, id: SegmentId): Unit =
       deleteRecursively(segmentPath(root, id, tmp = false))
+
+    def listCommitted(root: Path): Seq[SegmentId] =
+      latestManifest(root).map(readManifest).getOrElse(Seq.empty).sorted
 
     private def latestManifest(root: Path): Option[Path] = {
       val dir = logDir(root)

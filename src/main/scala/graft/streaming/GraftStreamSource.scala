@@ -1,0 +1,202 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path => JPath}
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.core.{SegmentId, Storage}
+
+/** `spark.readStream.format("graft-stream")` — an exactly-once,
+  * transaction-aligned streaming source over a graft table (the DSv2
+  * `MicroBatchStream` the file-glob stream in [[Streams.segmentStream]]
+  * cannot be): **offsets are committed transaction ids**, so a micro-batch
+  * is a contiguous, replayable range of whole transactions.
+  *
+  *   - Exactly-once: the engine checkpoints `{"txn": N}` offsets;
+  *     [[GraftMicroBatchStream.planInputPartitions]] is a pure function of
+  *     the (start, end] txn range over the append-only committed-segment
+  *     listing, so a replayed batch re-reads exactly the same rows.
+  *   - Txn-aligned: option `maxTxnsPerBatch` (via admission control) bounds
+  *     how many transactions one micro-batch covers; `1` = the reference's
+  *     atomic-visibility unit becomes the micro-batch unit.
+  *   - Read-only: segment discovery uses [[graft.core.Protocol.listCommitted]]
+  *     — never the recovery sweep, which would delete a live writer's
+  *     in-flight segments.
+  *
+  * Rows carry `_txn_id`/`_seq` provenance; version resolution is the
+  * consumer's choice (e.g. [[Streams.dedupWithinWatermark]]) — a stream of
+  * upserts cannot be pre-deduped by the source without unbounded state.
+  *
+  * Constraints (documented, asserted nowhere cheaper): the table must be
+  * append-only while streamed — a replace commit (overwrite/compact) drops
+  * segments a replayed batch may still reference (same limitation as Delta's
+  * streaming reads). Column types supported: long/int/double/float/string/
+  * boolean/binary (the engine's own types; segments are written by
+  * [[graft.core.Transaction.flush]]).
+  *
+  * Why per-file readers are fine HERE and not for the batch source
+  * ([[graft.sources.GraftSource]] design note): the stream emits raw segment
+  * rows — no cross-file MVCC aggregate — so each parquet file really is an
+  * independent partition.
+  */
+class GraftStreamSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-stream"
+
+  private def streamSchema(path: String): StructType = {
+    val s = Storage.readSchema(Storage.rootPath(path))
+    StructType(s.toStructType.fields ++ Seq(
+      StructField(graft.core.Scan.TxnCol, LongType),
+      StructField(graft.core.Scan.SeqCol, LongType)))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    streamSchema(Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-stream requires a path")))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftStreamTable(properties.get("path"), schema)
+}
+
+final class GraftStreamTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-stream:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftMicroBatchStream(path, tableSchema,
+            Option(options.get("maxTxnsPerBatch")).map(_.toLong))
+      }
+    }
+}
+
+/** Offset = highest committed transaction id included so far. */
+final case class TxnOffset(txn: Long) extends Offset {
+  override def json(): String = s"""{"txn":$txn}"""
+}
+
+final class GraftMicroBatchStream(
+    path: String,
+    schema: StructType,
+    maxTxnsPerBatch: Option[Long]) extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val root: JPath = Storage.rootPath(path)
+  private def protocol = Storage.detect(root)
+
+  private def latestTxn(): Long =
+    (protocol.listCommitted(root).map(_.txnId) :+ 0L).max
+
+  override def initialOffset(): Offset = TxnOffset(0L)
+
+  override def latestOffset(): Offset = TxnOffset(latestTxn())
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission control: cap a batch at `maxTxnsPerBatch` transactions. */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[TxnOffset].txn
+    val latest = latestTxn()
+    TxnOffset(maxTxnsPerBatch.fold(latest)(m => math.min(latest, start + m)).max(start))
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    TxnOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(
+      throw new IllegalArgumentException(s"bad graft-stream offset: $json")))
+
+  /** One partition per data file of every segment in txn range (start, end].
+    * Deterministic on an append-only table: segment dirs are immutable once
+    * committed and the listing filter is pure. */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[TxnOffset].txn
+    val hi = end.asInstanceOf[TxnOffset].txn
+    val segs = protocol.listCommitted(root).filter(s => s.txnId > lo && s.txnId <= hi)
+    segs.flatMap(dataFiles).map(f => GraftFilePartition(f): InputPartition).toArray
+  }
+
+  private def dataFiles(id: SegmentId): Seq[String] = {
+    val dir = protocol.readPath(root, id)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val walk = Files.walk(dir)
+      try walk.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+        }
+        .map(_.toString).toSeq.sorted
+      finally walk.close()
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftFileReaderFactory(schema.json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class GraftFilePartition(file: String) extends InputPartition
+
+final class GraftFileReaderFactory(schemaJson: String) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GraftFilePartition].file
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    new GraftFileReader(file, schema)
+  }
+}
+
+/** Row-at-a-time parquet reader via parquet-mr's example Group API — no
+  * SparkSession needed on the executor. Fine for a streaming source (small
+  * per-txn increments); the batch path keeps Spark's vectorized reader. */
+final class GraftFileReader(file: String, schema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new HPath(file))
+      .withConf(new Configuration())
+      .build()
+  private var current: Group = _
+
+  override def next(): Boolean = { current = reader.read(); current != null }
+
+  override def get(): InternalRow = {
+    val g = current
+    val fileType = g.getType
+    new GenericInternalRow(schema.fields.map { f =>
+      if (!fileType.containsField(f.name) || g.getFieldRepetitionCount(f.name) == 0) null
+      else f.dataType match {
+        case LongType    => g.getLong(f.name, 0)
+        case IntegerType => g.getInteger(f.name, 0)
+        case DoubleType  => g.getDouble(f.name, 0)
+        case FloatType   => g.getFloat(f.name, 0)
+        case BooleanType => g.getBoolean(f.name, 0)
+        case StringType  => UTF8String.fromBytes(g.getBinary(f.name, 0).getBytes)
+        case BinaryType  => g.getBinary(f.name, 0).getBytes
+        case dt => throw new UnsupportedOperationException(
+          s"graft-stream: unsupported column type $dt for ${f.name}")
+      }
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -103,6 +103,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("graft-stream source: txn-aligned batches, exactly-once across restart") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-stream-src").toString
+    val checkpoint = Files.createTempDirectory("graft-stream-src-ckpt").toString
+    val schema = MatSchema(Seq(Dimension("k", 10)), Seq(ValueCol("v")))
+    val db = MatDb.create(spark, schema, path)
+    def write(rows: (Long, Long)*): Unit = {
+      val t = db.newTransaction()
+      t.addRows(rows.toSeq.toDF("k", "v"))
+      t.commit()
+    }
+    write((1L, 10L), (2L, 20L)) // txn 1
+
+    // idempotent sink: batchId -> rows; a replayed batch overwrites itself
+    val batches = scala.collection.concurrent.TrieMap[Long, Seq[(Long, Long, Long)]]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-stream")
+        .option("maxTxnsPerBatch", "1")
+        .load(path)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          batches(bid) = df.select("k", "v", "_txn_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    runOnce()
+    assert(batches.values.flatten.map(t => (t._1, t._2)).toSet === Set((1L, 10L), (2L, 20L)))
+
+    write((3L, 30L)) // txn 2
+    write((1L, 11L), (4L, 40L)) // txn 3
+    runOnce() // restart from checkpoint: must pick up ONLY txns 2 and 3
+
+    val all = batches.values.flatten.toSeq
+    assert(all.map(t => (t._1, t._2)).sorted ===
+      Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L))) // no dups, no gaps
+    // txn alignment: with maxTxnsPerBatch=1 every non-empty batch covers
+    // exactly one transaction
+    assert(batches.values.filter(_.nonEmpty).forall(_.map(_._3).distinct.size == 1))
+    assert(all.map(_._3).distinct.sorted.size === 3)
+  }
+
   test("segment stream + matdb foreachBatch sink: stream micro-batches become transactions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
