@@ -425,6 +425,22 @@ object Pipeline {
         ((length(bin) % 256).cast("double") / 255.0).as("f_len"),
         (ascii(substring(col("text"), 1, 1)).cast("double") / 255.0).as("f_first"))
         .orderBy(col("doc_id"))
+    },
+
+    // IVF ANN with TRAINED centroids (spherical k-means, multi-probe) — the
+    // quality upgrade of q53, whose pseudo-centroid pipeline stays as the
+    // oracle-replayable entry. No SQL oracle (k-means training is not
+    // expressible in the DuckDB replay), so the driver records a rows-only
+    // check; recall vs the brute-force baseline is asserted in IvfSpec.
+    Entry("q55_ann_ivf_trained", None) { (s, d) =>
+      import graft.operators.IvfIndex
+      val emb = table(s, d, "embeddings")
+      val centroids = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 3)
+        .map(_.toSeq).toSeq
+      IvfIndex.searchTopK(emb, emb.where(col("vec_id") < 3),
+          "vec_id", "embedding", centroids, nprobe = 2, k = 5)
+        .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
     }
   )
 
