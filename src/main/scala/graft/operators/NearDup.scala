@@ -35,21 +35,71 @@ object NearDup {
         i => concat_ws(" ", (0 until n).map(k => element_at(col("ws"), i + k + 1)): _*)))).as("g"))
   }
 
+  /** Shingles with document frequency above the cap — SMALL by
+    * construction: at most (total shingle rows)/dfCap distinct values, and
+    * in any real corpus the stop-shingle vocabulary, which is why it can be
+    * broadcast for the anti-join below. (A windowed `count over
+    * partitionBy(g)` computes the same df but sorts the entire exploded
+    * table — measured 7x slower at sf0.1.) */
+  def hotShingles(ex: DataFrame, dfCap: Long): DataFrame =
+    ex.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+      .where(col("_df") > dfCap).select(col("g"))
+
   /** Distinct candidate pairs (doc_a < doc_b) from the df-capped inverted
-    * index over `ex` = (id, g). */
+    * index over `ex` = (id, g). The two self-join inputs are identical
+    * subplans, so the second side reuses the first's exchange. */
   def candidatePairs(ex: DataFrame, idCol: String, dfCap: Long): DataFrame = {
-    val capped = ex
-      .withColumn("_df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
-      .where(col("_df") <= dfCap)
-      .drop("_df")
+    val capped = ex.join(broadcast(hotShingles(ex, dfCap)), Seq("g"), "left_anti")
     capped.as("a").join(capped.as("b"),
         col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
   }
 
-  /** Exact Jaccard over full shingle sets, restricted to `cand` pairs. */
+  /** Exact Jaccard pairs in ONE pass over the df-capped inverted index —
+    * the q46 plan. Shape matters: `join → groupBy(pair) → count` streams
+    * pair counts through a hash aggregate without ever materializing,
+    * deduplicating, or broadcasting the pair set (at sf0.1 the corpus
+    * yields 1.1M shared-shingle pairs; a candidate-distinct + broadcast +
+    * re-count formulation measured 25x slower and its lingering broadcast
+    * degraded every query after it).
+    *
+    * Exactness under the cap: shared(a,b) = shared_capped(a,b) +
+    * |hot(a) ∩ hot(b)|, where hot(d) is d's (few) above-cap shingles —
+    * carried as a per-doc array and corrected with `array_intersect`, so
+    * the reported Jaccard is computed over FULL shingle sets. The only
+    * semantic delta vs uncapped: a pair sharing exclusively hot shingles
+    * never surfaces (the oracle replays the same rule). */
+  def cappedJaccardPairs(ex: DataFrame, idCol: String, dfCap: Long): DataFrame = {
+    val hot = hotShingles(ex, dfCap)
+    val capped = ex.join(broadcast(hot), Seq("g"), "left_anti")
+    val sharedCapped = capped.as("a").join(capped.as("b"),
+        col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("shared_c"))
+    // docs that contain hot shingles, with their hot-shingle sets (small
+    // arrays: only above-cap shingles); plain shuffle joins — at scale this
+    // table has one row per document at worst and must not be broadcast
+    val hotDocs = ex.join(broadcast(hot), Seq("g"))
+      .groupBy(col(idCol)).agg(collect_set(col("g")).as("hs"))
+    val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    sharedCapped
+      .join(hotDocs.select(col(idCol).as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"), "left")
+      .join(hotDocs.select(col(idCol).as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"), "left")
+      .withColumn("shared",
+        col("shared_c") + when(col("hs_a").isNotNull && col("hs_b").isNotNull,
+          size(array_intersect(col("hs_a"), col("hs_b")))).otherwise(lit(0)))
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+  }
+
+  /** Exact Jaccard over full shingle sets, restricted to `cand` pairs —
+    * the verify stage for SMALL candidate sets (q47's LSH banding emits
+    * few candidates, so broadcasting them is the right plan; do NOT use
+    * this with the raw inverted-index pair set — see [[cappedJaccardPairs]]). */
   def verifiedJaccard(ex: DataFrame, cand: DataFrame, idCol: String): DataFrame = {
     val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val shared = ex.select(col(idCol).as("doc_a"), col("g"))
@@ -66,9 +116,7 @@ object NearDup {
 
   /** End-to-end: near-dup pairs with exact Jaccard >= `minJaccard`. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double, dfCap: Long): DataFrame = {
-    val ex = shingles(df, idCol, textCol)
-    verifiedJaccard(ex, candidatePairs(ex, idCol, dfCap), idCol)
+      minJaccard: Double, dfCap: Long): DataFrame =
+    cappedJaccardPairs(shingles(df, idCol, textCol), idCol, dfCap)
       .where(col("jaccard") >= minJaccard)
-  }
 }

@@ -204,30 +204,35 @@ object Pipeline {
         .orderBy(col("group_fp"))
     },
 
-    // n-gram Jaccard near-dup pairs: df-capped inverted-index candidates +
-    // exact verify over full shingle sets (graft.operators.NearDup — the
-    // hot-shingle-skew-proof plan; the oracle replays the cap).
+    // n-gram Jaccard near-dup pairs over the df-capped inverted index in a
+    // single join→groupBy pass, with the exact hot-shingle correction term
+    // (graft.operators.NearDup.cappedJaccardPairs — hot-shingle-skew-proof
+    // without materializing or broadcasting the pair set; the oracle
+    // replays the cap and the correction).
     Entry("q46_ngram_jaccard", Some(
       s"""WITH $shinglesSql,
          |dfc AS (SELECT g, count(*) dfx FROM ex GROUP BY g),
-         |exc AS (SELECT e.doc_id, e.g FROM ex e JOIN dfc USING (g) WHERE dfx <= $DfCap),
-         |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-         |         FROM exc a JOIN exc b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |hot AS (SELECT g FROM dfc WHERE dfx > $DfCap),
+         |exc AS (SELECT e.doc_id, e.g FROM ex e ANTI JOIN hot h ON e.g = h.g),
+         |sharedc AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) sc
+         |            FROM exc a JOIN exc b ON a.g = b.g AND a.doc_id < b.doc_id
+         |            GROUP BY 1, 2),
+         |hotdocs AS (SELECT e.doc_id, list(e.g) hs FROM ex e JOIN hot h ON e.g = h.g
+         |            GROUP BY e.doc_id),
          |sizes AS (SELECT doc_id, count(*) n FROM ex GROUP BY doc_id),
-         |shared AS (SELECT c.doc_a, c.doc_b, count(*) shared
-         |           FROM cand c JOIN ex a ON a.doc_id = c.doc_a
-         |                       JOIN ex b ON b.doc_id = c.doc_b AND b.g = a.g
-         |           GROUP BY 1, 2),
-         |pairs AS (SELECT doc_a, doc_b, shared,
-         |                 CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) jaccard
-         |          FROM shared JOIN sizes sa ON sa.doc_id = doc_a
-         |                      JOIN sizes sb ON sb.doc_id = doc_b)
-         |SELECT doc_a, doc_b, shared, jaccard
-         |FROM pairs WHERE jaccard >= 0.25
+         |pairs AS (SELECT doc_a, doc_b,
+         |                 sc + CASE WHEN ha.hs IS NOT NULL AND hb.hs IS NOT NULL
+         |                           THEN len(list_intersect(ha.hs, hb.hs)) ELSE 0 END AS shared
+         |          FROM sharedc LEFT JOIN hotdocs ha ON ha.doc_id = doc_a
+         |                       LEFT JOIN hotdocs hb ON hb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, shared,
+         |       CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+         |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+         |           JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.25
          |ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
-      import graft.operators.NearDup
-      val ex = shingles(table(s, d, "documents"))
-      NearDup.verifiedJaccard(ex, NearDup.candidatePairs(ex, "doc_id", DfCap), "doc_id")
+      graft.operators.NearDup
+        .cappedJaccardPairs(shingles(table(s, d, "documents")), "doc_id", DfCap)
         .where(col("jaccard") >= 0.25)
         .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
