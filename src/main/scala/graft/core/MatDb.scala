@@ -34,11 +34,13 @@ final class MatDb private (
   private[core] def allocateTxnId(): Long = nextTxnId.getAndIncrement()
 
   /** Publish a transaction's flushed segments (append). Bookkeeping and the
-    * protocol call share the lock so `visibleAfter` is consistent. */
+    * protocol call share the lock so `visibleAfter` is consistent; the
+    * protocol returns the ACTUAL post-commit set (under the manifest
+    * protocol a concurrent writer's segments merge in), which becomes this
+    * instance's view. */
   private[core] def commitTransaction(ids: Seq[SegmentId]): Unit = synchronized {
     val after = (committed ++ ids).sorted
-    protocol.commit(root, ids, after)
-    committed = after
+    committed = protocol.commit(root, ids, after).toVector.sorted
   }
 
   /** Publish a transaction's flushed segments as the ENTIRE table — the
@@ -49,8 +51,7 @@ final class MatDb private (
   private[core] def commitReplace(ids: Seq[SegmentId]): Unit = {
     val old = synchronized {
       val stale = committed
-      protocol.replace(root, ids, ids.sorted)
-      committed = ids.toVector.sorted
+      committed = protocol.replace(root, ids, ids.sorted).toVector.sorted
       stale
     }
     old.foreach(s => protocol.deleteSegment(root, s))

@@ -44,19 +44,26 @@ sealed trait Protocol {
   /** Directory of a COMMITTED segment. */
   def readPath(root: Path, id: SegmentId): Path
 
-  /** Make `newIds` visible. `visibleAfter` is the full post-commit set —
-    * the manifest protocol records it verbatim; the rename protocol derives
-    * visibility from the listing and ignores it. */
-  def commit(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Unit
+  /** Make `newIds` visible; returns the ACTUAL post-commit visible set.
+    * `visibleAfter` is the caller's intended set — the rename protocol
+    * derives visibility from the listing and returns it as-is; the manifest
+    * protocol recomputes the union from the on-disk manifest (a concurrent
+    * writer may have appended since the caller's snapshot) and retries lost
+    * publish races, so the returned set can be a superset of the intent. */
+  def commit(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Seq[SegmentId]
 
-  /** Set the visible set to exactly `visibleAfter` (for overwrite/compact).
-    * Atomic for the manifest protocol (one manifest swap). The rename
-    * protocol cannot swap atomically: it commits `newIds` first, so until
-    * the caller deletes the superseded directories, old and new are both
-    * visible (MVCC still resolves overlapping keys to the new rows; keys
-    * absent from the new data resurface only in that window — documented
-    * rename-protocol caveat, the reason the manifest protocol exists). */
-  def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Unit
+  /** Set the visible set to exactly `visibleAfter` (for overwrite/compact);
+    * returns it. Atomic for the manifest protocol (one manifest swap), and
+    * optimistic there: losing the publish race — any concurrent commit
+    * between snapshot and swap — aborts with
+    * `ConcurrentModificationException` (a blind swap would drop the other
+    * writer's transaction). The rename protocol cannot swap atomically: it
+    * commits `newIds` first, so until the caller deletes the superseded
+    * directories, old and new are both visible (MVCC still resolves
+    * overlapping keys to the new rows; keys absent from the new data
+    * resurface only in that window — documented rename-protocol caveat,
+    * the reason the manifest protocol exists). */
+  def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Seq[SegmentId]
 
   /** Delete a flushed-but-uncommitted segment (rollback). */
   def discardInFlight(root: Path, id: SegmentId): Unit
@@ -148,14 +155,16 @@ object Storage {
 
     /** Atomic visibility flip: rename in reverse order so segment 0 — the
       * commit marker — lands last (reference transaction.rs:127-136). */
-    def commit(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Unit =
+    def commit(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Seq[SegmentId] = {
       newIds.sorted.reverse.foreach { id =>
         Files.move(segmentPath(root, id, tmp = true), segmentPath(root, id, tmp = false))
       }
+      visibleAfter
+    }
 
     /** Not atomic under renames (see [[Protocol.replace]]): commit the new
       * segments; the caller deletes the superseded directories right after. */
-    def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Unit =
+    def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Seq[SegmentId] =
       commit(root, newIds, visibleAfter)
 
     def discardInFlight(root: Path, id: SegmentId): Unit =
@@ -200,12 +209,39 @@ object Storage {
     def writePath(root: Path, id: SegmentId): Path = segmentPath(root, id, tmp = false)
     def readPath(root: Path, id: SegmentId): Path = segmentPath(root, id, tmp = false)
 
-    def commit(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Unit =
-      writeManifest(root, visibleAfter)
+    /** Optimistic multi-writer append: the target set is recomputed from
+      * the ON-DISK manifest (not the caller's possibly-stale view) so a
+      * concurrent writer's segments survive; a lost publish race re-reads
+      * and retries. Txn-id collisions (two writers allocated the same id —
+      * possible when both opened the table at the same version) abort: the
+      * colliding directory on disk belongs to the OTHER writer. */
+    def commit(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Seq[SegmentId] =
+      publish(root, newIds, replaceAll = false, visibleAfter)
 
-    /** Atomic: the new manifest simply lists only `visibleAfter`. */
-    def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Unit =
-      writeManifest(root, visibleAfter)
+    /** Atomic swap to exactly `visibleAfter`; aborts if ANY commit landed
+      * since the caller's snapshot (see [[Protocol.replace]]). */
+    def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Seq[SegmentId] =
+      publish(root, newIds, replaceAll = true, visibleAfter)
+
+    private def publish(root: Path, newIds: Seq[SegmentId], replaceAll: Boolean,
+        intended: Seq[SegmentId]): Seq[SegmentId] = {
+      var tries = 0
+      while (tries < 16) {
+        val latest = latestManifest(root)
+        val current = latest.map(readManifest).getOrElse(Seq.empty)
+        val clash = newIds.filter(current.contains)
+        if (clash.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"transaction-id collision with an already-committed segment: ${clash.mkString(",")}")
+        val version = latest.map(manifestVersion).getOrElse(-1L) + 1L
+        val target = if (replaceAll) intended.sorted else (current ++ newIds).sorted
+        if (tryWriteManifest(root, version, target)) return target
+        // lost the publish race: someone committed between read and write
+        if (replaceAll) throw new java.util.ConcurrentModificationException(
+          "table changed under a replace commit (overwrite/compact); recompute and retry")
+        tries += 1
+      }
+      throw new IllegalStateException("manifest commit: too many publish races")
+    }
 
     def discardInFlight(root: Path, id: SegmentId): Unit =
       deleteRecursively(segmentPath(root, id, tmp = false))
@@ -251,19 +287,28 @@ object Storage {
         .map(m => SegmentId(m.group(1).toLong, m.group(2).toInt)).toSeq
     }
 
-    /** Single-file atomic publish: write to a dotted temp name, then move to
-      * `<version+1>.json`. ATOMIC_MOVE fails if the target exists — exactly
-      * the optimistic-concurrency check a second writer must lose. */
-    private def writeManifest(root: Path, visible: Seq[SegmentId]): Unit = {
+    /** Single-file atomic PUT-IF-ABSENT of manifest `<version>.json`:
+      * write a temp file, then `Files.createLink` it into place — hard-link
+      * creation fails atomically if the target exists, which is the
+      * optimistic-concurrency check a second writer must lose. (A
+      * `Files.move(ATOMIC_MOVE)` is NOT that check: POSIX rename silently
+      * REPLACES an existing target, which would drop the winner's commit.
+      * On an object store the equivalent is a conditional put.) Returns
+      * false when the version was already taken. */
+    private[core] def tryWriteManifest(root: Path, version: Long,
+        visible: Seq[SegmentId]): Boolean = {
       val dir = logDir(root)
       Files.createDirectories(dir)
-      val version = latestManifest(root).map(manifestVersion).getOrElse(-1L) + 1L
       val body = visible.sorted.map(s => s"  [${s.txnId}, ${s.segNum}]").mkString(
         "{\"segments\": [\n", ",\n", "\n]}\n")
       val tmp = Files.createTempFile(dir, ".manifest-", ".tmp")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, dir.resolve(f"$version%08x.json"),
-        StandardCopyOption.ATOMIC_MOVE)
+      try {
+        Files.createLink(dir.resolve(f"$version%08x.json"), tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally Files.delete(tmp)
     }
   }
 }

@@ -276,6 +276,51 @@ class CoreManifestSpec extends CoreProtocolBehaviors("manifest") {
     assert(!Files.exists(orphan))
   }
 
+  test("optimistic multi-writer: append commits merge, replace and id collisions abort") {
+    import spark.implicits._
+    val path = tmpDir()
+    val db1 = create(path)
+    val t1 = db1.newTransaction(); t1.addRowsSeq(Seq(Seq(1L, 1L, 1L))); t1.commit()
+
+    // writer 2 opens the same table and appends; writer 1's view (and its
+    // txn-id floor) is now stale
+    val db2 = MatDb.open(spark, path)
+    val t2 = db2.newTransaction(); t2.addRowsSeq(Seq(Seq(2L, 2L, 2L))); t2.commit()
+
+    // writer 1's next transaction allocates the id writer 2 just committed:
+    // it must ABORT (the committed segment directory is the claim — the
+    // flush refuses the occupied final path), never clobber
+    intercept[Exception] {
+      val t3 = db1.newTransaction(); t3.addRowsSeq(Seq(Seq(3L, 3L, 3L))); t3.commit()
+    }
+    assert(MatDb.open(spark, path).snapshot().count() === 2) // both commits intact
+
+    // commit-level defense in depth: replaying an already-committed id
+    // aborts with a conflict even if a directory check were bypassed
+    intercept[java.util.ConcurrentModificationException] {
+      Storage.ManifestProtocol.commit(Storage.rootPath(path),
+        Seq(SegmentId(t2.id.get, 0)), Seq(SegmentId(t2.id.get, 0)))
+    }
+
+    // a writer that refreshes its view proceeds past the collision, and
+    // every prior commit survives
+    val db3 = MatDb.open(spark, path)
+    val t4 = db3.newTransaction(); t4.addRowsSeq(Seq(Seq(4L, 4L, 4L))); t4.commit()
+    assert(MatDb.open(spark, path).snapshot().count() === 3)
+
+    // the primitive the race handling rests on: publishing a version is
+    // put-if-absent (POSIX rename would silently REPLACE — createLink
+    // fails instead), so the loser of a concurrent publish observes the
+    // failure rather than clobbering the winner's manifest
+    val root = Storage.rootPath(path)
+    import scala.jdk.CollectionConverters._
+    val nextVersion = Files.list(root.resolve("_log")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(n => java.lang.Long.parseLong(n.stripSuffix(".json"), 16)).max + 1
+    assert(Storage.ManifestProtocol.tryWriteManifest(root, nextVersion, Seq(SegmentId(99L, 0))))
+    assert(!Storage.ManifestProtocol.tryWriteManifest(root, nextVersion, Seq.empty))
+  }
+
   test("replace commit is a single manifest swap; empty overwrite truncates") {
     import spark.implicits._
     val path = tmpDir()
