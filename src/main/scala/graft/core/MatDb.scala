@@ -54,7 +54,22 @@ final class MatDb private (
       committed = protocol.replace(root, ids, ids.sorted).toVector.sorted
       stale
     }
-    old.foreach(s => protocol.deleteSegment(root, s))
+    // Rename protocol: superseded dirs must go NOW — visibility IS the
+    // directory listing. Manifest protocol: they are already invisible, so
+    // deletion is deferred (explicit [[vacuum]], or the next open's
+    // recovery sweep) — a reader whose snapshot captured the old file list
+    // can still finish its scan (the lakehouse vacuum-vs-reader rule).
+    if (protocol == Storage.RenameProtocol)
+      old.foreach(s => protocol.deleteSegment(root, s))
+  }
+
+  /** Physically delete segment directories that are no longer referenced
+    * (superseded by compact/overwrite, or left by crashed transactions).
+    * Manifest protocol only — under renames, unreferenced-and-committed
+    * cannot exist. Only call when no in-flight snapshot may still be
+    * reading pre-replace files. Returns the number of directories removed. */
+  def vacuum(): Int = synchronized {
+    protocol.sweepUnreferenced(root, committed)
   }
 
   /** Open a new snapshot-isolated transaction. Horizon = all txns committed
@@ -85,6 +100,16 @@ final class MatDb private (
   def orderedScan(): DataFrame = {
     import org.apache.spark.sql.functions.col
     snapshot().orderBy(schema.dimNames.map(col): _*)
+  }
+
+  /** Commit history of this table: one row per committed segment with its
+    * transaction id, segment number, and path — the discovery API for time
+    * travel (`asOf(txn_id)`). Driver-side metadata, like the listing. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    synchronized(committed)
+      .map(s => (s.txnId, s.segNum, protocol.readPath(root, s).toString))
+      .toDF("txn_id", "seg_num", "path")
   }
 
   /** Expose the resolved snapshot to Spark SQL as a temp view — the §7.1

@@ -77,6 +77,11 @@ sealed trait Protocol {
     * delete a concurrent writer's in-flight `.tmp`/unreferenced segments. */
   def listCommitted(root: Path): Seq[SegmentId]
 
+  /** Delete final-name segment directories not in `keep` (GC for
+    * superseded/orphaned segments). Returns directories removed. Rename
+    * protocol: no-op (committed == listed, deletion happens at replace). */
+  def sweepUnreferenced(root: Path, keep: Seq[SegmentId]): Int = 0
+
   /** Physically delete a committed segment directory (GC after compact /
     * replace — only call once no live snapshot can reference it). */
   def deleteSegment(root: Path, id: SegmentId): Unit
@@ -265,6 +270,13 @@ object Storage {
 
     def listCommitted(root: Path): Seq[SegmentId] =
       latestManifest(root).map(readManifest).getOrElse(Seq.empty).sorted
+
+    override def sweepUnreferenced(root: Path, keep: Seq[SegmentId]): Int = {
+      val keepSet = keep.toSet
+      val stale = listEntries(root).filter(e => !e._3 && !keepSet.contains(e._2))
+      stale.foreach(e => deleteRecursively(e._1))
+      stale.size
+    }
 
     private def latestManifest(root: Path): Option[Path] = {
       val dir = logDir(root)

@@ -202,6 +202,17 @@ abstract class CoreProtocolBehaviors(protocolName: String)
     assert(db2.snapshot().where("time = 0 and sensor_id = 0").head().getLong(2) === 99L)
   }
 
+  test("history lists committed segments for time-travel discovery") {
+    val path = tmpDir()
+    val db = create(path)
+    for (i <- 1 to 2) {
+      val t = db.newTransaction(); t.addRowsSeq(Seq(Seq(i.toLong, 1L, 1L))); t.commit()
+    }
+    val h = db.history().collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(h.map(_._1).distinct.sorted.toSeq === Seq(1L, 2L))
+    assert(db.history().schema.fieldNames.toSeq === Seq("txn_id", "seg_num", "path"))
+  }
+
   test("committing an empty batch leaves the table fully readable") {
     val path = tmpDir()
     val db = create(path)
@@ -319,6 +330,24 @@ class CoreManifestSpec extends CoreProtocolBehaviors("manifest") {
       .map(n => java.lang.Long.parseLong(n.stripSuffix(".json"), 16)).max + 1
     assert(Storage.ManifestProtocol.tryWriteManifest(root, nextVersion, Seq(SegmentId(99L, 0))))
     assert(!Storage.ManifestProtocol.tryWriteManifest(root, nextVersion, Seq.empty))
+  }
+
+  test("compact defers deletion; vacuum sweeps superseded segments") {
+    val path = tmpDir()
+    val db = create(path)
+    for (i <- 1 to 2) {
+      val t = db.newTransaction(); t.addRowsSeq(Seq(Seq(i.toLong, 1L, i * 10L))); t.commit()
+    }
+    val oldDirs = db.committedSegments
+      .map(s => Storage.segmentPath(Storage.rootPath(path), s, tmp = false))
+    db.compact()
+    // superseded dirs still on disk (a reader mid-scan can finish)...
+    assert(oldDirs.forall(Files.isDirectory(_)))
+    assert(db.snapshot().count() === 2) // ...and invisible to new snapshots
+    // explicit GC removes exactly them
+    assert(db.vacuum() === oldDirs.size)
+    assert(oldDirs.forall(!Files.exists(_)))
+    assert(db.snapshot().count() === 2)
   }
 
   test("replace commit is a single manifest swap; empty overwrite truncates") {
