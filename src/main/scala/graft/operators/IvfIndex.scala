@@ -29,16 +29,23 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  // codegen'd vector kernels (graft.functions.VectorOps): identical left
+  // fold as the HOF forms they replaced, ~no boxing, stays in codegen.
+  // Callers register the functions on the session (reg below) before any
+  // DataFrame using these columns is analyzed.
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.sqDistCol(a, b)
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.dotCol(a, b)
+
+  private def reg(df: DataFrame): Unit =
+    graft.functions.VectorOps.register(df.sparkSession)
 
   /** L2-normalized double vector. */
   def normalized(vec: Column): Column = {
-    val d = transform(vec, x => x.cast("double"))
-    val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val d = vec.cast("array<double>")
+    val n = sqrt(dot(d, d))
     transform(d, x => x / n)
   }
 
@@ -48,6 +55,7 @@ object IvfIndex {
     * Only k×dim aggregated doubles ever reach the driver per iteration. */
   def train(emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int)
       : Array[Array[Double]] = {
+    reg(emb)
     val v = emb.select(col(idCol), normalized(col(vecCol)).as("v"))
     val dim = v.select(size(col("v"))).head().getInt(0)
     var centroids: Seq[Seq[Double]] =
@@ -75,19 +83,23 @@ object IvfIndex {
     transform(typedlit(centroids), c => sqDist(col(vecCol), c))
 
   /** Tag each row with its nearest centroid (`bucket`, int). */
-  def assign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame =
+  def assign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
+    reg(df)
     df.withColumn("_dl", distances(vecCol, centroids))
       .withColumn("bucket",
         expr("cast(array_position(_dl, array_min(_dl)) - 1 as int)"))
       .drop("_dl")
+  }
 
   /** Explode each row into its `nprobe` nearest buckets (multi-probe). */
-  def probes(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]], nprobe: Int): DataFrame =
+  def probes(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    reg(df)
     df.withColumn("_dl", distances(vecCol, centroids))
       .withColumn("_order", expr(
         "array_sort(zip_with(_dl, sequence(0, size(_dl) - 1), (d, i) -> struct(d as d, i as i)))"))
       .withColumn("bucket", explode(expr(s"transform(slice(_order, 1, $nprobe), s -> cast(s.i as int))")))
       .drop("_dl", "_order")
+  }
 
   /** Top-k cosine neighbors per query via bucket-probe join: `queries`
     * (small, broadcast) probe their nprobe buckets of `corpus`. Returns
@@ -96,6 +108,7 @@ object IvfIndex {
   def searchTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    reg(corpus)
     val cand = assign(
       corpus.select(col(idCol), normalized(col(vecCol)).as("v")), "v", centroids)
     val q = probes(

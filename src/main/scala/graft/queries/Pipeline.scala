@@ -71,14 +71,16 @@ object Pipeline {
       |                      JOIN sizes sb ON sb.doc_id = doc_b)""".stripMargin
 
   /** Left-fold dot product of two double arrays — order-identical in both
-    * engines (Spark `aggregate` init 0.0; DuckDB `list_reduce` starts at the
-    * first product: 0.0+p1 == p1 exactly). */
+    * engines (the codegen'd [[graft.functions.VectorOps]] kernel and
+    * DuckDB's `list_reduce` both fold `((0+p1)+p2)+…` in IEEE doubles; the
+    * interpreted `aggregate(zip_with(...))` HOF form it replaced folded the
+    * same way, so hashes are unchanged — FunctionsSpec asserts equality). */
   private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.dotCol(a, b)
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
-  private def embD(c: Column): Column = transform(c, x => x.cast("double"))
+  private def embD(c: Column): Column = c.cast("array<double>")
 
   val entries: Seq[Entry] = Seq(
 
@@ -321,6 +323,7 @@ object Pipeline {
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn
          |      FROM scored) t
          |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)) { (s, d) =>
+      graft.functions.VectorOps.register(s)
       val e = table(s, d, "embeddings")
       val q = e.where(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), embD(col("embedding")).as("qe"))
@@ -387,6 +390,7 @@ object Pipeline {
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn
          |      FROM scored) t
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)) { (s, d) =>
+      graft.functions.VectorOps.register(s)
       val dl = expr(
         """transform(sequence(0, 7), c ->
           |  aggregate(transform(sequence(0, 63), i ->

@@ -18,9 +18,14 @@ import graft.ingest.Ingest
   * values (the reference's integration test relies on the same property).
   *
   * Usage:
-  *   runMain graft.tools.SensorLogCli load  <dbDir> <glob>
-  *   runMain graft.tools.SensorLogCli list  <dbDir> [limit]
-  *   runMain graft.tools.SensorLogCli count <dbDir>
+  *   runMain graft.tools.SensorLogCli load    <dbDir> <glob>
+  *   runMain graft.tools.SensorLogCli list    <dbDir> [limit]
+  *   runMain graft.tools.SensorLogCli count   <dbDir>
+  *   runMain graft.tools.SensorLogCli migrate <matdbDir> <dbDir>
+  *
+  * `migrate` opens a database written by the reference Rust binary itself
+  * (its segment format, via [[graft.ingest.MatdbFormat]]) and lands it as
+  * a graft table — the switch-over path for an existing matdb user.
   */
 object SensorLogCli {
 
@@ -88,6 +93,11 @@ object SensorLogCli {
         list(spark, dbDir).show(rest.headOption.map(_.toInt).getOrElse(20), truncate = false)
       case "count" :: dbDir :: Nil =>
         println(s"[sensor-log] count: ${MatDb.open(spark, dbDir).snapshot().count()}")
+      case "migrate" :: matdbDir :: dbDir :: Nil =>
+        val t0 = System.nanoTime()
+        val db = graft.ingest.MatdbFormat.migrate(spark, matdbDir, dbDir)
+        println(f"[sensor-log] migrated: ${db.snapshot().count()} rows, " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       case other =>
         System.err.println(s"usage: load <db> <glob> | list <db> [n] | count <db>; got: $other")
     }

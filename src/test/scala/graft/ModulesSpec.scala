@@ -96,6 +96,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("fingerprint64")), plan)
   }
 
+  test("vec_dot/vec_sqdist match the HOF fold bit-for-bit and stay codegen'd") {
+    import graft.functions.VectorOps
+    VectorOps.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+    val paired = emb.as("a").join(emb.as("b"), expr("a.vec_id = b.vec_id - 1"))
+      .select(col("a.v").as("x"), col("b.v").as("y"))
+    // the interpreted higher-order formulation these kernels replaced —
+    // identical left fold, so equality must be EXACT, not approximate
+    val hofDot = expr("aggregate(zip_with(x, y, (p, q) -> p * q), cast(0.0 as double), (acc, t) -> acc + t)")
+    val hofSq = expr("aggregate(zip_with(x, y, (p, q) -> (p - q) * (p - q)), cast(0.0 as double), (acc, t) -> acc + t)")
+    val cmp = paired.select(
+      VectorOps.dotCol(col("x"), col("y")).as("d1"), hofDot.as("d2"),
+      VectorOps.sqDistCol(col("x"), col("y")).as("s1"), hofSq.as("s2"))
+    assert(cmp.where(col("d1") =!= col("d2") || col("s1") =!= col("s2")).count() === 0)
+    assert(cmp.count() > 0)
+    // and the kernel runs inside a WholeStageCodegen span (inspect the
+    // FINAL adaptive plan — pre-execution AQE plans carry no codegen marks)
+    val df = paired.select(VectorOps.dotCol(col("x"), col("y")).as("d"))
+      .where(col("d").isNotNull)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("vec_dot")), plan)
+  }
+
   test("topk aggregator keeps k best per group with deterministic ties") {
     import spark.implicits._
     val topk = new TopKAggregator(2).toColumn
