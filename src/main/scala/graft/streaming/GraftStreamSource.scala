@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path => JPath}
+import java.nio.file.{Files, Paths, Path => JPath}
 import java.util
 import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
@@ -85,7 +85,8 @@ final class GraftStreamTable(path: String, tableSchema: StructType)
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftMicroBatchStream(path, tableSchema,
-            Option(options.get("maxTxnsPerBatch")).map(_.toLong))
+            Option(options.get("maxTxnsPerBatch")).map(_.toLong),
+            Option(options.get("maxBytesPerBatch")).map(_.toLong))
       }
     }
 }
@@ -98,7 +99,8 @@ final case class TxnOffset(txn: Long) extends Offset {
 final class GraftMicroBatchStream(
     path: String,
     schema: StructType,
-    maxTxnsPerBatch: Option[Long]) extends MicroBatchStream with SupportsAdmissionControl {
+    maxTxnsPerBatch: Option[Long],
+    maxBytesPerBatch: Option[Long]) extends MicroBatchStream with SupportsAdmissionControl {
 
   private val root: JPath = Storage.rootPath(path)
   private def protocol = Storage.detect(root)
@@ -112,12 +114,34 @@ final class GraftMicroBatchStream(
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  /** Admission control: cap a batch at `maxTxnsPerBatch` transactions. */
+  /** Admission control: cap a batch at `maxTxnsPerBatch` transactions
+    * and/or `maxBytesPerBatch` of on-disk input (whole transactions only —
+    * a txn is never split, so at least one is always admitted; the byte cap
+    * is the `maxBytesPerTrigger` idiom of Spark's file source, aligned to
+    * the table's atomic-visibility unit). */
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val start = startOffset.asInstanceOf[TxnOffset].txn
     val latest = latestTxn()
-    TxnOffset(maxTxnsPerBatch.fold(latest)(m => math.min(latest, start + m)).max(start))
+    val txnCapped = maxTxnsPerBatch.fold(latest)(m => math.min(latest, start + m))
+    val end = maxBytesPerBatch match {
+      case None => txnCapped
+      case Some(cap) =>
+        val txns = protocol.listCommitted(root).map(_.txnId).distinct.sorted
+          .filter(t => t > start && t <= txnCapped)
+        var bytes = 0L
+        var last = start
+        for (t <- txns if last == start || bytes < cap) {
+          bytes += txnBytes(t)
+          if (last == start || bytes <= cap) last = t
+        }
+        last
+    }
+    TxnOffset(end.max(start))
   }
+
+  private def txnBytes(txn: Long): Long =
+    protocol.listCommitted(root).filter(_.txnId == txn)
+      .flatMap(dataFiles).map(f => Files.size(Paths.get(f))).sum
 
   override def deserializeOffset(json: String): Offset =
     TxnOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(

@@ -98,6 +98,44 @@ object PipelineDemo {
     val sj = graft.operators.SaltedJoin.join(ev, typeDim, Seq("event_type"), 8)
     println(s"[pipe] salted join rows (expect ${ev.count()}): ${sj.count()}")
 
+    // 9. near-dup detection with a df-capped shingle join
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = graft.operators.NearDup.jaccardPairs(
+      docs, "doc_id", "text", minJaccard = 0.25, dfCap = 100L)
+    println(s"[pipe] near-dup pairs at J>=0.25 (expect a handful): ${pairs.count()}")
+
+    // 10. trained IVF ANN: k-means centroids + multi-probe search
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = graft.operators.IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .map(_.toSeq).toSeq
+    val ann = graft.operators.IvfIndex.searchTopK(
+      emb, emb.where(col("vec_id") < 2), "vec_id", "embedding", centroids, nprobe = 2, k = 3)
+    println("[pipe] trained-IVF top-3 per query (expect 6 rows, scores <= 1):")
+    ann.orderBy("qid", "rn").show()
+
+    // 11. migrate a reference-format matdb database into a graft table
+    val mdir = Files.createTempDirectory("pipe-matdb").toString
+    graft.ingest.MatdbFormat.writeDatabase(
+      Seq((1L, 1L, 10L), (2L, 1L, 20L)).toDF("time", "sensor_id", "value"),
+      mdir, MatSchema(Seq(Dimension("time", 50), Dimension("sensor_id", 10)),
+        Seq(ValueCol("value"))))
+    val migrated = graft.ingest.MatdbFormat.migrate(
+      spark, mdir, Files.createTempDirectory("pipe-migrated").toString)
+    println(s"[pipe] migrated matdb-format rows (expect 2): ${migrated.snapshot().count()}")
+
+    // 12. exactly-once txn-aligned stream over the streamed table
+    val seen = scala.collection.concurrent.TrieMap[Long, Long]()
+    val q2 = spark.readStream.format("graft-stream")
+      .option("maxTxnsPerBatch", "1").load(sdbPath)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("pipe-ckpt2").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        seen(bid) = df.count()
+      }.start()
+    q2.processAllAvailable(); q2.stop()
+    println(s"[pipe] graft-stream: ${seen.size} txn-aligned batches, " +
+      s"${seen.values.sum} rows (expect 2 batches, 3 rows)")
+
     spark.stop()
     println("[pipe] done")
   }

@@ -149,6 +149,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.map(_._3).distinct.sorted.size === 3)
   }
 
+  test("graft-stream byte-based admission control keeps whole txns per batch") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-stream-bytes").toString
+    val checkpoint = Files.createTempDirectory("graft-stream-bytes-ckpt").toString
+    val db = MatDb.create(spark, MatSchema(Seq(Dimension("k", 10)), Seq(ValueCol("v"))), path)
+    for (i <- 1 to 3) {
+      val t = db.newTransaction()
+      t.addRows(Seq((i.toLong, i * 10L)).toDF("k", "v"))
+      t.commit()
+    }
+    val batches = scala.collection.concurrent.TrieMap[Long, Seq[Long]]()
+    val q = spark.readStream.format("graft-stream")
+      .option("maxBytesPerBatch", "1") // every txn exceeds 1 byte -> one txn per batch
+      .load(path)
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        batches(bid) = df.select("_txn_id").collect().map(_.getLong(0)).toSeq
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches.values.flatten.toSeq.sorted === Seq(1L, 2L, 3L)) // all rows, once
+    assert(batches.values.filter(_.nonEmpty).forall(_.distinct.size == 1)) // 1 txn/batch
+  }
+
   test("segment stream + matdb foreachBatch sink: stream micro-batches become transactions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
