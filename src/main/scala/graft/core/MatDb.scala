@@ -48,10 +48,20 @@ final class MatDb private (
     * manifest protocol; under renames old and new coexist until the deletes
     * below finish (see [[Protocol.replace]]). Superseded directories are
     * deleted afterward in either case. */
-  private[core] def commitReplace(ids: Seq[SegmentId]): Unit = {
+  /** `expectedBase` = the committed set the replacement data was computed
+    * from (the replacing transaction's snapshot). If anything committed
+    * since — in-process (checked under this lock) or cross-process
+    * (checked against the on-disk manifest by the protocol) — the replace
+    * ABORTS with `ConcurrentModificationException` rather than silently
+    * dropping the interleaved transaction; the caller re-derives and
+    * retries. Only the superseded `expectedBase` directories are deleted. */
+  private[core] def commitReplace(ids: Seq[SegmentId], expectedBase: Seq[SegmentId]): Unit = {
     val old = synchronized {
+      if (committed != expectedBase.toVector.sorted)
+        throw new java.util.ConcurrentModificationException(
+          "table changed since the replace commit's snapshot (overwrite/compact); retry")
       val stale = committed
-      committed = protocol.replace(root, ids, ids.sorted).toVector.sorted
+      committed = protocol.replace(root, ids, ids.sorted, expectedBase).toVector.sorted
       stale
     }
     // Rename protocol: superseded dirs must go NOW — visibility IS the
@@ -63,13 +73,24 @@ final class MatDb private (
       old.foreach(s => protocol.deleteSegment(root, s))
   }
 
+  // Segments flushed by THIS process's open transactions but not yet
+  // committed — vacuum must never sweep them (under the manifest protocol
+  // they already sit at their final names).
+  private var inFlight: Set[SegmentId] = Set.empty
+  private[core] def registerInFlight(id: SegmentId): Unit =
+    synchronized { inFlight += id }
+  private[core] def resolveInFlight(ids: Seq[SegmentId]): Unit =
+    synchronized { inFlight --= ids }
+
   /** Physically delete segment directories that are no longer referenced
     * (superseded by compact/overwrite, or left by crashed transactions).
     * Manifest protocol only — under renames, unreferenced-and-committed
-    * cannot exist. Only call when no in-flight snapshot may still be
-    * reading pre-replace files. Returns the number of directories removed. */
+    * cannot exist. This process's in-flight transactions are excluded;
+    * do NOT run vacuum while OTHER processes may be writing this table,
+    * and only when no in-flight snapshot may still be reading pre-replace
+    * files. Returns the number of directories removed. */
   def vacuum(): Int = synchronized {
-    protocol.sweepUnreferenced(root, committed)
+    protocol.sweepUnreferenced(root, committed ++ inFlight)
   }
 
   /** Open a new snapshot-isolated transaction. Horizon = all txns committed
@@ -120,8 +141,10 @@ final class MatDb private (
 
   /** Replace the table's contents with `df` in one transaction — the
     * SaveMode.Overwrite semantics: keys absent from `df` are GONE afterward
-    * (not upserted around). Returns the new transaction id, or -1 if `df`
-    * carried no rows (the table still truncates: an empty replace commits). */
+    * (not upserted around). An empty `df` still commits (truncating the
+    * table). Returns the replace transaction's id. Aborts with
+    * `ConcurrentModificationException` if another transaction commits
+    * concurrently (see [[Transaction.commitReplacing]]). */
   def overwrite(df: DataFrame): Long = {
     val txn = newTransaction()
     txn.addRows(df)
@@ -136,10 +159,14 @@ final class MatDb private (
     * segments forever. Caveat (documented): time travel to transactions
     * older than the compaction is gone.
     *
-    * Returns the compaction transaction id, or -1 if the table was empty. */
+    * Returns the compaction transaction id. Aborts with
+    * `ConcurrentModificationException` if a commit lands concurrently. */
   def compact(): Long = {
     val txn = newTransaction()
-    txn.addRows(snapshot())
+    // read through the TXN's snapshot (visible-at-open), not a fresh
+    // db.snapshot(): the replace supersedes exactly what the txn saw, which
+    // is also the expectedBase its commit is conflict-checked against
+    txn.addRows(txn.query())
     txn.commitReplacing()
     txn.id.getOrElse(-1L)
   }

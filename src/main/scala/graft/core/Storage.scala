@@ -53,17 +53,20 @@ sealed trait Protocol {
   def commit(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Seq[SegmentId]
 
   /** Set the visible set to exactly `visibleAfter` (for overwrite/compact);
-    * returns it. Atomic for the manifest protocol (one manifest swap), and
-    * optimistic there: losing the publish race — any concurrent commit
-    * between snapshot and swap — aborts with
-    * `ConcurrentModificationException` (a blind swap would drop the other
-    * writer's transaction). The rename protocol cannot swap atomically: it
-    * commits `newIds` first, so until the caller deletes the superseded
-    * directories, old and new are both visible (MVCC still resolves
-    * overlapping keys to the new rows; keys absent from the new data
-    * resurface only in that window — documented rename-protocol caveat,
-    * the reason the manifest protocol exists). */
-  def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Seq[SegmentId]
+    * returns it. `expectedBase` is the committed set the replacement was
+    * computed FROM: the manifest protocol aborts with
+    * `ConcurrentModificationException` if the on-disk manifest no longer
+    * equals it (any commit that landed since would be silently dropped by
+    * a blind swap), and likewise if the final publish race is lost. The
+    * rename protocol derives visibility from the listing and relies on the
+    * caller's in-process lock for the base check; it cannot swap
+    * atomically — it commits `newIds` first, so until the caller deletes
+    * the superseded directories, old and new are both visible (MVCC still
+    * resolves overlapping keys to the new rows; keys absent from the new
+    * data resurface only in that window — documented rename-protocol
+    * caveat, the reason the manifest protocol exists). */
+  def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId],
+      expectedBase: Seq[SegmentId]): Seq[SegmentId]
 
   /** Delete a flushed-but-uncommitted segment (rollback). */
   def discardInFlight(root: Path, id: SegmentId): Unit
@@ -120,9 +123,18 @@ object Storage {
   def readSchema(root: Path): MatSchema =
     MatSchema.fromJson(new String(Files.readAllBytes(schemaPath(root)), StandardCharsets.UTF_8))
 
+  /** List a directory, CLOSING the stream (Files.list holds an fd until
+    * closed — leaking it on hot paths like commit/stream-planning
+    * exhausts file descriptors on long-lived drivers). */
+  private[core] def listDir(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+
   private def listEntries(root: Path): Seq[(Path, SegmentId, Boolean)] =
-    if (!Files.isDirectory(root)) Seq.empty
-    else Files.list(root).iterator().asScala.toSeq.flatMap { p =>
+    listDir(root).flatMap { p =>
       decode(p.getFileName.toString).map { case (id, tmp) => (p, id, tmp) }
     }
 
@@ -131,8 +143,7 @@ object Storage {
 
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+      if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
       Files.delete(p)
     }
 
@@ -168,8 +179,11 @@ object Storage {
     }
 
     /** Not atomic under renames (see [[Protocol.replace]]): commit the new
-      * segments; the caller deletes the superseded directories right after. */
-    def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Seq[SegmentId] =
+      * segments; the caller deletes the superseded directories right after.
+      * The base check happens under the caller's in-process lock (the
+      * rename protocol is single-process by design). */
+    def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId],
+        expectedBase: Seq[SegmentId]): Seq[SegmentId] =
       commit(root, newIds, visibleAfter)
 
     def discardInFlight(root: Path, id: SegmentId): Unit =
@@ -224,12 +238,15 @@ object Storage {
       publish(root, newIds, replaceAll = false, visibleAfter)
 
     /** Atomic swap to exactly `visibleAfter`; aborts if ANY commit landed
-      * since the caller's snapshot (see [[Protocol.replace]]). */
-    def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Seq[SegmentId] =
-      publish(root, newIds, replaceAll = true, visibleAfter)
+      * since the caller's `expectedBase` snapshot — observed either in the
+      * manifest content before publishing or as a lost publish race (see
+      * [[Protocol.replace]]). */
+    def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId],
+        expectedBase: Seq[SegmentId]): Seq[SegmentId] =
+      publish(root, newIds, replaceAll = true, visibleAfter, expectedBase)
 
     private def publish(root: Path, newIds: Seq[SegmentId], replaceAll: Boolean,
-        intended: Seq[SegmentId]): Seq[SegmentId] = {
+        intended: Seq[SegmentId], expectedBase: Seq[SegmentId] = Seq.empty): Seq[SegmentId] = {
       var tries = 0
       while (tries < 16) {
         val latest = latestManifest(root)
@@ -237,6 +254,10 @@ object Storage {
         val clash = newIds.filter(current.contains)
         if (clash.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"transaction-id collision with an already-committed segment: ${clash.mkString(",")}")
+        if (replaceAll && current.sorted != expectedBase.sorted)
+          throw new java.util.ConcurrentModificationException(
+            "table changed since the replace commit's snapshot (overwrite/compact): " +
+              s"expected ${expectedBase.sorted.mkString(",")}, found ${current.sorted.mkString(",")}")
         val version = latest.map(manifestVersion).getOrElse(-1L) + 1L
         val target = if (replaceAll) intended.sorted else (current ++ newIds).sorted
         if (tryWriteManifest(root, version, target)) return target
@@ -278,13 +299,10 @@ object Storage {
       stale.size
     }
 
-    private def latestManifest(root: Path): Option[Path] = {
-      val dir = logDir(root)
-      if (!Files.isDirectory(dir)) None
-      else Files.list(dir).iterator().asScala.toSeq
+    private def latestManifest(root: Path): Option[Path] =
+      listDir(logDir(root))
         .filter(p => ManifestName.matches(p.getFileName.toString))
         .sortBy(_.getFileName.toString).lastOption
-    }
 
     private def manifestVersion(p: Path): Long = p.getFileName.toString match {
       case ManifestName(v) => java.lang.Long.parseLong(v, 16)

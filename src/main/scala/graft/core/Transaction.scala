@@ -111,6 +111,7 @@ final class Transaction private[core] (
         .partitionBy(schema.chunkColNames: _*)
         .parquet(db.protocol.writePath(db.root, id).toString)
       flushed = flushed :+ id
+      db.registerInFlight(id) // shields it from vacuum() until commit/rollback
       buffered = Vector.empty
     }
   }
@@ -133,16 +134,20 @@ final class Transaction private[core] (
     requireOpen()
     flush()
     if (flushed.nonEmpty) db.commitTransaction(flushed)
+    db.resolveInFlight(flushed)
     closed = true
   }
 
   /** Final flush + commit that REPLACES the table's previous contents —
     * the overwrite/compact path ([[MatDb.commitReplace]]). An empty
-    * replacement still commits (it truncates the table). */
+    * replacement still commits (it truncates the table). Aborts with
+    * `ConcurrentModificationException` if any transaction committed since
+    * this one opened (its snapshot is what the replacement supersedes). */
   def commitReplacing(): Unit = {
     requireOpen()
     flush()
-    db.commitReplace(flushed)
+    db.commitReplace(flushed, expectedBase = visibleAtOpen)
+    db.resolveInFlight(flushed)
     closed = true
   }
 
@@ -150,6 +155,7 @@ final class Transaction private[core] (
   def rollback(): Unit = {
     requireOpen()
     flushed.foreach(id => db.protocol.discardInFlight(db.root, id))
+    db.resolveInFlight(flushed)
     flushed = Vector.empty
     buffered = Vector.empty
     closed = true

@@ -80,14 +80,21 @@ object Ingest {
     val keys = keyCols.map(col)
     val ranged = distinctKeys.repartitionByRange(keys.map(_.asc): _*)
       .withColumn("_pid", spark_partition_id().cast("long"))
-    val rn = ranged.withColumn("_rn",
-      row_number().over(Window.partitionBy(col("_pid")).orderBy(keys: _*)).cast("long"))
-    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+    // materialize ONCE (eager local checkpoint): the per-partition counts
+    // and the final id join must observe the SAME physical partitioning —
+    // range boundaries come from sampling, and two executions of the
+    // subtree are not guaranteed identical boundaries (exchange reuse is
+    // an optimization, not a contract). Input is the DISTINCT key set, so
+    // the materialized blocks are dictionary-sized, not data-sized.
+    val snap = ranged.withColumn("_rn",
+        row_number().over(Window.partitionBy(col("_pid")).orderBy(keys: _*)).cast("long"))
+      .localCheckpoint()
+    val counts = snap.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
     val offsets = counts.as("a")
       .join(broadcast(counts.as("b")), col("b._pid") < col("a._pid"), "left")
       .groupBy(col("a._pid").as("_pid"))
       .agg(coalesce(sum(col("b._n")), lit(0L)).as("_off"))
-    rn.join(broadcast(offsets), "_pid")
+    snap.join(broadcast(offsets), "_pid")
       .select(keys :+ (col("_off") + col("_rn")).as(idCol): _*)
   }
 

@@ -165,14 +165,17 @@ object MatdbFormat {
 
   // ---- database read ----------------------------------------------------
 
-  private def committedFiles(root: Path): Seq[(Long, Int, Path)] =
-    Files.list(root).iterator().asScala.toSeq.flatMap { p =>
+  private def committedFiles(root: Path): Seq[(Long, Int, Path)] = {
+    val stream = Files.list(root)
+    val all = try stream.iterator().asScala.toSeq finally stream.close()
+    all.flatMap { p =>
       p.getFileName.toString match {
         case SegName(t, s) if Files.isRegularFile(p) =>
           Some((java.lang.Long.parseLong(t, 16), Integer.parseInt(s, 16), p))
         case _ => None // .tmp and foreign files ignored (database.rs:100-127)
       }
     }
+  }
 
   /** All versions, with `_txn_id`/`_seq` provenance (`_seq` = segment
     * number: within a txn, later flushes supersede earlier ones). */

@@ -60,13 +60,16 @@ object IvfIndex {
     val dim = v.select(size(col("v"))).head().getInt(0)
     var centroids: Seq[Seq[Double]] =
       v.orderBy(col(idCol)).limit(k).collect().map(_.getSeq[Double](1)).toSeq
+    require(centroids.nonEmpty, "IvfIndex.train: empty corpus")
+    // corpora smaller than k get one bucket per vector, not a crash
+    val kEff = centroids.size
     for (_ <- 0 until iters) {
       val means = assign(v, "v", centroids)
         .select(col("bucket"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("bucket"), col("i")).agg(avg(col("x")).as("m"))
         .collect() // k*dim rows — the centroid matrix, driver-sized by design
       val byBucket = means.groupBy(_.getAs[Int]("bucket"))
-      centroids = (0 until k).map { b =>
+      centroids = (0 until kEff).map { b =>
         byBucket.get(b).fold(centroids(b)) { rows =>
           val arr = new Array[Double](dim)
           rows.foreach(r => arr(r.getAs[Int]("i")) = r.getAs[Double]("m"))

@@ -69,7 +69,10 @@ class GraftStreamSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GraftStreamTable(properties.get("path"), schema)
+    new GraftStreamTable(
+      Option(properties.get("path")).getOrElse(
+        throw new IllegalArgumentException("graft-stream requires a path")),
+      schema)
 }
 
 final class GraftStreamTable(path: String, tableSchema: StructType)
@@ -121,27 +124,24 @@ final class GraftMicroBatchStream(
     * the table's atomic-visibility unit). */
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val start = startOffset.asInstanceOf[TxnOffset].txn
-    val latest = latestTxn()
+    val segs = protocol.listCommitted(root) // ONE listing per admission call
+    val latest = (segs.map(_.txnId) :+ 0L).max
     val txnCapped = maxTxnsPerBatch.fold(latest)(m => math.min(latest, start + m))
     val end = maxBytesPerBatch match {
       case None => txnCapped
       case Some(cap) =>
-        val txns = protocol.listCommitted(root).map(_.txnId).distinct.sorted
-          .filter(t => t > start && t <= txnCapped)
+        val byTxn = segs.filter(s => s.txnId > start && s.txnId <= txnCapped)
+          .groupBy(_.txnId).toSeq.sortBy(_._1)
         var bytes = 0L
         var last = start
-        for (t <- txns if last == start || bytes < cap) {
-          bytes += txnBytes(t)
+        for ((t, ids) <- byTxn if last == start || bytes < cap) {
+          bytes += ids.flatMap(dataFiles).map(f => Files.size(Paths.get(f))).sum
           if (last == start || bytes <= cap) last = t
         }
         last
     }
     TxnOffset(end.max(start))
   }
-
-  private def txnBytes(txn: Long): Long =
-    protocol.listCommitted(root).filter(_.txnId == txn)
-      .flatMap(dataFiles).map(f => Files.size(Paths.get(f))).sum
 
   override def deserializeOffset(json: String): Offset =
     TxnOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(

@@ -33,6 +33,14 @@ object Streams {
     * (`spark.readStream.format("graft-stream")`). */
   def segmentStream(spark: SparkSession, dbPath: String): DataFrame = {
     val db = MatDb.open(spark, dbPath)
+    // Manifest-protocol tables write IN-FLIGHT segments at their final
+    // hex8.hex8 names (visibility comes from the manifest, which a bare
+    // file glob cannot consult) — this stream would dirty-read them. The
+    // txn-aligned graft-stream source reads through the manifest and is
+    // the supported path there.
+    require(db.protocol == graft.core.Storage.RenameProtocol,
+      "segmentStream supports rename-protocol tables only; use " +
+        "spark.readStream.format(\"graft-stream\") for manifest tables")
     val st = org.apache.spark.sql.types.StructType(
       db.schema.toStructType.fields ++ Seq(
         org.apache.spark.sql.types.StructField("_txn_id", org.apache.spark.sql.types.LongType),
