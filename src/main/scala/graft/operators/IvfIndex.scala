@@ -42,12 +42,11 @@ object IvfIndex {
   private def reg(df: DataFrame): Unit =
     graft.functions.VectorOps.register(df.sparkSession)
 
-  /** L2-normalized double vector. */
-  def normalized(vec: Column): Column = {
-    val d = vec.cast("array<double>")
-    val n = sqrt(dot(d, d))
-    transform(d, x => x / n)
-  }
+  /** L2-normalized double vector (codegen kernel — the HOF
+    * `transform(d, x -> x / sqrt(dot(d, d)))` re-evaluated the norm per
+    * element in interpreted lambda eval; same IEEE divides, one pass). */
+  def normalized(vec: Column): Column =
+    graft.functions.VectorOps.normCol(vec.cast("array<double>"))
 
   /** Spherical k-means (Lloyd's): deterministic init = first k vectors by
     * `idCol`; each iteration assigns to the nearest centroid and recenters
@@ -56,34 +55,46 @@ object IvfIndex {
   def train(emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int)
       : Array[Array[Double]] = {
     reg(emb)
+    // train() is eager (each Lloyd iteration is a collect of k×dim means),
+    // so the normalized sample would otherwise be recomputed from the scan
+    // for EVERY job (init + one per iteration): cache it for the duration
+    // of training and release before returning. The sample is a fraction of
+    // the corpus by contract (callers pass a sample); MEMORY_AND_DISK
+    // spills rather than OOMs if a caller passes more.
     val v = emb.select(col(idCol), normalized(col(vecCol)).as("v"))
-    val dim = v.select(size(col("v"))).head().getInt(0)
-    var centroids: Seq[Seq[Double]] =
-      v.orderBy(col(idCol)).limit(k).collect().map(_.getSeq[Double](1)).toSeq
-    require(centroids.nonEmpty, "IvfIndex.train: empty corpus")
-    // corpora smaller than k get one bucket per vector, not a crash
-    val kEff = centroids.size
-    for (_ <- 0 until iters) {
-      val means = assign(v, "v", centroids)
-        .select(col("bucket"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy(col("bucket"), col("i")).agg(avg(col("x")).as("m"))
-        .collect() // k*dim rows — the centroid matrix, driver-sized by design
-      val byBucket = means.groupBy(_.getAs[Int]("bucket"))
-      centroids = (0 until kEff).map { b =>
-        byBucket.get(b).fold(centroids(b)) { rows =>
-          val arr = new Array[Double](dim)
-          rows.foreach(r => arr(r.getAs[Int]("i")) = r.getAs[Double]("m"))
-          val n = math.sqrt(arr.map(x => x * x).sum)
-          (if (n > 0) arr.map(_ / n) else centroids(b).toArray).toSeq
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val initRows = v.orderBy(col(idCol)).limit(k).collect()
+      require(initRows.nonEmpty, "IvfIndex.train: empty corpus")
+      val dim = initRows.head.getSeq[Double](1).length
+      var centroids: Seq[Seq[Double]] = initRows.map(_.getSeq[Double](1)).toSeq
+      // corpora smaller than k get one bucket per vector, not a crash
+      val kEff = centroids.size
+      for (_ <- 0 until iters) {
+        val means = assign(v, "v", centroids)
+          .select(col("bucket"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy(col("bucket"), col("i")).agg(avg(col("x")).as("m"))
+          .collect() // k*dim rows — the centroid matrix, driver-sized by design
+        val byBucket = means.groupBy(_.getAs[Int]("bucket"))
+        centroids = (0 until kEff).map { b =>
+          byBucket.get(b).fold(centroids(b)) { rows =>
+            val arr = new Array[Double](dim)
+            rows.foreach(r => arr(r.getAs[Int]("i")) = r.getAs[Double]("m"))
+            val n = math.sqrt(arr.map(x => x * x).sum)
+            (if (n > 0) arr.map(_ / n) else centroids(b).toArray).toSeq
+          }
         }
       }
-    }
-    centroids.map(_.toArray).toArray
+      centroids.map(_.toArray).toArray
+    } finally v.unpersist(blocking = false)
   }
 
-  /** Per-centroid squared distances of `vecCol` (already normalized). */
+  /** Per-centroid squared distances of `vecCol` (already normalized).
+    * Built as array(vec_sqdist(v, lit(c0)), …) — direct codegen calls; a
+    * `transform` over a centroid-array literal evaluates the lambda (and
+    * the kernel inside it) interpreted per element. */
   private def distances(vecCol: String, centroids: Seq[Seq[Double]]): Column =
-    transform(typedlit(centroids), c => sqDist(col(vecCol), c))
+    array(centroids.map(c => sqDist(col(vecCol), typedlit(c))): _*)
 
   /** Tag each row with its nearest centroid (`bucket`, int). */
   def assign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {

@@ -25,14 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** (id, g): exploded DISTINCT word n-gram shingles of `textCol`. */
+  /** (id, g): exploded DISTINCT word n-gram shingles of `textCol` — the
+    * single-pass codegen kernel [[graft.functions.WordShingles]] (same
+    * tokens/distinct/order as the composed split+transform+array_distinct
+    * form it replaced; TextOpsSpec pins the equality on the real corpus). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val tok = df.select(col(idCol), split(lower(col(textCol)), "\\s+").as("ws"))
-      .where(size(col("ws")) >= n)
-    tok.select(col(idCol),
-      explode(array_distinct(transform(
-        sequence(lit(0), size(col("ws")) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(col("ws"), i + k + 1)): _*)))).as("g"))
+    graft.functions.TextOps.register(df.sparkSession)
+    df.select(col(idCol),
+      explode(graft.functions.TextOps.shinglesCol(col(textCol), lit(n))).as("g"))
   }
 
   /** Shingles with document frequency above the cap — SMALL by

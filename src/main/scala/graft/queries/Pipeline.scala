@@ -213,15 +213,16 @@ object Pipeline {
     // replays the cap and the correction).
     Entry("q46_ngram_jaccard", Some(
       s"""WITH $shinglesSql,
-         |dfc AS (SELECT g, count(*) dfx FROM ex GROUP BY g),
+         |exh AS (SELECT doc_id, ${h56Sql("g")} AS g FROM ex),
+         |dfc AS (SELECT g, count(*) dfx FROM exh GROUP BY g),
          |hot AS (SELECT g FROM dfc WHERE dfx > $DfCap),
-         |exc AS (SELECT e.doc_id, e.g FROM ex e ANTI JOIN hot h ON e.g = h.g),
+         |exc AS (SELECT e.doc_id, e.g FROM exh e ANTI JOIN hot h ON e.g = h.g),
          |sharedc AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) sc
          |            FROM exc a JOIN exc b ON a.g = b.g AND a.doc_id < b.doc_id
          |            GROUP BY 1, 2),
-         |hotdocs AS (SELECT e.doc_id, list(e.g) hs FROM ex e JOIN hot h ON e.g = h.g
+         |hotdocs AS (SELECT e.doc_id, list(e.g) hs FROM exh e JOIN hot h ON e.g = h.g
          |            GROUP BY e.doc_id),
-         |sizes AS (SELECT doc_id, count(*) n FROM ex GROUP BY doc_id),
+         |sizes AS (SELECT doc_id, count(*) n FROM exh GROUP BY doc_id),
          |pairs AS (SELECT doc_a, doc_b,
          |                 sc + CASE WHEN ha.hs IS NOT NULL AND hb.hs IS NOT NULL
          |                           THEN len(list_intersect(ha.hs, hb.hs)) ELSE 0 END AS shared
@@ -233,8 +234,22 @@ object Pipeline {
          |           JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.25
          |ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
+      // the exploded shingle table feeds FOUR branches of the capped plan
+      // (df-count, the self-join, hot-doc sets, per-doc sizes): cache it for
+      // the duration of the query instead of re-tokenizing the corpus per
+      // branch. MEMORY_AND_DISK spills, never OOMs; at cluster scale this is
+      // the standard "stage the exploded index" step (or a temp table). The
+      // bench/verify harnesses clearCache() after every query.
+      // The inverted index is keyed on the 56-bit shingle HASH, not the
+      // string: 8-byte fixed join/shuffle keys instead of ~25-byte strings.
+      // Both engines derive the hash from the same md5 arithmetic, so the
+      // pipelines stay bit-identical (a hash collision — ~1e-10 here — would
+      // be replayed identically by the oracle).
+      val ex = shingles(table(s, d, "documents"))
+        .select(col("doc_id"), h56(col("g")).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.operators.NearDup
-        .cappedJaccardPairs(shingles(table(s, d, "documents")), "doc_id", DfCap)
+        .cappedJaccardPairs(ex, "doc_id", DfCap)
         .where(col("jaccard") >= 0.25)
         .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -244,8 +259,11 @@ object Pipeline {
     // Jaccard. The banding (4 bands x 4 rows) is replayed exactly by the
     // oracle, so LSH false negatives are parity-neutral.
     Entry("q47_minhash_lsh", Some(minhashOracleSql)) { (s, d) =>
+      // cached for the same reason as q46: the signature aggregate reads it
+      // once and the exact-Jaccard verify three more times
       val ex = shingles(table(s, d, "documents"))
         .withColumn("hp", h56(col("g")) % P)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mh = ex.groupBy(col("doc_id")).agg(
         minhashCol(0), (1 until NumPerm).map(minhashCol): _*)
       // all bands in ONE pass over mh via posexplode (a per-band
@@ -286,25 +304,39 @@ object Pipeline {
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
          |ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
-      // EXACT banded join, no cartesian product: 56 bits split into 7 bands
-      // of 8 — by pigeonhole, Hamming distance <= 2 (threshold below) forces at least one band
-      // to match exactly, so candidates-by-band ⊇ all qualifying pairs and
-      // the result equals brute force (the oracle IS brute force). Join cost
-      // scales with band collisions, not n^2.
+      // EXACT banded join, no cartesian product: 56 bits split into THREE
+      // bands (19+19+18) — by pigeonhole, Hamming distance <= 2 (threshold
+      // below) can touch at most 2 bands, so at least one matches exactly:
+      // candidates-by-band ⊇ all qualifying pairs and the result equals
+      // brute force (the oracle IS brute force). Three wide bands beat the
+      // earlier 7×8-bit split ~4x: 2^18+ buckets instead of 2^8 collapses
+      // per-band collisions (the join cost) while still emitting only 3
+      // band rows per doc instead of 7.
       val sims = simhashSpark(s, d)
       val bands = sims.select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(6))).as("band"))
-        .withColumn("band_val", expr("shiftright(simhash, band * 8) & 255"))
-      val cand = bands.as("a").join(bands.as("b"),
+        posexplode(array(
+          col("simhash").bitwiseAND(lit((1L << 19) - 1)),
+          shiftright(col("simhash"), 19).bitwiseAND(lit((1L << 19) - 1)),
+          shiftright(col("simhash"), 38).bitwiseAND(lit((1L << 18) - 1)))))
+        .toDF("doc_id", "simhash", "band", "band_val")
+      // no distinct(): a pair that collides in several bands is kept only by
+      // its FIRST matching band (cheap bit-compare filter on the carried
+      // signatures) — removes the dedup shuffle over the candidate set.
+      def bval(c: Column, j: Int): Column = j match {
+        case 0 => c.bitwiseAND(lit((1L << 19) - 1))
+        case 1 => shiftright(c, 19).bitwiseAND(lit((1L << 19) - 1))
+        case _ => shiftright(c, 38).bitwiseAND(lit((1L << 18) - 1))
+      }
+      val sa = col("a.simhash"); val sb = col("b.simhash")
+      bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sa"),
-          col("b.doc_id").as("doc_b"), col("b.simhash").as("sb"))
-        .distinct()
-      cand
-        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+        .where(col("a.band") === 0 ||
+          (col("a.band") === 1 && bval(sa, 0) =!= bval(sb, 0)) ||
+          (col("a.band") === 2 && bval(sa, 0) =!= bval(sb, 0) && bval(sa, 1) =!= bval(sb, 1)))
+        .withColumn("hamming", bit_count(sa.bitwiseXOR(sb)).cast("long"))
         .where(col("hamming") <= 2)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -391,15 +423,19 @@ object Pipeline {
          |      FROM scored) t
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)) { (s, d) =>
       graft.functions.VectorOps.register(s)
-      val dl = expr(
-        """transform(sequence(0, 7), c ->
-          |  aggregate(transform(sequence(0, 63), i ->
-          |    cast(element_at(embedding, i + 1) as double) * (((c*131 + i*17) % 29) / 29.0 - 0.5)),
-          |  cast(0.0 as double), (acc, x) -> acc + x))""".stripMargin)
+      // pseudo-centroid weights computed in Scala with the oracle's exact
+      // integer-mod-then-double arithmetic; vec_dot's left fold is the same
+      // fold the interpreted HOF form (and the DuckDB list_reduce) performs,
+      // so the scores are bit-identical — but the 8x64 multiply-adds now run
+      // inside WholeStageCodegen instead of boxing a Double per element.
+      val pseudoCentroids: Seq[Seq[Double]] = (0 until 8).map { c =>
+        (0 until 64).map(i => ((c * 131 + i * 17) % 29) / 29.0 - 0.5)
+      }
       val assigned = table(s, d, "embeddings")
-        .withColumn("dl", dl)
+        .withColumn("emb", embD(col("embedding")))
+        .withColumn("dl", array(pseudoCentroids.map(w => dotD(col("emb"), typedlit(w))): _*))
         .withColumn("bucket", expr("array_position(dl, array_max(dl)) - 1"))
-        .select(col("vec_id"), embD(col("embedding")).as("emb"), col("bucket"))
+        .select(col("vec_id"), col("emb"), col("bucket"))
       val q = assigned.where(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("emb").as("qe"), col("bucket"))
       val scored = broadcast(q).join(assigned, Seq("bucket"))

@@ -23,6 +23,7 @@ object PerfProbe {
       val t0 = System.nanoTime()
       val cnt = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // same per-query lifetime as Bench
       println(f"[perf] $n%-22s $dt%7.2f s  ($cnt rows)")
       if (sys.env.contains("PERF_EXPLAIN")) fn(spark, sfDir).explain()
     }
