@@ -78,7 +78,12 @@ object Ingest {
     * boundaries happen to land. */
   def denseRankIds(distinctKeys: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
     val keys = keyCols.map(col)
-    val ranged = distinctKeys.repartitionByRange(keys.map(_.asc): _*)
+    // materialize the distinct key set first: the range partitioner's
+    // sampling pass and the ranked materialization below would otherwise
+    // each re-execute the full distinct subtree (scan + shuffle); after
+    // this, both read dictionary-sized cached blocks
+    val dk = distinctKeys.localCheckpoint()
+    val ranged = dk.repartitionByRange(keys.map(_.asc): _*)
       .withColumn("_pid", spark_partition_id().cast("long"))
     // materialize ONCE (eager local checkpoint): the per-partition counts
     // and the final id join must observe the SAME physical partitioning —

@@ -82,6 +82,16 @@ object Pipeline {
 
   private def embD(c: Column): Column = c.cast("array<double>")
 
+  /** 16-bit random-hyperplane LSH bucket of a double-array embedding —
+    * codegen form: per-plane literal weight arrays dotted with vec_dot
+    * (identical left fold to the HOF/`list_reduce` form, so the bucket
+    * bits are bit-identical to the q51 oracle's arithmetic). */
+  private def lshBucket(emb: Column): Column =
+    (0 until 16).map { j =>
+      val plane = (0 until 64).map(i => ((j * 1009 + i * 31) % 97) / 97.0 - 0.5)
+      when(dotD(emb, typedlit(plane)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   val entries: Seq[Entry] = Seq(
 
     // ---- text analysis -------------------------------------------------
@@ -384,16 +394,10 @@ object Pipeline {
         |              THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END),
         |         (x, y) -> x + y) AS bucket
         |FROM embeddings ORDER BY vec_id""".stripMargin)) { (s, d) =>
-      // identical arithmetic as the oracle, in Spark's higher-order SQL
+      // identical arithmetic as the oracle via the codegen [[lshBucket]]
+      graft.functions.VectorOps.register(s)
       table(s, d, "embeddings")
-        .select(col("vec_id"), expr(
-          """aggregate(transform(sequence(0, 15), j ->
-            |  IF(aggregate(transform(sequence(0, 63), i ->
-            |       cast(element_at(embedding, i + 1) as double)
-            |       * (((j*1009 + i*31) % 97) / 97.0 - 0.5)),
-            |     cast(0.0 as double), (acc, x) -> acc + x) >= 0,
-            |     shiftleft(cast(1 as bigint), j), cast(0 as bigint))),
-            |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin).as("bucket"))
+        .select(col("vec_id"), lshBucket(embD(col("embedding"))).as("bucket"))
         .orderBy(col("vec_id"))
     },
 
@@ -492,6 +496,95 @@ object Pipeline {
           "vec_id", "embedding", centroids, nprobe = 2, k = 5)
         .select(col("qid"), col("vec_id"), col("score"), col("rn"))
         .orderBy(col("qid"), col("rn"))
+    },
+
+    // embedding-cosine near-dup: for every vector, its most-similar
+    // neighbor WITHIN its 16-bit hyperplane-LSH bucket (exact cosine on the
+    // bucketed candidates; a threshold on `score` is the dedup decision).
+    // This synthetic corpus is near-uniform on the sphere (no true dup
+    // clusters — max in-bucket cosine ≈ 0.5), so the per-vector argmax is
+    // the form that stays non-degenerate; on a real corpus the same plan
+    // surfaces dup pairs at score ≥ 0.9. Scale path: the self-join shuffles
+    // on `bucket` only (the corpus would be written bucket-partitioned);
+    // never all-pairs.
+    Entry("q56_embed_neardup", Some(
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |         list_reduce(list_transform(range(0, 16), j ->
+         |           CASE WHEN list_reduce(list_transform(range(0, 64), i ->
+         |                       CAST(embedding[i+1] AS DOUBLE) * (((j*1009 + i*31) % 97) / 97.0 - 0.5)),
+         |                     (x, y) -> x + y) >= 0
+         |                THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END),
+         |           (x, y) -> x + y) AS bucket
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id va, b2.vec_id vb,
+         |         ${dotSql("a.embedding", "b2.embedding")} /
+         |         sqrt(${dotSql("a.embedding", "a.embedding")} * ${dotSql("b2.embedding", "b2.embedding")}) AS score
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id != b2.vec_id)
+         |SELECT va, vb, score FROM (
+         |  SELECT va, vb, score, row_number() OVER (PARTITION BY va ORDER BY score DESC, vb) rn
+         |  FROM scored) t
+         |WHERE rn = 1 ORDER BY va""".stripMargin)) { (s, d) =>
+      graft.functions.VectorOps.register(s)
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), embD(col("embedding")).as("emb"))
+        .withColumn("bucket", lshBucket(col("emb")))
+      val a = e.select(col("vec_id").as("va"), col("emb").as("ea"), col("bucket"))
+      val b = e.select(col("vec_id").as("vb"), col("emb").as("eb"), col("bucket"))
+      a.join(b, Seq("bucket")).where(col("va") =!= col("vb"))
+        .select(col("va"), col("vb"),
+          (dotD(col("ea"), col("eb")) /
+            sqrt(dotD(col("ea"), col("ea")) * dotD(col("eb"), col("eb")))).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("va")).orderBy(col("score").desc, col("vb"))))
+        .where(col("rn") === 1)
+        .select(col("va"), col("vb"), col("score"))
+        .orderBy(col("va"))
+    },
+
+    // document fingerprinting by WINNOWING (Schleimer/Wilkerson/Aiken,
+    // SIGMOD'03): rolling 56-bit hashes of ordered word 3-grams, minimum
+    // per sliding window of 5, distinct minima = the document's
+    // fingerprint set. Embarrassingly parallel: both window passes
+    // partition by doc_id (no global sort, no shuffle beyond the per-doc
+    // repartition), so the plan is flat at any corpus size.
+    Entry("q57_winnow_fingerprint", Some(
+      s"""WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') ws
+         |             FROM documents WHERE len(string_split_regex(lower(text), '\\s+')) >= 3),
+         |gr AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+         |               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) gs
+         |       FROM tok),
+         |hx AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS i,
+         |              ${h56Sql("unnest(gs)")} AS h
+         |       FROM gr),
+         |win AS (SELECT doc_id, i,
+         |               min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) fp,
+         |               count(*) OVER (PARTITION BY doc_id) n
+         |        FROM hx)
+         |SELECT DISTINCT doc_id, fp FROM win WHERE i <= n - 4
+         |ORDER BY doc_id, fp""".stripMargin)) { (s, d) =>
+      val winnowW = 5
+      val ws = split(lower(col("text")), "\\s+")
+      val tok = table(s, d, "documents").where(size(ws) >= 3)
+        .select(col("doc_id"), posexplode(ws).as(Seq("i", "w")))
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      // ordered 3-grams (duplicates KEPT — winnowing needs positions) via
+      // lead() over the token stream: one per-doc sort serves the gram
+      // build and the rolling minimum below. concat (not concat_ws)
+      // null-propagates, so the last two token positions drop out.
+      val grams = tok
+        .withColumn("g", concat(col("w"), lit(" "), lead(col("w"), 1).over(byPos),
+          lit(" "), lead(col("w"), 2).over(byPos)))
+        .where(col("g").isNotNull)
+        .select(col("doc_id"), col("i"), h56(col("g")).as("h"))
+      grams
+        .withColumn("fp", min(col("h")).over(byPos.rowsBetween(0, winnowW - 1)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .where(col("i") <= col("n") - winnowW) // only complete windows
+        .select(col("doc_id"), col("fp")).distinct()
+        .orderBy(col("doc_id"), col("fp"))
     }
   )
 
