@@ -58,12 +58,12 @@ object Pipeline {
     * never from the exact-Jaccard verify. The oracle replays the cap. */
   private val DfCap = 100L
 
-  /** DuckDB pair CTEs (full, uncapped inverted join) on top of shinglesSql —
-    * q47's oracle-side exact verify. */
+  /** DuckDB pair CTEs (full, uncapped inverted join) over the HASHED
+    * shingle index `exh` — q47's oracle-side exact verify. */
   private val jaccardPairsSql =
-    """sizes AS (SELECT doc_id, count(*) n FROM ex GROUP BY doc_id),
+    """sizes AS (SELECT doc_id, count(*) n FROM exh GROUP BY doc_id),
       |shared AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
-      |           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |           FROM exh a JOIN exh b ON a.g = b.g AND a.doc_id < b.doc_id
       |           GROUP BY 1, 2),
       |pairs AS (SELECT doc_a, doc_b, shared,
       |                 CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) jaccard
@@ -269,19 +269,24 @@ object Pipeline {
     // Jaccard. The banding (4 bands x 4 rows) is replayed exactly by the
     // oracle, so LSH false negatives are parity-neutral.
     Entry("q47_minhash_lsh", Some(minhashOracleSql)) { (s, d) =>
-      // cached for the same reason as q46: the signature aggregate reads it
-      // once and the exact-Jaccard verify three more times
+      graft.functions.TextOps.register(s)
+      // hashed inverted index (8-byte keys, like q46), cached: the
+      // exact-Jaccard verify stage reads it three times
       val ex = shingles(table(s, d, "documents"))
-        .withColumn("hp", h56(col("g")) % P)
+        .select(col("doc_id"), h56(col("g")).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val mh = ex.groupBy(col("doc_id")).agg(
-        minhashCol(0), (1 until NumPerm).map(minhashCol): _*)
-      // all bands in ONE pass over mh via posexplode (a per-band
-      // union-of-selects re-scanned the signature aggregate once per band —
-      // 4x the shingle explode; now the two join sides are identical
-      // subplans, so the second side reuses the first's exchange)
+      // signatures via the minhash16 codegen kernel: a pure per-row map —
+      // no shuffle of the exploded shingle table into a 16-column min
+      // aggregate (TextOpsSpec pins equality with the aggregate form)
+      val mh = table(s, d, "documents")
+        .select(col("doc_id"), graft.functions.TextOps.minhash16Col(
+          graft.functions.TextOps.shinglesCol(col("text"), lit(3))).as("mh"))
+        .where(col("mh").isNotNull)
+      // all bands in ONE pass over mh via posexplode; the two join sides
+      // are identical subplans, so the second side reuses the exchange
       val bandArr = array((0 until NumPerm / BandSize).map { b =>
-        concat_ws(",", (b * BandSize until (b + 1) * BandSize).map(j => col(s"m$j")): _*)
+        concat_ws(",", (b * BandSize until (b + 1) * BandSize)
+          .map(j => col("mh").getItem(j).cast("string")): _*)
       }: _*)
       val bands = mh.select(col("doc_id"), posexplode(bandArr)).toDF("doc_id", "band", "sig")
       val cand = bands.as("x").join(bands.as("y"),
@@ -565,38 +570,22 @@ object Pipeline {
          |        FROM hx)
          |SELECT DISTINCT doc_id, fp FROM win WHERE i <= n - 4
          |ORDER BY doc_id, fp""".stripMargin)) { (s, d) =>
-      val winnowW = 5
-      val ws = split(lower(col("text")), "\\s+")
-      val tok = table(s, d, "documents").where(size(ws) >= 3)
-        .select(col("doc_id"), posexplode(ws).as(Seq("i", "w")))
-      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      // ordered 3-grams (duplicates KEPT — winnowing needs positions) via
-      // lead() over the token stream: one per-doc sort serves the gram
-      // build and the rolling minimum below. concat (not concat_ws)
-      // null-propagates, so the last two token positions drop out.
-      val grams = tok
-        .withColumn("g", concat(col("w"), lit(" "), lead(col("w"), 1).over(byPos),
-          lit(" "), lead(col("w"), 2).over(byPos)))
-        .where(col("g").isNotNull)
-        .select(col("doc_id"), col("i"), h56(col("g")).as("h"))
-      grams
-        .withColumn("fp", min(col("h")).over(byPos.rowsBetween(0, winnowW - 1)))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-        .where(col("i") <= col("n") - winnowW) // only complete windows
-        .select(col("doc_id"), col("fp")).distinct()
+      // the whole winnowing pipeline is the [[graft.functions.Winnow56]]
+      // codegen kernel over ordered 3-grams (word_grams keeps duplicates —
+      // positions matter): a shuffle-free per-row map + explode; the kernel
+      // emits each doc's distinct minima so no downstream DISTINCT is
+      // needed. TextOpsSpec pins equality with the window-function
+      // formulation (lead-built grams, min over ROWS 0..4 frames) that the
+      // oracle replays.
+      graft.functions.TextOps.register(s)
+      table(s, d, "documents")
+        .select(col("doc_id"), explode(graft.functions.TextOps.winnow56Col(
+          graft.functions.TextOps.gramsCol(col("text"), lit(3)), lit(5))).as("fp"))
         .orderBy(col("doc_id"), col("fp"))
     }
   )
 
   // ---- generated helpers ----------------------------------------------
-
-  /** minhash permutation j as a Spark aggregate column (over `hp`). */
-  private def minhashCol(j: Int): Column =
-    min((lit(37L + 101L * j) * col("hp") + lit(17L + 13L * j)) % P).as(s"m$j")
-
-  /** simhash bit-sum j as a Spark aggregate column (over `h`). */
-  private def simBitSum(j: Int): Column =
-    sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
 
   /** DuckDB oracle replaying the full minhash+banding+verify pipeline. */
   private lazy val minhashOracleSql: String = {
@@ -608,7 +597,8 @@ object Pipeline {
       s"SELECT x.doc_id doc_a, y.doc_id doc_b FROM mh x JOIN mh y ON $cond AND x.doc_id < y.doc_id"
     }.mkString("\n  UNION\n  ")
     s"""WITH $shinglesSql,
-       |hs AS (SELECT doc_id, ${h56Sql("g")} % $P hp FROM ex),
+       |exh AS (SELECT doc_id, ${h56Sql("g")} AS g FROM ex),
+       |hs AS (SELECT doc_id, g % $P hp FROM exh),
        |mh AS (SELECT doc_id,
        |         $mhCols
        |       FROM hs GROUP BY doc_id),
@@ -622,17 +612,18 @@ object Pipeline {
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
   }
 
-  /** (doc_id, simhash) — Spark side, unordered. */
+  /** (doc_id, simhash) — Spark side, unordered. The signature is the
+    * [[graft.functions.Simhash56]] codegen kernel: a pure per-row map (the
+    * explode → h56 → 56-column ±1 groupBy it replaced shuffled the whole
+    * token table; TextOpsSpec pins the equality). At 100 TB the signature
+    * stage is now embarrassingly parallel with zero shuffle. */
   private def simhashSpark(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
-    val tok = table(s, d, "documents")
-      .select(col("doc_id"), explode(array_distinct(toksSpark(col("text")))).as("w"))
-      .withColumn("h", h56(col("w")))
-    val bitSums = tok.groupBy(col("doc_id")).agg(
-      simBitSum(0), (1 until SimBits).map(simBitSum): _*)
-    val sim = (0 until SimBits).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
-    bitSums.select(col("doc_id"), sim.as("simhash"))
+    graft.functions.TextOps.register(s)
+    table(s, d, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextOps.simhash56Col(toksSpark(col("text"))).as("simhash"))
+      .where(col("simhash").isNotNull)
   }
 
   /** DuckDB query computing the same 56-bit simhash (no ORDER BY). */
