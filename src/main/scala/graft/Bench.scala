@@ -5,18 +5,18 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs the whole battery against SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":…,"queries":{…}}. A small untimed warm-up
   * (scan + shuffle + codegen) runs first so JVM/codegen startup doesn't
-  * land in whichever query happens to run first; then TWO full passes in
-  * sorted name order, reporting the per-query MINIMUM. Two temporally
-  * separated samples matter on this host: /proc/stat shows CPU-steal
-  * episodes of 90%+ (oversubscribed hypervisor), which inflate whichever
-  * queries they overlap by 10-30x — the min measures the engine, not the
-  * neighbor. The second pass is also JIT-warm, which is the steady state a
-  * long-lived cluster session actually runs in. */
+  * land in whichever query happens to run first; then THREE full passes in
+  * sorted name order, reporting the per-query MINIMUM. Temporally separated
+  * samples matter on this host: /proc/stat shows CPU-steal episodes of
+  * 90%+ (oversubscribed hypervisor), which inflate whichever queries they
+  * overlap by 10-30x — the min measures the engine, not the neighbor. The
+  * later passes are also JIT-warm, which is the steady state a long-lived
+  * cluster session actually runs in. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -43,6 +43,27 @@ case class WordShingles(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+/** `h56(s)` → the project's cross-engine 56-bit md5 hash as a scalar
+  * kernel: value-identical to `conv(substring(md5(s), 1, 14), 16, 10)
+  * ::long` (first 14 hex chars = first 7 digest bytes) without
+  * materializing the 32-char hex string per row. TextOpsSpec pins the
+  * equality on the corpus shingles. */
+case class Md5H56(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "h56"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${t.sql}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    TextOps.md5h56(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextOps.md5h56($a)")
+  override protected def withNewChildInternal(c: Expression): Md5H56 =
+    copy(child = c)
+}
+
 /** `word_grams(text, n)` → array<string>: ORDERED word n-grams of
   * lower(text), duplicates kept (positions matter — winnowing input).
   * Same tokenization as [[WordShingles]]; rows with fewer than n tokens
@@ -265,6 +286,8 @@ object TextOps {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
+      "h56", exprs => Md5H56(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "word_grams", exprs => WordGrams(exprs(0), exprs(1)), "scala_udf")
@@ -277,6 +300,8 @@ object TextOps {
   }
 
   /** Column entry points; register on the owning session first. */
+  def h56Col(s: Column): Column =
+    org.apache.spark.sql.functions.call_function("h56", s)
   def shinglesCol(text: Column, n: Column): Column =
     org.apache.spark.sql.functions.call_function("word_shingles", text, n)
   def gramsCol(text: Column, n: Column): Column =

@@ -255,8 +255,9 @@ object Pipeline {
       // Both engines derive the hash from the same md5 arithmetic, so the
       // pipelines stay bit-identical (a hash collision — ~1e-10 here — would
       // be replayed identically by the oracle).
+      graft.functions.TextOps.register(s)
       val ex = shingles(table(s, d, "documents"))
-        .select(col("doc_id"), h56(col("g")).as("g"))
+        .select(col("doc_id"), graft.functions.TextOps.h56Col(col("g")).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.operators.NearDup
         .cappedJaccardPairs(ex, "doc_id", DfCap)
@@ -273,7 +274,7 @@ object Pipeline {
       // hashed inverted index (8-byte keys, like q46), cached: the
       // exact-Jaccard verify stage reads it three times
       val ex = shingles(table(s, d, "documents"))
-        .select(col("doc_id"), h56(col("g")).as("g"))
+        .select(col("doc_id"), graft.functions.TextOps.h56Col(col("g")).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // signatures via the minhash16 codegen kernel: a pure per-row map —
       // no shuffle of the exploded shingle table into a 16-column min

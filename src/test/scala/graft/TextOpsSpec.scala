@@ -73,6 +73,15 @@ class TextOpsSpec extends AnyFunSuite {
   private def h56(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c), 1, 14), 16, 10).cast("long")
 
+  test("h56 kernel equals the md5-hex/conv column form on corpus shingles") {
+    TextOps.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val g = graft.operators.NearDup.shingles(docs, "doc_id", "text")
+    assert(g.where(TextOps.h56Col(col("g")) =!= h56(col("g"))).count() === 0L)
+    // and on raw text incl. unicode
+    assert(docs.where(TextOps.h56Col(col("text")) =!= h56(col("text"))).count() === 0L)
+  }
+
   test("simhash56 kernel equals the explode + 56-column ±1 aggregate form") {
     TextOps.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
