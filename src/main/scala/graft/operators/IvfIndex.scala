@@ -115,6 +115,53 @@ object IvfIndex {
       .drop("_dl", "_order")
   }
 
+  /** Persist a trained index: `path/centroids` is a k-row parquet table of
+    * (bucket, weights); `path/corpus` is the NORMALIZED corpus written
+    * bucket-partitioned (`bucket=N/` directories), so probe-time scans
+    * prune to the probed buckets — at 100 TB a nprobe=2, k=4096 search
+    * reads 2/4096 of the corpus bytes, enforced by the layout rather than
+    * hoped for from a filter. */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    reg(corpus)
+    centroids.zipWithIndex.map { case (c, b) => (b, c) }
+      .toDF("bucket", "weights").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    assign(corpus.select(col(idCol), normalized(col(vecCol)).as("v")), "v", centroids)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/corpus")
+  }
+
+  /** The persisted centroid matrix, bucket-ordered (k×dim doubles). */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids").orderBy(col("bucket"))
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Top-k cosine search against a [[writeIndex]] layout. The probed
+    * bucket ids are collected to the driver (≤ queries×nprobe ints — the
+    * query side is small by contract, it is broadcast below) and pushed
+    * into the corpus scan as a partition filter: only the probed
+    * `bucket=N/` directories are read (IvfSpec asserts the pruning). */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorOps.register(spark)
+    val centroids = readCentroids(spark, path).map(_.toSeq).toSeq
+    val q = probes(
+      queries.select(col(idCol).as("qid"), normalized(col(vecCol)).as("qv")),
+      "qv", centroids, nprobe)
+    val probed = q.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
+    val cand = spark.read.parquet(s"$path/corpus")
+      .where(col("bucket").isin(probed: _*))
+    broadcast(q).join(cand, Seq("bucket"))
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), dot(col("qv"), col("v")).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col(idCol))).cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /** Top-k cosine neighbors per query via bucket-probe join: `queries`
     * (small, broadcast) probe their nprobe buckets of `corpus`. Returns
     * (qid, vec_id, score, rn). Inputs carry raw embedding columns; ids must

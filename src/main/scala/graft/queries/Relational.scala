@@ -570,6 +570,35 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- typed UDAF: per-group top-k with O(k) shuffle ------------------
+    // graft.functions.TopKAggregator as a battery query: each partition
+    // keeps only its k best (score, id) pairs and the merge is k-way, so
+    // the shuffle carries O(k·groups) instead of the full input — the
+    // partial-aggregation shape a window row_number() <= k cannot give
+    // (a window sorts every row of every group). Same answer as the
+    // window form; the oracle IS the window form.
+    Entry("q58_grouped_topk", Some(
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val src = table(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .as[(String, Long, Double)]
+      val topk = new graft.functions.TopKAggregator(3).toColumn
+      src.groupByKey(_._1)
+        .mapValues(t => graft.functions.Scored(t._2, t._3))
+        .agg(topk)
+        .flatMap { case (p, xs) =>
+          xs.zipWithIndex.map { case (sc, i) => (p, sc.id, sc.score, (i + 1).toLong) }
+        }
+        .toDF("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+
     // ---- scalar subquery ------------------------------------------------
     Entry("q35_scalar_subquery", Some(
       """SELECT o_orderkey, o_totalprice FROM orders

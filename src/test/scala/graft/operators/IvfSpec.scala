@@ -42,6 +42,45 @@ class IvfSpec extends AnyFunSuite {
     assert(r3 >= 0.85, s"recall@5 nprobe=3 was $r3")
     assert(r3 >= r2, s"recall must not degrade with more probes: $r2 -> $r3")
   }
+
+  test("persisted index: searchIndex equals searchTopK and prunes to probed buckets") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 2) // 2 queries x 2 probes <= 4 of 8 buckets
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 4)
+      .map(_.toSeq).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.writeIndex(emb, "vec_id", "embedding", centroids, path)
+
+    // round trip of the centroid matrix
+    val loaded = IvfIndex.readCentroids(spark, path)
+    assert(loaded.map(_.toSeq).toSeq === centroids)
+
+    val fromIndex = IvfIndex
+      .searchIndex(spark, path, queries, "vec_id", "embedding", nprobe = 2, k = 5)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+    val inMemory = IvfIndex
+      .searchTopK(emb, queries, "vec_id", "embedding", centroids, nprobe = 2, k = 5)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+    assert(fromIndex.except(inMemory).count() === 0L)
+    assert(inMemory.except(fromIndex).count() === 0L)
+    assert(fromIndex.count() === 10) // 2 queries x top-5
+
+    // the probe scan must prune to the probed bucket directories: `bucket`
+    // is a partition column and the isin filter has to land in the scan's
+    // PartitionFilters (file-skipping at the index, the same mechanism
+    // ChunkPruneSpec pins for _ck_* columns), not in a post-scan Filter
+    val planText = fromIndex.queryExecution.executedPlan.toString
+    val corpusScan = planText.linesIterator
+      .filter(_.contains("FileScan")).find(_.contains("/corpus")).getOrElse("")
+    assert(corpusScan.contains("PartitionFilters: [bucket"),
+      s"bucket isin not a partition filter on the corpus scan:\n$planText")
+    // and row-level semantics: only probed buckets contribute candidates
+    val probed = IvfIndex.probes(
+        queries.select(col("vec_id").as("qid"),
+          IvfIndex.normalized(col("embedding")).as("qv")), "qv", centroids, 2)
+      .select(col("bucket")).collect().map(_.getInt(0)).toSet
+    assert(probed.size < 8, s"test premise: probes must not cover all buckets ($probed)")
+  }
 }
 
 /** q37's HLL sketch has no DuckDB oracle (rows-only in the battery); this
