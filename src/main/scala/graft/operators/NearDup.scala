@@ -35,6 +35,22 @@ object NearDup {
       explode(graft.functions.TextOps.shinglesCol(col(textCol), lit(n))).as("g"))
   }
 
+  /** (id, n, g): like [[shingles]] but every exploded row also carries its
+    * document's DISTINCT-shingle count `n` — free in the same kernel pass
+    * (size of the shingle array before exploding). [[cappedJaccardPairs]]
+    * uses the carried count to compute Jaccard denominators inline instead
+    * of joining the (huge) pair table against a per-document sizes table:
+    * a sizes side has one row per document, which stops being
+    * broadcastable long before 100 TB and forces two sort-merge shuffles
+    * of the pair table (measured as the superlinear break in
+    * PipelineScaleProbe between 50k and 100k docs). */
+  def shinglesWithSize(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    graft.functions.TextOps.register(df.sparkSession)
+    df.select(col(idCol),
+        graft.functions.TextOps.shinglesCol(col(textCol), lit(n)).as("_gs"))
+      .select(col(idCol), size(col("_gs")).as("n"), explode(col("_gs")).as("g"))
+  }
+
   /** Shingles with document frequency above the cap — SMALL by
     * construction: at most (total shingle rows)/dfCap distinct values, and
     * in any real corpus the stop-shingle vocabulary, which is why it can be
@@ -72,25 +88,40 @@ object NearDup {
     * never surfaces (the oracle replays the same rule). */
   def cappedJaccardPairs(ex: DataFrame, idCol: String, dfCap: Long): DataFrame = {
     val hot = hotShingles(ex, dfCap)
+    val carriedSizes = ex.columns.contains("n")
     val capped = ex.join(broadcast(hot), Seq("g"), "left_anti")
-    val sharedCapped = capped.as("a").join(capped.as("b"),
-        col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .agg(count(lit(1)).as("shared_c"))
+    // when ex carries per-doc sizes (shinglesWithSize), the denominators
+    // ride through the self-join and the pair table never joins a sizes
+    // side; otherwise (bare (id, g) input) fall back to a groupBy sizes
+    // table joined on doc_a/doc_b — fine for small corpora, superlinear
+    // once sizes stops broadcasting
+    val sharedCapped =
+      if (carriedSizes)
+        capped.as("a").join(capped.as("b"),
+            col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))
+          .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+          .agg(count(lit(1)).as("shared_c"),
+            first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      else {
+        val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+        capped.as("a").join(capped.as("b"),
+            col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))
+          .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+          .agg(count(lit(1)).as("shared_c"))
+          .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
+      }
     // docs that contain hot shingles, with their hot-shingle sets (small
     // arrays: only above-cap shingles); plain shuffle joins — at scale this
     // table has one row per document at worst and must not be broadcast
     val hotDocs = ex.join(broadcast(hot), Seq("g"))
       .groupBy(col(idCol)).agg(collect_set(col("g")).as("hs"))
-    val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     sharedCapped
       .join(hotDocs.select(col(idCol).as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"), "left")
       .join(hotDocs.select(col(idCol).as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"), "left")
       .withColumn("shared",
         col("shared_c") + when(col("hs_a").isNotNull && col("hs_b").isNotNull,
           size(array_intersect(col("hs_a"), col("hs_b")))).otherwise(lit(0)))
-      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
@@ -117,6 +148,6 @@ object NearDup {
   /** End-to-end: near-dup pairs with exact Jaccard >= `minJaccard`. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double, dfCap: Long): DataFrame =
-    cappedJaccardPairs(shingles(df, idCol, textCol), idCol, dfCap)
+    cappedJaccardPairs(shinglesWithSize(df, idCol, textCol), idCol, dfCap)
       .where(col("jaccard") >= minJaccard)
 }

@@ -256,8 +256,12 @@ object Pipeline {
       // pipelines stay bit-identical (a hash collision — ~1e-10 here — would
       // be replayed identically by the oracle).
       graft.functions.TextOps.register(s)
-      val ex = shingles(table(s, d, "documents"))
-        .select(col("doc_id"), graft.functions.TextOps.h56Col(col("g")).as("g"))
+      // shinglesWithSize carries each doc's denominator through the join —
+      // the pair table never joins a per-document sizes side (which stops
+      // broadcasting long before 100 TB)
+      val ex = graft.operators.NearDup
+        .shinglesWithSize(table(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n"), graft.functions.TextOps.h56Col(col("g")).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.operators.NearDup
         .cappedJaccardPairs(ex, "doc_id", DfCap)

@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline scale probe: runs the dedup/similarity operators on a corpus
+  * scaled N× beyond sf0.1. Each clone rewrites every token as a hash of
+  * (token, clone id), which preserves per-document token counts and keeps
+  * every near-dup cluster of the real corpus intact WITHIN its clone
+  * (same-vocabulary relabeling) while guaranteeing zero token overlap
+  * ACROSS clones — so true-pair density per document is constant and the
+  * candidate/pair volume of every stage must grow LINEARLY with the
+  * corpus. That linearity is what the probe exists to demonstrate: a
+  * stage whose time grows faster than the corpus has a quadratic join or
+  * an uncapped hot key. The generated corpus is materialized to parquet
+  * first; the probe times the operators, not the generator.
+  *
+  * Measures (docs/s): signature kernels (simhash56 / minhash16 /
+  * winnow56+word_grams), exact dedup, the 3×19-bit banded SimHash-Hamming
+  * join, and df-capped n-gram-Jaccard pairs.
+  * Usage: runMain graft.tools.PipelineScaleProbe [copies=20]  (20 ⇒ 100k
+  * docs ≈ 20× sf0.1; 200 ⇒ 1M docs)
+  *
+  * Measurement caveat for THIS container: /tmp sustains ~36 MB/s
+  * (measured with dd+fdatasync), so shuffle-heavy stages here are
+  * DISK-bound and their wall-clock swings minutes with IO contention;
+  * the map-only kernel stages and the row counts (which must scale
+  * linearly in `copies`) are the reliable signals. On real cluster
+  * hardware the shuffle stages are network/CPU-bound.
+  */
+object PipelineScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.TextOps.register(spark)
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val nBase = base.count()
+    val corpusPath = java.nio.file.Files.createTempDirectory("graft-pscale").toString
+    spark.range(copies).crossJoin(base)
+      .select((col("doc_id") + col("id") * nBase).as("doc_id"),
+        concat_ws(" ", transform(split(lower(col("text")), "\\s+"),
+          t => substring(md5(concat(t, lit("#"), col("id"))), 1, 6))).as("text"))
+      .write.mode("overwrite").parquet(corpusPath)
+    val docs = spark.read.parquet(corpusPath)
+    val n = docs.count()
+    println(s"[pscale] corpus: $n docs (${copies}x sf0.1)")
+
+    def timed(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[pscale] $label%-34s $dt%8.2f s  ${n / dt / 1000}%8.0fk docs/s  ($rows rows)")
+    }
+
+    import graft.functions.TextOps
+    timed("simhash56 signatures") {
+      docs.select(TextOps.simhash56Col(split(lower(col("text")), "\\s+")).as("s"))
+        .agg(sum(col("s"))).count()
+    }
+    timed("minhash16 signatures") {
+      docs.select(TextOps.minhash16Col(TextOps.shinglesCol(col("text"), lit(3))).as("m"))
+        .agg(sum(element_at(col("m"), 1))).count()
+    }
+    timed("winnow56 fingerprints") {
+      docs.select(explode(TextOps.winnow56Col(
+        TextOps.gramsCol(col("text"), lit(3)), lit(5))).as("fp")).count()
+    }
+    timed("exact dedup (prefix-40 groups)") {
+      docs.groupBy(substring(lower(col("text")), 1, 40).as("k"))
+        .agg(count(lit(1)).as("c"), min(col("doc_id")))
+        .where(col("c") > 1).count()
+    }
+    timed("simhash hamming<=2 pairs (banded)") {
+      val sims = docs.select(col("doc_id"),
+        TextOps.simhash56Col(split(lower(col("text")), "\\s+")).as("simhash"))
+      val bands = sims.select(col("doc_id"), col("simhash"),
+        posexplode(array(
+          col("simhash").bitwiseAND(lit((1L << 19) - 1)),
+          shiftright(col("simhash"), 19).bitwiseAND(lit((1L << 19) - 1)),
+          shiftright(col("simhash"), 38).bitwiseAND(lit((1L << 18) - 1)))))
+        .toDF("doc_id", "simhash", "band", "band_val")
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .where(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 2)
+        .count()
+    }
+    timed("capped n-gram-Jaccard pairs >= 0.25") {
+      val ex = graft.operators.NearDup.shinglesWithSize(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n"), TextOps.h56Col(col("g")).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = graft.operators.NearDup.cappedJaccardPairs(ex, "doc_id", 100L)
+        .where(col("jaccard") >= 0.25).count()
+      ex.unpersist(blocking = false)
+      out
+    }
+    spark.stop()
+  }
+}

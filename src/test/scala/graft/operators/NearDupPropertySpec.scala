@@ -57,6 +57,14 @@ class NearDupPropertySpec extends AnyFunSuite {
         .collect()
         .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
         .toMap
+      // the bare (id, g) input path computes sizes by aggregation instead
+      // of carrying them through the join — same answer required
+      val gotBare = NearDup
+        .cappedJaccardPairs(NearDup.shingles(docs, "doc_id", "text"), "doc_id", dfCap)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+        .toMap
+      assert(gotBare === got, s"carried-size vs aggregated-size mismatch (seed=$seed cap=$dfCap)")
       val want = model(texts, dfCap)
       assert(got.keySet === want.keySet, s"seed=$seed cap=$dfCap texts=$texts")
       want.foreach { case (k, j) =>
