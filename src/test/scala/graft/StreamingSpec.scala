@@ -86,6 +86,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("signature kernels run inside a streaming query (dedup-by-simhash)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.TextOps.register(spark)
+    val input = MemoryStream[(Long, String)]
+    // streaming exact-dup drop on the 56-bit simhash signature: a pure
+    // per-row map (no shuffle), then state-backed dropDuplicates — the
+    // streaming face of the batch q48 pipeline
+    val sigs = input.toDF().toDF("doc_id", "text")
+      .withColumn("simhash",
+        graft.functions.TextOps.simhash56Col(split(lower(col("text")), "\\s+")))
+      .dropDuplicates("simhash")
+    val q = sigs.writeStream.format("memory").queryName("sigdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the dog"),
+        (2L, "the quick brown fox jumps over the dog"), // exact dup text
+        (3L, "a completely different document about spark"))
+      q.processAllAvailable()
+      val rows = spark.table("sigdedup").orderBy("doc_id").collect()
+      assert(rows.length === 2)
+      assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 3L))
+      // batch and streaming kernels agree bit-for-bit
+      val batch = Seq("the quick brown fox jumps over the dog")
+        .toDF("text").select(graft.functions.TextOps
+          .simhash56Col(split(lower(col("text")), "\\s+")).as("s"))
+        .head().getLong(0)
+      assert(rows.head.getAs[Long]("simhash") === batch)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running max per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
