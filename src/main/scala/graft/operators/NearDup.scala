@@ -130,19 +130,33 @@ object NearDup {
   /** Exact Jaccard over full shingle sets, restricted to `cand` pairs —
     * the verify stage for SMALL candidate sets (q47's LSH banding emits
     * few candidates, so broadcasting them is the right plan; do NOT use
-    * this with the raw inverted-index pair set — see [[cappedJaccardPairs]]). */
+    * this with the raw inverted-index pair set — see [[cappedJaccardPairs]]).
+    * With a [[shinglesWithSize]] input the Jaccard denominators ride
+    * through the join (no sizes aggregate or joins at all). */
   def verifiedJaccard(ex: DataFrame, cand: DataFrame, idCol: String): DataFrame = {
-    val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val shared = ex.select(col(idCol).as("doc_a"), col("g"))
-      .join(broadcast(cand), Seq("doc_a"))
-      .join(ex.select(col(idCol).as("doc_b"), col("g")), Seq("doc_b", "g"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+    if (ex.columns.contains("n")) {
+      ex.select(col(idCol).as("doc_a"), col("n").as("na"), col("g"))
+        .join(broadcast(cand), Seq("doc_a"))
+        .join(ex.select(col(idCol).as("doc_b"), col("n").as("nb"), col("g")),
+          Seq("doc_b", "g"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"),
+          first(col("na")).as("na"), first(col("nb")).as("nb"))
+        .withColumn("jaccard",
+          col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+    } else {
+      val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      val shared = ex.select(col(idCol).as("doc_a"), col("g"))
+        .join(broadcast(cand), Seq("doc_a"))
+        .join(ex.select(col(idCol).as("doc_b"), col("g")), Seq("doc_b", "g"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jaccard",
+          col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+    }
   }
 
   /** End-to-end: near-dup pairs with exact Jaccard >= `minJaccard`. */

@@ -275,10 +275,12 @@ object Pipeline {
     // oracle, so LSH false negatives are parity-neutral.
     Entry("q47_minhash_lsh", Some(minhashOracleSql)) { (s, d) =>
       graft.functions.TextOps.register(s)
-      // hashed inverted index (8-byte keys, like q46), cached: the
-      // exact-Jaccard verify stage reads it three times
-      val ex = shingles(table(s, d, "documents"))
-        .select(col("doc_id"), graft.functions.TextOps.h56Col(col("g")).as("g"))
+      // hashed inverted index (8-byte keys, like q46) with carried per-doc
+      // sizes, cached: the exact-Jaccard verify joins it twice and its
+      // denominators ride through (no sizes aggregate)
+      val ex = graft.operators.NearDup
+        .shinglesWithSize(table(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n"), graft.functions.TextOps.h56Col(col("g")).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // signatures via the minhash16 codegen kernel: a pure per-row map —
       // no shuffle of the exploded shingle table into a 16-column min
