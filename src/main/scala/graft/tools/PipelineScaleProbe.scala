@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   * (same-vocabulary relabeling) while guaranteeing zero token overlap
   * ACROSS clones — so true-pair density per document is constant and the
   * candidate/pair volume of every stage must grow LINEARLY with the
-  * corpus. That linearity is what the probe exists to demonstrate: a
+  * corpus (exactly for shingle-based stages; approximately for simhash,
+  * whose borderline pairs depend on each clone's vocabulary hashes —
+  * ScaleLinearitySpec pins both properties, including zero cross-clone
+  * pairs). That linearity is what the probe exists to demonstrate: a
   * stage whose time grows faster than the corpus has a quadratic join or
   * an uncapped hot key. The generated corpus is materialized to parquet
   * first; the probe times the operators, not the generator.

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.TestSpark
+
+/** CI-sized version of PipelineScaleProbe's linearity argument: cloning
+  * the corpus with per-clone hashed vocabularies (within-clone near-dup
+  * structure preserved, zero cross-clone token overlap) must scale every
+  * dedup stage's OUTPUT exactly linearly in the clone count. A quadratic
+  * join or an uncapped hot key shows up as super-linear pair counts. */
+class ScaleLinearitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def cloned(copies: Int): DataFrame = {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val nBase = base.count()
+    spark.range(copies).crossJoin(base)
+      .select((col("doc_id") + col("id") * nBase).as("doc_id"),
+        concat_ws(" ", transform(split(lower(col("text")), "\\s+"),
+          t => substring(md5(concat(t, lit("#"), col("id"))), 1, 6))).as("text"))
+  }
+
+  private def jaccardPairs(docs: DataFrame): Long =
+    NearDup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.25, dfCap = 100L).count()
+
+  private def hammingPairs(docs: DataFrame): DataFrame = {
+    graft.functions.TextOps.register(spark)
+    val sims = docs.select(col("doc_id"),
+      graft.functions.TextOps.simhash56Col(split(lower(col("text")), "\\s+")).as("simhash"))
+    val bands = sims.select(col("doc_id"), col("simhash"),
+      posexplode(array(
+        col("simhash").bitwiseAND(lit((1L << 19) - 1)),
+        shiftright(col("simhash"), 19).bitwiseAND(lit((1L << 19) - 1)),
+        shiftright(col("simhash"), 38).bitwiseAND(lit((1L << 18) - 1)))))
+      .toDF("doc_id", "simhash", "band", "band_val")
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+      .where(col("h") <= 2).distinct()
+  }
+
+  test("near-dup pair counts scale linearly and never cross clones") {
+    val nBase = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    val one = cloned(1)
+    val three = cloned(3)
+    // Jaccard shares actual shingles, so clone counts replicate EXACTLY
+    val j1 = jaccardPairs(one)
+    val j3 = jaccardPairs(three)
+    assert(j1 > 0, "test premise: the base corpus has planted near-dups")
+    assert(j3 === 3 * j1, s"jaccard pairs must be clone-local: $j1 -> $j3")
+    // SimHash borderline outcomes depend on each clone's vocabulary
+    // hashes, so per-clone counts vary — the exact anti-quadratic property
+    // is that NO pair crosses clones (cross-clone signatures are
+    // independent 56-bit points; hamming<=2 odds ~1e-13)
+    val h3 = hammingPairs(three)
+    assert(h3.count() > 0)
+    val crossClone = h3
+      .where((col("doc_a") / nBase).cast("long") =!= (col("doc_b") / nBase).cast("long"))
+      .count()
+    assert(crossClone === 0L, s"$crossClone simhash pairs crossed clones")
+  }
+}
