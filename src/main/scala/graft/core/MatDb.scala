@@ -117,10 +117,22 @@ final class MatDb private (
   def asOf(txnId: Long): DataFrame = snapshot(Some(txnId))
 
   /** Key-ordered full scan — the reference's one query operator
-    * (scan.rs:183-238): newest version per key, ordered by dimensions. */
-  def orderedScan(): DataFrame = {
+    * (scan.rs:183-238): newest version per key, ordered by dimensions.
+    *
+    * One shuffle, not two: `snapshot().orderBy(dims)` would hash-exchange
+    * for the MVCC dedup aggregate and then range-exchange again for the
+    * global sort — the whole table moved twice. Range partitioning on the
+    * dimensions ALSO clusters equal keys (every version of a key lands in
+    * one partition), so a single `repartitionByRange(dims)` below feeds
+    * the dedup aggregate in place AND satisfies the final sort's ordered
+    * distribution partition-locally. PlanSpec pins the single-Exchange
+    * shape. At 100 TB this halves the engine's flagship-operator shuffle. */
+  def orderedScan(asOfTxn: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    snapshot().orderBy(schema.dimNames.map(col): _*)
+    val dims = schema.dimNames.map(col)
+    val visible = synchronized(committed).filter(s => asOfTxn.forall(s.txnId <= _))
+    val base = Scan.raw(spark, schema, segmentReadPaths(visible), extra = Nil)
+    Scan.dedup(base.repartitionByRange(dims: _*), schema).orderBy(dims: _*)
   }
 
   /** Commit history of this table: one row per committed segment with its

@@ -55,6 +55,9 @@ object ScaleProbe {
     timed("agg over resolved scan") {
       db.snapshot().groupBy(col("sensor_id")).agg(sum(col("value"))).count()
     }
+    timed("ordered scan (single-exchange)") {
+      println(s"[scale]   rows=${db.orderedScan().count()}")
+    }
     timed("compact()")(db.compact())
     timed("full resolved scan post-compact")(println(s"[scale]   rows=${db.snapshot().count()}"))
     timed("pruned scan post-compact") {

@@ -92,6 +92,31 @@ abstract class CoreProtocolBehaviors(protocolName: String)
     assert(rows.toSeq === Seq((1L, 1L), (1L, 2L), (5L, 1L), (120L, 7L)))
   }
 
+  test("ordered scan resolves MVCC and ships ONE exchange, not two") {
+    val path = tmpDir()
+    val db = create(path)
+    val t1 = db.newTransaction()
+    t1.addRowsSeq(Seq(Seq(1L, 1L, 10L), Seq(2L, 1L, 20L)))
+    t1.commit()
+    val t2 = db.newTransaction()
+    t2.addRowsSeq(Seq(Seq(1L, 1L, 11L))) // upsert of (1,1)
+    t2.commit()
+    val scan = db.orderedScan()
+    // newest version per key, key-ordered
+    assert(scan.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((1L, 1L, 11L), (2L, 1L, 20L)))
+    // the single range exchange clusters equal keys for the dedup
+    // aggregate AND satisfies the final sort — snapshot().orderBy would
+    // move the table twice (hash for the groupBy, range for the sort)
+    // AQE prints the final plan first and the pre-adaptive one after —
+    // count exchanges in the final section only
+    val plan = scan.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(exchanges === 1, s"expected exactly one Exchange:\n$plan")
+  }
+
   test("newest txn wins across commits; later batch wins within txn") {
     val path = tmpDir()
     val db = create(path)
