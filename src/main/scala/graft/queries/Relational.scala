@@ -599,6 +599,48 @@ object Relational {
         .orderBy(col("o_orderpriority"), col("rn"))
     },
 
+    // ---- pivot (wide aggregation) --------------------------------------
+    // Dataset.pivot with an explicit value list (deterministic columns; an
+    // inferred list would be a distinct scan) — one hash aggregate, cells
+    // as decimal-exact sums. The oracle is the CASE-sum spelling, which is
+    // exactly the rewrite Spark's pivot performs.
+    Entry("q59_pivot", Some(
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_F,
+        |       CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_O,
+        |       CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_F,
+        |       CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) { (s, d) =>
+      table(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice").cast("decimal(18,2)").as("p"))
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("p")).as("rev"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("F_rev").cast("double").as("rev_F"),
+          col("O_rev").cast("double").as("rev_O"),
+          col("F_n").cast("long").as("n_F"),
+          col("O_n").cast("long").as("n_O"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- unpivot / melt (long-form reshape, pivot's inverse) -----------
+    // Dataset.unpivot — no shuffle at all (a Generate over the scan); the
+    // oracle is the UNION-ALL spelling every engine agrees on.
+    Entry("q60_unpivot", Some(
+      """SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |ORDER BY p_partkey, metric""".stripMargin)) { (s, d) =>
+      table(s, d, "part")
+        .select(col("p_partkey"),
+          col("p_retailprice").cast("double"), col("p_size").cast("double"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")), "metric", "value")
+        .orderBy(col("p_partkey"), col("metric"))
+    },
+
     // ---- scalar subquery ------------------------------------------------
     Entry("q35_scalar_subquery", Some(
       """SELECT o_orderkey, o_totalprice FROM orders
