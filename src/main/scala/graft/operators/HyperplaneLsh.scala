@@ -76,13 +76,14 @@ object HyperplaneLsh {
     }
     val q = q0.withColumn("bucket", explode(array_distinct(probes)))
       .select(col("qid"), col("qv"), col("bucket"))
+    // no dedup needed: each corpus vector lives in exactly ONE bucket and
+    // the probe list is array_distinct'ed, so the bucket equi-join emits
+    // at most one row per (query, candidate)
     broadcast(q).join(cand, Seq("bucket"))
       .where(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol),
         (dot(col("qv"), col("v")) /
           sqrt(dot(col("qv"), col("qv")) * dot(col("v"), col("v")))).as("score"))
-      // a candidate can surface via several probes: keep one copy
-      .distinct()
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("score").desc, col(idCol))).cast("long"))
       .where(col("rn") <= k)

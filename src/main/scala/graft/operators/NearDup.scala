@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
+  /** Reserved column name for the carried per-document distinct-shingle
+    * count ([[shinglesWithSize]]); the underscore prefix keeps it out of
+    * collision range of ordinary data columns — the carried-size branches
+    * of [[cappedJaccardPairs]]/[[verifiedJaccard]] key off its presence. */
+  val SizeCol = "_shingle_n"
+
   /** (id, g): exploded DISTINCT word n-gram shingles of `textCol` — the
     * single-pass codegen kernel [[graft.functions.WordShingles]] (same
     * tokens/distinct/order as the composed split+transform+array_distinct
@@ -48,7 +54,7 @@ object NearDup {
     graft.functions.TextOps.register(df.sparkSession)
     df.select(col(idCol),
         graft.functions.TextOps.shinglesCol(col(textCol), lit(n)).as("_gs"))
-      .select(col(idCol), size(col("_gs")).as("n"), explode(col("_gs")).as("g"))
+      .select(col(idCol), size(col("_gs")).as(SizeCol), explode(col("_gs")).as("g"))
   }
 
   /** Shingles with document frequency above the cap — SMALL by
@@ -88,7 +94,7 @@ object NearDup {
     * never surfaces (the oracle replays the same rule). */
   def cappedJaccardPairs(ex: DataFrame, idCol: String, dfCap: Long): DataFrame = {
     val hot = hotShingles(ex, dfCap)
-    val carriedSizes = ex.columns.contains("n")
+    val carriedSizes = ex.columns.contains(SizeCol)
     val capped = ex.join(broadcast(hot), Seq("g"), "left_anti")
     // when ex carries per-doc sizes (shinglesWithSize), the denominators
     // ride through the self-join and the pair table never joins a sizes
@@ -101,7 +107,7 @@ object NearDup {
             col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))
           .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
           .agg(count(lit(1)).as("shared_c"),
-            first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+            first(col(s"a.$SizeCol")).as("na"), first(col(s"b.$SizeCol")).as("nb"))
       else {
         val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
         capped.as("a").join(capped.as("b"),
@@ -134,10 +140,10 @@ object NearDup {
     * With a [[shinglesWithSize]] input the Jaccard denominators ride
     * through the join (no sizes aggregate or joins at all). */
   def verifiedJaccard(ex: DataFrame, cand: DataFrame, idCol: String): DataFrame = {
-    if (ex.columns.contains("n")) {
-      ex.select(col(idCol).as("doc_a"), col("n").as("na"), col("g"))
+    if (ex.columns.contains(SizeCol)) {
+      ex.select(col(idCol).as("doc_a"), col(SizeCol).as("na"), col("g"))
         .join(broadcast(cand), Seq("doc_a"))
-        .join(ex.select(col(idCol).as("doc_b"), col("n").as("nb"), col("g")),
+        .join(ex.select(col(idCol).as("doc_b"), col(SizeCol).as("nb"), col("g")),
           Seq("doc_b", "g"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("shared"),

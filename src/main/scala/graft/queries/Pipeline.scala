@@ -82,15 +82,15 @@ object Pipeline {
 
   private def embD(c: Column): Column = c.cast("array<double>")
 
-  /** 16-bit random-hyperplane LSH bucket of a double-array embedding —
-    * codegen form: per-plane literal weight arrays dotted with vec_dot
-    * (identical left fold to the HOF/`list_reduce` form, so the bucket
-    * bits are bit-identical to the q51 oracle's arithmetic). */
+  /** The q51/q56 oracle's 16 deterministic pseudo-planes. Bucketing is
+    * [[graft.operators.HyperplaneLsh.bucket]] (codegen vec_dot per plane;
+    * identical left fold to the HOF/`list_reduce` form, so the bucket bits
+    * are bit-identical to the oracle's arithmetic). */
+  private val lshPlanes: Seq[Seq[Double]] = (0 until 16).map { j =>
+    (0 until 64).map(i => ((j * 1009 + i * 31) % 97) / 97.0 - 0.5)
+  }
   private def lshBucket(emb: Column): Column =
-    (0 until 16).map { j =>
-      val plane = (0 until 64).map(i => ((j * 1009 + i * 31) % 97) / 97.0 - 0.5)
-      when(dotD(emb, typedlit(plane)) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.operators.HyperplaneLsh.bucket(emb, lshPlanes)
 
   val entries: Seq[Entry] = Seq(
 
@@ -261,7 +261,8 @@ object Pipeline {
       // broadcasting long before 100 TB)
       val ex = graft.operators.NearDup
         .shinglesWithSize(table(s, d, "documents"), "doc_id", "text")
-        .select(col("doc_id"), col("n"), graft.functions.TextOps.h56Col(col("g")).as("g"))
+        .select(col("doc_id"), col(graft.operators.NearDup.SizeCol),
+          graft.functions.TextOps.h56Col(col("g")).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.operators.NearDup
         .cappedJaccardPairs(ex, "doc_id", DfCap)
@@ -280,7 +281,8 @@ object Pipeline {
       // denominators ride through (no sizes aggregate)
       val ex = graft.operators.NearDup
         .shinglesWithSize(table(s, d, "documents"), "doc_id", "text")
-        .select(col("doc_id"), col("n"), graft.functions.TextOps.h56Col(col("g")).as("g"))
+        .select(col("doc_id"), col(graft.operators.NearDup.SizeCol),
+          graft.functions.TextOps.h56Col(col("g")).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // signatures via the minhash16 codegen kernel: a pure per-row map —
       // no shuffle of the exploded shingle table into a 16-column min
@@ -326,39 +328,14 @@ object Pipeline {
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
          |ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
-      // EXACT banded join, no cartesian product: 56 bits split into THREE
-      // bands (19+19+18) — by pigeonhole, Hamming distance <= 2 (threshold
-      // below) can touch at most 2 bands, so at least one matches exactly:
-      // candidates-by-band ⊇ all qualifying pairs and the result equals
-      // brute force (the oracle IS brute force). Three wide bands beat the
-      // earlier 7×8-bit split ~4x: 2^18+ buckets instead of 2^8 collapses
-      // per-band collisions (the join cost) while still emitting only 3
-      // band rows per doc instead of 7.
-      val sims = simhashSpark(s, d)
-      val bands = sims.select(col("doc_id"), col("simhash"),
-        posexplode(array(
-          col("simhash").bitwiseAND(lit((1L << 19) - 1)),
-          shiftright(col("simhash"), 19).bitwiseAND(lit((1L << 19) - 1)),
-          shiftright(col("simhash"), 38).bitwiseAND(lit((1L << 18) - 1)))))
-        .toDF("doc_id", "simhash", "band", "band_val")
-      // no distinct(): a pair that collides in several bands is kept only by
-      // its FIRST matching band (cheap bit-compare filter on the carried
-      // signatures) — removes the dedup shuffle over the candidate set.
-      def bval(c: Column, j: Int): Column = j match {
-        case 0 => c.bitwiseAND(lit((1L << 19) - 1))
-        case 1 => shiftright(c, 19).bitwiseAND(lit((1L << 19) - 1))
-        case _ => shiftright(c, 38).bitwiseAND(lit((1L << 18) - 1))
-      }
-      val sa = col("a.simhash"); val sb = col("b.simhash")
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .where(col("a.band") === 0 ||
-          (col("a.band") === 1 && bval(sa, 0) =!= bval(sb, 0)) ||
-          (col("a.band") === 2 && bval(sa, 0) =!= bval(sb, 0) && bval(sa, 1) =!= bval(sb, 1)))
-        .withColumn("hamming", bit_count(sa.bitwiseXOR(sb)).cast("long"))
-        .where(col("hamming") <= 2)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+      // EXACT banded join, no cartesian product and no candidate dedup
+      // shuffle — graft.operators.SimHashBands (shared with the scale
+      // probe and ScaleLinearitySpec): 3×~19-bit bands are pigeonhole-
+      // exhaustive for Hamming <= 2, first-matching-band keeps each pair
+      // once, and 2^18+ buckets collapse per-band collisions (the earlier
+      // 7×8-bit split had 2^8 buckets — ~4x slower).
+      graft.operators.SimHashBands
+        .hammingPairs(simhashSpark(s, d), "doc_id", maxDist = 2)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 

@@ -611,6 +611,10 @@ object Relational {
         |       CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_F,
         |       CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_O
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) { (s, d) =>
+      // coalesce the cells: an absent (flag, status) combination is NULL
+      // from Spark's pivot rewrite but 0 from the oracle's ELSE-0 CASE
+      // spelling — latent on this corpus (all six combos exist at every
+      // SF) but a real divergence on e.g. true TPC-H distributions
       table(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"),
           col("l_extendedprice").cast("decimal(18,2)").as("p"))
@@ -618,10 +622,10 @@ object Relational {
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sum(col("p")).as("rev"), count(lit(1)).as("n"))
         .select(col("l_returnflag"),
-          col("F_rev").cast("double").as("rev_F"),
-          col("O_rev").cast("double").as("rev_O"),
-          col("F_n").cast("long").as("n_F"),
-          col("O_n").cast("long").as("n_O"))
+          coalesce(col("F_rev").cast("double"), lit(0.0)).as("rev_F"),
+          coalesce(col("O_rev").cast("double"), lit(0.0)).as("rev_O"),
+          coalesce(col("F_n").cast("long"), lit(0L)).as("n_F"),
+          coalesce(col("O_n").cast("long"), lit(0L)).as("n_O"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -32,6 +32,18 @@ import org.apache.spark.sql.functions._
   * hardware the shuffle stages are network/CPU-bound.
   */
 object PipelineScaleProbe {
+
+  /** The clone-scaled corpus: every token rewritten as a 6-hex-char hash
+    * of (token, clone id). Shared with ScaleLinearitySpec so the CI
+    * linearity pin and the probe measure the SAME corpus construction. */
+  def clonedCorpus(base: DataFrame, copies: Int): DataFrame = {
+    val nBase = base.count()
+    base.sparkSession.range(copies).crossJoin(base)
+      .select((col("doc_id") + col("id") * nBase).as("doc_id"),
+        concat_ws(" ", transform(split(lower(col("text")), "\\s+"),
+          t => substring(md5(concat(t, lit("#"), col("id"))), 1, 6))).as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(20)
     val spark = SparkSession.builder().master("local[32]")
@@ -43,13 +55,8 @@ object PipelineScaleProbe {
 
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val nBase = base.count()
     val corpusPath = java.nio.file.Files.createTempDirectory("graft-pscale").toString
-    spark.range(copies).crossJoin(base)
-      .select((col("doc_id") + col("id") * nBase).as("doc_id"),
-        concat_ws(" ", transform(split(lower(col("text")), "\\s+"),
-          t => substring(md5(concat(t, lit("#"), col("id"))), 1, 6))).as("text"))
-      .write.mode("overwrite").parquet(corpusPath)
+    clonedCorpus(base, copies).write.mode("overwrite").parquet(corpusPath)
     val docs = spark.read.parquet(corpusPath)
     val n = docs.count()
     println(s"[pscale] corpus: $n docs (${copies}x sf0.1)")
@@ -82,21 +89,11 @@ object PipelineScaleProbe {
     timed("simhash hamming<=2 pairs (banded)") {
       val sims = docs.select(col("doc_id"),
         TextOps.simhash56Col(split(lower(col("text")), "\\s+")).as("simhash"))
-      val bands = sims.select(col("doc_id"), col("simhash"),
-        posexplode(array(
-          col("simhash").bitwiseAND(lit((1L << 19) - 1)),
-          shiftright(col("simhash"), 19).bitwiseAND(lit((1L << 19) - 1)),
-          shiftright(col("simhash"), 38).bitwiseAND(lit((1L << 18) - 1)))))
-        .toDF("doc_id", "simhash", "band", "band_val")
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .where(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 2)
-        .count()
+      graft.operators.SimHashBands.hammingPairs(sims, "doc_id", maxDist = 2).count()
     }
     timed("capped n-gram-Jaccard pairs >= 0.25") {
       val ex = graft.operators.NearDup.shinglesWithSize(docs, "doc_id", "text")
-        .select(col("doc_id"), col("n"), TextOps.h56Col(col("g")).as("g"))
+        .select(col("doc_id"), col(graft.operators.NearDup.SizeCol), TextOps.h56Col(col("g")).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val out = graft.operators.NearDup.cappedJaccardPairs(ex, "doc_id", 100L)
         .where(col("jaccard") >= 0.25).count()

@@ -13,15 +13,12 @@ import graft.core.TestSpark
 class ScaleLinearitySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def cloned(copies: Int): DataFrame = {
-    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val nBase = base.count()
-    spark.range(copies).crossJoin(base)
-      .select((col("doc_id") + col("id") * nBase).as("doc_id"),
-        concat_ws(" ", transform(split(lower(col("text")), "\\s+"),
-          t => substring(md5(concat(t, lit("#"), col("id"))), 1, 6))).as("text"))
-  }
+  // the probe's generator, shared so this spec pins the construction the
+  // probe actually measures
+  private def cloned(copies: Int): DataFrame =
+    graft.tools.PipelineScaleProbe.clonedCorpus(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text")), copies)
 
   private def jaccardPairs(docs: DataFrame): Long =
     NearDup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.25, dfCap = 100L).count()
@@ -30,18 +27,7 @@ class ScaleLinearitySpec extends AnyFunSuite {
     graft.functions.TextOps.register(spark)
     val sims = docs.select(col("doc_id"),
       graft.functions.TextOps.simhash56Col(split(lower(col("text")), "\\s+")).as("simhash"))
-    val bands = sims.select(col("doc_id"), col("simhash"),
-      posexplode(array(
-        col("simhash").bitwiseAND(lit((1L << 19) - 1)),
-        shiftright(col("simhash"), 19).bitwiseAND(lit((1L << 19) - 1)),
-        shiftright(col("simhash"), 38).bitwiseAND(lit((1L << 18) - 1)))))
-      .toDF("doc_id", "simhash", "band", "band_val")
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
-      .where(col("h") <= 2).distinct()
+    SimHashBands.hammingPairs(sims, "doc_id", maxDist = 2)
   }
 
   test("near-dup pair counts scale linearly and never cross clones") {
