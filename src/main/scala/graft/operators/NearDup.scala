@@ -93,7 +93,14 @@ object NearDup {
     * semantic delta vs uncapped: a pair sharing exclusively hot shingles
     * never surfaces (the oracle replays the same rule). */
   def cappedJaccardPairs(ex: DataFrame, idCol: String, dfCap: Long): DataFrame = {
+    // hot is TINY by construction (≤ shingle rows / dfCap values) but sits
+    // under three consumers (both anti-join sides of the self-join + the
+    // hotDocs join); without a persist each consumer re-runs the full df
+    // aggregate over ex — one extra pass per consumer, measured ~0.3 s each
+    // at sf0.1. Released by the per-query clearCache() (bench/verify) or
+    // the block manager's LRU.
     val hot = hotShingles(ex, dfCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val carriedSizes = ex.columns.contains(SizeCol)
     val capped = ex.join(broadcast(hot), Seq("g"), "left_anti")
     // when ex carries per-doc sizes (shinglesWithSize), the denominators
@@ -103,11 +110,23 @@ object NearDup {
     // once sizes stops broadcasting
     val sharedCapped =
       if (carriedSizes)
+        // both denominators travel packed in ONE long grouping key instead
+        // of two first() buffers: the pair aggregate's row shrinks from
+        // (2 key longs + count + 2 first-buffers-with-flags) to (3 key
+        // longs + count) — at sf0.1 this exchange carries 1.1M mostly-
+        // unique pairs, so buffer bytes and update branches are the cost.
+        // (na, nb are per-doc DISTINCT-shingle counts: ints by
+        // construction, so 32 bits each is not a range assumption.)
         capped.as("a").join(capped.as("b"),
             col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))
-          .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-          .agg(count(lit(1)).as("shared_c"),
-            first(col(s"a.$SizeCol")).as("na"), first(col(s"b.$SizeCol")).as("nb"))
+          .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+            shiftleft(col(s"a.$SizeCol").cast("long"), 32)
+              .bitwiseOR(col(s"b.$SizeCol").cast("long")).as("_nk"))
+          .groupBy(col("doc_a"), col("doc_b"), col("_nk"))
+          .agg(count(lit(1)).as("shared_c"))
+          .withColumn("na", shiftright(col("_nk"), 32))
+          .withColumn("nb", col("_nk").bitwiseAND(lit(0xffffffffL)))
+          .drop("_nk")
       else {
         val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
         capped.as("a").join(capped.as("b"),
