@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreOps, Pipeline, Q, Relational}
+import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,12 +11,14 @@ import graft.queries.{CoreOps, Pipeline, Q, Relational}
   *     range pruning, count) — the table-format implementation itself lives
   *     in [[graft.core]].
   *   - [[graft.queries.Relational]] q06-q35: full relational checklist.
-  *   - [[graft.queries.Pipeline]]   q40-q52: LLM-data-pipeline operators
+  *   - [[graft.queries.Pipeline]]   q40-q60: LLM-data-pipeline operators
   *     (text analysis, dedup family, similarity search, multimodal).
+  *   - [[graft.queries.Curation]]   q61-q68: corpus curation/profiling
+  *     (sampling, sessions, scrubbing, repetition, caps, stats, TF-IDF).
   */
 object SparkEntry {
   private lazy val battery: Seq[Q.Entry] =
-    CoreOps.entries ++ Relational.entries ++ Pipeline.entries
+    CoreOps.entries ++ Relational.entries ++ Pipeline.entries ++ Curation.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -17,8 +17,16 @@ class TopKAggregator(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored
   private def trim(xs: List[Scored]): List[Scored] =
     xs.sortBy(s => (-s.score, s.id)).take(k)
 
+  /** Invariant: every buffer this aggregator produces is sorted and ≤ k
+    * long, so a full buffer rejects a non-qualifying row with one
+    * comparison against its kth (last) element — the common case once a
+    * partition warms up — instead of a per-row sort. */
   override def reduce(buf: List[Scored], a: Scored): List[Scored] =
-    trim(a :: buf)
+    if (buf.lengthCompare(k) >= 0) {
+      val kth = buf.last
+      if (a.score < kth.score || (a.score == kth.score && a.id > kth.id)) buf
+      else trim(a :: buf)
+    } else trim(a :: buf)
 
   override def merge(b1: List[Scored], b2: List[Scored]): List[Scored] =
     trim(b1 ++ b2)

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Queries q61-q68: corpus curation and profiling — the remaining
+  * operations a large-scale training-data pipeline runs besides dedup and
+  * similarity search (no reference counterpart — matdb has no text or
+  * profiling operators): deterministic sampling/splits, sessionization,
+  * text scrubbing, repetition quality signals, per-source caps, exact
+  * correlation profiling, histograms, TF-IDF term weighting.
+  *
+  * Every query follows the cross-engine determinism rules in [[Q]]; the
+  * hash-based ones reuse the 56-bit md5 hash trick from [[Pipeline]] so the
+  * DuckDB oracle replays them bit-identically.
+  */
+object Curation {
+
+  /** 56-bit md5-based hash — Spark side (same as Pipeline.h56). */
+  private def h56(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+  private def h56Sql(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 14))::BIGINT)"
+
+  /** Session gap: 30 minutes in MICROseconds. events.ts is nanosecond
+    * parquet, but DuckDB (1.0) truncates it to µs TIMESTAMP on read, so the
+    * finest cross-engine grain is truncated microseconds: Spark replays the
+    * truncation with `ts div 1000` (ts is positive — floor = truncate). */
+  private val SessionGapUs = 1800000000L
+
+  val entries: Seq[Entry] = Seq(
+
+    // ---- deterministic stratified sampling ------------------------------
+    // Train/eval splits and per-source downsampling must be reproducible
+    // across runs and engines, so the sample decision is a pure function
+    // of the row key: 56-bit md5 hash mod 10 under a per-source rate.
+    // Embarrassingly parallel — a filter over the scan, no shuffle, and at
+    // 100 TB the same predicate IS the sample (no reservoir state).
+    Entry("q61_sample_hash", Some(
+      s"""SELECT doc_id, source, ${h56Sql("CAST(doc_id AS VARCHAR)")} % 10 AS sample_bucket
+         |FROM documents
+         |WHERE ${h56Sql("CAST(doc_id AS VARCHAR)")} % 10 <
+         |      CASE WHEN source IN ('src0', 'src1', 'src2') THEN 5 ELSE 1 END
+         |ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val bucket = h56(col("doc_id").cast("string")) % 10
+      table(s, d, "documents")
+        .select(col("doc_id"), col("source"), bucket.as("sample_bucket"))
+        .where(col("sample_bucket") <
+          when(col("source").isin("src0", "src1", "src2"), 5).otherwise(1))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- sessionization --------------------------------------------------
+    // Gap-based sessions (new session when >30 min since the user's last
+    // event): the lag-flag + running-sum idiom. Both window passes
+    // partition by user_id — one shuffle on user_id total, no global sort;
+    // the per-user partitions are the unit of parallelism at any scale.
+    Entry("q62_sessionize", Some(
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) tu FROM events),
+         |m AS (SELECT user_id, tu,
+         |             CASE WHEN lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) IS NULL
+         |                    OR tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) > $SessionGapUs
+         |                  THEN 1 ELSE 0 END is_new
+         |      FROM e),
+         |s AS (SELECT user_id, tu,
+         |             sum(is_new) OVER (PARTITION BY user_id ORDER BY tu
+         |                               ROWS UNBOUNDED PRECEDING) sid
+         |      FROM m)
+         |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+         |       count(*) AS n_events, min(tu) AS start_us, max(tu) AS end_us,
+         |       max(tu) - min(tu) AS span_us
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, session_id""".stripMargin)) { (s, d) =>
+      val tus = expr("ts div 1000")
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, d, "events")
+        .select(col("user_id"), col("event_id"), tus.as("tu"))
+        .withColumn("is_new",
+          when(lag(col("tu"), 1).over(byTs).isNull ||
+            col("tu") - lag(col("tu"), 1).over(byTs) > SessionGapUs, 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("tu")).as("start_us"),
+          max(col("tu")).as("end_us"), (max(col("tu")) - min(col("tu"))).as("span_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // ---- text scrubbing (PII-redaction machinery) ------------------------
+    // Regex term scrubbing with hit accounting — the exact shape of a PII
+    // pass (emails/phones/ids swap in as patterns; this corpus is synthetic
+    // word-salad, so the demo list is two plain terms). Pure per-row map.
+    Entry("q63_redact_terms", Some(
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '\b(customer|value)\b')) AS BIGINT) AS n_hits,
+        |       md5(regexp_replace(text, '\b(customer|value)\b', '[X]', 'g')) AS clean_fp
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      table(s, d, "documents").select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("\\b(customer|value)\\b")).cast("long").as("n_hits"),
+        md5(regexp_replace(col("text"), "\\b(customer|value)\\b", "[X]")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- repetition / diversity quality signal ---------------------------
+    // Gopher-style repetition filters: distinct-token ratio and the mass of
+    // the single most frequent token. Token counts need one shuffle on
+    // (doc_id, token); everything after is per-doc.
+    Entry("q64_repetition_profile", Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) w
+        |             FROM documents),
+        |cnt AS (SELECT doc_id, w, count(*) c FROM tok GROUP BY doc_id, w)
+        |SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_n,
+        |       CAST(max(c) AS DOUBLE) / sum(c) AS top_frac,
+        |       CAST(count(*) AS DOUBLE) / sum(c) AS distinct_ratio
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_n"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_n"),
+          (col("top_n").cast("double") / col("n_tokens")).as("top_frac"),
+          (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- per-source caps (corpus balancing) ------------------------------
+    // Domain/source quotas: keep each source's 5 largest docs. The grouped
+    // top-k shape again (cf. q58's O(k) UDAF — here the window form, whose
+    // per-group sort is the point: rank WITHIN source).
+    Entry("q65_source_cap", Some(
+      """SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) rn
+        |  FROM documents) t
+        |WHERE rn <= 5 ORDER BY source, rn""".stripMargin)) { (s, d) =>
+      table(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+        .where(col("rn") <= 5)
+        .orderBy(col("source"), col("rn"))
+    },
+
+    // ---- exact correlation profiling -------------------------------------
+    // Pearson correlation from DECIMAL-exact power sums (built-in corr()
+    // streams doubles in partition order — nondeterministic across engines;
+    // this form is exact until the final double expression, which both
+    // engines evaluate in the identical order). One hash aggregate.
+    Entry("q66_corr_exact", Some(
+      """SELECT l_returnflag, n,
+        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price,
+        |       CAST(sx AS DOUBLE) / n AS avg_qty, CAST(sy AS DOUBLE) / n AS avg_price
+        |FROM (SELECT l_returnflag, count(*) n,
+        |             sum(CAST(l_quantity AS DECIMAL(18,2))) sx,
+        |             sum(CAST(l_extendedprice AS DECIMAL(18,2))) sy,
+        |             sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) sxx,
+        |             sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) syy,
+        |             sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) sxy
+        |      FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY l_returnflag""".stripMargin)) { (s, d) =>
+      val x = dec2(col("l_quantity"))
+      val y = dec2(col("l_extendedprice"))
+      val n = col("n").cast("double")
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((n * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((n * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
+              (n * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
+            .as("corr_qty_price"),
+          (col("sx").cast("double") / col("n")).as("avg_qty"),
+          (col("sy").cast("double") / col("n")).as("avg_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- fixed-width histogram -------------------------------------------
+    // Value-distribution profiling: bucket = floor(value / width). The
+    // bucketing is a per-row map into a small-cardinality hash aggregate —
+    // the profile of a 100 TB column costs one scan.
+    Entry("q67_histogram", Some(
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n,
+        |       min(value) AS lo, max(value) AS hi
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)) { (s, d) =>
+      table(s, d, "events")
+        .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- TF-IDF term weighting --------------------------------------------
+    // Top-3 characteristic terms per document, scored tf·N/df (the idf is
+    // kept rational — log() is libm-dependent and monotone, so rankings are
+    // identical). tf and df are two hash aggregates over the token explode;
+    // the corpus size N rides in as a broadcast 1-row cross join, never a
+    // driver-side constant.
+    Entry("q68_tfidf_topterms", Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) w
+        |             FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) tf FROM tok GROUP BY doc_id, w),
+        |df AS (SELECT w, count(DISTINCT doc_id) dfw FROM tok GROUP BY w),
+        |n AS (SELECT count(*) nd FROM documents),
+        |scored AS (SELECT doc_id, w, CAST(tf * nd AS DOUBLE) / dfw AS score
+        |           FROM tf JOIN df USING (w) CROSS JOIN n)
+        |SELECT doc_id, w AS term, score, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT doc_id, w, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) rn
+        |  FROM scored) t
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)) { (s, d) =>
+      val tok = table(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfw = tok.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("dfw"))
+      val nd = table(s, d, "documents").agg(count(lit(1)).as("nd"))
+      tf.join(dfw, Seq("w")).crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("w"),
+          ((col("tf") * col("nd")).cast("double") / col("dfw")).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("doc_id"), col("w").as("term"), col("score"), col("rn"))
+        .orderBy(col("doc_id"), col("rn"))
+    }
+  )
+}
