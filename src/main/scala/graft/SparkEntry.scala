@@ -13,8 +13,9 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
   *   - [[graft.queries.Relational]] q06-q35: full relational checklist.
   *   - [[graft.queries.Pipeline]]   q40-q60: LLM-data-pipeline operators
   *     (text analysis, dedup family, similarity search, multimodal).
-  *   - [[graft.queries.Curation]]   q61-q68: corpus curation/profiling
-  *     (sampling, sessions, scrubbing, repetition, caps, stats, TF-IDF).
+  *   - [[graft.queries.Curation]]   q61-q72: corpus curation/profiling
+  *     (sampling, sessions, scrubbing, repetition, caps, stats, TF-IDF,
+  *     decontamination, passage dedup, Zipf, embedding profile).
   */
 object SparkEntry {
   private lazy val battery: Seq[Q.Entry] =

@@ -4,12 +4,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
 
-/** Queries q61-q68: corpus curation and profiling — the remaining
+/** Queries q61-q72: corpus curation and profiling — the remaining
   * operations a large-scale training-data pipeline runs besides dedup and
   * similarity search (no reference counterpart — matdb has no text or
   * profiling operators): deterministic sampling/splits, sessionization,
   * text scrubbing, repetition quality signals, per-source caps, exact
-  * correlation profiling, histograms, TF-IDF term weighting.
+  * correlation profiling, histograms, TF-IDF term weighting, test-set
+  * decontamination, passage-level dedup, Zipf token profiling, and
+  * embedding-column profiling.
   *
   * Every query follows the cross-engine determinism rules in [[Q]]; the
   * hash-based ones reuse the 56-bit md5 hash trick from [[Pipeline]] so the
@@ -149,39 +151,53 @@ object Curation {
     },
 
     // ---- exact correlation profiling -------------------------------------
-    // Pearson correlation from DECIMAL-exact power sums (built-in corr()
-    // streams doubles in partition order — nondeterministic across engines;
-    // this form is exact until the final double expression, which both
-    // engines evaluate in the identical order). One hash aggregate.
+    // Pearson correlation from exact INTEGER power sums (built-in corr()
+    // streams doubles in partition order — nondeterministic across engines).
+    // Inputs are scaled to cents/hundredths as BIGINT (correlation is
+    // scale-invariant, so the ×100 cancels); every aggregate is exact
+    // integer arithmetic, and every value cast to DOUBLE is integer-valued —
+    // the one conversion both engines round identically. (A DECIMAL(38,4)
+    // power sum would be exact too, but its →DOUBLE cast divides by 10^4
+    // AFTER rounding the mantissa in DuckDB and BEFORE in Spark: a 1-ULP
+    // hash mismatch, observed at sf0.001.) One hash aggregate.
     Entry("q66_corr_exact", Some(
       """SELECT l_returnflag, n,
         |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price,
-        |       CAST(sx AS DOUBLE) / n AS avg_qty, CAST(sy AS DOUBLE) / n AS avg_price
+        |       CAST(sx AS DOUBLE) / 100.0 / n AS avg_qty,
+        |       CAST(sy AS DOUBLE) / 100.0 / n AS avg_price
         |FROM (SELECT l_returnflag, count(*) n,
-        |             sum(CAST(l_quantity AS DECIMAL(18,2))) sx,
-        |             sum(CAST(l_extendedprice AS DECIMAL(18,2))) sy,
-        |             sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) sxx,
-        |             sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) syy,
-        |             sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) sxy
-        |      FROM lineitem GROUP BY l_returnflag) t
+        |             CAST(sum(qx) AS BIGINT) sx, CAST(sum(qy) AS BIGINT) sy,
+        |             sum(CAST(qx AS HUGEINT) * qx) sxx,
+        |             sum(CAST(qy AS HUGEINT) * qy) syy,
+        |             sum(CAST(qx AS HUGEINT) * qy) sxy
+        |      FROM (SELECT l_returnflag,
+        |                   CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) qx,
+        |                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) qy
+        |            FROM lineitem) r
+        |      GROUP BY l_returnflag) t
         |ORDER BY l_returnflag""".stripMargin)) { (s, d) =>
-      val x = dec2(col("l_quantity"))
-      val y = dec2(col("l_extendedprice"))
+      import org.apache.spark.sql.types.DecimalType
+      val qx = (dec2(col("l_quantity")) * 100).cast("long")
+      val qy = (dec2(col("l_extendedprice")) * 100).cast("long")
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
       val n = col("n").cast("double")
       table(s, d, "lineitem")
+        .select(col("l_returnflag"), qx.as("qx"), qy.as("qy"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(x).as("sx"), sum(y).as("sy"),
-          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+          sum(col("qx")).cast("long").as("sx"), sum(col("qy")).cast("long").as("sy"),
+          sum(d38(col("qx")) * d38(col("qx"))).as("sxx"),
+          sum(d38(col("qy")) * d38(col("qy"))).as("syy"),
+          sum(d38(col("qx")) * d38(col("qy"))).as("sxy"))
         .select(col("l_returnflag"), col("n"),
           ((n * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
             sqrt((n * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
               (n * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
             .as("corr_qty_price"),
-          (col("sx").cast("double") / col("n")).as("avg_qty"),
-          (col("sy").cast("double") / col("n")).as("avg_price"))
+          (col("sx").cast("double") / 100.0 / col("n")).as("avg_qty"),
+          (col("sy").cast("double") / 100.0 / col("n")).as("avg_price"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -232,6 +248,153 @@ object Curation {
         .where(col("rn") <= 3)
         .select(col("doc_id"), col("w").as("term"), col("score"), col("rn"))
         .orderBy(col("doc_id"), col("rn"))
+    },
+
+    // ---- test-set decontamination -----------------------------------------
+    // Benchmark contamination check: which train docs share 3-gram shingles
+    // with the (deterministic, hash-split) eval set? Same hashed inverted
+    // index + hot-shingle df-cap as q46 (one stop-shingle must not fan out
+    // train×eval). The eval side is broadcast — in a real pipeline the
+    // contaminant reference (benchmark suites) is tiny next to the corpus,
+    // so the probe is one map-side join over the train shingle scan: the
+    // shape that holds at 100 TB.
+    Entry("q69_decontaminate", Some(
+      s"""WITH ${Pipeline.shinglesSql},
+         |exh AS (SELECT doc_id, ${h56Sql("g")} AS g FROM ex),
+         |dfc AS (SELECT g, count(*) dfx FROM exh GROUP BY g),
+         |hot AS (SELECT g FROM dfc WHERE dfx > 100),
+         |exc AS (SELECT e.doc_id, e.g FROM exh e ANTI JOIN hot h ON e.g = h.g),
+         |tr AS (SELECT * FROM exc WHERE ${h56Sql("CAST(doc_id AS VARCHAR)")} % 10 != 9),
+         |ev AS (SELECT * FROM exc WHERE ${h56Sql("CAST(doc_id AS VARCHAR)")} % 10 = 9),
+         |j AS (SELECT t.doc_id tid, e.doc_id eid, t.g FROM tr t JOIN ev e ON t.g = e.g)
+         |SELECT tid AS doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_shared,
+         |       CAST(count(DISTINCT eid) AS BIGINT) AS n_eval_docs
+         |FROM j GROUP BY tid
+         |HAVING count(DISTINCT g) >= 3 ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      graft.functions.TextOps.register(s)
+      val exh = graft.operators.NearDup.shingles(table(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), graft.functions.TextOps.h56Col(col("g")).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exc = exh.join(broadcast(graft.operators.NearDup.hotShingles(exh, 100)),
+        Seq("g"), "left_anti")
+      val bucket = h56(col("doc_id").cast("string")) % 10
+      val tr = exc.where(bucket =!= 9)
+      val ev = exc.where(bucket === 9)
+      tr.as("t").join(broadcast(ev.as("e")), col("t.g") === col("e.g"))
+        .select(col("t.doc_id").as("doc_id"), col("e.doc_id").as("eid"), col("t.g").as("g"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_shared"),
+          countDistinct(col("eid")).as("n_eval_docs"))
+        .where(col("n_shared") >= 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- passage-level dedup ----------------------------------------------
+    // Sub-document dedup: split each doc into fixed 10-token passages, hash
+    // them, and score each doc by the fraction of its passages that occur
+    // more than once corpus-wide (boilerplate/template detection). The
+    // passage split is a per-row map; the only shuffle is the hash-groupBy
+    // on the 8-byte passage hash — exact dedup's shape, one level down.
+    Entry("q70_passage_dedup", Some(
+      s"""WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') ws FROM documents),
+         |ch AS (SELECT doc_id, unnest(list_transform(range(0, (len(ws)+9)//10),
+         |               c -> array_to_string(ws[c*10+1 : c*10+10], ' '))) chunk
+         |       FROM tok),
+         |chh AS (SELECT doc_id, ${h56Sql("chunk")} AS h FROM ch),
+         |cnt AS (SELECT h, count(*) n FROM chh GROUP BY h)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+         |FROM chh JOIN cnt USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val chunks = table(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, (size(ws)+9) div 10 - 1)," +
+            " c -> array_join(slice(ws, c*10+1, 10), ' '))")).as("chunk"))
+      val chh = chunks.select(col("doc_id"), h56(col("chunk")).as("h"))
+      val cnt = chh.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      chh.join(cnt, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Zipf / token-frequency profile ------------------------------------
+    // Corpus vocabulary profile: the 100 most frequent tokens with their
+    // corpus share and cumulative share. groupBy(token) is vocabulary-sized;
+    // the top-100 is a distributed TakeOrdered (each partition keeps 100),
+    // and only then does a 100-row window compute ranks and running share —
+    // no global sort of the vocabulary at any scale.
+    Entry("q71_zipf_profile", Some(
+      """WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) w FROM documents),
+        |cnt AS (SELECT w, count(*) c FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) t FROM cnt),
+        |top AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) rk
+        |        FROM cnt QUALIFY rk <= 100)
+        |SELECT CAST(rk AS BIGINT) AS rk, w AS token, c AS n,
+        |       CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+        |       CAST(sum(c) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |         / CAST(t AS DOUBLE) AS cum_share
+        |FROM top CROSS JOIN tot ORDER BY rk""".stripMargin)) { (s, d) =>
+      val cnt = table(s, d, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum(col("c")).cast("long").as("t"))
+      val byFreq = Window.orderBy(col("c").desc, col("w"))
+      val running = byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cnt.orderBy(col("c").desc, col("w")).limit(100)
+        .crossJoin(broadcast(tot))
+        .withColumn("rk", row_number().over(byFreq).cast("long"))
+        .withColumn("share", col("c").cast("double") / col("t").cast("double"))
+        .withColumn("cum_share",
+          sum(col("c")).over(running).cast("double") / col("t").cast("double"))
+        .select(col("rk"), col("w").as("token"), col("c").as("n"),
+          col("share"), col("cum_share"))
+        .orderBy(col("rk"))
+    },
+
+    // ---- embedding-column profile ------------------------------------------
+    // Per-label centroid norm over the embedding column — drift/quality
+    // profiling for vector corpora. Doubles can't be summed cross-engine
+    // (order-dependent), so components are quantized to 2^-40 fixed point
+    // (floor is engine-identical) and every aggregate is exact integer
+    // arithmetic; only the final norm expression returns to doubles, in the
+    // identical evaluation order. Shape: posexplode → one (label, pos) hash
+    // aggregate → one label-sized aggregate; linear in corpus size, 64·L
+    // intermediate rows.
+    Entry("q72_embed_profile", Some(
+      """WITH ex AS (SELECT label, unnest(embedding) v,
+        |                  unnest(range(1, len(embedding)+1)) i
+        |            FROM embeddings),
+        |q AS (SELECT label, i,
+        |             CAST(floor(CAST(v AS DOUBLE) * 1099511627776.0) AS BIGINT) qv
+        |      FROM ex),
+        |s AS (SELECT label, i, CAST(sum(qv) AS BIGINT) sq, count(*) n
+        |      FROM q GROUP BY label, i),
+        |agg AS (SELECT label, sum(CAST(sq AS HUGEINT) * sq) ss, max(n) nv
+        |        FROM s GROUP BY label)
+        |SELECT label, nv AS n_vecs,
+        |       sqrt(CAST(ss AS DOUBLE)) / (CAST(nv AS DOUBLE) * 1099511627776.0) AS centroid_norm
+        |FROM agg ORDER BY label""".stripMargin)) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val q = table(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .toDF("label", "p", "v")
+        .select(col("label"), (col("p") + 1).as("i"),
+          floor(col("v").cast("double") * lit(1099511627776.0)).cast("long").as("qv"))
+      q.groupBy(col("label"), col("i"))
+        .agg(sum(col("qv")).cast("long").as("sq"), count(lit(1)).as("n"))
+        .groupBy(col("label"))
+        .agg(sum(col("sq").cast(DecimalType(38, 0)) * col("sq").cast(DecimalType(38, 0))).as("ss"),
+          max(col("n")).as("nv"))
+        .select(col("label"), col("nv").as("n_vecs"),
+          (sqrt(col("ss").cast("double")) /
+            (col("nv").cast("double") * lit(1099511627776.0))).as("centroid_norm"))
+        .orderBy(col("label"))
     }
   )
 }

@@ -42,8 +42,10 @@ object Pipeline {
   private def shingles(df: DataFrame): DataFrame =
     graft.operators.NearDup.shingles(df, "doc_id", "text")
 
-  /** DuckDB equivalent of [[shingles]] as a CTE body. */
-  private val shinglesSql =
+  /** DuckDB equivalent of [[shingles]] as a CTE body (shared with
+    * [[Curation]]'s decontamination oracle so the two batteries can never
+    * drift on the shingle definition). */
+  private[queries] val shinglesSql =
     """tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') ws
       |        FROM documents WHERE len(string_split_regex(lower(text), '\s+')) >= 3),
       |sh AS (SELECT doc_id,

@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Dimension, MatDb, MatSchema, TestSpark, ValueCol}
+
+/** The bucketed graft layout: MVCC dedup with ZERO exchanges (the bucket
+  * write pays the one hash shuffle), partition-pruned time travel, and
+  * row-for-row parity with the directory-layout resolve. */
+class BucketedGraftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def dropTable(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(s"spark-warehouse/$t")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
+  private val schema = MatSchema(
+    Seq(Dimension("t", 50), Dimension("sensor", 10)), Seq(ValueCol("v")))
+
+  private def batch(rows: Seq[(Long, Long, Long)]) = {
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(StructField("t", LongType), StructField("sensor", LongType),
+      StructField("v", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 3), st)
+  }
+
+  test("zero-exchange dedup, partition-pruned asOf, parity with MatDb") {
+    val name = "bg_test"
+    dropTable(name)
+    // three overlapping transactions: txn2 overwrites half of txn1, txn3
+    // overwrites a quarter and adds new keys
+    val b1 = (0L until 200L).map(i => (i, i % 10, 1L))
+    val b2 = (0L until 100L).map(i => (i, i % 10, 2L))
+    val b3 = (50L until 75L).map(i => (i, i % 10, 3L)) ++
+      (200L until 220L).map(i => (i, i % 10, 3L))
+
+    BucketedGraft.create(spark, name, schema, buckets = 4)
+    val t1 = BucketedGraft.append(spark, name, schema, batch(b1), buckets = 4)
+    val t2 = BucketedGraft.append(spark, name, schema, batch(b2), buckets = 4)
+    val t3 = BucketedGraft.append(spark, name, schema, batch(b3), buckets = 4)
+    assert(Seq(t1, t2, t3) === Seq(1L, 2L, 3L))
+
+    // parity oracle: the directory-layout MatDb over the same three commits
+    val dir = Files.createTempDirectory("graft-bucketed-parity").toString
+    val db = MatDb.create(spark, schema, dir)
+    Seq(b1, b2, b3).foreach { b =>
+      val txn = db.newTransaction(); txn.addRows(batch(b)); txn.commit()
+    }
+    val expected = db.snapshot().collect().toSet
+    val got = BucketedGraft.snapshot(spark, name, schema).collect().toSet
+    assert(got === expected)
+    assert(got.size === 220)
+    // newest version wins: keys 50..74 at v=3, 75..99 at v=2, 100..199 at v=1
+    val byKey = got.map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(byKey(60L) === 3L && byKey(80L) === 2L && byKey(150L) === 1L)
+
+    // THE plan property: the resolve aggregate runs on the bucket layout
+    // with no Exchange anywhere (directory layout needs one hash exchange)
+    val snap = BucketedGraft.snapshot(spark, name, schema)
+    snap.collect()
+    val plan = snap.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), s"bucketed dedup must not shuffle:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+
+    // time travel: asOf txn1 sees only b1; the scan prunes the txn2/txn3
+    // partition directories (visibility = metadata, not IO)
+    val asOf1 = BucketedGraft.snapshot(spark, name, schema, asOf = Some(t1))
+    val rows1 = asOf1.collect()
+    assert(rows1.length === 200 && rows1.forall(_.getLong(2) == 1L))
+    val scan1 = asOf1.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan1.contains(graft.core.Scan.TxnCol),
+      s"asOf must reach the scan as a partition filter:\n$scan1")
+
+    // ordered scan: dedup still exchange-free; only the final global sort
+    // of RESOLVED rows may exchange (exactly one)
+    val ord = BucketedGraft.orderedScan(spark, name, schema)
+    val first = ord.limit(1).collect().head
+    assert(first.getLong(0) === 0L)
+    ord.collect()
+    val ordPlan = ord.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "(?m)Exchange".r.findAllIn(ordPlan).length
+    assert(exchanges === 1, s"ordered scan should have exactly the sort exchange:\n$ordPlan")
+
+    dropTable(name)
+  }
+}
