@@ -67,6 +67,30 @@ object NearDup {
     ex.groupBy(col("g")).agg(count(lit(1)).as("_df"))
       .where(col("_df") > dfCap).select(col("g"))
 
+  /** Data-derived df cap (SURVEY.md §9.3 #3): instead of a hand-tuned
+    * constant, read the observed document-frequency distribution and cap at
+    * `headroom ×` its `quantile` point (floored at `floorCap` so tiny or
+    * uniform corpora never cap real signal). The idea: the df distribution
+    * of shingles is Zipfian — the p99.9 of the body sits orders of magnitude
+    * below the stop-shingle head, so quantile×headroom cleanly separates
+    * "hot tail to drop" from "rare shingles that carry similarity".
+    *
+    * Cost: one extra pass over the shingle index (a groupBy the capped join
+    * does anyway) + an `approx_percentile` sketch — O(vocab) with a tiny
+    * merge state, no sort. The returned cap is a driver-side scalar, so the
+    * subsequent [[cappedJaccardPairs]] plan is unchanged. (Approximate is
+    * the right tool: the cap only needs to land between body and head; an
+    * exact percentile of a 100 TB vocabulary would pay a global sort for
+    * precision the decision doesn't use.) */
+  def adaptiveDfCap(ex: DataFrame, quantile: Double = 0.999, headroom: Double = 4.0,
+      floorCap: Long = 64L): Long = {
+    require(quantile > 0 && quantile < 1, s"quantile must be in (0,1): $quantile")
+    val q = ex.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+      .agg(expr(s"approx_percentile(_df, $quantile, 10000)").as("q"))
+      .head.getLong(0)
+    math.max(floorCap, math.ceil(q * headroom).toLong)
+  }
+
   /** Distinct candidate pairs (doc_a < doc_b) from the df-capped inverted
     * index over `ex` = (id, g). The two self-join inputs are identical
     * subplans, so the second side reuses the first's exchange. */
@@ -189,4 +213,14 @@ object NearDup {
       minJaccard: Double, dfCap: Long): DataFrame =
     cappedJaccardPairs(shinglesWithSize(df, idCol, textCol), idCol, dfCap)
       .where(col("jaccard") >= minJaccard)
+
+  /** End-to-end with the cap derived from the corpus's own df distribution
+    * ([[adaptiveDfCap]]) — the no-tuning entry point. */
+  def jaccardPairsAdaptive(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double): DataFrame = {
+    val ex = shinglesWithSize(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cappedJaccardPairs(ex, idCol, adaptiveDfCap(ex))
+      .where(col("jaccard") >= minJaccard)
+  }
 }

@@ -90,6 +90,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(pairs.head.getAs[Double]("jaccard") - 7.0 / 9.0) < 1e-12)
   }
 
+  test("adaptive df cap separates the hot-shingle head from the body") {
+    import spark.implicits._
+    // same planted-skew corpus as above: body shingle dfs are 1-2, the
+    // planted stop-shingle's df is 60 — a Zipf-shaped gap the quantile
+    // rule must land inside
+    val crowd = (1 to 60).map(i =>
+      (i.toLong, s"common hot phrase w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    val dupA = (1000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val dupB = (1001L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")
+    val docs = (crowd :+ dupA :+ dupB).toDF("doc_id", "text")
+    val ex = NearDup.shingles(docs, "doc_id", "text")
+
+    val cap = NearDup.adaptiveDfCap(ex, quantile = 0.99, headroom = 4.0, floorCap = 8L)
+    assert(cap >= 8L && cap < 60L, s"cap=$cap must sit between body (df<=2) and head (df=60)")
+    // with the derived cap, candidate generation is skew-bounded and the
+    // genuine near-dup pair still surfaces with its exact Jaccard
+    assert(NearDup.candidatePairs(ex, "doc_id", cap).count() === 1)
+
+    // floor: a corpus with no hot head must not cap real signal — the
+    // default floor (64) exceeds every df here, so nothing is dropped
+    val uniform = NearDup.shingles(Seq(dupA, dupB).toDF("doc_id", "text"), "doc_id", "text")
+    assert(NearDup.adaptiveDfCap(uniform) === 64L)
+    val pairs = NearDup.jaccardPairsAdaptive(Seq(dupA, dupB).toDF("doc_id", "text"),
+      "doc_id", "text", minJaccard = 0.25).collect()
+    assert(pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+      === Seq((1000L, 1001L)))
+    assert(math.abs(pairs.head.getAs[Double]("jaccard") - 7.0 / 9.0) < 1e-12)
+  }
+
   test("salted aggregation equals plain aggregation under heavy key skew") {
     import spark.implicits._
     // one hot key with 100k rows, many cold keys
