@@ -237,10 +237,16 @@ object Curation {
       val tok = table(s, d, "documents")
         .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
       val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val dfw = tok.select(col("doc_id"), col("w")).distinct()
-        .groupBy(col("w")).agg(count(lit(1)).as("dfw"))
+      // tf has exactly one row per (doc, term), so df(w) is a plain count
+      // of tf rows per term — computed as a window over tf instead of a
+      // second aggregate + join: the corpus is tokenized and shuffled ONCE
+      // (a separate df branch can't share the tf subtree — column pruning
+      // specializes the two aggregates so the exchange is not reused — and
+      // so would re-tokenize everything; measured at sf0.1, and the gap
+      // only widens with corpus size)
+      val dfw = Window.partitionBy(col("w"))
       val nd = table(s, d, "documents").agg(count(lit(1)).as("nd"))
-      tf.join(dfw, Seq("w")).crossJoin(broadcast(nd))
+      tf.withColumn("dfw", count(lit(1)).over(dfw)).crossJoin(broadcast(nd))
         .select(col("doc_id"), col("w"),
           ((col("tf") * col("nd")).cast("double") / col("dfw")).as("score"))
         .withColumn("rn", row_number().over(
