@@ -77,6 +77,43 @@ object CoreOps {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // END-TO-END bucketed-layout MVCC (graft.sources.BucketedGraft): three
+    // transactions upsert per-user aggregates of the events table into a
+    // catalog table hash-bucketed on the key; the snapshot read resolves
+    // newest-txn-wins with ZERO exchanges (BucketedGraftSpec pins the plan;
+    // this entry makes the whole write→commit→resolve path oracle-checked).
+    // Batches are per-key pre-aggregated (arg_max by event_id) because
+    // duplicate keys WITHIN one batch resolve arbitrarily by contract; the
+    // oracle replays txn precedence as arg_max over (k, then event_id).
+    Entry("q73_bucketed_upsert", Some(
+      """WITH b AS (SELECT user_id, event_id % 3 AS k, value, event_id FROM events),
+        |m AS (SELECT user_id, k, arg_max(value, event_id) v
+        |      FROM b GROUP BY user_id, k)
+        |SELECT user_id, arg_max(v, k) AS v
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)) { (s, d) =>
+      import graft.core.{Dimension, MatSchema, ValueCol}
+      import graft.sources.BucketedGraft
+      val name = "g73_bucketed"
+      val sch = MatSchema(Seq(Dimension("user_id", 1000)),
+        Seq(ValueCol("v", org.apache.spark.sql.types.DoubleType)))
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new java.io.File(s"spark-warehouse/$name")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+      BucketedGraft.create(s, name, sch, buckets = 8)
+      val ev = table(s, d, "events")
+      (0 to 2).foreach { k =>
+        val batch = ev.where(col("event_id") % 3 === k)
+          .groupBy(col("user_id"))
+          .agg(max_by(col("value"), col("event_id")).as("v"))
+        BucketedGraft.append(s, name, sch, batch, buckets = 8)
+      }
+      BucketedGraft.snapshot(s, name, sch).orderBy(col("user_id"))
     }
   )
 }
