@@ -50,4 +50,44 @@ class ScaleLinearitySpec extends AnyFunSuite {
       .count()
     assert(crossClone === 0L, s"$crossClone simhash pairs crossed clones")
   }
+
+  test("passage dedup scales linearly; decontamination overlap is clone-local") {
+    val nBase = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    val one = cloned(1)
+    val three = cloned(3)
+
+    // q70's passage stage: duplicated 10-token chunks replicate exactly
+    // per clone (clone vocabularies are disjoint, so chunks cannot collide
+    // across clones — super-linear growth would mean they do)
+    def dupChunkRows(docs: DataFrame): Long = {
+      val chh = docs
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, (size(ws)+9) div 10 - 1)," +
+            " c -> array_join(slice(ws, c*10+1, 10), ' '))")).as("chunk"))
+      chh.groupBy(col("chunk")).agg(count(lit(1)).as("n"))
+        .where(col("n") > 1)
+        .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+    }
+    val d1 = dupChunkRows(one)
+    val d3 = dupChunkRows(three)
+    assert(d1 > 0, "test premise: the base corpus has duplicated passages")
+    assert(d3 === 3 * d1, s"dup passages must be clone-local: $d1 -> $d3")
+
+    // q69's candidate stage: train-eval shared-shingle pairs never cross
+    // clones (each clone hash-splits its own ids, but shingles are
+    // clone-disjoint, so any cross-clone pair is an index-join bug)
+    val exh = NearDup.shingles(three, "doc_id", "text")
+    val exc = exh.join(broadcast(NearDup.hotShingles(exh, 100L)), Seq("g"), "left_anti")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 14), 16, 10)
+      .cast("long") % 10
+    val pairs = exc.where(bucket =!= 9).as("t")
+      .join(exc.where(bucket === 9).as("e"), col("t.g") === col("e.g"))
+      .select(col("t.doc_id").as("tid"), col("e.doc_id").as("eid")).distinct()
+    assert(pairs.count() > 0)
+    val cross = pairs
+      .where((col("tid") / nBase).cast("long") =!= (col("eid") / nBase).cast("long"))
+      .count()
+    assert(cross === 0L, s"$cross decontamination pairs crossed clones")
+  }
 }
