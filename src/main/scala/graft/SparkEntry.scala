@@ -6,10 +6,10 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * The battery is assembled from three modules:
-  *   - [[graft.queries.CoreOps]]    q01-q05: the reference engine's own
-  *     operator semantics (scan order, MVCC upsert, snapshot horizon,
-  *     range pruning, count) — the table-format implementation itself lives
-  *     in [[graft.core]].
+  *   - [[graft.queries.CoreOps]]    q01-q05 + q73: the reference engine's
+  *     own operator semantics (scan order, MVCC upsert, snapshot horizon,
+  *     range pruning, count, and the bucketed zero-exchange layout) — the
+  *     implementations live in [[graft.core]] / [[graft.sources]].
   *   - [[graft.queries.Relational]] q06-q35: full relational checklist.
   *   - [[graft.queries.Pipeline]]   q40-q60: LLM-data-pipeline operators
   *     (text analysis, dedup family, similarity search, multimodal).

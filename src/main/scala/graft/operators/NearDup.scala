@@ -57,15 +57,19 @@ object NearDup {
       .select(col(idCol), size(col("_gs")).as(SizeCol), explode(col("_gs")).as("g"))
   }
 
+  /** (g, _df): per-shingle document frequency — the one aggregate every
+    * df-capped path starts from. (A windowed `count over partitionBy(g)`
+    * computes the same df but sorts the entire exploded table — measured
+    * 7x slower at sf0.1.) */
+  def shingleDf(ex: DataFrame): DataFrame =
+    ex.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+
   /** Shingles with document frequency above the cap — SMALL by
     * construction: at most (total shingle rows)/dfCap distinct values, and
     * in any real corpus the stop-shingle vocabulary, which is why it can be
-    * broadcast for the anti-join below. (A windowed `count over
-    * partitionBy(g)` computes the same df but sorts the entire exploded
-    * table — measured 7x slower at sf0.1.) */
+    * broadcast for the anti-join below. */
   def hotShingles(ex: DataFrame, dfCap: Long): DataFrame =
-    ex.groupBy(col("g")).agg(count(lit(1)).as("_df"))
-      .where(col("_df") > dfCap).select(col("g"))
+    shingleDf(ex).where(col("_df") > dfCap).select(col("g"))
 
   /** Data-derived df cap (SURVEY.md §9.3 #3): instead of a hand-tuned
     * constant, read the observed document-frequency distribution and cap at
@@ -83,12 +87,22 @@ object NearDup {
     * exact percentile of a 100 TB vocabulary would pay a global sort for
     * precision the decision doesn't use.) */
   def adaptiveDfCap(ex: DataFrame, quantile: Double = 0.999, headroom: Double = 4.0,
-      floorCap: Long = 64L): Long = {
+      floorCap: Long = 64L): Long =
+    adaptiveDfCapFrom(shingleDf(ex), quantile, headroom, floorCap)
+
+  /** [[adaptiveDfCap]] over a precomputed (persisted) [[shingleDf]] table —
+    * lets callers pay the vocabulary aggregate once and reuse it for the
+    * hot set ([[jaccardPairsAdaptive]] does). */
+  def adaptiveDfCapFrom(dfCounts: DataFrame, quantile: Double = 0.999,
+      headroom: Double = 4.0, floorCap: Long = 64L): Long = {
     require(quantile > 0 && quantile < 1, s"quantile must be in (0,1): $quantile")
-    val q = ex.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+    val row = dfCounts
       .agg(expr(s"approx_percentile(_df, $quantile, 10000)").as("q"))
-      .head.getLong(0)
-    math.max(floorCap, math.ceil(q * headroom).toLong)
+      .head
+    // empty index (empty corpus / all docs below the shingle width) yields
+    // a NULL percentile — fall back to the floor rather than NPE
+    if (row.isNullAt(0)) floorCap
+    else math.max(floorCap, math.ceil(row.getLong(0) * headroom).toLong)
   }
 
   /** Distinct candidate pairs (doc_a < doc_b) from the df-capped inverted
@@ -116,14 +130,17 @@ object NearDup {
     * the reported Jaccard is computed over FULL shingle sets. The only
     * semantic delta vs uncapped: a pair sharing exclusively hot shingles
     * never surfaces (the oracle replays the same rule). */
-  def cappedJaccardPairs(ex: DataFrame, idCol: String, dfCap: Long): DataFrame = {
+  def cappedJaccardPairs(ex: DataFrame, idCol: String, dfCap: Long,
+      dfCounts: Option[DataFrame] = None): DataFrame = {
     // hot is TINY by construction (≤ shingle rows / dfCap values) but sits
     // under three consumers (both anti-join sides of the self-join + the
     // hotDocs join); without a persist each consumer re-runs the full df
     // aggregate over ex — one extra pass per consumer, measured ~0.3 s each
     // at sf0.1. Released by the per-query clearCache() (bench/verify) or
-    // the block manager's LRU.
-    val hot = hotShingles(ex, dfCap)
+    // the block manager's LRU. A caller that already aggregated the
+    // vocabulary (adaptive cap) passes its [[shingleDf]] table in.
+    val hot = dfCounts.fold(hotShingles(ex, dfCap))(
+        _.where(col("_df") > dfCap).select(col("g")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val carriedSizes = ex.columns.contains(SizeCol)
     val capped = ex.join(broadcast(hot), Seq("g"), "left_anti")
@@ -215,12 +232,16 @@ object NearDup {
       .where(col("jaccard") >= minJaccard)
 
   /** End-to-end with the cap derived from the corpus's own df distribution
-    * ([[adaptiveDfCap]]) — the no-tuning entry point. */
+    * ([[adaptiveDfCap]]) — the no-tuning entry point. The vocabulary
+    * aggregate is computed ONCE (persisted) and serves both the percentile
+    * and the hot set. */
   def jaccardPairsAdaptive(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double): DataFrame = {
     val ex = shinglesWithSize(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cappedJaccardPairs(ex, idCol, adaptiveDfCap(ex))
+    val counts = shingleDf(ex)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cappedJaccardPairs(ex, idCol, adaptiveDfCapFrom(counts), dfCounts = Some(counts))
       .where(col("jaccard") >= minJaccard)
   }
 }

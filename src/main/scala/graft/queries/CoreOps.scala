@@ -3,9 +3,10 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import Q._
 
-/** Queries q01-q05: the reference engine's own operator semantics
+/** Queries q01-q05 + q73: the reference engine's own operator semantics
   * (SURVEY.md §2.1/§2.2) demonstrated over the driver's test tables.
-  * The real implementations live in graft.core (table format + MVCC scan);
+  * The real implementations live in graft.core (table format + MVCC scan)
+  * and graft.sources.BucketedGraft (q73's zero-exchange bucketed layout);
   * these express the same semantics relationally so the DuckDB oracle can
   * check them. */
 object CoreOps {
@@ -98,13 +99,7 @@ object CoreOps {
       val name = "g73_bucketed"
       val sch = MatSchema(Seq(Dimension("user_id", 1000)),
         Seq(ValueCol("v", org.apache.spark.sql.types.DoubleType)))
-      s.sql(s"DROP TABLE IF EXISTS $name")
-      val loc = new java.io.File(s"spark-warehouse/$name")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      if (loc.exists()) rm(loc)
+      BucketedGraft.drop(s, name)
       BucketedGraft.create(s, name, sch, buckets = 8)
       val ev = table(s, d, "events")
       (0 to 2).foreach { k =>

@@ -260,10 +260,12 @@ object Curation {
     // Benchmark contamination check: which train docs share 3-gram shingles
     // with the (deterministic, hash-split) eval set? Same hashed inverted
     // index + hot-shingle df-cap as q46 (one stop-shingle must not fan out
-    // train×eval). The eval side is broadcast — in a real pipeline the
-    // contaminant reference (benchmark suites) is tiny next to the corpus,
-    // so the probe is one map-side join over the train shingle scan: the
-    // shape that holds at 100 TB.
+    // train×eval). The join is left UNHINTED: here the eval side is a 10%
+    // hash slice of the corpus itself (so it grows with the corpus and must
+    // be allowed to shuffle on g), and the planner broadcasts it at small
+    // scale on its own. A real pipeline whose contaminant reference is a
+    // small fixed benchmark suite adds broadcast() and gets the map-side
+    // probe shape.
     Entry("q69_decontaminate", Some(
       s"""WITH ${Pipeline.shinglesSql},
          |exh AS (SELECT doc_id, ${h56Sql("g")} AS g FROM ex),
@@ -286,7 +288,7 @@ object Curation {
       val bucket = h56(col("doc_id").cast("string")) % 10
       val tr = exc.where(bucket =!= 9)
       val ev = exc.where(bucket === 9)
-      tr.as("t").join(broadcast(ev.as("e")), col("t.g") === col("e.g"))
+      tr.as("t").join(ev.as("e"), col("t.g") === col("e.g"))
         .select(col("t.doc_id").as("doc_id"), col("e.doc_id").as("eid"), col("t.g").as("g"))
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("g")).as("n_shared"),

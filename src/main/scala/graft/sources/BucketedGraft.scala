@@ -52,15 +52,22 @@ object BucketedGraft {
     write(empty, name, schema, buckets, SaveMode.ErrorIfExists)
   }
 
-  /** Commit `df` as one new transaction; returns its txn id. */
+  /** Commit `df` as one new transaction; returns its txn id, or None when
+    * the batch was empty. An empty write leaves no `_txn_id` partition —
+    * no transaction exists, and handing out its id anyway would let the
+    * NEXT append commit under the same number (the returned id would alias
+    * two callers' transactions). Checked AFTER the write from partition
+    * metadata, so non-empty batches aren't computed twice. */
   def append(spark: SparkSession, name: String, schema: MatSchema, df: DataFrame,
-      buckets: Int): Long = {
+      buckets: Int): Option[Long] = {
     val txn = nextTxnId(spark, name)
     val batch = df.select(schema.columnNames.map(col): _*)
       .withColumn(Scan.SeqCol, lit(0L))
       .withColumn(Scan.TxnCol, lit(txn))
     write(batch, name, schema, buckets, SaveMode.Append)
-    txn
+    if (spark.sql(s"SHOW PARTITIONS $name").collect()
+        .exists(_.getString(0) == s"${Scan.TxnCol}=$txn")) Some(txn)
+    else None
   }
 
   /** Newest version of every key point, resolved with zero exchanges.
@@ -92,6 +99,31 @@ object BucketedGraft {
       }
     }
     if (ids.isEmpty) 1L else ids.max + 1L
+  }
+
+  /** Drop the table AND its files. Catalog entries are session-scoped
+    * under the default in-memory catalog, but the managed location
+    * persists on disk — a stale directory from a previous session would
+    * fail the next [[create]]'s ErrorIfExists write. The location comes
+    * from the catalog when the table is registered, else from the
+    * configured warehouse path (never a hardcoded relative guess). */
+  def drop(spark: SparkSession, name: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+    val loc: java.io.File =
+      if (catalog.tableExists(ident)) new java.io.File(catalog.getTableMetadata(ident).location)
+      else {
+        val wh = spark.sessionState.conf.warehousePath
+        val base = if (wh.contains(":")) new java.io.File(java.net.URI.create(wh).getPath)
+          else new java.io.File(wh)
+        new java.io.File(base, name.toLowerCase(java.util.Locale.ROOT))
+      }
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
   }
 
   private def fullStruct(schema: MatSchema): org.apache.spark.sql.types.StructType = {

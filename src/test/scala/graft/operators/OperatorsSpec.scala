@@ -112,6 +112,10 @@ class OperatorsSpec extends AnyFunSuite {
     // default floor (64) exceeds every df here, so nothing is dropped
     val uniform = NearDup.shingles(Seq(dupA, dupB).toDF("doc_id", "text"), "doc_id", "text")
     assert(NearDup.adaptiveDfCap(uniform) === 64L)
+    // empty index (docs below the shingle width): floor, not an NPE
+    val empty = NearDup.shingles(Seq((1L, "too short")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(NearDup.adaptiveDfCap(empty) === 64L)
     val pairs = NearDup.jaccardPairsAdaptive(Seq(dupA, dupB).toDF("doc_id", "text"),
       "doc_id", "text", minJaccard = 0.25).collect()
     assert(pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq

@@ -12,16 +12,6 @@ import graft.core.{Dimension, MatDb, MatSchema, TestSpark, ValueCol}
 class BucketedGraftSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def dropTable(t: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    val loc = new java.io.File(s"spark-warehouse/$t")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    if (loc.exists()) rm(loc)
-  }
-
   private val schema = MatSchema(
     Seq(Dimension("t", 50), Dimension("sensor", 10)), Seq(ValueCol("v")))
 
@@ -35,7 +25,7 @@ class BucketedGraftSpec extends AnyFunSuite {
 
   test("zero-exchange dedup, partition-pruned asOf, parity with MatDb") {
     val name = "bg_test"
-    dropTable(name)
+    BucketedGraft.drop(spark, name)
     // three overlapping transactions: txn2 overwrites half of txn1, txn3
     // overwrites a quarter and adds new keys
     val b1 = (0L until 200L).map(i => (i, i % 10, 1L))
@@ -44,9 +34,12 @@ class BucketedGraftSpec extends AnyFunSuite {
       (200L until 220L).map(i => (i, i % 10, 3L))
 
     BucketedGraft.create(spark, name, schema, buckets = 4)
-    val t1 = BucketedGraft.append(spark, name, schema, batch(b1), buckets = 4)
-    val t2 = BucketedGraft.append(spark, name, schema, batch(b2), buckets = 4)
-    val t3 = BucketedGraft.append(spark, name, schema, batch(b3), buckets = 4)
+    val t1 = BucketedGraft.append(spark, name, schema, batch(b1), buckets = 4).get
+    // an EMPTY append commits no transaction and hands out no id — the id
+    // it probed must go to the next real append, not alias two callers
+    assert(BucketedGraft.append(spark, name, schema, batch(Nil), buckets = 4).isEmpty)
+    val t2 = BucketedGraft.append(spark, name, schema, batch(b2), buckets = 4).get
+    val t3 = BucketedGraft.append(spark, name, schema, batch(b3), buckets = 4).get
     assert(Seq(t1, t2, t3) === Seq(1L, 2L, 3L))
 
     // parity oracle: the directory-layout MatDb over the same three commits
@@ -90,6 +83,6 @@ class BucketedGraftSpec extends AnyFunSuite {
     val exchanges = "(?m)Exchange".r.findAllIn(ordPlan).length
     assert(exchanges === 1, s"ordered scan should have exactly the sort exchange:\n$ordPlan")
 
-    dropTable(name)
+    BucketedGraft.drop(spark, name)
   }
 }
