@@ -48,6 +48,60 @@ object Multimodal {
     }
   }
 
+  /** One sampled video frame: the UDTF-shaped output of [[sampleFrames]]. */
+  final case class FrameRow(doc_id: Long, frame_idx: Int, ts_ms: Long, frame: Array[Byte])
+
+  /** STUB frame demuxer: derives a deterministic frame count and per-frame
+    * payload from the bytes (a real deployment swaps in ffmpeg/jcodec and
+    * keeps the iterator shape). */
+  def demuxStub(bytes: Array[Byte]): Iterator[(Int, Long, Array[Byte])] = {
+    val nFrames = 8 + (bytes.length % 25) // "video length" from the payload
+    (0 until nFrames).iterator.map { i =>
+      // frame payload = a deterministic 16-byte slice-hash of (bytes, i)
+      var h = 1125899906842597L + i
+      var j = 0
+      while (j < bytes.length) { h = 31 * h + (bytes(j) & 0xff); j += 1 }
+      val frame = Array.tabulate[Byte](16)(k => ((h >> ((k % 8) * 8)) & 0xff).toByte)
+      (i, i * 40L /* 25 fps */, frame)
+    }
+  }
+
+  /** Frame sampling: every `stride`-th frame of each media row — the typed
+    * flatMap (UDTF) shape: one input row fans out to N frame rows, work
+    * stays fully partition-parallel, and a real demuxer initializes once
+    * per partition exactly like the decode path. */
+  def sampleFrames(ds: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
+    require(stride > 0, "stride must be positive")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition init would go here (demuxer handles, hw decoder…)
+      rows.flatMap { r =>
+        demuxStub(r.media).filter(_._1 % stride == 0)
+          .map { case (idx, ts, frame) => FrameRow(r.doc_id, idx, ts, frame) }
+      }
+    }
+  }
+
+  /** Resize: clamp the longer side to `maxDim`, preserving aspect ratio —
+    * a pure per-row map over the decoded dimensions (the pixel resample
+    * itself lives behind the same stub boundary as the codec). Features
+    * are unchanged: extraction happens on the decoded image, not the
+    * thumbnail. */
+  def resize(ds: Dataset[MediaFeatures], maxDim: Int): Dataset[MediaFeatures] = {
+    require(maxDim > 0, "maxDim must be positive")
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val longSide = math.max(r.width, r.height)
+      if (longSide <= maxDim) r
+      else {
+        // integer rescale, floor, min 1 px — deterministic in one pass
+        val w = math.max(1, r.width * maxDim / longSide)
+        val h = math.max(1, r.height * maxDim / longSide)
+        r.copy(width = w, height = h)
+      }
+    }
+  }
+
   /** Build a media table from the documents table (text bytes standing in
     * for encoded media), partitioned for balanced decode tasks: binary
     * payloads are size-skewed in real corpora, so repartition by a hash of

@@ -157,4 +157,33 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(rows.forall(r => nc(r.doc_id) == r.n_bytes))
   }
+
+  test("frame sampling and resize: UDTF fan-out, stride, aspect-preserving clamp") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(docs, partitions = 4)
+    val all = Multimodal.sampleFrames(media, stride = 1).collect()
+    val sampled = Multimodal.sampleFrames(media, stride = 3).collect()
+    assert(all.nonEmpty && sampled.nonEmpty)
+    // stride filters exactly the frames whose index is a multiple of 3
+    val byDoc = all.groupBy(_.doc_id)
+    assert(sampled.groupBy(_.doc_id).forall { case (d, fs) =>
+      fs.map(_.frame_idx).sorted.toSeq ===
+        byDoc(d).map(_.frame_idx).filter(_ % 3 == 0).sorted.toSeq
+    })
+    // frame timestamps follow the 25fps stub clock; payloads deterministic
+    assert(all.forall(f => f.ts_ms == f.frame_idx * 40L && f.frame.length == 16))
+
+    val feats = Multimodal.extractFeatures(media)
+    val small = Multimodal.resize(feats, maxDim = 64).collect()
+    val orig = feats.collect().map(r => r.doc_id -> r).toMap
+    assert(small.forall(r => math.max(r.width, r.height) <= 64))
+    assert(small.forall { r =>
+      val o = orig(r.doc_id)
+      val longSide = math.max(o.width, o.height)
+      if (longSide <= 64) (r.width, r.height) === (o.width, o.height) // never upscaled
+      else (r.width, r.height) ===
+        (math.max(1, o.width * 64 / longSide), math.max(1, o.height * 64 / longSide))
+    })
+    assert(small.forall(r => r.features.toSeq == orig(r.doc_id).features.toSeq))
+  }
 }
