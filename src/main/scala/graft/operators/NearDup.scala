@@ -177,9 +177,16 @@ object NearDup {
           .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
           .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
       }
-    // docs that contain hot shingles, with their hot-shingle sets (small
-    // arrays: only above-cap shingles); plain shuffle joins — at scale this
-    // table has one row per document at worst and must not be broadcast
+    finishJaccard(sharedCapped, ex, idCol, hot)
+  }
+
+  /** Shared tail of the capped-pair plans: exact hot-shingle correction
+    * (shared += |hot(a) ∩ hot(b)|) and the Jaccard from carried
+    * denominators. hotDocs rows are docs that CONTAIN hot shingles, with
+    * their (small) hot-shingle arrays; plain shuffle joins — at scale this
+    * table has one row per document at worst and must not be broadcast. */
+  private def finishJaccard(sharedCapped: DataFrame, ex: DataFrame, idCol: String,
+      hot: DataFrame): DataFrame = {
     val hotDocs = ex.join(broadcast(hot), Seq("g"))
       .groupBy(col(idCol)).agg(collect_set(col("g")).as("hs"))
     sharedCapped
@@ -192,6 +199,14 @@ object NearDup {
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
   }
+
+  // Two formulations of the pair stage were A/B-measured at sf0.1 and
+  // rejected as neutral (round 4, 5 isolated reps each, vs 1.84-2.6 s for
+  // the self-join form): (a) packing (doc_a, doc_b) into one long grouping
+  // key — pack/unpack shifts offset the narrower key; (b) groupBy(g) +
+  // collect_list + nested-transform pair generation instead of the
+  // self-join — 2.05-5.8 s, the per-group array materialization costs what
+  // the join probe saved. The join → groupBy(pair) shape stays.
 
   /** Exact Jaccard over full shingle sets, restricted to `cand` pairs —
     * the verify stage for SMALL candidate sets (q47's LSH banding emits
