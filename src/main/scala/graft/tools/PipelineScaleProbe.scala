@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   *
   * Measures (docs/s): signature kernels (simhash56 / minhash16 /
   * winnow56+word_grams), exact dedup, the 3×19-bit banded SimHash-Hamming
-  * join, and df-capped n-gram-Jaccard pairs.
+  * join, df-capped n-gram-Jaccard pairs, passage-level dedup, and
+  * train×eval decontamination.
   * Usage: runMain graft.tools.PipelineScaleProbe [copies=20]  (20 ⇒ 100k
   * docs ≈ 20× sf0.1; 200 ⇒ 1M docs)
   *
@@ -98,6 +99,30 @@ object PipelineScaleProbe {
       val out = graft.operators.NearDup.cappedJaccardPairs(ex, "doc_id", 100L)
         .where(col("jaccard") >= 0.25).count()
       ex.unpersist(blocking = false)
+      out
+    }
+    timed("passage dedup (10-token chunks)") {
+      docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, (size(ws)+9) div 10 - 1)," +
+            " c -> array_join(slice(ws, c*10+1, 10), ' '))")).as("chunk"))
+        .groupBy(TextOps.h56Col(col("chunk")).as("h")).agg(count(lit(1)).as("c"))
+        .where(col("c") > 1).count()
+    }
+    timed("decontamination (train x 10% eval)") {
+      val exh = graft.operators.NearDup.shingles(docs, "doc_id", "text")
+        .select(col("doc_id"), TextOps.h56Col(col("g")).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exc = exh.join(
+        broadcast(graft.operators.NearDup.hotShingles(exh, 100L)), Seq("g"), "left_anti")
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 14), 16, 10)
+        .cast("long") % 10
+      val out = exc.where(bucket =!= 9).as("t")
+        .join(exc.where(bucket === 9).as("e"), col("t.g") === col("e.g"))
+        .groupBy(col("t.doc_id"))
+        .agg(countDistinct(col("t.g")).as("ns"), countDistinct(col("e.doc_id")))
+        .where(col("ns") >= 3).count()
+      exh.unpersist(blocking = false)
       out
     }
     spark.stop()
