@@ -599,6 +599,31 @@ object Relational {
         .orderBy(col("o_orderpriority"), col("rn"))
     },
 
+    // grouped top-k again, one integration tier deeper than q58's typed
+    // Aggregator: graft.functions.TopKScored is a Catalyst
+    // TypedImperativeAggregate with a primitive-array buffer (16
+    // bytes/entry serialized, no encoder round-trip per merge), registered
+    // as SQL function topk_scored(id, score, k). Same O(k)-per-group
+    // shuffle story; the oracle is the window form.
+    Entry("q74_topk_native_udaf", Some(
+      """SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) rn
+        |  FROM documents) t
+        |WHERE rn <= 5 ORDER BY source, rn""".stripMargin)) { (s, d) =>
+      import graft.functions.TopKScored
+      TopKScored.register(s)
+      table(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars").cast("double").as("score"))
+        .groupBy(col("source"))
+        .agg(TopKScored.topkCol(col("doc_id"), col("score"), 5).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), col("col.id").as("doc_id"), col("col.score").as("score"),
+          (col("pos") + 1).cast("long").as("rn"))
+        .orderBy(col("source"), col("rn"))
+    },
+
     // ---- pivot (wide aggregation) --------------------------------------
     // Dataset.pivot with an explicit value list (deterministic columns; an
     // inferred list would be a distinct scan) — one hash aggregate, cells

@@ -132,6 +132,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(1L).map(_.id) === Seq(11L, 12L))
     assert(out(2L).map(_.id) === Seq(20L))
   }
+
+  test("topk_scored TypedImperativeAggregate matches the window form exactly") {
+    import graft.functions.TopKScored
+    TopKScored.register(spark)
+    // real data, ties included (equal n_chars within a source): per-source
+    // top 5 docs by (score desc, id asc)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("source"), col("doc_id"), col("n_chars").cast("double").as("score"))
+    val agg = docs.groupBy(col("source"))
+      .agg(TopKScored.topkCol(col("doc_id"), col("score"), 5).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).as("rn"), col("col.id").as("doc_id"),
+        col("col.score").as("score"))
+    val win = docs.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .where(col("rn") <= 5)
+      .select(col("source"), col("rn"), col("doc_id"), col("score"))
+    assert(agg.count() > 0)
+    assert(agg.exceptAll(win).count() === 0 && win.exceptAll(agg).count() === 0)
+    // partial aggregation: the plan is ObjectHashAggregate (not a window
+    // sort), i.e. the shuffle carries O(k) per group
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    // SQL surface works too, and k must be a literal
+    docs.createOrReplaceTempView("tks_docs")
+    val viaSql = spark.sql(
+      "SELECT source, topk_scored(doc_id, score, 5) top FROM tks_docs GROUP BY source")
+    assert(viaSql.count() === docs.select(col("source")).distinct().count())
+    intercept[Exception] {
+      spark.sql("SELECT topk_scored(doc_id, score, doc_id) FROM tks_docs").collect()
+    }
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
