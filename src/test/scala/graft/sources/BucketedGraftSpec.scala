@@ -85,4 +85,45 @@ class BucketedGraftSpec extends AnyFunSuite {
 
     BucketedGraft.drop(spark, name)
   }
+
+  test("joining two resolved bucketed tables on the key needs no exchange either") {
+    val a = "bg_join_a"
+    val b = "bg_join_b"
+    BucketedGraft.drop(spark, a)
+    BucketedGraft.drop(spark, b)
+    // same bucket count on both tables = co-located partition-for-partition;
+    // the MVCC dedup aggregate PRESERVES the bucket partitioning, so even
+    // the post-resolve join plans with zero Exchange on either side
+    BucketedGraft.create(spark, a, schema, buckets = 4)
+    BucketedGraft.create(spark, b, schema, buckets = 4)
+    BucketedGraft.append(spark, a, schema,
+      batch((0L until 150L).map(i => (i, i % 10, 1L))), buckets = 4)
+    BucketedGraft.append(spark, a, schema,
+      batch((0L until 50L).map(i => (i, i % 10, 2L))), buckets = 4)
+    BucketedGraft.append(spark, b, schema,
+      batch((100L until 250L).map(i => (i, i % 10, 7L))), buckets = 4)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = BucketedGraft.snapshot(spark, a, schema).as("x")
+        .join(BucketedGraft.snapshot(spark, b, schema).as("y"),
+          Seq("t", "sensor"))
+        .select(col("t"), col("sensor"), col("x.v").as("va"), col("y.v").as("vb"))
+      val rows = joined.collect()
+      // keys 100..149 overlap; newest versions: a has v=2 below 50 (not
+      // overlapping), v=1 at 100..149; b has v=7 everywhere
+      assert(rows.length === 50)
+      assert(rows.forall(r => r.getLong(2) == 1L && r.getLong(3) == 7L))
+      val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange"),
+        s"co-located resolve+join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    BucketedGraft.drop(spark, a)
+    BucketedGraft.drop(spark, b)
+  }
 }
