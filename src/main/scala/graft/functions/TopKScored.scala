@@ -19,8 +19,18 @@ final class TopKState(val k: Int) {
   val scores = new Array[Double](k)
   var n = 0
 
-  @inline private def beats(s: Double, i: Long, pos: Int): Boolean =
-    s > scores(pos) || (s == scores(pos) && i < ids(pos))
+  // Spark's SQL double ordering (SQLOrderingUtil.compareDoubles): == first
+  // so -0.0 equals 0.0, then Double.compare so NaN ranks above +Inf. Raw
+  // </> operators would make a NaN score unbeatable-yet-never-inserted
+  // (every comparison false), silently corrupting the buffer's order and
+  // breaking the documented identity with the row_number() window form.
+  @inline private def cmpScore(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  @inline private def beats(s: Double, i: Long, pos: Int): Boolean = {
+    val c = cmpScore(s, scores(pos))
+    c > 0 || (c == 0 && i < ids(pos))
+  }
 
   def insert(id: Long, score: Double): Unit = {
     if (n == k) {
@@ -42,9 +52,13 @@ final class TopKState(val k: Int) {
   * `List[Scored]` per merge), updates read the input row directly, and the
   * operator is `ObjectHashAggregate` with map-side partial aggregation —
   * the shuffle still carries O(k) per group, now at minimum constant cost.
-  * Order within a group: (score desc, id asc), identical to
-  * [[TopKAggregator]] and to the `row_number()` window form the oracle
-  * uses (FunctionsSpec pins both equalities).
+  * Order within a group: (score desc, id asc) under Spark's SQL double
+  * ordering (NaN above +Inf, -0.0 = 0.0), identical to [[TopKAggregator]]
+  * and to the `row_number()` window form the oracle uses (FunctionsSpec
+  * pins the equality, NaN included). Rows with a NULL id or score are
+  * IGNORED — standard aggregate-function semantics (like `max`); the
+  * window form instead ranks NULL scores last, so the two diverge only
+  * for groups with fewer than k non-null rows.
   */
 case class TopKScored(
     idExpr: Expression,

@@ -56,11 +56,15 @@ object Multimodal {
     * keeps the iterator shape). */
   def demuxStub(bytes: Array[Byte]): Iterator[(Int, Long, Array[Byte])] = {
     val nFrames = 8 + (bytes.length % 25) // "video length" from the payload
+    // ONE pass over the payload; per-frame hashes derive from it in O(1)
+    // (h_i = base*31^len + i*31^len ≡ base + i*p31 — same values as
+    // folding (seed+i) through the payload, without rescanning it per frame)
+    var base = 1125899906842597L
+    var p31 = 1L
+    var j = 0
+    while (j < bytes.length) { base = 31 * base + (bytes(j) & 0xff); p31 *= 31; j += 1 }
     (0 until nFrames).iterator.map { i =>
-      // frame payload = a deterministic 16-byte slice-hash of (bytes, i)
-      var h = 1125899906842597L + i
-      var j = 0
-      while (j < bytes.length) { h = 31 * h + (bytes(j) & 0xff); j += 1 }
+      val h = base + i * p31
       val frame = Array.tabulate[Byte](16)(k => ((h >> ((k % 8) * 8)) & 0xff).toByte)
       (i, i * 40L /* 25 fps */, frame)
     }

@@ -25,6 +25,15 @@ object Curation {
   private def h56Sql(e: String): String =
     s"(('0x' || substr(md5($e), 1, 14))::BIGINT)"
 
+  /** doc_id + exploded 10-token passages of lower(text) — q70's split,
+    * shared with [[graft.tools.PipelineScaleProbe]] so the probe measures
+    * exactly the battery's construction. */
+  def passageChunks(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, (size(ws)+9) div 10 - 1)," +
+          " c -> array_join(slice(ws, c*10+1, 10), ' '))")).as("chunk"))
+
   /** Session gap: 30 minutes in MICROseconds. events.ts is nanosecond
     * parquet, but DuckDB (1.0) truncates it to µs TIMESTAMP on read, so the
     * finest cross-engine grain is truncated microseconds: Spark replays the
@@ -315,12 +324,8 @@ object Curation {
          |       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
          |FROM chh JOIN cnt USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
-      val chunks = table(s, d, "documents")
-        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, (size(ws)+9) div 10 - 1)," +
-            " c -> array_join(slice(ws, c*10+1, 10), ' '))")).as("chunk"))
-      val chh = chunks.select(col("doc_id"), h56(col("chunk")).as("h"))
+      val chh = passageChunks(table(s, d, "documents"))
+        .select(col("doc_id"), h56(col("chunk")).as("h"))
       val cnt = chh.groupBy(col("h")).agg(count(lit(1)).as("n"))
       chh.join(cnt, Seq("h"))
         .groupBy(col("doc_id"))

@@ -102,10 +102,7 @@ object PipelineScaleProbe {
       out
     }
     timed("passage dedup (10-token chunks)") {
-      docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, (size(ws)+9) div 10 - 1)," +
-            " c -> array_join(slice(ws, c*10+1, 10), ' '))")).as("chunk"))
+      graft.queries.Curation.passageChunks(docs)
         .groupBy(TextOps.h56Col(col("chunk")).as("h")).agg(count(lit(1)).as("c"))
         .where(col("c") > 1).count()
     }
@@ -115,8 +112,7 @@ object PipelineScaleProbe {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val exc = exh.join(
         broadcast(graft.operators.NearDup.hotShingles(exh, 100L)), Seq("g"), "left_anti")
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 14), 16, 10)
-        .cast("long") % 10
+      val bucket = TextOps.h56Col(col("doc_id").cast("string")) % 10
       val out = exc.where(bucket =!= 9).as("t")
         .join(exc.where(bucket === 9).as("e"), col("t.g") === col("e.g"))
         .groupBy(col("t.doc_id"))

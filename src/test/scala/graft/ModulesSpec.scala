@@ -157,6 +157,24 @@ class FunctionsSpec extends AnyFunSuite {
     agg.collect()
     val plan = agg.queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan)
+    // NaN ranks above +Infinity and -0.0 equals 0.0, exactly as the window
+    // form sorts doubles — a raw >/== buffer comparison would let one NaN
+    // lock the buffer shut
+    import spark.implicits._
+    val weird = Seq(
+      (1L, 10L, Double.NaN), (1L, 11L, Double.PositiveInfinity), (1L, 12L, 1.0),
+      (1L, 13L, Double.NaN), (2L, 20L, -0.0), (2L, 21L, 0.0), (2L, 22L, -1.0))
+      .toDF("g", "doc_id", "score")
+    val wAgg = weird.groupBy(col("g"))
+      .agg(TopKScored.topkCol(col("doc_id"), col("score"), 2).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rn"), col("col.id").as("doc_id"))
+    val wWin = weird.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .where(col("rn") <= 2).select(col("g"), col("rn"), col("doc_id"))
+    assert(wAgg.exceptAll(wWin).count() === 0 && wWin.exceptAll(wAgg).count() === 0)
+
     // SQL surface works too, and k must be a literal
     docs.createOrReplaceTempView("tks_docs")
     val viaSql = spark.sql(
