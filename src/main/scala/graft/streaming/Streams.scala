@@ -111,4 +111,29 @@ object Streams {
         txn.addRows(batch)
         txn.commit()
       }
+
+  /** foreachBatch sink into the BUCKETED layout
+    * ([[graft.sources.BucketedGraft]]): each micro-batch commits as one
+    * bucketed transaction, so everything written by the stream is
+    * immediately readable with the zero-exchange resolve. The batch pays
+    * the bucket hash shuffle — the same write-side cost the layout always
+    * trades for exchange-free reads.
+    *
+    * Replay semantics: a crash between the batch's table append and the
+    * checkpoint commit makes Spark re-run the batch, which lands the SAME
+    * rows under a second txn id — newest-wins resolution then returns the
+    * identical snapshot (duplicate upserts are absorbed by MVCC), so the
+    * RESOLVED view is effectively exactly-once while the raw txn history
+    * is at-least-once. The spec asserts both halves. */
+  def bucketedSink(stream: DataFrame, table: String, schema: graft.core.MatSchema,
+      buckets: Int, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.BucketedGraft.append(batch.sparkSession, table, schema,
+          batch, buckets)
+        ()
+      }
 }

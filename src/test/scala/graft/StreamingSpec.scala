@@ -237,4 +237,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("segs").count() === 3)
     } finally q2.stop()
   }
+
+  test("bucketed sink: micro-batch = bucketed transaction, replay is MVCC-absorbed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.{Dimension, MatSchema, ValueCol}
+    import graft.sources.BucketedGraft
+    val table = "bg_stream_sink"
+    BucketedGraft.drop(spark, table)
+    val schema = MatSchema(Seq(Dimension("k", 100)), Seq(ValueCol("v")))
+    BucketedGraft.create(spark, table, schema, buckets = 4)
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-bsink").toString
+
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.bucketedSink(input.toDF().toDF("k", "v"), table, schema,
+      buckets = 4, checkpoint).start()
+    try {
+      input.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      input.addData((1L, 11L)) // upsert same key in a later micro-batch
+      q.processAllAvailable()
+      val snap = BucketedGraft.snapshot(spark, table, schema)
+      val vals = snap.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(vals.toSeq === Seq((1L, 11L), (2L, 20L)))
+      // streamed writes read back with the layout's zero-exchange resolve
+      snap.collect()
+      val plan = snap.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange"), plan)
+      // one bucketed transaction per micro-batch
+      assert(BucketedGraft.nextTxnId(spark, table) === 3L)
+
+      // a replayed batch (crash between append and checkpoint commit) lands
+      // the same rows under a new txn — the RESOLVED view is unchanged
+      BucketedGraft.append(spark, table, schema,
+        spark.createDataFrame(Seq((1L, 11L))).toDF("k", "v"), buckets = 4)
+      val replayed = BucketedGraft.snapshot(spark, table, schema)
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(replayed.toSeq === Seq((1L, 11L), (2L, 20L)))
+    } finally q.stop()
+    BucketedGraft.drop(spark, table)
+  }
 }
