@@ -86,6 +86,30 @@ class BucketedGraftSpec extends AnyFunSuite {
     BucketedGraft.drop(spark, name)
   }
 
+  test("randomized append sequences resolve to the sequential-upsert model") {
+    // seeded property check (deterministic in CI): N random batches of
+    // random unique keys upsert into the table; the snapshot must equal a
+    // driver-side map applied batch-by-batch — same oracle shape as the
+    // core PropertySpec, over the bucketed layout's full write+read path
+    val name = "bg_prop"
+    BucketedGraft.drop(spark, name)
+    BucketedGraft.create(spark, name, schema, buckets = 4)
+    val rnd = new scala.util.Random(20260813L)
+    val model = scala.collection.mutable.Map[(Long, Long), Long]()
+    (1 to 5).foreach { _ =>
+      // unique keys within a batch (duplicate keys within one append
+      // resolve arbitrarily by contract, so the model keys are unique)
+      val keys = rnd.shuffle((0L until 120L).toVector).take(1 + rnd.nextInt(60))
+      val rows = keys.map(k => (k, k % 7, rnd.nextLong(1000)))
+      rows.foreach { case (t, s, v) => model((t, s)) = v }
+      BucketedGraft.append(spark, name, schema, batch(rows), buckets = 4)
+    }
+    val got = BucketedGraft.snapshot(spark, name, schema).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === model.toMap)
+    BucketedGraft.drop(spark, name)
+  }
+
   test("joining two resolved bucketed tables on the key needs no exchange either") {
     val a = "bg_join_a"
     val b = "bg_join_b"
