@@ -38,6 +38,14 @@ import graft.core.{MatSchema, Scan}
   * `Transaction.addRows` batch). The catalog's table-creation commit is the
   * atomic visibility flip (`saveAsTable` appends register files + partition
   * atomically at the metastore).
+  *
+  * SINGLE WRITER per table: txn ids come from a read-then-write over the
+  * partition listing, so two concurrent appenders (e.g. a streaming sink
+  * plus a manual backfill) can land under the SAME txn id — two logical
+  * transactions merged, arbitrary resolution between their overlapping
+  * keys. Same contract as the reference (database.rs:74-79) and the
+  * directory layout's rename protocol; the manifest protocol's
+  * expectedBase conflict detection is the roadmap fix (SURVEY §9.4 #4).
   */
 object BucketedGraft {
 
@@ -99,6 +107,35 @@ object BucketedGraft {
       }
     }
     if (ids.isEmpty) 1L else ids.max + 1L
+  }
+
+  /** Compact the table: rewrite the resolved snapshot as ONE transaction
+    * (counterpart of [[graft.core.MatDb.compact]]). A long-lived writer —
+    * the streaming sink especially — accumulates one `_txn_id` partition
+    * and one bucket-file set per commit, which grows every partition
+    * listing and every snapshot's file scan; compaction collapses them to
+    * a single partition. Same caveat as the directory layout: time travel
+    * to pre-compaction transactions is gone. The snapshot is staged to a
+    * temp directory first (Spark refuses to overwrite a table from a plan
+    * that reads it). Returns the surviving transaction's id. */
+  def compact(spark: SparkSession, name: String, schema: MatSchema, buckets: Int): Long = {
+    val txn = nextTxnId(spark, name)
+    val staging = java.nio.file.Files.createTempDirectory("graft-bucketed-compact")
+    val stagingData = staging.resolve("data").toString
+    try {
+      snapshot(spark, name, schema)
+        .withColumn(Scan.SeqCol, lit(0L))
+        .withColumn(Scan.TxnCol, lit(txn))
+        .write.parquet(stagingData)
+      write(spark.read.parquet(stagingData), name, schema, buckets, SaveMode.Overwrite)
+      txn
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(staging.toFile)
+    }
   }
 
   /** Drop the table AND its files. Catalog entries are session-scoped

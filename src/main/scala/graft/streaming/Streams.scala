@@ -124,7 +124,14 @@ object Streams {
     * rows under a second txn id — newest-wins resolution then returns the
     * identical snapshot (duplicate upserts are absorbed by MVCC), so the
     * RESOLVED view is effectively exactly-once while the raw txn history
-    * is at-least-once. The spec asserts both halves. */
+    * is at-least-once. The spec asserts both halves.
+    *
+    * Operations notes: the stream must be the table's ONLY writer
+    * ([[graft.sources.BucketedGraft]]'s single-writer contract), and a
+    * long-running stream accrues one txn partition per micro-batch —
+    * schedule [[graft.sources.BucketedGraft.compact]] periodically (from
+    * the same single writer) to keep partition listings and snapshot file
+    * counts bounded. */
   def bucketedSink(stream: DataFrame, table: String, schema: graft.core.MatSchema,
       buckets: Int, checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

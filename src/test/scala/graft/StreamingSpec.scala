@@ -261,19 +261,31 @@ class StreamingSpec extends AnyFunSuite {
       val vals = snap.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(vals.toSeq === Seq((1L, 11L), (2L, 20L)))
       // streamed writes read back with the layout's zero-exchange resolve
-      snap.collect()
-      val plan = snap.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-      assert(!plan.contains("Exchange"), plan)
+      graft.core.TestSpark.assertNoExchange(snap, "streamed bucketed resolve")
       // one bucketed transaction per micro-batch
       assert(BucketedGraft.nextTxnId(spark, table) === 3L)
 
       // a replayed batch (crash between append and checkpoint commit) lands
-      // the same rows under a new txn — the RESOLVED view is unchanged
-      BucketedGraft.append(spark, table, schema,
-        spark.createDataFrame(Seq((1L, 11L))).toDF("k", "v"), buckets = 4)
+      // the same rows under a NEW txn (raw history is at-least-once: the
+      // append must really commit — txn 3 exists)...
+      assert(BucketedGraft.append(spark, table, schema,
+        spark.createDataFrame(Seq((1L, 11L))).toDF("k", "v"), buckets = 4) === Some(3L))
+      assert(BucketedGraft.nextTxnId(spark, table) === 4L)
+      // ...while the RESOLVED view is unchanged (exactly-once effect)
       val replayed = BucketedGraft.snapshot(spark, table, schema)
         .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(replayed.toSeq === Seq((1L, 11L), (2L, 20L)))
+
+      // compaction collapses the accrued per-batch partitions to ONE txn
+      // (the small-file/partition-listing bound for long-running streams)
+      // without changing the resolved view
+      val ct = BucketedGraft.compact(spark, table, schema, buckets = 4)
+      assert(ct === 4L)
+      val compacted = BucketedGraft.snapshot(spark, table, schema)
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(compacted.toSeq === Seq((1L, 11L), (2L, 20L)))
+      val parts = spark.sql(s"SHOW PARTITIONS $table").collect().map(_.getString(0))
+      assert(parts.toSeq === Seq(s"${graft.core.Scan.TxnCol}=4"))
     } finally q.stop()
     BucketedGraft.drop(spark, table)
   }

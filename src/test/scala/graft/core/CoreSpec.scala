@@ -17,6 +17,21 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** The FINAL adaptive physical plan as text — AQE's echoed "Initial
+    * Plan" is stripped so `contains("Exchange")`-style assertions judge
+    * the plan that actually ran, not the pre-reoptimization one. Shared
+    * by every spec that pins a plan shape (one place to fix when the
+    * plan-string format shifts across Spark versions). */
+  def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+
+  /** Run `df` and assert its final plan contains no Exchange. */
+  def assertNoExchange(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    df.collect()
+    val plan = finalPlan(df)
+    assert(!plan.contains("Exchange"), s"$what must not shuffle:\n$plan")
+  }
 }
 
 /** End-to-end core-engine behaviors, run once per commit protocol (the

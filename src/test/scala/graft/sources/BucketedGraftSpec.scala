@@ -59,10 +59,8 @@ class BucketedGraftSpec extends AnyFunSuite {
     // THE plan property: the resolve aggregate runs on the bucket layout
     // with no Exchange anywhere (directory layout needs one hash exchange)
     val snap = BucketedGraft.snapshot(spark, name, schema)
-    snap.collect()
-    val plan = snap.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    assert(!plan.contains("Exchange"), s"bucketed dedup must not shuffle:\n$plan")
-    assert(plan.contains("Bucketed: true"), plan)
+    TestSpark.assertNoExchange(snap, "bucketed dedup")
+    assert(TestSpark.finalPlan(snap).contains("Bucketed: true"))
 
     // time travel: asOf txn1 sees only b1; the scan prunes the txn2/txn3
     // partition directories (visibility = metadata, not IO)
@@ -79,7 +77,7 @@ class BucketedGraftSpec extends AnyFunSuite {
     val first = ord.limit(1).collect().head
     assert(first.getLong(0) === 0L)
     ord.collect()
-    val ordPlan = ord.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val ordPlan = TestSpark.finalPlan(ord)
     val exchanges = "(?m)Exchange".r.findAllIn(ordPlan).length
     assert(exchanges === 1, s"ordered scan should have exactly the sort exchange:\n$ordPlan")
 
@@ -140,9 +138,7 @@ class BucketedGraftSpec extends AnyFunSuite {
       // overlapping), v=1 at 100..149; b has v=7 everywhere
       assert(rows.length === 50)
       assert(rows.forall(r => r.getLong(2) == 1L && r.getLong(3) == 7L))
-      val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-      assert(!plan.contains("Exchange"),
-        s"co-located resolve+join must not shuffle:\n$plan")
+      TestSpark.assertNoExchange(joined, "co-located resolve+join")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
