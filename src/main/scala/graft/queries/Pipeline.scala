@@ -568,6 +568,64 @@ object Pipeline {
         .select(col("doc_id"), explode(graft.functions.TextOps.winnow56Col(
           graft.functions.TextOps.gramsCol(col("text"), lit(3)), lit(5))).as("fp"))
         .orderBy(col("doc_id"), col("fp"))
+    },
+
+    // exact duplicated-SUBSTRING spans (the token-level dedup of Lee et
+    // al., "Deduplicating Training Data Makes Language Models Better",
+    // ACL'22 — they cut repeated spans, not whole documents): every
+    // 5-token window is hashed; windows whose hash repeats anywhere in
+    // the corpus are duplicated positions; overlapping duplicated windows
+    // merge into maximal spans per document (gaps-and-islands). Where the
+    // paper builds a suffix array, the distributed shape is an explode →
+    // one hash aggregate on the 8-byte window hash → a per-document
+    // window pass: every stage linear in corpus size, the span merge
+    // partition-local. Output = the spans a dedup pass would cut.
+    Entry("q75_dup_spans", Some(
+      s"""WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') ws
+         |             FROM documents WHERE len(string_split_regex(lower(text), '\\s+')) >= 5),
+         |gr AS (SELECT doc_id, list_transform(range(1, len(ws) - 3),
+         |               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) gs
+         |       FROM tok),
+         |hx AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS i,
+         |              ${h56Sql("unnest(gs)")} AS h
+         |       FROM gr),
+         |dup AS (SELECT h FROM hx GROUP BY h HAVING count(*) > 1),
+         |dp AS (SELECT doc_id, i FROM hx JOIN dup USING (h)),
+         |isl AS (SELECT doc_id, i,
+         |               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 4
+         |                    THEN 0 ELSE 1 END brk
+         |        FROM dp),
+         |grp AS (SELECT doc_id, i,
+         |               sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+         |                              ROWS UNBOUNDED PRECEDING) gid
+         |        FROM isl)
+         |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+         |       CAST(max(i) + 4 AS BIGINT) AS span_end,
+         |       CAST(max(i) + 5 - min(i) AS BIGINT) AS n_dup_tokens
+         |FROM grp GROUP BY doc_id, gid
+         |ORDER BY doc_id, span_start""".stripMargin)) { (s, d) =>
+      graft.functions.TextOps.register(s)
+      val hx = table(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextOps.gramsCol(col("text"), lit(5))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+          graft.functions.TextOps.h56Col(col("col")).as("h"))
+      // duplicated window hashes: NOT broadcast — the duplicated-window
+      // vocabulary grows with the corpus; a plain 8-byte-key shuffle join
+      val dup = hx.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .where(col("c") > 1).select(col("h"))
+      val byI = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val run = byI.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hx.join(dup, Seq("h"))
+        .select(col("doc_id"), col("i"))
+        .withColumn("brk",
+          when(col("i") - lag(col("i"), 1).over(byI) <= 4, 0).otherwise(1))
+        .withColumn("gid", sum(col("brk")).over(run))
+        .groupBy(col("doc_id"), col("gid"))
+        .agg(min(col("i")).as("span_start"), (max(col("i")) + 4).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("n_dup_tokens"))
+        .orderBy(col("doc_id"), col("span_start"))
     }
   )
 
