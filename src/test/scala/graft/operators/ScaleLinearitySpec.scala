@@ -74,6 +74,35 @@ class ScaleLinearitySpec extends AnyFunSuite {
     assert(d1 > 0, "test premise: the base corpus has duplicated passages")
     assert(d3 === 3 * d1, s"dup passages must be clone-local: $d1 -> $d3")
 
+    // q75's duplicated-substring spans: clone vocabularies are disjoint,
+    // so duplicated 5-token windows (and the spans they merge into) are
+    // clone-local and replicate exactly
+    def dupSpans(docs: DataFrame): Long = {
+      graft.functions.TextOps.register(spark)
+      val hx = docs
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextOps.gramsCol(col("text"), lit(5))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+          graft.functions.TextOps.h56Col(col("col")).as("h"))
+      val dup = hx.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .where(col("c") > 1).select(col("h"))
+      val byI = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("i"))
+      val run = byI.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      hx.join(dup, Seq("h")).select(col("doc_id"), col("i"))
+        .withColumn("brk",
+          when(col("i") - lag(col("i"), 1).over(byI) <= 4, 0).otherwise(1))
+        .withColumn("gid", sum(col("brk")).over(run))
+        .groupBy(col("doc_id"), col("gid")).agg(count(lit(1)))
+        .count()
+    }
+    val s1 = dupSpans(one)
+    val s3 = dupSpans(three)
+    assert(s1 > 0, "test premise: the base corpus has duplicated substrings")
+    assert(s3 === 3 * s1, s"dup spans must be clone-local: $s1 -> $s3")
+
     // q69's candidate stage: train-eval shared-shingle pairs never cross
     // clones (each clone hash-splits its own ids, but shingles are
     // clone-disjoint, so any cross-clone pair is an index-join bug)
