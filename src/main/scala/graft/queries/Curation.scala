@@ -123,7 +123,7 @@ object Curation {
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) w
         |             FROM documents),
         |cnt AS (SELECT doc_id, w, count(*) c FROM tok GROUP BY doc_id, w)
-        |SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_n,
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct, max(c) AS top_n,
         |       CAST(max(c) AS DOUBLE) / sum(c) AS top_frac,
         |       CAST(count(*) AS DOUBLE) / sum(c) AS distinct_ratio
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
@@ -373,40 +373,62 @@ object Curation {
     // ---- embedding-column profile ------------------------------------------
     // Per-label centroid norm over the embedding column — drift/quality
     // profiling for vector corpora. Doubles can't be summed cross-engine
-    // (order-dependent), so components are quantized to 2^-40 fixed point
-    // (floor is engine-identical) and every aggregate is exact integer
-    // arithmetic; only the final norm expression returns to doubles, in the
-    // identical evaluation order. Shape: posexplode → one (label, pos) hash
-    // aggregate → one label-sized aggregate; linear in corpus size, 64·L
-    // intermediate rows.
+    // (order-dependent), so components are quantized to 2^-26 fixed point
+    // (floor is engine-identical) and every aggregate is exact int64
+    // arithmetic. The round-4 formulation overflowed int64 at ~8.4M
+    // vectors/label; the obvious HUGEINT/DECIMAL(38,0) repair is NOT safe
+    // either — DuckDB's int128→double cast double-rounds (converts the two
+    // 64-bit halves separately, then re-rounds their sum; observed 1-ULP
+    // off the correctly-rounded value Spark's BigDecimal produces). So no
+    // integer wider than int64 may ever cross to double. Instead each
+    // per-(label, i) component sum is limb-split sq = a·2^26 + b (the a
+    // extraction goes through a double floor-divide, exact while |sq| < 2^53
+    // — i.e. up to 2^27 ≈ 134M vectors per label, the documented headroom),
+    // and the label aggregate keeps three int64 power sums
+    // ss = S2·2^52 + S1·2^27 + S0 (S2=Σa², S1=Σab, S0=Σb², all within
+    // int64 at that headroom). The norm recombines them in a fixed,
+    // parenthesized IEEE evaluation order — int64→double casts and IEEE
+    // ops are engine-identical, so the result is deterministic across
+    // engines by construction (and ≤1 ULP from the exact value). Shape:
+    // posexplode → one (label, pos) hash aggregate → one label-sized
+    // aggregate; linear in corpus size, 64·L intermediate rows.
     Entry("q72_embed_profile", Some(
       """WITH ex AS (SELECT label, unnest(embedding) v,
         |                  unnest(range(1, len(embedding)+1)) i
         |            FROM embeddings),
         |q AS (SELECT label, i,
-        |             CAST(floor(CAST(v AS DOUBLE) * 1099511627776.0) AS BIGINT) qv
+        |             CAST(floor(CAST(v AS DOUBLE) * 67108864.0) AS BIGINT) qv
         |      FROM ex),
         |s AS (SELECT label, i, CAST(sum(qv) AS BIGINT) sq, count(*) n
         |      FROM q GROUP BY label, i),
-        |agg AS (SELECT label, sum(CAST(sq AS HUGEINT) * sq) ss, max(n) nv
-        |        FROM s GROUP BY label)
+        |ab AS (SELECT label, CAST(floor(CAST(sq AS DOUBLE) / 67108864.0) AS BIGINT) a,
+        |              sq, n FROM s),
+        |ab2 AS (SELECT label, a, sq - a * 67108864 AS b, n FROM ab),
+        |agg AS (SELECT label, CAST(sum(a*a) AS BIGINT) s2, CAST(sum(a*b) AS BIGINT) s1,
+        |               CAST(sum(b*b) AS BIGINT) s0, max(n) nv
+        |        FROM ab2 GROUP BY label)
         |SELECT label, nv AS n_vecs,
-        |       sqrt(CAST(ss AS DOUBLE)) / (CAST(nv AS DOUBLE) * 1099511627776.0) AS centroid_norm
+        |       sqrt((CAST(s2 AS DOUBLE) * 4503599627370496.0 + CAST(s1 AS DOUBLE) * 134217728.0) + CAST(s0 AS DOUBLE))
+        |       / (CAST(nv AS DOUBLE) * 67108864.0) AS centroid_norm
         |FROM agg ORDER BY label""".stripMargin)) { (s, d) =>
-      import org.apache.spark.sql.types.DecimalType
       val q = table(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")))
         .toDF("label", "p", "v")
         .select(col("label"), (col("p") + 1).as("i"),
-          floor(col("v").cast("double") * lit(1099511627776.0)).cast("long").as("qv"))
+          floor(col("v").cast("double") * lit(67108864.0)).cast("long").as("qv"))
       q.groupBy(col("label"), col("i"))
-        .agg(sum(col("qv")).cast("long").as("sq"), count(lit(1)).as("n"))
+        .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
+        .select(col("label"),
+          floor(col("sq").cast("double") / lit(67108864.0)).cast("long").as("a"),
+          col("sq"), col("n"))
+        .withColumn("b", col("sq") - col("a") * lit(67108864L))
         .groupBy(col("label"))
-        .agg(sum(col("sq").cast(DecimalType(38, 0)) * col("sq").cast(DecimalType(38, 0))).as("ss"),
-          max(col("n")).as("nv"))
+        .agg(sum(col("a") * col("a")).as("s2"), sum(col("a") * col("b")).as("s1"),
+          sum(col("b") * col("b")).as("s0"), max(col("n")).as("nv"))
         .select(col("label"), col("nv").as("n_vecs"),
-          (sqrt(col("ss").cast("double")) /
-            (col("nv").cast("double") * lit(1099511627776.0))).as("centroid_norm"))
+          (sqrt((col("s2").cast("double") * lit(4503599627370496.0) +
+            col("s1").cast("double") * lit(134217728.0)) + col("s0").cast("double")) /
+            (col("nv").cast("double") * lit(67108864.0))).as("centroid_norm"))
         .orderBy(col("label"))
     }
   )

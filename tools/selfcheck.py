@@ -70,7 +70,19 @@ def main():
         if s is None:
             print(f"MISSING  {name}: no spark output"); fail += 1; continue
         try:
-            d = con.sql(sql).df()
+            rel = con.sql(sql)
+            # Guard the whole bug class behind r4's q64: DuckDB widens
+            # sum(BIGINT) to HUGEINT (and leaves DECIMAL uncast), which the
+            # driver materializes as float64 while Spark writes int64 — a
+            # type-level hash mismatch on bit-identical values. Every oracle
+            # must cast such columns (CAST(... AS BIGINT/DOUBLE)) explicitly.
+            badtypes = [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+                        if "HUGEINT" in str(t) or "DECIMAL" in str(t)]
+            if badtypes:
+                print(f"ORACLETYPE {name}: uncast oracle output column(s) {badtypes} "
+                      f"(HUGEINT/DECIMAL hash-mismatch vs Spark — add explicit CASTs)")
+                fail += 1; continue
+            d = rel.df()
         except Exception as e:
             print(f"ORACLE_ERR {name}: {e}"); fail += 1; continue
         issues = compare(name, s, d)
