@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTablePartition}
 import org.apache.spark.sql.functions._
 import graft.core.{MatSchema, Scan}
 
@@ -39,15 +41,45 @@ import graft.core.{MatSchema, Scan}
   * atomic visibility flip (`saveAsTable` appends register files + partition
   * atomically at the metastore).
   *
-  * SINGLE WRITER per table: txn ids come from a read-then-write over the
-  * partition listing, so two concurrent appenders (e.g. a streaming sink
-  * plus a manual backfill) can land under the SAME txn id — two logical
-  * transactions merged, arbitrary resolution between their overlapping
-  * keys. Same contract as the reference (database.rs:74-79) and the
-  * directory layout's rename protocol; the manifest protocol's
-  * expectedBase conflict detection is the roadmap fix (SURVEY §9.4 #4).
+  * == Concurrency contract (round 5) ==
+  *
+  * Txn-id ALLOCATION is concurrency-safe: ids are claimed with a
+  * put-if-absent partition creation at the metastore
+  * (`createPartitions(ignoreIfExists = false)` throws on an existing
+  * partition and is atomic both in Spark's in-memory catalog and in a Hive
+  * metastore) — the same shape as the manifest protocol's `Files.createLink`
+  * publish (Storage.ManifestProtocol). Two concurrent appenders — e.g. a
+  * streaming sink plus a manual backfill — therefore get DISTINCT,
+  * sequential ids and can never merge two logical transactions under one
+  * number (the reference's in-process allocation, database.rs:74-79, has no
+  * such guard). The claim loop also makes append cost independent of table
+  * age: the candidate id comes from a `graft.maxTxn` table-property hint
+  * (one metastore getTable call), not from listing all partitions; the
+  * listing runs only to (re)seed a missing or stale hint. A writer that
+  * claims an id and dies leaves an EMPTY partition: invisible to reads (no
+  * files), never reused (the claim stands), swept by [[compact]].
+  *
+  * What remains single-writer-ish: the DATA write under two simultaneously
+  * in-flight appends shares the table's Hadoop `_temporary` staging
+  * directory, whose job-commit cleanup is not concurrency-safe in
+  * stock committers — claims serialize the IDS, not the file moves. Run
+  * overlapping writers against a concurrency-safe committer, or serialize
+  * the write phase (a streaming sink's micro-batches already are). And
+  * [[compact]] aborts if any transaction committed between its snapshot
+  * read and its rewrite (detected from the partition listing), but the
+  * detect-then-overwrite window cannot be fully closed at a
+  * last-writer-wins metastore — stop the stream, or call compact at the
+  * stream's own serialization point (inside foreachBatch), when compacting
+  * a streamed table.
   */
 object BucketedGraft {
+
+  /** Table property holding the highest committed txn id — an O(1)
+    * allocation hint so append cost does not grow with the number of
+    * transactions. Advisory only: the partition CLAIM is what makes an id
+    * unique, so a stale or lost hint costs extra claim probes, never
+    * correctness. */
+  val MaxTxnProp = "graft.maxTxn"
 
   /** Create an empty bucketed graft table. `buckets` is fixed for the
     * table's lifetime (it IS the co-location contract). Pick it like a
@@ -58,24 +90,28 @@ object BucketedGraft {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullStruct(schema))
     write(empty, name, schema, buckets, SaveMode.ErrorIfExists)
+    setMaxTxnHint(spark, name, 0L)
   }
 
   /** Commit `df` as one new transaction; returns its txn id, or None when
-    * the batch was empty. An empty write leaves no `_txn_id` partition —
-    * no transaction exists, and handing out its id anyway would let the
-    * NEXT append commit under the same number (the returned id would alias
-    * two callers' transactions). Checked AFTER the write from partition
-    * metadata, so non-empty batches aren't computed twice. */
+    * the batch was empty. An empty write leaves an empty claimed partition —
+    * no data, so no transaction is visible to any read — and the claim is
+    * dropped so the id returns to the pool. Checked AFTER the write from the
+    * partition's file listing, so non-empty batches aren't computed twice. */
   def append(spark: SparkSession, name: String, schema: MatSchema, df: DataFrame,
       buckets: Int): Option[Long] = {
-    val txn = nextTxnId(spark, name)
+    val txn = claimTxnId(spark, name)
     val batch = df.select(schema.columnNames.map(col): _*)
       .withColumn(Scan.SeqCol, lit(0L))
       .withColumn(Scan.TxnCol, lit(txn))
     write(batch, name, schema, buckets, SaveMode.Append)
-    if (spark.sql(s"SHOW PARTITIONS $name").collect()
-        .exists(_.getString(0) == s"${Scan.TxnCol}=$txn")) Some(txn)
-    else None
+    if (partitionHasData(spark, name, txn)) {
+      setMaxTxnHint(spark, name, txn)
+      Some(txn)
+    } else {
+      dropClaim(spark, name, txn)
+      None
+    }
   }
 
   /** Newest version of every key point, resolved with zero exchanges.
@@ -95,31 +131,65 @@ object BucketedGraft {
       asOf: Option[Long] = None): DataFrame =
     snapshot(spark, name, schema, asOf).orderBy(schema.dimNames.map(col): _*)
 
-  /** Next transaction id = max committed + 1, from partition METADATA
-    * (no data files touched — the reference's directory-scan txn-id
-    * recovery, database.rs:123-126, as a catalog listing). */
-  def nextTxnId(spark: SparkSession, name: String): Long = {
-    val parts = spark.sql(s"SHOW PARTITIONS $name").collect()
-    val ids = parts.map(_.getString(0)).flatMap { p =>
-      p.split("=") match {
-        case Array(Scan.TxnCol, v) => Some(v.toLong)
-        case _ => None
+  /** Atomically claim the next free transaction id by creating its (empty)
+    * `_txn_id` partition with put-if-absent semantics at the metastore.
+    * The first candidate comes from the `graft.maxTxn` hint; a lost race or
+    * stale hint re-probes from the authoritative partition listing. Returns
+    * the claimed id — callers own it exclusively. */
+  def claimTxnId(spark: SparkSession, name: String): Long = {
+    val (db, table) = dbTable(spark, name)
+    val ext = spark.sharedState.externalCatalog
+    var candidate = math.max(maxTxnHint(spark, name).getOrElse(listMaxTxn(spark, name)), 0L) + 1L
+    var claimed = -1L
+    while (claimed < 0) {
+      try {
+        ext.createPartitions(db, table,
+          Seq(CatalogTablePartition(Map(Scan.TxnCol -> candidate.toString),
+            CatalogStorageFormat.empty)),
+          ignoreIfExists = false)
+        claimed = candidate
+      } catch {
+        case _: org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException =>
+          // lost the race (or the hint was stale): re-probe from the real max
+          candidate = math.max(candidate, listMaxTxn(spark, name)) + 1L
       }
     }
-    if (ids.isEmpty) 1L else ids.max + 1L
+    claimed
   }
+
+  /** Highest committed transaction id from partition METADATA (no data
+    * files touched — the reference's directory-scan txn-id recovery,
+    * database.rs:123-126, as a catalog listing). O(#transactions) names:
+    * this is the discovery/probe API; the append path allocates through
+    * [[claimTxnId]]'s O(1) hint instead. */
+  def nextTxnId(spark: SparkSession, name: String): Long = listMaxTxn(spark, name) + 1L
 
   /** Compact the table: rewrite the resolved snapshot as ONE transaction
     * (counterpart of [[graft.core.MatDb.compact]]). A long-lived writer —
     * the streaming sink especially — accumulates one `_txn_id` partition
     * and one bucket-file set per commit, which grows every partition
     * listing and every snapshot's file scan; compaction collapses them to
-    * a single partition. Same caveat as the directory layout: time travel
-    * to pre-compaction transactions is gone. The snapshot is staged to a
-    * temp directory first (Spark refuses to overwrite a table from a plan
-    * that reads it). Returns the surviving transaction's id. */
-  def compact(spark: SparkSession, name: String, schema: MatSchema, buckets: Int): Long = {
-    val txn = nextTxnId(spark, name)
+    * a single partition (sweeping any dead claim partitions with it). Same
+    * caveat as the directory layout: time travel to pre-compaction
+    * transactions is gone. The snapshot is staged to a temp directory
+    * first (Spark refuses to overwrite a table from a plan that reads it).
+    *
+    * Concurrent-append safety: the compaction txn id is CLAIMED up front
+    * (so no appender can take it), and immediately before the overwrite
+    * the partition listing is re-checked — any transaction that committed
+    * after the snapshot was taken aborts the compaction with
+    * IllegalStateException (nothing overwritten; the staged copy is
+    * discarded, the claim dropped). The residual check-to-overwrite window
+    * is documented in the object scaladoc. Returns the surviving
+    * transaction's id.
+    *
+    * `beforeCheck` is a test seam: invoked after the snapshot is staged and
+    * before the concurrent-append re-check (production callers leave the
+    * default no-op). */
+  def compact(spark: SparkSession, name: String, schema: MatSchema, buckets: Int,
+      beforeCheck: () => Unit = () => ()): Long = {
+    val base = listTxnIds(spark, name).toSet
+    val txn = claimTxnId(spark, name)
     val staging = java.nio.file.Files.createTempDirectory("graft-bucketed-compact")
     val stagingData = staging.resolve("data").toString
     try {
@@ -127,7 +197,17 @@ object BucketedGraft {
         .withColumn(Scan.SeqCol, lit(0L))
         .withColumn(Scan.TxnCol, lit(txn))
         .write.parquet(stagingData)
+      beforeCheck()
+      val now = listTxnIds(spark, name).toSet - txn
+      if (now != base) {
+        dropClaim(spark, name, txn)
+        throw new IllegalStateException(
+          s"compact aborted: transactions ${(now -- base).toSeq.sorted.mkString(",")} " +
+            s"committed concurrently (overwriting would discard them); " +
+            s"stop the writer or compact at its serialization point")
+      }
       write(spark.read.parquet(stagingData), name, schema, buckets, SaveMode.Overwrite)
+      setMaxTxnHint(spark, name, txn)
       txn
     } finally {
       def rm(f: java.io.File): Unit = {
@@ -146,7 +226,7 @@ object BucketedGraft {
     * configured warehouse path (never a hardcoded relative guess). */
   def drop(spark: SparkSession, name: String): Unit = {
     val catalog = spark.sessionState.catalog
-    val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+    val ident = TableIdentifier(name)
     val loc: java.io.File =
       if (catalog.tableExists(ident)) new java.io.File(catalog.getTableMetadata(ident).location)
       else {
@@ -161,6 +241,66 @@ object BucketedGraft {
       f.delete()
     }
     if (loc.exists()) rm(loc)
+  }
+
+  // ---- metastore plumbing --------------------------------------------------
+
+  private def dbTable(spark: SparkSession, name: String): (String, String) = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    (ident.database.getOrElse(spark.sessionState.catalog.getCurrentDatabase), ident.table)
+  }
+
+  private def listTxnIds(spark: SparkSession, name: String): Seq[Long] = {
+    val (db, table) = dbTable(spark, name)
+    spark.sharedState.externalCatalog.listPartitionNames(db, table).flatMap { p =>
+      p.split("=") match {
+        case Array(Scan.TxnCol, v) => Some(v.toLong)
+        case _ => None
+      }
+    }
+  }
+
+  private def listMaxTxn(spark: SparkSession, name: String): Long = {
+    val ids = listTxnIds(spark, name)
+    if (ids.isEmpty) 0L else ids.max
+  }
+
+  private def maxTxnHint(spark: SparkSession, name: String): Option[Long] = {
+    val (db, table) = dbTable(spark, name)
+    spark.sharedState.externalCatalog.getTable(db, table)
+      .properties.get(MaxTxnProp).map(_.toLong)
+  }
+
+  /** Advance the `graft.maxTxn` hint (monotonic; plain read-modify-write —
+    * a lost update only staleness the hint, claims keep ids unique). */
+  private def setMaxTxnHint(spark: SparkSession, name: String, txn: Long): Unit = {
+    val (db, table) = dbTable(spark, name)
+    val ext = spark.sharedState.externalCatalog
+    val t = ext.getTable(db, table)
+    val current = t.properties.get(MaxTxnProp).map(_.toLong).getOrElse(-1L)
+    if (txn > current)
+      ext.alterTable(t.copy(properties = t.properties + (MaxTxnProp -> txn.toString)))
+  }
+
+  /** Does the claimed partition contain any data file? (Hidden files and
+    * commit markers don't count.) One directory listing — O(files in this
+    * one partition), not O(table). */
+  private def partitionHasData(spark: SparkSession, name: String, txn: Long): Boolean = {
+    val (db, table) = dbTable(spark, name)
+    val part = spark.sharedState.externalCatalog
+      .getPartition(db, table, Map(Scan.TxnCol -> txn.toString))
+    part.storage.locationUri.exists { uri =>
+      val dir = new java.io.File(uri.getPath)
+      dir.isDirectory && Option(dir.listFiles()).exists(_.exists(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+    }
+  }
+
+  private def dropClaim(spark: SparkSession, name: String, txn: Long): Unit = {
+    val (db, table) = dbTable(spark, name)
+    spark.sharedState.externalCatalog.dropPartitions(db, table,
+      Seq(Map(Scan.TxnCol -> txn.toString)),
+      ignoreIfNotExists = true, purge = false, retainData = false)
   }
 
   private def fullStruct(schema: MatSchema): org.apache.spark.sql.types.StructType = {

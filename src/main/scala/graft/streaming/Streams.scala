@@ -126,12 +126,18 @@ object Streams {
     * RESOLVED view is effectively exactly-once while the raw txn history
     * is at-least-once. The spec asserts both halves.
     *
-    * Operations notes: the stream must be the table's ONLY writer
-    * ([[graft.sources.BucketedGraft]]'s single-writer contract), and a
-    * long-running stream accrues one txn partition per micro-batch —
-    * schedule [[graft.sources.BucketedGraft.compact]] periodically (from
-    * the same single writer) to keep partition listings and snapshot file
-    * counts bounded. */
+    * Operations notes: txn ids are claim-allocated (see
+    * [[graft.sources.BucketedGraft]]'s concurrency contract), so another
+    * writer can never merge into a micro-batch's transaction, but the DATA
+    * write phase should not overlap other writers on stock Hadoop
+    * committers. A long-running stream accrues one txn partition per
+    * micro-batch — keep listings and snapshot file counts bounded with
+    * [[graft.sources.BucketedGraft.compact]], and run it ONLY at this
+    * stream's own serialization point (inside this foreachBatch, e.g.
+    * every Nth batch) or with the stream stopped: compact rewrites the
+    * snapshot it read, and while it aborts when it detects a transaction
+    * committed under it, the detect-then-overwrite window cannot be fully
+    * closed at a last-writer-wins metastore. */
   def bucketedSink(stream: DataFrame, table: String, schema: graft.core.MatSchema,
       buckets: Int, checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

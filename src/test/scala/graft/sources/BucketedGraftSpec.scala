@@ -108,6 +108,98 @@ class BucketedGraftSpec extends AnyFunSuite {
     BucketedGraft.drop(spark, name)
   }
 
+  test("two writers never share a txn id: claims are atomic, sequential, unmerged") {
+    // The round-4 hazard: txn ids came from a read-then-write over the
+    // partition listing, so a streaming sink and a backfill could commit
+    // under the SAME id — two logical transactions merged. Ids are now
+    // CLAIMED via put-if-absent partition creation at the metastore. This
+    // test races real concurrent claimers, then interleaves two logical
+    // writers' appends, and checks ids stay distinct and each transaction
+    // holds exactly its own batch.
+    val name = "bg_two_writers"
+    BucketedGraft.drop(spark, name)
+    BucketedGraft.create(spark, name, schema, buckets = 4)
+
+    // phase 1: 4 threads × 5 concurrent claims — must partition 1..20 exactly
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 20).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Long] {
+          def call(): Long = BucketedGraft.claimTxnId(spark, name)
+        }))
+      val claimed = futures.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(claimed.sorted === (1L to 20L), s"claims must be distinct+dense: $claimed")
+    } finally pool.shutdown()
+    // dead claims (a writer that crashes after claiming) are invisible to reads
+    assert(BucketedGraft.snapshot(spark, name, schema).count() === 0)
+    assert(BucketedGraft.nextTxnId(spark, name) === 21L)
+
+    // phase 2: writer A (3 batches) and writer B (3 batches) interleaved —
+    // the write phases serialize (shared Hadoop staging dir, see scaladoc)
+    // but every append allocates through the same claim path a concurrent
+    // writer would use
+    val ids = scala.collection.mutable.ArrayBuffer[(String, Long, Seq[(Long, Long, Long)])]()
+    (0 until 3).foreach { i =>
+      val ba = (0L until 10L).map(k => (100L * i + k, k % 10, 1000L + i))
+      val bb = (0L until 10L).map(k => (100L * i + k + 50L, k % 10, 2000L + i))
+      ids += (("A", BucketedGraft.append(spark, name, schema, batch(ba), buckets = 4).get, ba))
+      ids += (("B", BucketedGraft.append(spark, name, schema, batch(bb), buckets = 4).get, bb))
+    }
+    val txns = ids.map(_._2)
+    assert(txns.distinct.size === txns.size, s"txn ids must never merge: $txns")
+    assert(txns === txns.sorted, s"ids allocate monotonically: $txns")
+    // no merged transactions: each _txn_id partition holds exactly its batch
+    ids.foreach { case (_, txn, rows) =>
+      val got = spark.table(name).where(col(graft.core.Scan.TxnCol) === txn)
+        .select(col("t"), col("sensor"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === rows.toSet, s"txn $txn must contain exactly its own batch")
+    }
+    // the O(1) allocation hint tracks the real max (claims would still
+    // protect correctness if it didn't — this pins the fast path)
+    val t = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name))
+    assert(t.properties.get(BucketedGraft.MaxTxnProp) === Some(txns.max.toString))
+    BucketedGraft.drop(spark, name)
+  }
+
+  test("compact aborts instead of discarding a concurrently committed append") {
+    val name = "bg_compact_race"
+    BucketedGraft.drop(spark, name)
+    BucketedGraft.create(spark, name, schema, buckets = 4)
+    BucketedGraft.append(spark, name, schema,
+      batch((0L until 40L).map(i => (i, i % 10, 1L))), buckets = 4)
+    BucketedGraft.append(spark, name, schema,
+      batch((0L until 20L).map(i => (i, i % 10, 2L))), buckets = 4)
+
+    // a transaction that lands between compact's snapshot staging and its
+    // overwrite must ABORT the compaction, not vanish (the round-4 compact
+    // silently discarded it): inject the racing append through compact's
+    // beforeCheck seam — the exact point the detection guards
+    val racer = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val ex = intercept[IllegalStateException] {
+      BucketedGraft.compact(spark, name, schema, buckets = 4, beforeCheck = { () =>
+        racer.set(BucketedGraft.append(spark, name, schema,
+          batch(Seq((500L, 0L, 9L))), buckets = 4).get)
+      })
+    }
+    assert(ex.getMessage.contains("compact aborted"))
+    assert(ex.getMessage.contains(racer.get.toString))
+    // nothing was overwritten: all three transactions' rows still resolve
+    val afterAbort = BucketedGraft.snapshot(spark, name, schema).collect()
+    assert(afterAbort.length === 41)
+    assert(afterAbort.exists(r => r.getLong(0) == 500L && r.getLong(2) == 9L))
+    assert(afterAbort.exists(r => r.getLong(0) == 10L && r.getLong(2) == 2L))
+
+    // with no concurrent writer the same compact succeeds and keeps every row
+    val survivor = BucketedGraft.compact(spark, name, schema, buckets = 4)
+    val snap = BucketedGraft.snapshot(spark, name, schema).collect()
+    assert(snap.length === 41)
+    assert(snap.exists(r => r.getLong(0) == 500L && r.getLong(2) == 9L))
+    assert(BucketedGraft.nextTxnId(spark, name) === survivor + 1L)
+    BucketedGraft.drop(spark, name)
+  }
+
   test("joining two resolved bucketed tables on the key needs no exchange either") {
     val a = "bg_join_a"
     val b = "bg_join_b"
