@@ -111,8 +111,17 @@ object GraftPlans {
         spark.experimental.extraOptimizations :+ ChunkPruneRule
 }
 
-/** For spark.sql.extensions=graft.plans.GraftExtensions. */
+/** For spark.sql.extensions=graft.plans.GraftExtensions. Injects:
+  *   - [[ChunkPruneRule]] (optimizer): chunk-key predicate derivation —
+  *     injected in the operator-optimization batch, i.e. BEFORE the V2
+  *     early-scan pushdown, so derived `_ck_*` conjuncts become partition
+  *     filters on catalog reads too;
+  *   - [[graft.sources.GraftCatalogDedupRule]] (analyzer): the MVCC
+  *     newest-wins wrap that completes [[graft.sources.GraftCatalog]]'s
+  *     SQL read path (`SELECT ... FROM <cat>.<t> [VERSION AS OF n]`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ChunkPruneRule)
+    ext.injectResolutionRule(session => graft.sources.GraftCatalogDedupRule(session))
+  }
 }

@@ -1,0 +1,284 @@
+package graft.sources
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, Least, Literal, Multiply, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionPath, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{MatDb, MatSchema, Scan, Storage}
+
+/** SQL-native access to graft tables: a DataSource V2 `TableCatalog` that
+  * makes every directory-layout graft table under a root queryable as
+  * `SELECT ... FROM <cat>.<table>`, with time travel as first-class SQL —
+  * `SELECT ... FROM <cat>.<table> VERSION AS OF <txn>` ≡ `MatDb.asOf(txn)`
+  * (SURVEY.md §9.4 #5; the reference's snapshot horizon, database.rs:68-72,
+  * reachable from plain SQL).
+  *
+  * == Setup ==
+  * {{{
+  *   spark.sql.catalog.g      = graft.sources.GraftCatalog
+  *   spark.sql.catalog.g.root = /path/to/tables     // dir of graft tables
+  *   spark.sql.extensions     = graft.plans.GraftExtensions
+  * }}}
+  * The extensions entry is REQUIRED (same deployment shape as Delta/Iceberg):
+  * it injects [[GraftCatalogDedupRule]], the analyzer rule that completes
+  * this catalog's read semantics. Without it a catalog read would return raw
+  * segment rows.
+  *
+  * == Why a resolution rule instead of dedup inside the scan ==
+  * The MVCC newest-wins resolve is an AGGREGATE above the parquet scan —
+  * partial agg → exchange → final agg. A DSv2 `PartitionReader` runs per
+  * input split and cannot host that shuffle (the same key appears in many
+  * segments), which is why `format("graft")` stays a V1 relation (see the
+  * design note in [[GraftSource]]). The catalog therefore exposes the RAW
+  * segment rows as the table — `_txn_id`/`_seq`/`_ck_*` hidden as DSv2
+  * METADATA columns so `SELECT *` never sees them — and the injected rule
+  * wraps every such relation with the same packed-`_ver` `max_by` aggregate
+  * [[graft.core.Scan.dedup]] plans ([[GraftCatalogDedupRule]] builds the
+  * Catalyst tree directly, preserving the relation's output attribute ids).
+  *
+  * Because the wrap happens at ANALYSIS time, the optimizer then does the
+  * semantically-correct predicate split for free: dimension predicates are
+  * grouping-key references, so `PushDownPredicates` moves them below the
+  * aggregate into the scan (parquet pushdown + `_ck_*` partition pruning via
+  * ChunkPruneRule — dimension fields carry their chunk size in field
+  * metadata); value predicates are non-grouping references and STAY above
+  * the dedup — pre-dedup value filtering would resurrect superseded versions
+  * (the V1 relation enforces the same split by hand; here Catalyst's own
+  * rules enforce it structurally). GraftCatalogSpec pins both.
+  *
+  * Scale notes: `loadTable` resolves the visible segment set driver-side
+  * (a listing, no data IO) exactly like every other table format's snapshot
+  * resolution; `VERSION AS OF` shrinks the FILE LIST, so time travel is
+  * metadata, not a filter. The bucketed layout ([[BucketedGraft]]) is a
+  * session-catalog table and keeps its own zero-exchange path — this catalog
+  * serves the directory layout, whose dedup legitimately needs its one
+  * exchange (BucketedGraftSpec continues to pin the bucketed plans).
+  *
+  * Read-only by design: writes go through the transactional APIs
+  * ([[graft.core.MatDb]], `format("graft")`, [[BucketedGraft]]) — a
+  * metastore-mediated `CREATE TABLE` could not express chunked dimensions
+  * or the commit protocols. `TIMESTAMP AS OF` is rejected: the format
+  * records no commit wall-clock (the reference's ids are logical too).
+  */
+class GraftCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: java.nio.file.Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null, s"catalog $name requires spark.sql.catalog.$name.root")
+    root = java.nio.file.Paths.get(r)
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier): java.nio.file.Path =
+    (ident.namespace() :+ ident.name()).foldLeft(root)(_.resolve(_))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(root)(_.resolve(_))
+    if (!java.nio.file.Files.isDirectory(dir)) Array.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => MatDb.exists(p.toString))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+      finally s.close()
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF <txn>` — the version string is a transaction id. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val txn = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft VERSION AS OF expects a transaction id, got '$version' " +
+          s"(discover ids with MatDb.history())")
+    }
+    load(ident, Some(txn))
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft tables have no commit timestamps; use VERSION AS OF <txn_id>")
+
+  private def load(ident: Identifier, asOf: Option[Long]): Table = {
+    val dir = tableDir(ident)
+    if (!MatDb.exists(dir.toString)) throw new NoSuchTableException(ident)
+    val schema = Storage.readSchema(dir)
+    // read-only listing: no recovery sweep (MatDb.open would delete another
+    // writer's in-flight .tmp segments — a catalog read must not mutate)
+    val proto = Storage.detect(dir)
+    val visible = proto.listCommitted(dir)
+      .filter(s => asOf.forall(s.txnId <= _)).sorted
+    val paths = visible.map(s => proto.readPath(dir, s).toString)
+    new GraftV2Table(s"$catalogName.${ident.toString}", schema, paths)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog is read-only; create tables with MatDb.create or df.write.format(\"graft\")")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def dropTable(ident: Identifier): Boolean = false
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+}
+
+/** One graft table snapshot as a DSv2 table: logical schema = dimensions +
+  * values; `_txn_id`, `_seq` and the `_ck_*` chunk keys are METADATA columns
+  * (hidden from `SELECT *`, resolvable by name — the dedup rule reads the
+  * first two, ChunkPruneRule's derived predicates prune on the last). The
+  * physical read is Spark's own vectorized parquet DSv2 scan builder over
+  * exactly the visible segment directories, so pushdown, pruning and
+  * vectorization are all stock Spark.
+  *
+  * The file index is built with an EXPLICIT `PartitionSpec` rather than
+  * partition inference: each segment directory is its own Hive-partitioned
+  * `_ck_*` tree, and Spark's inference refuses multiple partitioned roots
+  * (CONFLICTING_DIRECTORY_STRUCTURES — the V1 path unions per-segment reads
+  * for the same reason, [[graft.core.Scan.raw]]). The chunk dirs are
+  * enumerated driver-side at scan-build time — the same metadata listing
+  * any file source performs, O(chunk dirs in visible segments). */
+final class GraftV2Table(tableName: String, val matSchema: MatSchema,
+    val segmentPaths: Seq[String]) extends Table with SupportsRead with SupportsMetadataColumns {
+
+  /** Data columns physically present in every segment file: logical ++
+    * provenance — mirrors [[graft.core.Scan.raw]]'s explicit read schema. */
+  private val dataSchema: StructType = StructType(
+    matSchema.toStructType.fields.map(_.copy(nullable = true)) ++
+      Seq(StructField(Scan.TxnCol, LongType), StructField(Scan.SeqCol, LongType)))
+
+  private val partSchema: StructType =
+    StructType(matSchema.chunkColNames.map(StructField(_, LongType)))
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = matSchema.toStructType
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Collections.singleton(TableCapability.BATCH_READ)
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    (Seq(Scan.TxnCol, Scan.SeqCol) ++ matSchema.chunkColNames)
+      .map(n => GraftMetaCol(n, LongType)).toArray
+
+  /** Enumerate every `_ck_a=x/_ck_b=y/...` leaf directory under the visible
+    * segments and pin its partition values explicitly. */
+  private def partitionSpec(spark: SparkSession): PartitionSpec = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val depth = matSchema.dimNames.size
+    val prefixes = matSchema.chunkColNames.map(_ + "=")
+    def leaves(dir: java.io.File, level: Int, vals: List[Long]): Seq[PartitionPath] =
+      if (level == depth) {
+        // plain absolute path, then makeQualified — matching how the index
+        // qualifies listed files (File.toURI's empty authority would break
+        // the Path equality the partition→files join relies on)
+        val p = new org.apache.hadoop.fs.Path(dir.getAbsolutePath)
+        val fs = p.getFileSystem(hconf)
+        Seq(PartitionPath(
+          org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals.reverse),
+          fs.makeQualified(p)))
+      } else {
+        Option(dir.listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith(prefixes(level)))
+          .flatMap(f =>
+            leaves(f, level + 1, f.getName.stripPrefix(prefixes(level)).toLong :: vals))
+      }
+    PartitionSpec(partSchema,
+      segmentPaths.flatMap(p => leaves(new java.io.File(p), 0, Nil)))
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    val roots = segmentPaths.map(p =>
+      new org.apache.hadoop.fs.Path(new java.io.File(p).getAbsolutePath))
+    val index = new InMemoryFileIndex(spark, roots, Map.empty[String, String],
+      Some(StructType(dataSchema ++ partSchema)),
+      FileStatusCache.getOrCreate(spark), Some(partitionSpec(spark)), None)
+    ParquetScanBuilder(spark, index, StructType(dataSchema ++ partSchema), dataSchema, options)
+  }
+}
+
+private final case class GraftMetaCol(colName: String, colType: DataType)
+    extends MetadataColumn {
+  override def name(): String = colName
+  override def dataType(): DataType = colType
+  override def isNullable: Boolean = true
+}
+
+/** Analyzer rule completing [[GraftCatalog]]'s read semantics: every
+  * [[GraftV2Table]] relation is wrapped with the MVCC newest-wins resolve —
+  * the exact packed-`_ver` `max_by` aggregate of [[graft.core.Scan.dedup]],
+  * built as a Catalyst tree over the relation's hidden provenance metadata
+  * columns. Output attribute ids are preserved (dims pass through the
+  * aggregate as grouping attributes; values are re-aliased to their original
+  * ids in a restoring Project), so references resolved before or after this
+  * rule fires bind identically.
+  *
+  * Skip guard: a relation whose visible output already contains `_txn_id`
+  * is either the inner relation of an existing wrap or a query that
+  * explicitly selected provenance metadata columns — both read RAW segment
+  * rows (the latter is the documented escape hatch for history inspection;
+  * [[graft.core.MatDb.history]] is the first-class API). */
+case class GraftCatalogDedupRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case rel: DataSourceV2Relation
+        if rel.table.isInstanceOf[GraftV2Table] &&
+          !rel.output.exists(_.name == Scan.TxnCol) =>
+      dedup(rel, rel.table.asInstanceOf[GraftV2Table].matSchema)
+  }
+
+  private def dedup(rel: DataSourceV2Relation, schema: MatSchema): LogicalPlan = {
+    val out = rel.output
+    val withMeta = rel.withMetadataColumns()
+    def attr(name: String): Attribute = withMeta.output
+      .find(_.name == name)
+      .getOrElse(throw new IllegalStateException(s"graft relation lost column $name"))
+    val dims = schema.dimNames.map(attr)
+    if (schema.valueNames.isEmpty) {
+      // no value columns: resolve = distinct over the key points
+      Aggregate(dims, dims.map(_.asInstanceOf[NamedExpression]), withMeta)
+    } else {
+      // _ver packing identical to Scan.dedup: txn saturated at 2^40 in the
+      // high bits, seq saturated in the low 22 — one primitive max_by buffer
+      // per value column keeps the plan on HashAggregateExec
+      val ver = Add(
+        Multiply(Least(Seq(attr(Scan.TxnCol), Literal(1L << 40))), Literal(1L << 22)),
+        Least(Seq(attr(Scan.SeqCol), Literal((1L << 22) - 1))))
+      val aggExprs: Seq[NamedExpression] = dims ++ schema.valueNames.map { v =>
+        Alias(MaxBy(attr(v), ver).toAggregateExpression(), v)()
+      }
+      val agg = Aggregate(dims, aggExprs, withMeta)
+      // restore the ORIGINAL output attribute ids so references bound to the
+      // bare relation (star expansion, earlier-resolved filters) stay valid
+      val restored = out.map { a =>
+        if (schema.dimNames.contains(a.name)) a
+        else Alias(agg.output.find(_.name == a.name).get, a.name)(exprId = a.exprId)
+      }
+      Project(restored, agg)
+    }
+  }
+}
