@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` with typed
   * metadata, plus a feature-extraction pipeline whose Spark-side plumbing
-  * (schema, partitioning, batch shape) is real while the codec itself is a
-  * clearly-marked deterministic STUB — the actual image/audio libraries are
-  * not in this container.
+  * (schema, partitioning, batch shape) is real. IMAGE decode is REAL —
+  * `javax.imageio` ships in the JDK (PNG/JPEG/BMP/GIF/WBMP), so no new
+  * dependency — with a deterministic stub as the fallback for payloads no
+  * reader accepts and for the audio/video codecs this container lacks
+  * (ffmpeg-class demuxing stays a clearly-marked STUB).
   *
   * The batch shape mirrors what a vectorized (Arrow/pandas-UDF-style) decode
   * would need: `mapPartitions` hands each task an iterator over its whole
@@ -21,9 +23,52 @@ object Multimodal {
       doc_id: Long, kind: String, n_bytes: Int,
       width: Int, height: Int, features: Array[Float])
 
-  /** STUB decoder: stands in for an image/audio codec. Deterministic fake
-    * dimensions/features derived from the bytes so tests are exact. A real
-    * deployment swaps only this function (e.g. javax.imageio / ffmpeg). */
+  /** REAL image decode through the JDK's ImageIO registry. None when no
+    * installed reader recognizes the payload (corrupt file, or a codec the
+    * JDK lacks) — callers fall back to [[decodeStub]], keeping the pipeline
+    * total. ImageIO's static registry is thread-safe; per-partition init
+    * is not needed for the JDK readers (a native codec would hook in at the
+    * mapPartitions seam instead). */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+
+  /** Deterministic 8-float feature vector from REAL pixel data: per-channel
+    * RGB means and standard deviations (population), mean luminance
+    * (Rec.601), and a log2 aspect ratio — all scaled to small ranges so the
+    * vector composes with the cosine/LSH operators. Integer pixel sums, so
+    * the result is bit-stable across runs and partitionings. */
+  def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = w.toLong * h
+    var sr, sg, sb = 0L      // channel sums
+    var qr, qg, qb = 0L      // channel square sums
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        sr += r; sg += g; sb += b
+        qr += r.toLong * r; qg += g.toLong * g; qb += b.toLong * b
+        x += 1
+      }
+      y += 1
+    }
+    def mean(s: Long) = s.toDouble / n
+    def std(q: Long, s: Long) = math.sqrt(math.max(0.0, q.toDouble / n - mean(s) * mean(s)))
+    val lum = (0.299 * mean(sr) + 0.587 * mean(sg) + 0.114 * mean(sb)) / 255.0
+    Array(
+      (mean(sr) / 255.0).toFloat, (mean(sg) / 255.0).toFloat, (mean(sb) / 255.0).toFloat,
+      (std(qr, sr) / 255.0).toFloat, (std(qg, sg) / 255.0).toFloat, (std(qb, sb) / 255.0).toFloat,
+      lum.toFloat,
+      (math.log(w.toDouble / h) / math.log(2.0)).toFloat)
+  }
+
+  /** STUB decoder: stands in for the codecs the JDK lacks (audio spectra,
+    * video). Deterministic fake dimensions/features derived from the bytes
+    * so tests are exact. A real deployment swaps only this function
+    * (e.g. ffmpeg via JNI). */
   def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     var h = 1125899906842597L // deterministic poly-hash of the payload
     var i = 0
@@ -35,15 +80,57 @@ object Multimodal {
     (width, height, features)
   }
 
+  /** Decode one media payload: real ImageIO for decodable `image` rows,
+    * stub for everything else (audio/video kinds, unrecognized payloads). */
+  def decode(kind: String, bytes: Array[Byte]): (Int, Int, Array[Float]) =
+    if (kind == "image")
+      decodeImage(bytes)
+        .map(img => (img.getWidth, img.getHeight, imageFeatures(img)))
+        .getOrElse(decodeStub(kind, bytes))
+    else decodeStub(kind, bytes)
+
   /** Per-partition decode + feature extraction. One decoder instance per
-    * partition (where a real codec would be initialized once per task). */
+    * partition (where a native codec would be initialized once per task). */
   def extractFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       // per-partition init would go here (codec handles, model weights…)
       rows.map { r =>
-        val (w, h, f) = decodeStub(r.kind, r.media)
+        val (w, h, f) = decode(r.kind, r.media)
         MediaFeatures(r.doc_id, r.kind, r.media.length, w, h, f)
+      }
+    }
+  }
+
+  /** REAL pixel resample: clamp the longer side to `maxDim` with bilinear
+    * interpolation and re-encode as PNG; rows whose payload no reader
+    * accepts (and small-enough images) pass through untouched. Runs before
+    * [[extractFeatures]] when features should describe the thumbnail, after
+    * when they should describe the original ([[resize]] covers the
+    * metadata-only contract at that point). */
+  def resizeMedia(ds: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    require(maxDim > 0, "maxDim must be positive")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        decodeImage(r.media) match {
+          case Some(img) if math.max(img.getWidth, img.getHeight) > maxDim =>
+            val long = math.max(img.getWidth, img.getHeight)
+            val w = math.max(1, img.getWidth * maxDim / long)
+            val h = math.max(1, img.getHeight * maxDim / long)
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            r.copy(media = bos.toByteArray)
+          case _ => r
+        }
       }
     }
   }

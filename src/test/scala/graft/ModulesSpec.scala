@@ -210,6 +210,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(r => nc(r.doc_id) == r.n_bytes))
   }
 
+  test("REAL image decode: generated PNGs through repartition → resize → decode → features") {
+    import Multimodal.MediaRow
+    import spark.implicits._
+    // deterministic PNG fixtures: solid + gradient + non-square, plus one
+    // garbage payload that must fall back to the stub (pipeline stays total)
+    def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val solidRed = png(100, 60, (_, _) => 0xff0000)
+    val gradient = png(128, 128, (x, _) => (x * 2) << 16 | (x * 2) << 8 | (x * 2))
+    val tall = png(40, 200, (_, y) => if (y % 2 == 0) 0xffffff else 0x000000)
+    val garbage = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val media = Seq(
+      MediaRow(1L, "image", solidRed), MediaRow(2L, "image", gradient),
+      MediaRow(3L, "image", tall), MediaRow(4L, "image", garbage)
+    ).toDS().repartition(3)
+
+    // decode without resize: REAL dimensions and pixel statistics
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert((feats(1L).width, feats(1L).height) === (100, 60))
+    assert((feats(2L).width, feats(2L).height) === (128, 128))
+    assert((feats(3L).width, feats(3L).height) === (40, 200))
+    // solid red: meanR=1, meanG=meanB=0, zero stds, Rec.601 luminance 0.299
+    assert(math.abs(feats(1L).features(0) - 1.0f) < 1e-6)
+    assert(feats(1L).features(1) === 0.0f && feats(1L).features(2) === 0.0f)
+    assert(feats(1L).features.slice(3, 6).forall(_ == 0.0f))
+    assert(math.abs(feats(1L).features(6) - 0.299f) < 1e-3)
+    // features equal the same functions applied driver-side (bit-stable)
+    val expected2 = Multimodal.imageFeatures(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gradient)))
+    assert(feats(2L).features.toSeq === expected2.toSeq)
+    // aspect feature: log2(40/200) < 0 for the tall image
+    assert(feats(3L).features(7) < 0f)
+    // garbage payload fell back to the deterministic stub
+    val (sw, sh, sf) = Multimodal.decodeStub("image", garbage)
+    assert((feats(4L).width, feats(4L).height, feats(4L).features.toSeq) ===
+      (sw, sh, sf.toSeq))
+
+    // REAL pixel resample: longer side clamped, aspect preserved, and the
+    // re-encoded PNG decodes to the new dimensions with sane statistics
+    val resized = Multimodal.extractFeatures(Multimodal.resizeMedia(media, maxDim = 64))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert((resized(1L).width, resized(1L).height) === (64, 38))   // 100x60
+    assert((resized(2L).width, resized(2L).height) === (64, 64))   // 128x128
+    assert((resized(3L).width, resized(3L).height) === (12, 64))   // 40x200
+    // solid color survives resampling exactly
+    assert(math.abs(resized(1L).features(0) - 1.0f) < 1e-6)
+    assert(resized(1L).features(1) === 0.0f)
+    // gradient mean is resample-invariant to ~1 gray level
+    assert(math.abs(resized(2L).features(0) - feats(2L).features(0)) < 1f / 255f)
+    // garbage passes through resizeMedia untouched
+    assert(resized(4L).n_bytes === garbage.length)
+  }
+
   test("frame sampling and resize: UDTF fan-out, stride, aspect-preserving clamp") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.mediaFromDocuments(docs, partitions = 4)
