@@ -6,10 +6,11 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * The battery is assembled from four modules:
-  *   - [[graft.queries.CoreOps]]    q01-q05 + q73 + q76: the reference
+  *   - [[graft.queries.CoreOps]]    q01-q05 + q73 + q76 + q77: the reference
   *     engine's own operator semantics (scan order, MVCC upsert, snapshot
   *     horizon, range pruning, count, the bucketed zero-exchange layout,
-  *     and SQL-native VERSION AS OF through the DSv2 GraftCatalog) — the
+  *     SQL-native VERSION AS OF through the DSv2 GraftCatalog, and the
+  *     zero-exchange ordered scan of the ranged layout) — the
   *     implementations live in [[graft.core]] / [[graft.sources]].
   *   - [[graft.queries.Relational]] q06-q39, q54, q58-q60, q74: full
   *     relational checklist incl. pivot/unpivot and both top-k UDAF tiers.

@@ -150,6 +150,37 @@ object CoreOps {
         txn.commit()
       }
       s.sql("SELECT user_id, v FROM g76.tt VERSION AS OF 2 ORDER BY user_id")
+    },
+
+    // #1 again, ZERO-EXCHANGE: the same upsert history in the RANGE
+    // layout (graft.sources.RangedGraft) — fixed leading-dim boundaries,
+    // piece i of every segment holds the same key slice, the scan declares
+    // RangePartitioning, and the ordered MVCC resolve plans with no
+    // Exchange at all (RangedGraftSpec pins the plan; this entry
+    // oracle-checks the whole route→append→resolve→order path).
+    Entry("q77_ranged_ordered_scan", Some(
+      """WITH b AS (SELECT user_id, event_id % 3 AS k, value, event_id FROM events),
+        |m AS (SELECT user_id, k, arg_max(value, event_id) v
+        |      FROM b GROUP BY user_id, k)
+        |SELECT user_id, arg_max(v, k) AS v
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)) { (s, d) =>
+      import graft.core.{Dimension, MatSchema, ValueCol}
+      import graft.sources.RangedGraft
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-q77-ranged")
+      graft.core.Storage.deleteRecursively(dir)
+      val sch = MatSchema(Seq(Dimension("user_id", 1000)),
+        Seq(ValueCol("v", org.apache.spark.sql.types.DoubleType)))
+      val ev = table(s, d, "events")
+      RangedGraft.create(s, dir.toString, sch,
+        RangedGraft.boundariesFromSample(ev, "user_id", pieces = 4))
+      (0 to 2).foreach { k =>
+        RangedGraft.append(s, dir.toString, sch,
+          ev.where(col("event_id") % 3 === k)
+            .groupBy(col("user_id"))
+            .agg(max_by(col("value"), col("event_id")).as("v")))
+      }
+      RangedGraft.orderedScan(s, dir.toString, sch)
     }
   )
 }

@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, GraftInternals, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+import org.apache.spark.sql.functions._
+
+import graft.core.{MatSchema, Scan, Storage}
+
+/** The RANGE-partitioned graft layout: the ordered-read counterpart of
+  * [[BucketedGraft]] (SURVEY.md §9.4 #7). Range boundaries on the leading
+  * dimension are fixed at table creation and recorded in a manifest; every
+  * append routes rows to their range piece (`_range_id=<i>` subdirectories,
+  * plain dynamic-partition write — NO shuffle), so piece i of EVERY segment
+  * holds the same contiguous key slice.
+  *
+  * The ordered scan therefore needs ZERO exchanges end to end: piece i of
+  * all visible segments is unioned into RDD partition i (pieces in
+  * ascending boundary order), and the resulting DataFrame DECLARES
+  * `RangePartitioning(dims)` through [[org.apache.spark.sql.GraftInternals]]
+  * — a claim TRUE by construction. Catalyst then plans the MVCC dedup
+  * aggregate with no Exchange (range clustering co-locates every version of
+  * a key) and the global `orderBy(dims)` as a LOCAL sort per piece (ranges
+  * are contiguous and emitted in order). Compare:
+  *   - directory layout `MatDb.orderedScan`: one range Exchange (the whole
+  *     table moves once);
+  *   - bucketed layout: zero-Exchange RESOLVE, but global ORDER still
+  *     range-exchanges (hash buckets are not contiguous);
+  *   - ranged layout: zero Exchange for resolve AND order.
+  * RangedGraftSpec pins the Exchange-free plan and row parity.
+  *
+  * Cost model: the append pays range routing (a codegen'd when-chain, no
+  * shuffle — cheaper than the bucketed layout's hash exchange) but needs
+  * representative BOUNDARIES up front (from a sample or a previous table's
+  * statistics; `boundariesFromSample` below). Skewed boundaries skew pieces
+  * — the usual range-partitioning trade. Pieces play the role
+  * `spark.sql.shuffle.partitions` plays for a shuffle: size them so a
+  * piece's LIVE rows fit one task.
+  *
+  * Single-writer contract like the reference (database.rs:74-79): segment
+  * numbering is read-then-write. Production multi-writer would port the
+  * claim allocation of [[BucketedGraft]]; this layout's contribution is the
+  * read side.
+  *
+  * Scale note: the scan builds one small parquet-read plan per piece and
+  * unions their RDDs — O(pieces) driver-side plan nodes (pieces ≈ hundreds
+  * to low thousands at 100 TB, each a multi-file read). A custom
+  * FilePartition packing could collapse this to one scan node; the plan
+  * SHAPE (zero exchanges) is already the scale-right property. */
+object RangedGraft {
+
+  val RangeCol = "_range_id"
+
+  /** Create the table directory: schema + range manifest. `bounds` are the
+    * leading dimension's upper-exclusive piece boundaries, ascending;
+    * pieces = bounds.size + 1 (last piece is unbounded above). */
+  def create(spark: SparkSession, path: String, schema: MatSchema, bounds: Seq[Long]): Unit = {
+    require(bounds == bounds.sorted && bounds.distinct.size == bounds.size,
+      "bounds must be strictly ascending")
+    val root = Paths.get(path)
+    Files.createDirectories(root)
+    Storage.writeSchema(root, schema)
+    Files.writeString(root.resolve("ranges.json"),
+      s"""{"dim":"${schema.dimNames.head}","bounds":[${bounds.mkString(",")}]}""")
+  }
+
+  /** Derive boundaries from a sample: `pieces`-quantiles of the leading
+    * dimension (one approx-percentile pass; sample ~1% upstream for big
+    * inputs). */
+  def boundariesFromSample(df: DataFrame, dim: String, pieces: Int): Seq[Long] = {
+    require(pieces >= 1, "pieces must be >= 1")
+    if (pieces == 1) Seq.empty
+    else {
+      val probs = (1 until pieces).map(_.toDouble / pieces)
+      // percentile_approx preserves the input type (LongType dim -> Longs)
+      df.select(percentile_approx(col(dim), typedLit(probs), lit(10000)).as("q"))
+        .head().getSeq[Any](0)
+        .map { case l: Long => l; case d: Double => d.toLong; case i: Int => i.toLong }
+        .distinct.sorted
+    }
+  }
+
+  def readBounds(path: String): Seq[Long] = {
+    val txt = Files.readString(Paths.get(path).resolve("ranges.json"))
+    val inner = txt.substring(txt.indexOf('[') + 1, txt.indexOf(']')).trim
+    if (inner.isEmpty) Seq.empty else inner.split(",").toSeq.map(_.trim.toLong)
+  }
+
+  /** Piece id of a leading-dimension value: count of bounds <= value,
+    * spelled as a codegen-friendly when-chain. */
+  def rangeId(lead: Column, bounds: Seq[Long]): Column =
+    bounds.zipWithIndex.foldRight(lit(bounds.size): Column) {
+      case ((b, i), acc) => when(lead < b, lit(i)).otherwise(acc)
+    }
+
+  /** Commit `df` as one transaction: rows routed to `_range_id` piece
+    * subdirectories by the recorded boundaries — dynamic-partition write,
+    * no shuffle. Returns the txn id. */
+  def append(spark: SparkSession, path: String, schema: MatSchema, df: DataFrame): Long = {
+    val bounds = readBounds(path)
+    val txn = nextTxnId(path)
+    val seg = segDir(path, txn)
+    df.select(schema.columnNames.map(col): _*)
+      .withColumn(Scan.TxnCol, lit(txn))
+      .withColumn(Scan.SeqCol, lit(0L))
+      .withColumn(RangeCol, rangeId(col(schema.dimNames.head), bounds))
+      .write.partitionBy(RangeCol)
+      .option("compression", "zstd")
+      .parquet(seg.toString)
+    txn
+  }
+
+  private def segDir(path: String, txn: Long): Path =
+    Paths.get(path).resolve(f"seg-$txn%08d")
+
+  private def nextTxnId(path: String): Long = {
+    val s = Files.list(Paths.get(path))
+    try {
+      val it = s.iterator()
+      var max = 0L
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("seg-")) max = math.max(max, n.stripPrefix("seg-").toLong)
+      }
+      max + 1L
+    } finally s.close()
+  }
+
+  private def segments(path: String): Seq[Path] = {
+    val s = Files.list(Paths.get(path))
+    try {
+      val it = s.iterator()
+      val buf = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith("seg-")) buf += p
+      }
+      buf.result().sortBy(_.getFileName.toString)
+    } finally s.close()
+  }
+
+  /** The raw union of all visible pieces, DECLARING its range partitioning:
+    * RDD partition i = piece i of every segment. Provenance columns ride
+    * along for the dedup. */
+  private def claimedRaw(spark: SparkSession, path: String, schema: MatSchema,
+      asOf: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val bounds = readBounds(path)
+    val pieces = bounds.size + 1
+    val segs = segments(path)
+      .filter(p => asOf.forall(p.getFileName.toString.stripPrefix("seg-").toLong <= _))
+    val readSchema = StructType(
+      schema.toStructType.fields.map(_.copy(nullable = true)) ++
+        Seq(StructField(Scan.TxnCol, LongType), StructField(Scan.SeqCol, LongType)))
+    val cols = readSchema.fieldNames.map(col).toSeq
+    def pieceDf(i: Int): Option[DataFrame] = {
+      val dirs = segs.map(_.resolve(s"$RangeCol=$i")).filter(Files.isDirectory(_))
+        .map(_.toString)
+      if (dirs.isEmpty) None
+      else Some(spark.read.schema(readSchema).parquet(dirs: _*).select(cols: _*))
+    }
+    val dfs = (0 until pieces).map(pieceDf)
+    val template = dfs.flatten.headOption
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
+        .select(cols: _*))
+    val rdds = dfs.map {
+      case Some(df) =>
+        val r = df.queryExecution.toRdd
+        if (r.getNumPartitions == 0)
+          spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
+        else r.coalesce(1)
+      case None =>
+        spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
+    }
+    val union = spark.sparkContext.union(rdds)
+    val attrs = template.queryExecution.analyzed.output
+    val dimAttrs = schema.dimNames.map(n => attrs.find(_.name == n).get)
+    val orders = dimAttrs.map(a => SortOrder(a, Ascending))
+    // the claim: piece i holds exactly the i-th contiguous leading-dim
+    // range, pieces ascend — true by construction of the write path
+    GraftInternals.dataFrameWithPartitioning(
+      spark, attrs, union, RangePartitioning(orders, pieces), Nil)
+  }
+
+  /** Newest version of every key point — dedup with NO exchange (range
+    * clustering co-locates key versions). */
+  def snapshot(spark: SparkSession, path: String, schema: MatSchema,
+      asOf: Option[Long] = None): DataFrame =
+    Scan.dedup(claimedRaw(spark, path, schema, asOf), schema)
+
+  /** Key-ordered resolved scan with ZERO exchanges: the declared range
+    * partitioning satisfies the global sort's ordered distribution, so the
+    * sort runs piece-locally. */
+  def orderedScan(spark: SparkSession, path: String, schema: MatSchema,
+      asOf: Option[Long] = None): DataFrame =
+    snapshot(spark, path, schema, asOf).orderBy(schema.dimNames.map(col): _*)
+}

@@ -1,0 +1,35 @@
+package org.apache.spark.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, SortOrder}
+import org.apache.spark.sql.catalyst.plans.physical.Partitioning
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Narrow bridge into `private[sql]` constructors, for graft's
+  * range-partitioned scan: a DataFrame over a prepared `RDD[InternalRow]`
+  * that DECLARES its partitioning and ordering, so Catalyst plans
+  * downstream aggregates/sorts without an Exchange when the claim satisfies
+  * their required distribution.
+  *
+  * This is exactly the mechanism `Dataset.checkpoint` uses to preserve a
+  * materialized plan's partitioning (it wraps the checkpointed RDD in a
+  * `LogicalRDD` carrying `outputPartitioning`/`outputOrdering`); the bridge
+  * only makes the same constructor reachable from the graft package — the
+  * standard extension-package pattern used by open-source Spark table
+  * formats for the handful of APIs that are `private[sql]`. The CALLER owns
+  * the truth of the claim: declaring a partitioning the rows don't actually
+  * have silently produces wrong results downstream. */
+object GraftInternals {
+
+  def dataFrameWithPartitioning(
+      spark: SparkSession,
+      output: Seq[Attribute],
+      rdd: RDD[InternalRow],
+      partitioning: Partitioning,
+      ordering: Seq[SortOrder]): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      cs, LogicalRDD(output, rdd, partitioning, ordering, isStreaming = false)(cs))
+  }
+}

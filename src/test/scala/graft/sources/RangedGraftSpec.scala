@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Dimension, MatDb, MatSchema, TestSpark, ValueCol}
+
+/** The ranged layout: ordered MVCC scan with ZERO exchanges (dedup AND
+  * global sort), row parity with the directory-layout resolve, ascending
+  * output without any exchange in the plan. */
+class RangedGraftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = MatSchema(
+    Seq(Dimension("t", 50), Dimension("sensor", 10)), Seq(ValueCol("v")))
+
+  private def batch(rows: Seq[(Long, Long, Long)]) = {
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(StructField("t", LongType), StructField("sensor", LongType),
+      StructField("v", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 3), st)
+  }
+
+  test("ordered scan: zero exchanges, key order, parity with MatDb resolve") {
+    val dir = Files.createTempDirectory("graft-ranged").toString
+    val b1 = (0L until 200L).map(i => (i, i % 10, 1L))
+    val b2 = (0L until 100L).map(i => (i, i % 10, 2L))
+    val b3 = (50L until 75L).map(i => (i, i % 10, 3L)) ++
+      (200L until 220L).map(i => (i, i % 10, 3L))
+
+    RangedGraft.create(spark, dir, schema,
+      RangedGraft.boundariesFromSample(batch(b1), "t", pieces = 4))
+    assert(RangedGraft.append(spark, dir, schema, batch(b1)) === 1L)
+    assert(RangedGraft.append(spark, dir, schema, batch(b2)) === 2L)
+    assert(RangedGraft.append(spark, dir, schema, batch(b3)) === 3L)
+
+    // parity oracle: directory-layout MatDb over the same commits
+    val mdir = Files.createTempDirectory("graft-ranged-parity").toString
+    val db = MatDb.create(spark, schema, mdir)
+    Seq(b1, b2, b3).foreach { b =>
+      val txn = db.newTransaction(); txn.addRows(batch(b)); txn.commit()
+    }
+    val expected = db.orderedScan().collect().map(_.toSeq)
+
+    val ord = RangedGraft.orderedScan(spark, dir, schema)
+    val got = ord.collect()
+    assert(got.map(_.toSeq).toSeq === expected.toSeq, "ordered rows must match MatDb")
+    assert(got.length === 220)
+    // newest-wins spot checks
+    val byKey = got.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byKey(60L) === 3L && byKey(80L) === 2L && byKey(150L) === 1L)
+
+    // THE plan property: dedup AND global sort with NO exchange anywhere
+    // (MatDb.orderedScan needs one range exchange; bucketed needs one for
+    // the sort) — the declared range partitioning satisfies both
+    TestSpark.assertNoExchange(ord, "ranged ordered scan")
+    assert(TestSpark.finalPlan(ord).contains("Sort"),
+      "global order must still be enforced (as a local sort)")
+
+    // time travel composes: asOf 1 sees only b1, still exchange-free
+    val asOf1 = RangedGraft.orderedScan(spark, dir, schema, asOf = Some(1L))
+    val rows1 = asOf1.collect()
+    assert(rows1.length === 200 && rows1.forall(_.getLong(2) == 1L))
+    TestSpark.assertNoExchange(asOf1, "ranged asOf ordered scan")
+
+    // unordered snapshot: the dedup alone is exchange-free too
+    TestSpark.assertNoExchange(
+      RangedGraft.snapshot(spark, dir, schema), "ranged snapshot dedup")
+  }
+
+  test("empty pieces and single-piece tables stay correct") {
+    val dir = Files.createTempDirectory("graft-ranged-edge").toString
+    // bounds far beyond the data: all rows land in piece 0; pieces 1..2 empty
+    RangedGraft.create(spark, dir, schema, Seq(1000L, 2000L))
+    RangedGraft.append(spark, dir, schema, batch((0L until 30L).map(i => (i, i % 3, 7L))))
+    val rows = RangedGraft.orderedScan(spark, dir, schema).collect()
+    assert(rows.length === 30 && rows.head.getLong(0) === 0L && rows.last.getLong(0) === 29L)
+
+    val single = Files.createTempDirectory("graft-ranged-one").toString
+    RangedGraft.create(spark, single, schema, Seq.empty) // one piece, no bounds
+    RangedGraft.append(spark, single, schema, batch(Seq((5L, 1L, 1L), (3L, 0L, 2L))))
+    val one = RangedGraft.orderedScan(spark, single, schema).collect()
+    assert(one.map(_.getLong(0)).toSeq === Seq(3L, 5L))
+  }
+}
