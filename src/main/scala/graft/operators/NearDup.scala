@@ -246,6 +246,67 @@ object NearDup {
     cappedJaccardPairs(shinglesWithSize(df, idCol, textCol), idCol, dfCap)
       .where(col("jaccard") >= minJaccard)
 
+  // ---- prefix filtering (AllPairs/PPJoin) for HIGH thresholds ------------
+
+  /** PPJoin-style prefix index (SURVEY.md §9.4 #6; Bayardo et al. WWW'07,
+    * Xiao et al. WWW'08 — public algorithms): in any global shingle order, two
+    * documents with |A∩B| ≥ α must share an element within the first
+    * |X|−α+1 of each. Jaccard ≥ τ implies |A∩B| ≥ ⌈τ·|X|⌉ for both sides,
+    * so indexing only each document's first ⌊(1−τ)·|X|⌋+1 shingles is
+    * LOSSLESS for J ≥ τ while shrinking the candidate index by ~τ — the
+    * win the df-cap path can't offer at high thresholds (at the battery's
+    * exploratory τ=0.25 the prefix keeps 75%+ and was measured not worth
+    * it; at dedup-grade τ≥0.8 it drops 75%+ of index rows and the
+    * quadratic join input shrinks accordingly).
+    *
+    * Canonical order = ascending document frequency, then shingle value
+    * (PPJoin's rarest-first): prefixes hold each document's RAREST
+    * shingles, which both minimizes candidate fan-out and keeps corpus-wide
+    * stop-shingles out of the join — the hot-shingle problem solves itself
+    * at high τ, no cap needed. Cost: one df aggregate (the capped path
+    * pays the same) + one per-document sort of its own shingle list (a
+    * size-bounded array_sort inside a hash aggregate, not a global sort).
+    *
+    * Input must be [[shinglesWithSize]] output (carried distinct counts). */
+  def prefixIndex(ex: DataFrame, idCol: String, tau: Double): DataFrame = {
+    require(tau > 0 && tau < 1, s"tau must be in (0,1): $tau")
+    require(ex.columns.contains(SizeCol), "prefixIndex needs shinglesWithSize input")
+    ex.join(shingleDf(ex), Seq("g"))
+      .groupBy(col(idCol), col(SizeCol))
+      .agg(array_sort(collect_list(struct(col("_df"), col("g")))).as("_byRarity"))
+      .select(col(idCol), col(SizeCol),
+        explode(slice(col("_byRarity"), lit(1),
+          (floor(lit(1.0 - tau) * col(SizeCol)) + 1).cast("int"))).as("_e"))
+      .select(col(idCol), col(SizeCol), col("_e.g").as("g"))
+  }
+
+  /** Candidate pairs from the prefix index, with the PPJoin length filter
+    * (J ≥ τ forces τ·max(|A|,|B|) ≤ min(|A|,|B|)) applied inside the join.
+    * Complete for J ≥ τ by the prefix lemma; verify with
+    * [[verifiedJaccard]] for exactness. */
+  def prefixCandidates(ex: DataFrame, idCol: String, tau: Double): DataFrame = {
+    val px = prefixIndex(ex, idCol, tau)
+    px.as("a").join(px.as("b"),
+        col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol") &&
+          least(col(s"a.$SizeCol"), col(s"b.$SizeCol")).cast("double") >=
+            lit(tau) * greatest(col(s"a.$SizeCol"), col(s"b.$SizeCol")))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** End-to-end prefix-filtered near-dup pairs for high thresholds: prefix
+    * candidates → exact verify over FULL shingle sets → J ≥ τ. Same output
+    * contract as [[jaccardPairs]]; candidates at τ≥0.8 are few, so the
+    * broadcast verify is the right plan. */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      tau: Double): DataFrame = {
+    val ex = shinglesWithSize(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifiedJaccard(ex, prefixCandidates(ex, idCol, tau), idCol)
+      .where(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+  }
+
   /** End-to-end with the cap derived from the corpus's own df distribution
     * ([[adaptiveDfCap]]) — the no-tuning entry point. The vocabulary
     * aggregate is computed ONCE (persisted) and serves both the percentile

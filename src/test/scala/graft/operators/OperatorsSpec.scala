@@ -90,6 +90,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(pairs.head.getAs[Double]("jaccard") - 7.0 / 9.0) < 1e-12)
   }
 
+  test("prefix filtering at tau=0.8: identical pairs to the exact path, smaller index") {
+    import spark.implicits._
+    // real corpus + planted high-similarity clones: take 40 documents and
+    // clone 8 of them with one word changed (J well above 0.8), plus the
+    // crowd/hot-shingle structure so the prefix must also survive skew
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).orderBy("doc_id").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val clones = base.take(8).map { case (id, t) =>
+      val words = t.split(" ")
+      (id + 100000L, (words.dropRight(1) :+ "xqzclone").mkString(" "))
+    }
+    val docs = (base ++ clones).toSeq.toDF("doc_id", "text")
+
+    val tau = 0.8
+    // exact baseline: uncapped inverted index (cap high enough to be a no-op)
+    val exact = NearDup.jaccardPairs(docs, "doc_id", "text",
+        minJaccard = tau, dfCap = 1000000L)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("shared"), r.getAs[Double]("jaccard"))).toSet
+    val prefix = NearDup.jaccardPairsPrefix(docs, "doc_id", "text", tau)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("shared"), r.getAs[Double]("jaccard"))).toSet
+    assert(exact.nonEmpty, "planted clones must produce tau>=0.8 pairs")
+    assert(prefix === exact,
+      "prefix filtering must be lossless at its threshold (same pairs, same exact Jaccard)")
+
+    // the point of the exercise: the candidate index shrinks by ~tau
+    val ex = NearDup.shinglesWithSize(docs, "doc_id", "text")
+    val full = ex.count().toDouble
+    val pfx = NearDup.prefixIndex(ex, "doc_id", tau).count().toDouble
+    info(f"prefix index rows: ${pfx.toLong} of ${full.toLong} (${pfx / full * 100}%.1f%%)")
+    assert(pfx / full < 0.35, s"tau=0.8 prefix should drop >65% of index rows ($pfx of $full)")
+  }
+
   test("adaptive df cap separates the hot-shingle head from the body") {
     import spark.implicits._
     // same planted-skew corpus as above: body shingle dfs are 1-2, the
