@@ -489,6 +489,86 @@ object Pipeline {
         .orderBy(col("qid"), col("rn"))
     },
 
+    // trained-IVF SEARCH phase, oracle-checked (the q55 split, VERDICT r4
+    // #7): k-means training is not SQL-replayable, so the trained centroids
+    // are persisted as a parquet FIXTURE and the oracle reads the same
+    // fixture with read_parquet — the probe + rank math (dot-argmax
+    // assignment, 2-probe bucket selection, cosine score, per-query top-5)
+    // is deterministic and replays exactly. Assignment here is
+    // argmax-dot (scale-invariant, so raw embeddings work on both engines
+    // with identical IEEE folds); production assign() keeps its normalized
+    // sqdist form, pinned by IvfSpec's recall floors.
+    Entry("q78_ivf_search_trained", Some {
+      val fix = s"${System.getProperty("java.io.tmpdir")}/graft-q78-ivf/centroids/*.parquet"
+      s"""WITH cent AS (SELECT bucket, weights FROM read_parquet('$fix')),
+         |dots AS (SELECT e.vec_id, c.bucket,
+         |                list_reduce(list_transform(range(1, 65), i ->
+         |                  CAST(e.embedding[i] AS DOUBLE) * c.weights[i]), (x, y) -> x + y) AS d
+         |         FROM embeddings e CROSS JOIN cent c),
+         |dlt AS (SELECT vec_id, list(d ORDER BY bucket) AS dl FROM dots GROUP BY vec_id),
+         |assigned AS (SELECT e.vec_id, e.embedding, l.dl,
+         |                    list_position(l.dl, list_max(l.dl)) - 1 AS bucket
+         |             FROM embeddings e JOIN dlt l USING (vec_id)),
+         |q AS (SELECT vec_id qid, embedding qe, bucket,
+         |             COALESCE(list_position(dl,
+         |               list_max(list_filter(dl, x -> x <> list_max(dl)))) - 1, bucket) AS b2
+         |      FROM assigned WHERE vec_id < 3),
+         |qp AS (SELECT qid, qe, unnest(list_value(bucket, b2)) AS bucket FROM q),
+         |scored AS (
+         |  SELECT qid, a.vec_id,
+         |         ${dotSql("qe", "a.embedding")} /
+         |         sqrt(${dotSql("qe", "qe")} * ${dotSql("a.embedding", "a.embedding")}) AS score
+         |  FROM qp JOIN assigned a USING (bucket) WHERE a.vec_id != qid)
+         |SELECT qid, vec_id, score, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn
+         |      FROM scored) t
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.IvfIndex
+      graft.functions.VectorOps.register(s)
+      val fixDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-q78-ivf")
+      graft.core.Storage.deleteRecursively(fixDir)
+      val emb = table(s, d, "embeddings")
+      // train (not replayable) → persist the fixture the oracle reads;
+      // centroid VALUES may vary run to run (float avg order), but fixture
+      // and search come from the SAME run, which is all the gate needs
+      val trained = IvfIndex.train(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", k = 8, iters = 2)
+      locally { // scoped import to keep the entry self-contained
+        import s.implicits._
+        trained.zipWithIndex.map { case (c, b) => (b, c.toSeq) }.toSeq
+          .toDF("bucket", "weights").coalesce(1)
+          .write.mode("overwrite").parquet(fixDir.resolve("centroids").toString)
+      }
+      // search phase reads the centroids BACK from the fixture so both
+      // engines consume byte-identical weights
+      val w = s.read.parquet(fixDir.resolve("centroids").toString)
+        .orderBy(col("bucket")).collect().map(_.getSeq[Double](1))
+      val dl = array(w.map(c => dotD(embD(col("embedding")), typedlit(c))).toSeq: _*)
+      val assigned = table(s, d, "embeddings")
+        .withColumn("emb", embD(col("embedding")))
+        .withColumn("dl", dl)
+        .withColumn("bucket", expr("array_position(dl, array_max(dl)) - 1"))
+      val q = assigned.where(col("vec_id") < 3)
+        .withColumn("b2", coalesce(
+          expr("array_position(dl, array_max(filter(dl, x -> x != array_max(dl)))) - 1"),
+          col("bucket")))
+        .select(col("vec_id").as("qid"), col("emb").as("qe"),
+          explode(array(col("bucket"), col("b2"))).as("bucket"))
+      val scored = broadcast(q).join(assigned, Seq("bucket"))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (dotD(col("qe"), col("emb")) /
+            sqrt(dotD(col("qe"), col("qe")) * dotD(col("emb"), col("emb")))).as("score"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))).cast("long"))
+        .where(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    },
+
     // embedding-cosine near-dup: for every vector, its most-similar
     // neighbor WITHIN its 16-bit hyperplane-LSH bucket (exact cosine on the
     // bucketed candidates; a threshold on `score` is the dedup decision).
