@@ -1,0 +1,154 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+import java.nio.charset.StandardCharsets
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property check of the MANIFEST commit protocol under crash points
+  * (VERDICT r4 #8): a writer may die at any step between flushing segment
+  * data and publishing the manifest version; recovery must always converge
+  * to a COMMITTED PREFIX — exactly the fully-published transactions, no
+  * orphan segment directories, and a next-txn-id above every id ever used
+  * (crashed transactions burn their id, database.rs:123-126 semantics).
+  *
+  * The commit flow's observable steps (Storage.ManifestProtocol):
+  *   1. segment directories land at their FINAL names (no rename step);
+  *   2. the manifest body is written to a temp file in `_log/`;
+  *   3. `Files.createLink` publishes it as `<version>.json` (atomic
+  *      put-if-absent — THE commit point).
+  * Kill points: before 1 (nothing), after 1 (orphan segments), after 2
+  * (orphan segments + stray temp manifest), after 3 (committed). Replace
+  * commits (compact/overwrite) share the same publish path and kill
+  * points. No Spark involved — recovery reads only names and manifests. */
+class ManifestCrashSpec extends AnyFunSuite {
+  private val proto = Storage.ManifestProtocol
+
+  private sealed trait Op
+  private case class Append(nSegs: Int, kill: Int) extends Op   // kill ∈ 0..3
+  private case class Replace(kill: Int) extends Op              // compacts to 1 seg
+
+  private val opGen: Gen[Op] = Gen.frequency(
+    5 -> (for { n <- Gen.choose(1, 3); k <- Gen.choose(0, 3) } yield Append(n, k)),
+    2 -> Gen.choose(0, 3).map(Replace(_)))
+
+  private def mkSegDirs(root: Path, ids: Seq[SegmentId]): Unit =
+    ids.foreach { id =>
+      val dir = proto.writePath(root, id)
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    }
+
+  /** Step 2 without step 3: the stray temp file a crash leaves behind. */
+  private def mkStrayTempManifest(root: Path): Unit = {
+    val dir = root.resolve("_log")
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, ".manifest-", ".tmp")
+    Files.write(tmp, "{\"segments\": []}\n".getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def onDiskSegments(root: Path): Set[SegmentId] = {
+    val s = Files.list(root)
+    try {
+      val it = s.iterator()
+      val buf = Set.newBuilder[SegmentId]
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        Storage.decode(n).foreach { case (id, tmp) => if (!tmp) buf += id }
+      }
+      buf.result()
+    } finally s.close()
+  }
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("recovery converges to a committed prefix from every kill point") {
+    for (seed <- 1L to 6L) {
+      val root = Files.createTempDirectory(s"graft-manifest-crash-$seed")
+      Files.createDirectories(root.resolve("_log"))
+      var committed: Vector[SegmentId] = Vector.empty // the model
+      var nextTxn = 1L
+
+      val ops = sample(Gen.listOfN(30, opGen), seed)
+      ops.foreach { op =>
+        val txn = nextTxn
+        // an id is BURNED by the recovery that OBSERVES its on-disk trace
+        // (segment dirs present at reopen): that recover must hand out a
+        // higher id. After the sweep removes the trace there is nothing
+        // left to resurrect, so a later reopen may legitimately reuse it
+        // (publish-time id-collision checks guard the multi-writer case).
+        // A crash BEFORE any write externalizes nothing — reusable at once.
+        val leftTrace = op match {
+          case Append(_, kill) => kill >= 1
+          case Replace(kill)   => kill >= 1
+        }
+        op match {
+          case Append(nSegs, kill) =>
+            val ids = (0 until nSegs).map(SegmentId(txn, _))
+            if (kill >= 1) mkSegDirs(root, ids)
+            if (kill >= 2) mkStrayTempManifest(root)
+            if (kill >= 3) {
+              proto.commit(root, ids, (committed ++ ids).sorted)
+              committed = (committed ++ ids).sorted.toVector
+            }
+          case Replace(kill) =>
+            val ids = Seq(SegmentId(txn, 0))
+            if (kill >= 1) mkSegDirs(root, ids)
+            if (kill >= 2) mkStrayTempManifest(root)
+            if (kill >= 3) {
+              proto.replace(root, ids, ids, expectedBase = committed)
+              // superseded dirs become unreferenced; recovery must sweep them
+              committed = ids.toVector
+            }
+        }
+
+        // crash + reopen: recovery must see EXACTLY the committed prefix
+        val (recovered, next) = proto.recover(root)
+        assert(recovered.sorted === committed.sorted,
+          s"seed=$seed op=$op: recovered set must equal the committed prefix")
+        // orphan segment directories (kill 1/2, superseded replace inputs)
+        // are swept — what's on disk is what's committed
+        assert(onDiskSegments(root) === committed.toSet,
+          s"seed=$seed op=$op: no orphan or missing segment directories")
+        // the recovery that saw this txn's trace burns its id; and next
+        // always outranks everything still committed
+        if (leftTrace) assert(next > txn,
+          s"seed=$seed op=$op: recover observing txn $txn's trace must burn it (got $next)")
+        val maxCommitted = (committed.map(_.txnId) :+ 0L).max
+        assert(next > maxCommitted,
+          s"seed=$seed op=$op: next txn id $next must outrank committed $maxCommitted")
+        nextTxn = next
+      }
+
+      // final sanity: reopening again changes nothing (recovery idempotent)
+      val (again, next2) = proto.recover(root)
+      assert(again.sorted === committed.sorted &&
+        next2 > (committed.map(_.txnId) :+ 0L).max)
+    }
+  }
+
+  test("a crashed replace never destroys the previous committed state") {
+    val root = Files.createTempDirectory("graft-manifest-replace-crash")
+    Files.createDirectories(root.resolve("_log"))
+    val base = Seq(SegmentId(1, 0), SegmentId(2, 0))
+    mkSegDirs(root, base)
+    proto.commit(root, base, base)
+
+    // compact writes its output segment, then dies before publishing
+    mkSegDirs(root, Seq(SegmentId(3, 0)))
+    mkStrayTempManifest(root)
+    val (recovered, next) = proto.recover(root)
+    assert(recovered.sorted === base.sorted, "pre-crash commits survive")
+    assert(onDiskSegments(root) === base.toSet, "the half-written compaction is swept")
+    assert(next === 4L, "the crashed compaction burned txn 3")
+
+    // the retried compaction (new id) succeeds and supersedes the base
+    mkSegDirs(root, Seq(SegmentId(next, 0)))
+    proto.replace(root, Seq(SegmentId(next, 0)), Seq(SegmentId(next, 0)), expectedBase = base)
+    val (after, _) = proto.recover(root)
+    assert(after === Seq(SegmentId(next, 0)))
+    assert(onDiskSegments(root) === Set(SegmentId(next, 0)), "superseded base dirs swept")
+  }
+}
