@@ -430,6 +430,80 @@ object Curation {
             col("s1").cast("double") * lit(134217728.0)) + col("s0").cast("double")) /
             (col("nv").cast("double") * lit(67108864.0))).as("centroid_norm"))
         .orderBy(col("label"))
+    },
+
+    // ---- sequence packing (concat-and-cut) ---------------------------------
+    // THE pretraining batch-prep op: concatenate the corpus in a canonical
+    // order and cut it into fixed context-length sequences; a document
+    // spanning a boundary contributes to both neighbors. Output = one row
+    // per (sequence, document) span with the token count contributed.
+    // Scale shape: the global running token offset comes from
+    // operators.PrefixSum (range partition + per-partition windows +
+    // broadcast offsets), NOT a single-partition window — the one
+    // formulation of "cumulative sum" that survives 100 TB. Everything
+    // after the offset is a per-row map + bounded explode.
+    Entry("q79_sequence_packing", Some(
+      """WITH tok AS (SELECT doc_id,
+        |                    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) n
+        |             FROM documents),
+        |c AS (SELECT doc_id, n,
+        |             CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+        |      FROM tok),
+        |sp AS (SELECT doc_id, n, cum - n AS lo, cum,
+        |              (cum - n) // 512 AS k0, (cum - 1) // 512 AS k1
+        |       FROM c),
+        |x AS (SELECT doc_id, lo, cum, unnest(range(k0, k1 + 1)) AS seq_id FROM sp)
+        |SELECT seq_id, doc_id,
+        |       least(cum, (seq_id + 1) * 512) - greatest(lo, seq_id * 512) AS tok_in_seq
+        |FROM x ORDER BY seq_id, doc_id""".stripMargin)) { (s, d) =>
+      import graft.operators.PrefixSum
+      val tok = table(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+      PrefixSum.runningTotal(tok, "doc_id", "n")
+        .select(col("doc_id"), col("cum"), (col("cum") - col("n")).as("lo"))
+        .withColumn("seq_id",
+          explode(sequence(expr("lo div 512"), expr("(cum - 1) div 512"))))
+        .select(col("seq_id"), col("doc_id"),
+          (least(col("cum"), (col("seq_id") + 1) * 512) -
+            greatest(col("lo"), col("seq_id") * 512)).as("tok_in_seq"))
+        .orderBy(col("seq_id"), col("doc_id"))
+    },
+
+    // ---- sliding-window chunking (overlap) ---------------------------------
+    // RAG/long-doc prep: split each document into W=64-token chunks with
+    // stride S=48 (16-token overlap); the last chunk clamps to the end.
+    // Pure per-document map + bounded explode — no shuffle at all; chunk
+    // text is fingerprinted (md5) so the gate compares content without
+    // hauling the full chunk bodies through the hash compare.
+    Entry("q80_chunk_overlap", Some(
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') toks
+        |             FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) n FROM tok),
+        |k AS (SELECT doc_id, toks, n,
+        |             CASE WHEN n <= 64 THEN CAST(0 AS BIGINT)
+        |                  ELSE (n - 64 + 47) // 48 END AS kmax
+        |      FROM n),
+        |x AS (SELECT doc_id, toks, n, unnest(range(0, kmax + 1)) AS chunk_idx FROM k),
+        |sp AS (SELECT doc_id, chunk_idx, toks,
+        |              chunk_idx * 48 AS tok_start,
+        |              least(chunk_idx * 48 + 64, n) AS tok_end
+        |       FROM x)
+        |SELECT doc_id, chunk_idx, tok_start, tok_end,
+        |       md5(array_to_string(list_slice(toks, tok_start + 1, tok_end), ' ')) AS chunk_fp
+        |FROM sp ORDER BY doc_id, chunk_idx""".stripMargin)) { (s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("chunk_idx", explode(sequence(lit(0L),
+          when(col("n") <= 64, lit(0L))
+            .otherwise(expr("(n - 64 + 47) div 48")))))
+        .withColumn("tok_start", col("chunk_idx") * 48)
+        .withColumn("tok_end", least(col("chunk_idx") * 48 + 64, col("n")))
+        .select(col("doc_id"), col("chunk_idx"), col("tok_start"), col("tok_end"),
+          md5(concat_ws(" ", expr("slice(toks, cast(tok_start + 1 as int), cast(tok_end - tok_start as int))")))
+            .as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }
   )
 }
