@@ -29,6 +29,18 @@ object Scan {
   val SeqCol = "_seq"
   val ChunkPrefix = "_ck_"
 
+  /** The read schema every layout's segment files share: the logical
+    * columns (nullable — parquet reads never enforce non-null) plus the
+    * `_txn_id`/`_seq` provenance pair. One definition, consumed by the
+    * directory layout ([[raw]], which appends chunk-key columns), the DSv2
+    * catalog, and the ranged layout — a provenance change lands in all
+    * three or none. */
+  def provenanceStruct(schema: MatSchema): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(schema.toStructType.fields.map(_.copy(nullable = true)) ++
+      Seq(StructField(TxnCol, LongType), StructField(SeqCol, LongType)))
+  }
+
   /** Read the raw union of segment dirs + extra in-memory batches, with
     * `_txn_id`/`_seq` provenance columns present. `paths` are the segment
     * directories to read — resolved by the caller through the table's
@@ -58,16 +70,15 @@ object Scan {
     // also saves a listing round-trip per segment).
     import org.apache.spark.sql.types._
     val readSchema = StructType(
-      schema.toStructType.fields.map(_.copy(nullable = true)) ++
-        schema.chunkColNames.map(StructField(_, LongType)) ++
-        Seq(StructField(TxnCol, LongType), StructField(SeqCol, LongType)))
+      provenanceStruct(schema).fields ++
+        schema.chunkColNames.map(StructField(_, LongType)))
     val fromDisk = paths.map(p => spark.read.schema(readSchema).parquet(p).select(cols: _*))
     val all = fromDisk ++ extra.map(_.select(cols: _*))
     if (all.isEmpty) {
       import org.apache.spark.sql.types._
       val st = StructType(schema.toStructType.fields ++
         schema.chunkColNames.map(StructField(_, LongType)) ++
-        Seq(StructField(TxnCol, LongType), StructField(SeqCol, LongType)))
+        provenanceStruct(schema).fields.takeRight(2))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
     } else all.reduce(_ unionByName _)
   }

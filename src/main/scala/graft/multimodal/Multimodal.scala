@@ -24,13 +24,17 @@ object Multimodal {
       width: Int, height: Int, features: Array[Float])
 
   /** REAL image decode through the JDK's ImageIO registry. None when no
-    * installed reader recognizes the payload (corrupt file, or a codec the
-    * JDK lacks) — callers fall back to [[decodeStub]], keeping the pipeline
-    * total. ImageIO's static registry is thread-safe; per-partition init
-    * is not needed for the JDK readers (a native codec would hook in at the
+    * installed reader recognizes the payload OR a reader claims the format
+    * and then fails mid-decode (truncated body, unsupported variant like
+    * CMYK JPEG — ImageIO throws IIOException there rather than returning
+    * null) — callers fall back to [[decodeStub]] in both cases, keeping
+    * the pipeline total: one corrupt file must not fail a 100 TB job.
+    * ImageIO's static registry is thread-safe; per-partition init is not
+    * needed for the JDK readers (a native codec would hook in at the
     * mapPartitions seam instead). */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException | _: RuntimeException => None }
 
   /** Deterministic 8-float feature vector from REAL pixel data: per-channel
     * RGB means and standard deviations (population), mean luminance

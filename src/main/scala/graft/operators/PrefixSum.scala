@@ -23,13 +23,16 @@ import org.apache.spark.sql.functions._
   * from run A with rows from run B would interleave wrongly. The computed
   * running totals themselves are boundary-invariant, which is what makes
   * the operator deterministic (and oracle-replayable by a plain windowed
-  * sum). Ties on the order column are summed within their key before
-  * ranking positions matter, so equal keys receive equal running totals —
-  * callers needing per-ROW totals must order by a unique key. */
+  * sum). The per-partition window uses a RANGE frame, so TIED order keys
+  * all receive the running total including their whole tie group — the
+  * same deterministic semantics as a plain `sum() OVER (ORDER BY k)`
+  * (whose default frame is RANGE); a ROWS frame would order tied rows
+  * arbitrarily and hand them differing, run-varying totals. Callers
+  * needing strictly per-row totals must order by a unique key. */
 object PrefixSum {
 
   /** Adds `cumCol` = inclusive running total of `valueCol` over rows
-    * ordered by `orderCol` (unique-keyed). Input columns pass through. */
+    * ordered by `orderCol`. Input columns pass through. */
   def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
       cumCol: String = "cum"): DataFrame = {
     val ranged = df.repartitionByRange(col(orderCol))
@@ -37,7 +40,7 @@ object PrefixSum {
     val snap = ranged.withColumn("_local",
         sum(col(valueCol)).over(Window.partitionBy(col("_pid"))
           .orderBy(col(orderCol))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
       .localCheckpoint()
     val totals = snap.groupBy(col("_pid")).agg(sum(col(valueCol)).as("_t"))
     val offsets = totals.as("a")

@@ -284,15 +284,22 @@ object BucketedGraft {
 
   /** Does the claimed partition contain any data file? (Hidden files and
     * commit markers don't count.) One directory listing — O(files in this
-    * one partition), not O(table). */
+    * one partition), not O(table). Goes through the Hadoop FileSystem of
+    * the partition's own URI, NOT java.io.File: a false negative here
+    * would make [[append]] drop-with-purge a batch that actually landed,
+    * so this check must be correct on hdfs://, s3a://, etc., same as the
+    * write path that produced the files. */
   private def partitionHasData(spark: SparkSession, name: String, txn: Long): Boolean = {
     val (db, table) = dbTable(spark, name)
     val part = spark.sharedState.externalCatalog
       .getPartition(db, table, Map(Scan.TxnCol -> txn.toString))
     part.storage.locationUri.exists { uri =>
-      val dir = new java.io.File(uri.getPath)
-      dir.isDirectory && Option(dir.listFiles()).exists(_.exists(f =>
-        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+      val path = new org.apache.hadoop.fs.Path(uri)
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      try fs.listStatus(path).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      } catch { case _: java.io.FileNotFoundException => false }
     }
   }
 

@@ -165,10 +165,8 @@ final class GraftV2Table(tableName: String, val matSchema: MatSchema,
     val segmentPaths: Seq[String]) extends Table with SupportsRead with SupportsMetadataColumns {
 
   /** Data columns physically present in every segment file: logical ++
-    * provenance — mirrors [[graft.core.Scan.raw]]'s explicit read schema. */
-  private val dataSchema: StructType = StructType(
-    matSchema.toStructType.fields.map(_.copy(nullable = true)) ++
-      Seq(StructField(Scan.TxnCol, LongType), StructField(Scan.SeqCol, LongType)))
+    * provenance — the shared [[graft.core.Scan.provenanceStruct]]. */
+  private val dataSchema: StructType = Scan.provenanceStruct(matSchema)
 
   private val partSchema: StructType =
     StructType(matSchema.chunkColNames.map(StructField(_, LongType)))

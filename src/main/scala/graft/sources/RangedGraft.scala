@@ -75,8 +75,11 @@ object RangedGraft {
     else {
       val probs = (1 until pieces).map(_.toDouble / pieces)
       // percentile_approx preserves the input type (LongType dim -> Longs)
-      df.select(percentile_approx(col(dim), typedLit(probs), lit(10000)).as("q"))
-        .head().getSeq[Any](0)
+      val row = df.select(percentile_approx(col(dim), typedLit(probs), lit(10000)).as("q"))
+        .head()
+      // empty (or all-null-dim) sample: NULL percentile — one piece, not NPE
+      if (row.isNullAt(0)) Seq.empty
+      else row.getSeq[Any](0)
         .map { case l: Long => l; case d: Double => d.toLong; case i: Int => i.toLong }
         .distinct.sorted
     }
@@ -89,11 +92,16 @@ object RangedGraft {
   }
 
   /** Piece id of a leading-dimension value: count of bounds <= value,
-    * spelled as a codegen-friendly when-chain. */
+    * spelled as a codegen-friendly when-chain. NULL routes to piece 0 —
+    * the declared `RangePartitioning(dim ASC)` sorts nulls FIRST, so the
+    * first piece is the only placement that keeps the partitioning claim
+    * true (a null falling through to the last piece would silently break
+    * orderedScan's global order). */
   def rangeId(lead: Column, bounds: Seq[Long]): Column =
-    bounds.zipWithIndex.foldRight(lit(bounds.size): Column) {
-      case ((b, i), acc) => when(lead < b, lit(i)).otherwise(acc)
-    }
+    when(lead.isNull, lit(0)).otherwise(
+      bounds.zipWithIndex.foldRight(lit(bounds.size): Column) {
+        case ((b, i), acc) => when(lead < b, lit(i)).otherwise(acc)
+      })
 
   /** Commit `df` as one transaction: rows routed to `_range_id` piece
     * subdirectories by the recorded boundaries — dynamic-partition write,
@@ -115,18 +123,9 @@ object RangedGraft {
   private def segDir(path: String, txn: Long): Path =
     Paths.get(path).resolve(f"seg-$txn%08d")
 
-  private def nextTxnId(path: String): Long = {
-    val s = Files.list(Paths.get(path))
-    try {
-      val it = s.iterator()
-      var max = 0L
-      while (it.hasNext) {
-        val n = it.next().getFileName.toString
-        if (n.startsWith("seg-")) max = math.max(max, n.stripPrefix("seg-").toLong)
-      }
-      max + 1L
-    } finally s.close()
-  }
+  private def nextTxnId(path: String): Long =
+    segments(path).map(p => p.getFileName.toString.stripPrefix("seg-").toLong)
+      .maxOption.getOrElse(0L) + 1L
 
   private def segments(path: String): Seq[Path] = {
     val s = Files.list(Paths.get(path))
@@ -146,14 +145,11 @@ object RangedGraft {
     * along for the dedup. */
   private def claimedRaw(spark: SparkSession, path: String, schema: MatSchema,
       asOf: Option[Long]): DataFrame = {
-    import org.apache.spark.sql.types._
     val bounds = readBounds(path)
     val pieces = bounds.size + 1
     val segs = segments(path)
       .filter(p => asOf.forall(p.getFileName.toString.stripPrefix("seg-").toLong <= _))
-    val readSchema = StructType(
-      schema.toStructType.fields.map(_.copy(nullable = true)) ++
-        Seq(StructField(Scan.TxnCol, LongType), StructField(Scan.SeqCol, LongType)))
+    val readSchema = Scan.provenanceStruct(schema)
     val cols = readSchema.fieldNames.map(col).toSeq
     def pieceDf(i: Int): Option[DataFrame] = {
       val dirs = segs.map(_.resolve(s"$RangeCol=$i")).filter(Files.isDirectory(_))

@@ -253,6 +253,18 @@ class MultimodalSpec extends AnyFunSuite {
     val (sw, sh, sf) = Multimodal.decodeStub("image", garbage)
     assert((feats(4L).width, feats(4L).height, feats(4L).features.toSeq) ===
       (sw, sh, sf.toSeq))
+    // a TRUNCATED payload with a valid PNG signature makes ImageIO's reader
+    // claim the format and then throw mid-decode — that must ALSO fall back
+    // to the stub (pipeline totality), not fail the task
+    val truncated = solidRed.take(solidRed.length / 3)
+    assert(Multimodal.decodeImage(truncated).isEmpty)
+    val tf = Multimodal.extractFeatures(
+      Seq(MediaRow(9L, "image", truncated)).toDS()).collect().head
+    val (tw, th, tfs) = Multimodal.decodeStub("image", truncated)
+    assert((tf.width, tf.height, tf.features.toSeq) === (tw, th, tfs.toSeq))
+    // ...and resizeMedia passes it through untouched instead of crashing
+    assert(Multimodal.resizeMedia(Seq(MediaRow(9L, "image", truncated)).toDS(), 32)
+      .collect().head.media.length === truncated.length)
 
     // REAL pixel resample: longer side clamped, aspect preserved, and the
     // re-encoded PNG decodes to the new dimensions with sane statistics

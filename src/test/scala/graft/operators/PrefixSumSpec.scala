@@ -33,6 +33,18 @@ class PrefixSumSpec extends AnyFunSuite {
       s"prefix sum must not plan a SinglePartition exchange:\n$plan")
   }
 
+  test("tied order keys receive their whole tie group's total (RANGE frame semantics)") {
+    import spark.implicits._
+    // k=5 appears twice: both rows must carry the same cum (prior + both
+    // values), exactly like a plain `sum() OVER (ORDER BY k)` whose default
+    // RANGE frame includes the full tie group — and deterministically so
+    val rows = Seq((1L, 10L), (5L, 1L), (5L, 2L), (9L, 4L)).toDF("k", "v")
+    val got = PrefixSum.runningTotal(rows, "k", "v")
+      .select(col("k"), col("cum")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === Seq((1L, 10L), (5L, 13L), (5L, 13L), (9L, 17L)))
+  }
+
   test("empty and single-row inputs") {
     import spark.implicits._
     assert(PrefixSum.runningTotal(Seq.empty[(Long, Long)].toDF("k", "v"), "k", "v")

@@ -83,5 +83,28 @@ class RangedGraftSpec extends AnyFunSuite {
     RangedGraft.append(spark, single, schema, batch(Seq((5L, 1L, 1L), (3L, 0L, 2L))))
     val one = RangedGraft.orderedScan(spark, single, schema).collect()
     assert(one.map(_.getLong(0)).toSeq === Seq(3L, 5L))
+
+    // boundaries from an EMPTY sample degrade to one piece, not an NPE
+    assert(RangedGraft.boundariesFromSample(
+      batch(Nil), "t", pieces = 4) === Seq.empty)
+  }
+
+  test("null leading dimension routes to piece 0 and sorts first (ASC nulls-first)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-ranged-null").toString
+    RangedGraft.create(spark, dir, schema, Seq(50L, 120L))
+    val st = StructType(Seq(StructField("t", LongType), StructField("sensor", LongType),
+      StructField("v", LongType)))
+    val rows = Seq(Row(10L, 0L, 1L), Row(null, 0L, 2L), Row(130L, 1L, 3L), Row(60L, 2L, 4L))
+    RangedGraft.append(spark, dir, schema,
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), st))
+    val ord = RangedGraft.orderedScan(spark, dir, schema)
+    val got = ord.collect()
+    // the declared RangePartitioning(t ASC) sorts nulls FIRST — a null
+    // landing in the last piece would silently break this order
+    assert(got.map(r => Option(r.get(0)).map(_.toString).getOrElse("null")).toSeq ===
+      Seq("null", "10", "60", "130"))
+    TestSpark.assertNoExchange(ord, "ranged ordered scan with null dim")
   }
 }
