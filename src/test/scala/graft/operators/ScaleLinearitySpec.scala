@@ -119,4 +119,58 @@ class ScaleLinearitySpec extends AnyFunSuite {
       .count()
     assert(cross === 0L, s"$cross decontamination pairs crossed clones")
   }
+
+  test("packing conserves token mass at scale; chunking and prefix pairs replicate") {
+    val one = cloned(1)
+    val three = cloned(3)
+
+    // q79's sequence packing: exact mass/shape invariants that hold at ANY
+    // scale — total contributed tokens == total corpus tokens, sequence
+    // count == ceil(total/512), and every sequence but the last is FULL
+    def packed(docs: DataFrame) = {
+      val tok = docs.select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+      val total = tok.agg(sum(col("n"))).head.getLong(0)
+      val spans = PrefixSum.runningTotal(tok, "doc_id", "n")
+        .select(col("doc_id"), col("cum"), (col("cum") - col("n")).as("lo"))
+        .withColumn("seq_id",
+          explode(sequence(expr("lo div 512"), expr("(cum - 1) div 512"))))
+        .select(col("seq_id"),
+          (least(col("cum"), (col("seq_id") + 1) * 512) -
+            greatest(col("lo"), col("seq_id") * 512)).as("tok_in_seq"))
+      (total, spans)
+    }
+    val (t3, sp3) = packed(three)
+    val (t1, _) = packed(one)
+    assert(t3 === 3 * t1, "cloned corpus must have exactly 3x the tokens")
+    assert(sp3.agg(sum(col("tok_in_seq"))).head.getLong(0) === t3,
+      "packing must conserve token mass exactly")
+    val seqTotals = sp3.groupBy(col("seq_id")).agg(sum(col("tok_in_seq")).as("t"))
+    val nSeq = seqTotals.count()
+    assert(nSeq === (t3 + 511) / 512, "sequence count == ceil(total/512)")
+    assert(seqTotals.where(col("t") =!= 512).count() <= 1,
+      "every sequence except possibly the last is full")
+
+    // q80's chunking is per-document: clone 3x -> exactly 3x chunk rows
+    def chunks(docs: DataFrame): Long = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        when(col("n") <= 64, lit(0L)).otherwise(expr("(n - 64 + 47) div 48")))))
+      .count()
+    val c1 = chunks(one)
+    val c3 = chunks(three)
+    assert(c1 > 0 && c3 === 3 * c1, s"chunk rows must replicate: $c1 -> $c3")
+
+    // prefix filtering stays lossless on the cloned corpus, and its pairs
+    // are clone-local (prefixes share no shingles across clones)
+    val tau = 0.3
+    val exact3 = NearDup.jaccardPairs(three, "doc_id", "text",
+      minJaccard = tau, dfCap = 1000000L).count()
+    val prefix3 = NearDup.jaccardPairsPrefix(three, "doc_id", "text", tau).count()
+    assert(exact3 > 0, "test premise: pairs exist at tau=0.3")
+    assert(prefix3 === exact3, s"prefix must stay lossless at scale: $prefix3 vs $exact3")
+    val prefix1 = NearDup.jaccardPairsPrefix(one, "doc_id", "text", tau).count()
+    assert(prefix3 === 3 * prefix1, s"prefix pairs must be clone-local: $prefix1 -> $prefix3")
+  }
 }
