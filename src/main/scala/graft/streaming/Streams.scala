@@ -149,4 +149,25 @@ object Streams {
           batch, buckets)
         ()
       }
+
+  /** foreachBatch sink into the RANGED layout
+    * ([[graft.sources.RangedGraft]]): each micro-batch commits as one
+    * ranged transaction — rows routed to their range piece with NO shuffle
+    * (a dynamic-partition write against the table's fixed boundaries), and
+    * everything the stream writes is immediately readable with the
+    * fully exchange-free ordered scan. Replay semantics are the same
+    * MVCC-absorption as [[bucketedSink]]: a re-run batch lands under a
+    * fresh txn id and newest-wins resolution returns the identical
+    * snapshot. Single writer per table (RangedGraft's id allocation is
+    * read-then-write); a streaming sink IS that single writer. */
+  def rangedSink(stream: DataFrame, path: String, schema: graft.core.MatSchema,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.RangedGraft.append(batch.sparkSession, path, schema, batch)
+        ()
+      }
 }
