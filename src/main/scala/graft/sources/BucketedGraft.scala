@@ -131,6 +131,16 @@ object BucketedGraft {
       asOf: Option[Long] = None): DataFrame =
     snapshot(spark, name, schema, asOf).orderBy(schema.dimNames.map(col): _*)
 
+  /** Expose the RESOLVED table to Spark SQL as a temp view — SQL over the
+    * bucketed layout with the zero-exchange resolve intact (views inline
+    * their plan, so `SELECT ... FROM <view>` composes with the bucket
+    * partitioning exactly like the DataFrame API; the raw catalog table
+    * `name` stays available for provenance queries). `asOf` pins the view
+    * to a snapshot horizon. */
+  def registerResolvedView(spark: SparkSession, name: String, schema: MatSchema,
+      viewName: String, asOf: Option[Long] = None): Unit =
+    snapshot(spark, name, schema, asOf).createOrReplaceTempView(viewName)
+
   /** Atomically claim the next free transaction id by creating its (empty)
     * `_txn_id` partition with put-if-absent semantics at the metastore.
     * The first candidate comes from the `graft.maxTxn` hint; a lost race or

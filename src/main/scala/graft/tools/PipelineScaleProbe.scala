@@ -106,6 +106,25 @@ object PipelineScaleProbe {
         .groupBy(TextOps.h56Col(col("chunk")).as("h")).agg(count(lit(1)).as("c"))
         .where(col("c") > 1).count()
     }
+    timed("sequence packing (512-token cut)") {
+      val tok = docs.select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+      graft.operators.PrefixSum.runningTotal(tok, "doc_id", "n")
+        .select(col("doc_id"), col("cum"), (col("cum") - col("n")).as("lo"))
+        .withColumn("seq_id",
+          explode(sequence(expr("lo div 512"), expr("(cum - 1) div 512"))))
+        .count()
+    }
+    timed("sliding-window chunks (W=64 S=48)") {
+      docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("chunk_idx", explode(sequence(lit(0L),
+          when(col("n") <= 64, lit(0L)).otherwise(expr("(n - 64 + 47) div 48")))))
+        .count()
+    }
+    timed("prefix-filtered pairs >= 0.8 (PPJoin)") {
+      graft.operators.NearDup.jaccardPairsPrefix(docs, "doc_id", "text", 0.8).count()
+    }
     timed("decontamination (train x 10% eval)") {
       val exh = graft.operators.NearDup.shingles(docs, "doc_id", "text")
         .select(col("doc_id"), TextOps.h56Col(col("g")).as("g"))

@@ -71,6 +71,17 @@ class BucketedGraftSpec extends AnyFunSuite {
     assert(scan1.contains(graft.core.Scan.TxnCol),
       s"asOf must reach the scan as a partition filter:\n$scan1")
 
+    // SQL over the resolved view keeps the zero-exchange resolve: the view
+    // inlines the dedup plan, so a SQL aggregate on the dimensions reuses
+    // the bucket partitioning end to end
+    BucketedGraft.registerResolvedView(spark, name, schema, "bg_test_v")
+    val viaSql = spark.sql("SELECT t, sensor, v FROM bg_test_v")
+    assert(viaSql.collect().toSet === expected)
+    TestSpark.assertNoExchange(viaSql, "SQL over the resolved bucketed view")
+    val sqlAgg = spark.sql("SELECT t, sensor, max(v) AS v FROM bg_test_v GROUP BY t, sensor")
+    assert(sqlAgg.count() === 220)
+    TestSpark.assertNoExchange(sqlAgg, "SQL dim-aggregate over the resolved view")
+
     // ordered scan: dedup still exchange-free; only the final global sort
     // of RESOLVED rows may exchange (exactly one)
     val ord = BucketedGraft.orderedScan(spark, name, schema)
