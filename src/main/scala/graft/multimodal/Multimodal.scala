@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: image/audio/video as opaque `binary` with typed
   * metadata, plus a feature-extraction pipeline whose Spark-side plumbing
   * (schema, partitioning, batch shape) is real. IMAGE decode is REAL —
-  * `javax.imageio` ships in the JDK (PNG/JPEG/BMP/GIF/WBMP), so no new
-  * dependency — with a deterministic stub as the fallback for payloads no
-  * reader accepts and for the audio/video codecs this container lacks
-  * (ffmpeg-class demuxing stays a clearly-marked STUB).
+  * `javax.imageio` ships in the JDK (PNG/JPEG/BMP/GIF/WBMP) — and AUDIO
+  * decode is REAL — `javax.sound.sampled` ships in the JDK (WAV/AIFF/AU
+  * PCM) — so no new dependency for either; a deterministic stub remains
+  * as the fallback for payloads no reader accepts and for the VIDEO
+  * codecs this container lacks (ffmpeg-class demuxing stays a
+  * clearly-marked STUB).
   *
   * The batch shape mirrors what a vectorized (Arrow/pandas-UDF-style) decode
   * would need: `mapPartitions` hands each task an iterator over its whole
@@ -69,8 +71,83 @@ object Multimodal {
       (math.log(w.toDouble / h) / math.log(2.0)).toFloat)
   }
 
-  /** STUB decoder: stands in for the codecs the JDK lacks (audio spectra,
-    * video). Deterministic fake dimensions/features derived from the bytes
+  /** REAL audio decode through the JDK's sampled-audio registry (WAV, AIFF,
+    * AU). Any decodable payload is first converted to interleaved 16-bit
+    * PCM_SIGNED little-endian at its native rate and channel count, so
+    * features are storage-format-independent (the same waveform as 8-bit
+    * unsigned WAV or big-endian AIFF decodes to identical samples up to
+    * quantization). Returns (sampleRate, channels, samples) — None when no
+    * installed reader recognizes the payload or one fails mid-decode, same
+    * totality contract as [[decodeImage]]: one corrupt file must not fail
+    * a 100 TB job. */
+  def decodeAudio(bytes: Array[Byte]): Option[(Float, Int, Array[Short])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val src = in.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          2 * src.getChannels, src.getSampleRate, /* bigEndian = */ false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        try {
+          val raw = pcm.readAllBytes()
+          val n = raw.length / 2
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          Some((src.getSampleRate, src.getChannels, samples))
+        } finally pcm.close()
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException | _: RuntimeException => None
+    }
+
+  /** Deterministic 8-float feature vector from REAL PCM samples: RMS level,
+    * peak level, zero-crossing rate, DC offset (all normalized to full
+    * scale), log2 duration in seconds, sample rate and channel count scaled
+    * small, and log2 sample count — the audio analogue of [[imageFeatures]],
+    * same small ranges so the vector composes with the cosine/LSH
+    * operators. Integer sample sums, so the result is bit-stable across
+    * runs and partitionings. Zero-crossing counts sign flips over the
+    * interleaved stream (exact per-channel for mono, a cross-channel
+    * activity proxy otherwise). */
+  def audioFeatures(sampleRate: Float, channels: Int, samples: Array[Short]): Array[Float] = {
+    val n = math.max(samples.length, 1)
+    var s, q, peak, zc = 0L
+    var prevSign = 0
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toLong
+      s += v; q += v * v
+      val a = math.abs(v); if (a > peak) peak = a
+      val sign = java.lang.Long.signum(v)
+      if (sign != 0) {
+        if (prevSign != 0 && sign != prevSign) zc += 1
+        prevSign = sign
+      }
+      i += 1
+    }
+    val full = 32768.0
+    val durationSec = samples.length.toDouble / channels / sampleRate
+    Array(
+      (math.sqrt(q.toDouble / n) / full).toFloat,
+      (peak / full).toFloat,
+      (zc.toDouble / n).toFloat,
+      (s.toDouble / n / full).toFloat,
+      (math.log(math.max(durationSec, 1e-9)) / math.log(2.0)).toFloat,
+      sampleRate / 48000f,
+      channels / 8f,
+      (math.log(n.toDouble) / math.log(2.0)).toFloat)
+  }
+
+  /** STUB decoder: stands in for the codecs the JDK lacks (video).
+    * Deterministic fake dimensions/features derived from the bytes
     * so tests are exact. A real deployment swaps only this function
     * (e.g. ffmpeg via JNI). */
   def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Array[Float]) = {
@@ -85,11 +162,19 @@ object Multimodal {
   }
 
   /** Decode one media payload: real ImageIO for decodable `image` rows,
-    * stub for everything else (audio/video kinds, unrecognized payloads). */
+    * real sampled-audio for decodable `audio` rows (the typed metadata pair
+    * is (sampleRate Hz, channels) there — the audio shape of the image
+    * (width, height)), stub for everything else (video kinds, unrecognized
+    * payloads). */
   def decode(kind: String, bytes: Array[Byte]): (Int, Int, Array[Float]) =
     if (kind == "image")
       decodeImage(bytes)
         .map(img => (img.getWidth, img.getHeight, imageFeatures(img)))
+        .getOrElse(decodeStub(kind, bytes))
+    else if (kind == "audio")
+      decodeAudio(bytes)
+        .map { case (rate, ch, samples) =>
+          (math.round(rate), ch, audioFeatures(rate, ch, samples)) }
         .getOrElse(decodeStub(kind, bytes))
     else decodeStub(kind, bytes)
 

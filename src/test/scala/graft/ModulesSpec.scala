@@ -282,6 +282,88 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized(4L).n_bytes === garbage.length)
   }
 
+  test("REAL audio decode: generated WAV/AIFF through decode → features") {
+    import Multimodal.MediaRow
+    import spark.implicits._
+    // PCM fixture writers: the same samples as little-endian WAV and
+    // big-endian AIFF must decode to bit-identical features
+    def encodeAudio(tpe: javax.sound.sampled.AudioFileFormat.Type, bigEndian: Boolean,
+        sampleRate: Float, channels: Int, samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate, 16, channels, 2 * channels, sampleRate, bigEndian)
+      val raw = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        val lo = (samples(i) & 0xff).toByte
+        val hi = ((samples(i) >> 8) & 0xff).toByte
+        if (bigEndian) { raw(2 * i) = hi; raw(2 * i + 1) = lo }
+        else { raw(2 * i) = lo; raw(2 * i + 1) = hi }
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val aiff = javax.sound.sampled.AudioFileFormat.Type.AIFF
+
+    // 1 second of 440 Hz sine at 8 kHz mono, amplitude 16384 (half scale)
+    val sine = Array.tabulate[Short](8000)(i =>
+      math.round(16384 * math.sin(2 * math.Pi * 440 * i / 8000)).toShort)
+    val silence = new Array[Short](4000)
+    // 0.5 s stereo: sine left, silence right, interleaved
+    val stereo = Array.tabulate[Short](8000)(i =>
+      if (i % 2 == 0) sine(i / 2) else 0)
+    val garbage = Array.tabulate[Byte](64)(i => (i * 13).toByte)
+
+    val media = Seq(
+      MediaRow(1L, "audio", encodeAudio(wave, bigEndian = false, 8000f, 1, sine)),
+      MediaRow(2L, "audio", encodeAudio(wave, bigEndian = false, 8000f, 1, silence)),
+      MediaRow(3L, "audio", encodeAudio(wave, bigEndian = false, 8000f, 2, stereo)),
+      MediaRow(4L, "audio", garbage)
+    ).toDS().repartition(3)
+    val feats = Multimodal.extractFeatures(media).collect().map(r => r.doc_id -> r).toMap
+
+    // typed metadata: width = sample rate (Hz), height = channels
+    assert((feats(1L).width, feats(1L).height) === (8000, 1))
+    assert((feats(3L).width, feats(3L).height) === (8000, 2))
+    // sine: RMS ≈ A/√2, peak ≈ A/full, ZCR ≈ 2f/rate, no DC, 1 s duration
+    assert(math.abs(feats(1L).features(0) - 16384.0 / math.sqrt(2) / 32768) < 1e-3)
+    assert(math.abs(feats(1L).features(1) - 0.5f) < 1e-3)
+    assert(math.abs(feats(1L).features(2) - 2.0 * 440 / 8000) < 1e-3)
+    assert(math.abs(feats(1L).features(3)) < 1e-3)
+    assert(math.abs(feats(1L).features(4)) < 1e-3)          // log2(1 s) = 0
+    assert(math.abs(feats(1L).features(6) - 0.125f) < 1e-6) // 1 channel / 8
+    // silence: all level features exactly zero, 0.5 s → log2 = -1
+    assert(feats(2L).features.take(4).forall(_ == 0.0f))
+    assert(math.abs(feats(2L).features(4) + 1.0f) < 1e-3)
+    // stereo halves the per-channel duration at the same sample count
+    assert(math.abs(feats(3L).features(4) + 1.0f) < 1e-3)
+    // garbage payload fell back to the deterministic stub
+    val (gw, gh, gf) = Multimodal.decodeStub("audio", garbage)
+    assert((feats(4L).width, feats(4L).height, feats(4L).features.toSeq) ===
+      (gw, gh, gf.toSeq))
+
+    // format independence: AIFF (big-endian) decodes bit-identically to WAV
+    val viaWav = Multimodal.decode("audio", encodeAudio(wave, bigEndian = false, 8000f, 1, sine))
+    val viaAiff = Multimodal.decode("audio", encodeAudio(aiff, bigEndian = true, 8000f, 1, sine))
+    assert(viaWav._1 === viaAiff._1 && viaWav._2 === viaAiff._2)
+    assert(viaWav._3.toSeq === viaAiff._3.toSeq)
+    // features equal the same functions applied driver-side (bit-stable)
+    val Some((rate, ch, samples)) =
+      Multimodal.decodeAudio(encodeAudio(wave, bigEndian = false, 8000f, 1, sine))
+    assert(rate === 8000f && ch === 1 && samples.toSeq === sine.toSeq)
+    assert(feats(1L).features.toSeq ===
+      Multimodal.audioFeatures(rate, ch, samples).toSeq)
+    // a TRUNCATED payload with a valid RIFF header must also fall back to
+    // the stub (pipeline totality), not fail the task
+    val truncated = encodeAudio(wave, bigEndian = false, 8000f, 1, sine).take(40)
+    val tf = Multimodal.decode("audio", truncated)
+    val (tw, th, ts) = Multimodal.decodeStub("audio", truncated)
+    assert((tf._1, tf._2, tf._3.toSeq) === (tw, th, ts.toSeq))
+  }
+
   test("frame sampling and resize: UDTF fan-out, stride, aspect-preserving clamp") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.mediaFromDocuments(docs, partitions = 4)
