@@ -16,10 +16,10 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
   *     relational checklist incl. pivot/unpivot and both top-k UDAF tiers.
   *   - [[graft.queries.Pipeline]]   q40-q60: LLM-data-pipeline operators
   *     (text analysis, dedup family, similarity search, multimodal).
-  *   - [[graft.queries.Curation]]   q61-q72, q79-q80: curation/batch prep
+  *   - [[graft.queries.Curation]]   q61-q72, q79-q81: curation/batch prep
   *     (sampling, sessions, scrubbing, repetition, caps, stats, TF-IDF,
   *     decontamination, passage dedup, Zipf, embedding profile,
-  *     sequence packing, sliding-window chunking).
+  *     sequence packing, sliding-window chunking, epoch shuffle).
   */
 object SparkEntry {
   private lazy val battery: Seq[Q.Entry] =

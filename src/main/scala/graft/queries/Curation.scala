@@ -504,6 +504,39 @@ object Curation {
           md5(concat_ws(" ", expr("slice(toks, cast(tok_start + 1 as int), cast(tok_end - tok_start as int))")))
             .as("chunk_fp"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // ---- deterministic epoch shuffle (training order) -------------------
+    // Materializing a shuffled training epoch: every row gets a global
+    // position under a seed-keyed pseudo-random permutation, then a batch
+    // id and within-batch slot. The permutation key is (h56(seed:doc_id),
+    // doc_id) — the doc_id tiebreak keeps the order total even when the
+    // 56-bit hash collides (guaranteed somewhere at 10^11 rows), so the
+    // epoch is reproducible across runs, engines, AND cluster sizes.
+    // Global positions come from operators.PrefixSum over n=1 (range
+    // partition + per-partition windows — no SinglePartition row_number);
+    // the composite key is one fixed-width string so the range partitioner
+    // and the oracle's ORDER BY (hk, doc_id) agree bit-for-bit.
+    Entry("q81_epoch_shuffle", Some(
+      s"""WITH h AS (SELECT doc_id, ${h56Sql("'ep7:' || CAST(doc_id AS VARCHAR)")} AS hk
+         |           FROM documents),
+         |r AS (SELECT doc_id,
+         |             CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT) AS pos
+         |      FROM h)
+         |SELECT doc_id, pos, (pos - 1) // 256 AS batch_id, (pos - 1) % 256 AS slot
+         |FROM r ORDER BY pos""".stripMargin)) { (s, d) =>
+      val keyed = table(s, d, "documents")
+        .select(col("doc_id"),
+          h56(concat(lit("ep7:"), col("doc_id").cast("string"))).as("hk"),
+          lit(1L).as("one"))
+        .withColumn("_ok", concat(
+          lpad(hex(col("hk")), 14, "0"),
+          lpad(col("doc_id").cast("string"), 19, "0")))
+      graft.operators.PrefixSum.runningTotal(keyed, "_ok", "one", "pos")
+        .select(col("doc_id"), col("pos"),
+          expr("(pos - 1) div 256").as("batch_id"),
+          ((col("pos") - 1) % 256).as("slot"))
+        .orderBy(col("pos"))
     }
   )
 }
