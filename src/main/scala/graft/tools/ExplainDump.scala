@@ -35,6 +35,10 @@ object SparkEntryPlans {
             org.apache.spark.sql.execution.FormattedMode)
             .replaceAll("#\\d+", "#N")
             .replaceAll("plan_id=\\d+", "plan_id=N")
+            // JVM-run-volatile identities: lambda class names and default
+            // Object.toString hashes (Lambda$5479/0x7f4e...@1607278e)
+            .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$N")
+            .replaceAll("@[0-9a-f]{6,16}\\b", "@N")
         } catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
       Files.write(Paths.get(s"$outDir/$name.txt"), text.getBytes("UTF-8"))
     }
