@@ -537,6 +537,26 @@ object Curation {
           expr("(pos - 1) div 256").as("batch_id"),
           ((col("pos") - 1) % 256).as("slot"))
         .orderBy(col("pos"))
+    },
+
+    // ---- novelty filter (incremental-ingest dedup, batch form) ----------
+    // The dedup-against-corpus join of streaming.Streams.noveltyFilter:
+    // docs with doc_id % 5 = 0 play the incoming micro-batch, the rest the
+    // committed corpus; survivors are incoming docs whose fingerprint no
+    // history doc has. The operator keeps the corpus side un-shuffled
+    // (both joins broadcast the batch-derived side — StreamingSpec pins
+    // the plan); the oracle is NOT EXISTS, the SQL spelling of LEFT ANTI.
+    Entry("q82_novelty_filter", Some(
+      s"""WITH fp AS (SELECT doc_id, ${h56Sql("text")} AS fp FROM documents),
+         |hist AS (SELECT fp FROM fp WHERE doc_id % 5 <> 0),
+         |inc AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 0)
+         |SELECT doc_id, fp FROM inc
+         |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = inc.fp)
+         |ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val docs = table(s, d, "documents").select(col("doc_id"), h56(col("text")).as("fp"))
+      val hist = docs.where(col("doc_id") % 5 =!= 0).select(col("fp"))
+      val inc = docs.where(col("doc_id") % 5 === 0)
+      graft.streaming.Streams.noveltyFilter(inc, hist, "fp").orderBy(col("doc_id"))
     }
   )
 }

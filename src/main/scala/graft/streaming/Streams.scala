@@ -170,4 +170,136 @@ object Streams {
         graft.sources.RangedGraft.append(batch.sparkSession, path, schema, batch)
         ()
       }
+
+  /** Rows of `batch` whose `fpCol` value never occurs in `history` — the
+    * dedup-against-corpus join, shaped for a history side many orders of
+    * magnitude larger than the batch:
+    *
+    *   1. `hits` = history ⋉ broadcast(batch fps): the corpus streams
+    *      through a broadcast-hash LEFT SEMI join, column-pruned to the
+    *      8-byte fingerprint — it is NEVER shuffled, whatever its size;
+    *   2. survivors = batch ∖ broadcast(hits): both joins broadcast the
+    *      batch-sized side only.
+    *
+    * The naive `batch LEFT ANTI history` would hash-exchange the whole
+    * corpus per call (anti builds on its right side, which here is the
+    * 100 TB one). `hits` is distinct'd before broadcast; for a history
+    * that is itself fp-deduped (anything ingested through
+    * [[dedupedBucketedIngest]]) its pre-distinct size is ≤ the batch's. */
+  def noveltyFilter(batch: DataFrame, history: DataFrame, fpCol: String): DataFrame = {
+    val fps = batch.select(col(fpCol)).distinct()
+    val hits = history.select(col(fpCol))
+      .join(broadcast(fps), Seq(fpCol), "left_semi").distinct()
+    batch.join(broadcast(hits), Seq(fpCol), "left_anti")
+  }
+
+  /** Incremental corpus ingestion with exact dedup against all history:
+    * each micro-batch keeps only documents whose text fingerprint
+    * ([[graft.functions.Fingerprint64]], codegen FNV-1a) has never been
+    * seen — neither in any committed transaction of `table` nor earlier in
+    * the same batch — and commits the survivors as ONE bucketed
+    * transaction. Survivors of batch N are history for batch N+1 (the
+    * stream-static read re-resolves per micro-batch).
+    *
+    * Membership is tested against the RAW transaction log (`spark.table`),
+    * not the resolved snapshot: "ever committed" is the question, so the
+    * scan needs no MVCC aggregate — just a column-pruned pass over `fpCol`.
+    *
+    * Replay: a batch re-run after a crash between append and checkpoint
+    * commit finds all its fingerprints already in history, so the
+    * novelty filter drops every row and the empty append claims no txn —
+    * unlike [[bucketedSink]], the RAW history is exactly-once too, because
+    * the dedup join IS the idempotence check. The spec asserts this.
+    *
+    * `fpCol` must be a column of `schema` so the fingerprint persists —
+    * future batches (and batch backfills via [[noveltyFilter]]) read 8
+    * bytes per doc instead of re-hashing the corpus. Two distinct texts
+    * colliding on the 64-bit fp drop one of them, the standard exact-dedup
+    * trade (~n²/2⁶⁵ corpus-wide; negligible below ~10⁹ docs). */
+  def dedupedBucketedIngest(stream: DataFrame, table: String,
+      schema: graft.core.MatSchema, buckets: Int, textCol: String,
+      fpCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(schema.columnNames.contains(fpCol),
+      s"fingerprint column '$fpCol' must be part of the table schema")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.Fingerprint64.register(spark) // idempotent
+        val fped = batch
+          .withColumn(fpCol, graft.functions.Fingerprint64.fingerprint64(col(textCol)))
+          .dropDuplicates(fpCol)
+        val fresh = noveltyFilter(fped, spark.table(table), fpCol)
+        graft.sources.BucketedGraft.append(spark, table, schema, fresh, buckets)
+        ()
+      }
+  }
+
+  /** Rows of `batch` with no SimHash NEAR-duplicate — Hamming ≤ `maxDist`
+    * on the 56-bit `simhash` column — in `history`, and no smaller-id
+    * near-dup in the batch itself: the near-dup analog of
+    * [[noveltyFilter]]. Candidates come from the exact 3-band pigeonhole
+    * split ([[graft.operators.SimHashBands]]): the corpus explodes to its
+    * band rows (a per-row map, NO shuffle) and streams through a
+    * broadcast-hash join against the batch's ~3·|batch| band rows; the
+    * exact Hamming check, the hit-id distinct, and the final anti join all
+    * operate on batch-derived sides only.
+    *
+    * Intra-batch survivorship is judged against the FULL batch, not
+    * against survivors: a row drops iff it has a smaller-id near-dup,
+    * whether or not that near-dup itself survives — order-free and
+    * deterministic, and it can only over-drop within one micro-batch
+    * (history-vs-batch status never depends on it). */
+  def nearDupFilter(batch: DataFrame, history: DataFrame, idCol: String,
+      maxDist: Int = graft.operators.SimHashBands.MaxHamming): DataFrame = {
+    import graft.operators.SimHashBands
+    require(maxDist <= SimHashBands.MaxHamming,
+      s"3-band split is exhaustive only up to Hamming ${SimHashBands.MaxHamming}")
+    val sigs = batch.select(col(idCol), col("simhash"))
+    val bb = SimHashBands.bands(sigs, idCol)
+      .select(col("band"), col("band_val"), col(idCol), col("simhash").as("_bsim"))
+    val hb = SimHashBands.bands(
+      history.select(col("simhash").as("_hid"), col("simhash")), "_hid")
+    val histHits = hb.join(broadcast(bb), Seq("band", "band_val"))
+      .where(bit_count(col("simhash").bitwiseXOR(col("_bsim"))) <= maxDist)
+      .select(col(idCol))
+    val intraHits = SimHashBands.hammingPairs(sigs, idCol, maxDist)
+      .select(col("doc_b").as(idCol))
+    batch.join(broadcast(histHits.union(intraHits).distinct()), Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupedBucketedIngest]]'s near-dup sibling: each micro-batch keeps
+    * only documents NOT within Hamming `maxDist` of any committed doc's
+    * SimHash (nor of a smaller-id doc in the same batch) and commits the
+    * survivors as one bucketed transaction. The signature is the
+    * [[graft.functions.Simhash56]] codegen kernel over whitespace tokens
+    * (identical to the q48 battery query), persisted in `simhash` so the
+    * history side of every future batch is an 8-byte column scan.
+    *
+    * Replay: a re-run batch finds each of its docs within distance 0 of
+    * its own committed copy, so every row drops and no txn is claimed —
+    * raw history is exactly-once, same argument as the exact sink. */
+  def nearDupBucketedIngest(stream: DataFrame, table: String,
+      schema: graft.core.MatSchema, buckets: Int, textCol: String,
+      idCol: String, checkpoint: String,
+      maxDist: Int = graft.operators.SimHashBands.MaxHamming)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(schema.columnNames.contains("simhash"),
+      "the table schema must persist the 'simhash' column")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.TextOps.register(spark) // idempotent
+        val sigged = batch.withColumn("simhash",
+          graft.functions.TextOps.simhash56Col(split(lower(col(textCol)), "\\s+")))
+          .where(col("simhash").isNotNull)
+        val fresh = nearDupFilter(sigged, spark.table(table), idCol, maxDist)
+        graft.sources.BucketedGraft.append(spark, table, schema, fresh, buckets)
+        ()
+      }
+  }
 }

@@ -322,4 +322,125 @@ class StreamingSpec extends AnyFunSuite {
       assert(replayed.toSeq === Seq((10L, 3L), (60L, 2L)))
     } finally q.stop()
   }
+
+  test("deduped ingest: only unseen docs land; raw history is exactly-once under replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.{Dimension, MatSchema, ValueCol}
+    import graft.sources.BucketedGraft
+    import org.apache.spark.sql.types.StringType
+    val table = "bg_dedup_ingest"
+    graft.functions.Fingerprint64.register(spark)
+    BucketedGraft.drop(spark, table)
+    val schema = MatSchema(Seq(Dimension("doc_id", 1000)),
+      Seq(ValueCol("fp"), ValueCol("text", StringType)))
+    BucketedGraft.create(spark, table, schema, buckets = 4)
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-dedup-ingest").toString
+
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.dedupedBucketedIngest(input.toDF().toDF("doc_id", "text"),
+      table, schema, buckets = 4, textCol = "text", fpCol = "fp", checkpoint).start()
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha")) // intra-batch dup
+      q.processAllAvailable()
+      val b1 = spark.table(table).select("text").as[String].collect().sorted
+      assert(b1.toSeq === Seq("alpha", "beta"))
+      input.addData((4L, "beta"), (5L, "gamma")) // cross-batch dup + one fresh doc
+      q.processAllAvailable()
+      val b2 = spark.table(table).select("text").as[String].collect().sorted
+      assert(b2.toSeq === Seq("alpha", "beta", "gamma"))
+
+      // replaying batch 2 (crash between append and checkpoint commit):
+      // every fingerprint is already committed, so the novelty filter
+      // empties the batch and the append claims NO txn — raw history is
+      // exactly-once, not just MVCC-absorbed
+      val next = BucketedGraft.nextTxnId(spark, table)
+      val replay = Seq((4L, "beta"), (5L, "gamma")).toDF("doc_id", "text")
+        .withColumn("fp", graft.functions.Fingerprint64.fingerprint64($"text"))
+      val fresh = Streams.noveltyFilter(replay, spark.table(table), "fp")
+      assert(fresh.count() === 0L)
+      assert(BucketedGraft.append(spark, table, schema, fresh, 4) === None)
+      assert(BucketedGraft.nextTxnId(spark, table) === next)
+    } finally q.stop()
+
+    // scale shape: both joins of the novelty filter broadcast the
+    // batch-derived side, so the corpus side streams through un-exchanged
+    // whatever its size (a SortMergeJoin/ShuffledHashJoin here would mean
+    // hash-exchanging 100 TB per micro-batch)
+    // parquet-backed batch with one seen + one unseen doc, so neither
+    // side is a LocalRelation and AQE's empty-relation propagation can't
+    // optimize the joins out of the plan under test
+    val bdir = java.nio.file.Files.createTempDirectory("graft-nf-batch").toString
+    Seq((9L, "delta"), (10L, "alpha")).toDF("doc_id", "text")
+      .withColumn("fp", graft.functions.Fingerprint64.fingerprint64($"text"))
+      .write.parquet(s"$bdir/b")
+    val batchDf = spark.read.parquet(s"$bdir/b")
+    val filtered = Streams.noveltyFilter(batchDf, spark.table(table), "fp")
+    filtered.collect()
+    val plan = graft.core.TestSpark.finalPlan(filtered)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 2, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    BucketedGraft.drop(spark, table)
+  }
+
+  test("near-dup ingest: SimHash gate vs history and within-batch, exactly-once replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.{Dimension, MatSchema, ValueCol}
+    import graft.sources.BucketedGraft
+    import org.apache.spark.sql.types.StringType
+    val table = "bg_neardup_ingest"
+    BucketedGraft.drop(spark, table)
+    val schema = MatSchema(Seq(Dimension("doc_id", 1000)),
+      Seq(ValueCol("simhash"), ValueCol("text", StringType)))
+    BucketedGraft.create(spark, table, schema, buckets = 4)
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-nd-ingest").toString
+
+    val tA = "the quick brown fox jumps over the lazy dog"
+    val tB = "completely unrelated text about spark physical plans and shuffles"
+    val tC = "a third document on bucketed layouts and manifest commit protocols"
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.nearDupBucketedIngest(input.toDF().toDF("doc_id", "text"),
+      table, schema, buckets = 4, textCol = "text", idCol = "doc_id", checkpoint).start()
+    try {
+      input.addData((1L, tA), (2L, tB))
+      q.processAllAvailable()
+      assert(spark.table(table).count() === 2)
+      // batch 2: doc 3 duplicates committed doc 1 (Hamming 0 vs history);
+      // docs 4+5 duplicate each other within the batch (5 has the
+      // smaller-id near-dup 4); doc 6 is fresh
+      input.addData((3L, tA), (4L, tC), (5L, tC), (6L, tB + " with a tail"))
+      q.processAllAvailable()
+      val landed = spark.table(table).select("doc_id").as[Long].collect().sorted
+      assert(landed.toSeq === Seq(1L, 2L, 4L, 6L))
+
+      // replay of batch 2: every survivor is now Hamming-0 to its own
+      // committed copy, so the gate drops everything — no txn claimed
+      graft.functions.TextOps.register(spark)
+      val next = BucketedGraft.nextTxnId(spark, table)
+      val replay = Seq((3L, tA), (4L, tC), (5L, tC), (6L, tB + " with a tail"))
+        .toDF("doc_id", "text")
+        .withColumn("simhash", graft.functions.TextOps.simhash56Col(
+          org.apache.spark.sql.functions.split(lower($"text"), "\\s+")))
+      val fresh = Streams.nearDupFilter(replay, spark.table(table), "doc_id")
+      assert(fresh.count() === 0L)
+      assert(BucketedGraft.append(spark, table, schema, fresh, 4) === None)
+      assert(BucketedGraft.nextTxnId(spark, table) === next)
+    } finally q.stop()
+
+    // scale shape: the corpus path (bands of the committed table) is
+    // never exchanged — every join broadcasts a batch-derived side
+    val bdir = java.nio.file.Files.createTempDirectory("graft-nd-batch").toString
+    Seq((9L, tA), (10L, "novel content never seen before anywhere"))
+      .toDF("doc_id", "text")
+      .withColumn("simhash", graft.functions.TextOps.simhash56Col(
+        org.apache.spark.sql.functions.split(lower($"text"), "\\s+")))
+      .write.parquet(s"$bdir/b")
+    val batchDf = spark.read.parquet(s"$bdir/b")
+    val filtered = Streams.nearDupFilter(batchDf, spark.table(table), "doc_id")
+    filtered.collect()
+    val plan = graft.core.TestSpark.finalPlan(filtered)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    BucketedGraft.drop(spark, table)
+  }
 }
