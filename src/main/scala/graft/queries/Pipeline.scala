@@ -706,6 +706,41 @@ object Pipeline {
         .select(col("doc_id"), col("span_start"), col("span_end"),
           (col("span_end") - col("span_start") + 1).as("n_dup_tokens"))
         .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // ---- near-dup clusters: pairs → connected components → keep-one ----
+    // The step after q49: its Hamming-≤2 pairs become dedup CLUSTERS via
+    // operators.ConnectedComponents (alternating large-star/small-star,
+    // O(log n) rounds — scale-safe where per-component collect or
+    // O(diameter) label propagation is not), and every doc gets its
+    // cluster's minimum doc_id as representative (rep = self when
+    // unclustered). The fixpoint is unique, so the oracle — a recursive
+    // transitive closure, affordable at oracle scale only — must agree
+    // exactly.
+    Entry("q83_neardup_clusters", Some(
+      s"""WITH RECURSIVE sims AS ($simhashCoreSql),
+         |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |          FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+         |reach(u, v) AS (SELECT u, v FROM edges
+         |                UNION
+         |                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |rep AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(LEAST(r.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_rep
+         |FROM documents d LEFT JOIN rep r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin)) { (s, d) =>
+      val pairs = graft.operators.SimHashBands
+        .hammingPairs(simhashSpark(s, d), "doc_id", maxDist = 2)
+      val labels = graft.operators.ConnectedComponents
+        .labels(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+      table(s, d, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+        .orderBy(col("doc_id"))
     }
   )
 
