@@ -29,20 +29,36 @@ object ConnectedComponents {
     * MINIMUM node id of the node's connected component (rep = node for the
     * minimum itself). Edges are treated as undirected; self-loops and
     * duplicates are tolerated. Fails if convergence needs more than
-    * `maxIter` star rounds (default 25 ≈ log₂ of anything storable). */
+    * `maxIter` star rounds (default 25 ≈ log₂ of anything storable).
+    *
+    * Hybrid finish: star rounds contract the canonical edge set
+    * geometrically; once it fits under `localThreshold` edges the loop
+    * stops paying O(log n) scheduling rounds and finishes with a driver
+    * union-find over the CONTRACTED graph — bounded memory (16 B/edge ≈
+    * 64 MB at the 4M default), identical fixpoint (components are
+    * preserved by every star round, so component-min of the contracted
+    * graph IS component-min of the original). Near-dup graphs at battery
+    * scale cut over immediately; a 100 TB corpus runs distributed rounds
+    * until the frontier is small. `localThreshold = 0` forces the pure
+    * distributed path (spec'd equivalent). */
   def labels(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, localThreshold: Long = 4L << 20): DataFrame = {
     // canonical working set: (u, v) with u > v — "u points down to v".
     // Each round ends in localCheckpoint (eager): iterative DataFrame
     // plans otherwise grow by two joins + three aggregates per round and
     // Catalyst re-analysis goes superlinear long before the data does.
     // On a real cluster swap for reliable checkpoint() if executor loss
     // during the (short) loop matters.
-    var cur = normalize(
-      edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
+    // materialize the caller's edge list once: it feeds both the canonical
+    // working set and the node universe, and upstream pair generation
+    // (LSH banding, Hamming joins) is far more expensive than one linear
+    // checkpoint write
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .localCheckpoint(true)
-    var n = cur.count()
-    var converged = false
+    var cur = normalize(e).localCheckpoint(true)
+    var sig = signature(cur)
+    var converged = sig._1 <= localThreshold
     var it = 0
     while (!converged && it < maxIter) {
       // LARGE-STAR on the symmetric view: for each center u, link every
@@ -50,32 +66,74 @@ object ConnectedComponents {
       // SMALL-STAR on the downward orientation: for each center u, link
       // its smaller neighborhood (and u itself) to its minimum.
       val next = normalize(smallStar(largeStar(cur))).localCheckpoint(true)
-      val nNext = next.count()
       // the canonical edge set is the state: star rounds only ever lower
-      // labels, so an unchanged set IS the fixpoint. except() is exact;
-      // both sides are already deduped aggregates of the same size class.
-      converged = nNext == n && next.except(cur).isEmpty
+      // labels, so an unchanged set IS the fixpoint. Detect it with a
+      // one-job aggregate signature (count + xor of xxhash64) and confirm
+      // with an exact except() only when the signature matches — the
+      // except runs once, at the fixpoint, instead of every round.
+      val sigNext = signature(next)
+      converged = sigNext._1 <= localThreshold ||
+        (sigNext == sig && next.except(cur).isEmpty)
       cur.unpersist()
       cur = next
-      n = nNext
+      sig = sigNext
       it += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
-    // at the fixpoint every canonical edge is (node, componentMin); the
-    // minima themselves (and nodes that only ever appeared in self-loops)
-    // have no u-side row — the universe left join labels them with
-    // themselves, making the output total over the input's nodes.
-    val universe = edges.select(col(srcCol).cast("long").as("node"))
-      .union(edges.select(col(dstCol).cast("long").as("node"))).distinct()
-    universe.join(cur.select(col("u").as("node"), col("v").as("rep")),
-        Seq("node"), "left")
+    val labeled =
+      if (sig._1 <= localThreshold) localSolve(cur)
+      // at the distributed fixpoint every canonical edge is already
+      // (node, componentMin)
+      else cur.select(col("u").as("node"), col("v").as("rep"))
+    // the minima themselves (and nodes that only ever appeared in
+    // self-loops) have no labeled row — the universe left join labels
+    // them with themselves, making the output total over the input's
+    // nodes.
+    val universe = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+    universe.join(labeled, Seq("node"), "left")
       .select(col("node"), coalesce(col("rep"), col("node")).as("rep"))
+  }
+
+  /** Finish a small contracted graph on the driver: min-rooted union-find
+    * with path compression. Only called under `localThreshold` edges. */
+  private def localSolve(canonical: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val p = parent.get(c); parent.put(c, r); c = p }
+      r
+    }
+    canonical.collect().foreach { row =>
+      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet.forEach { k => val r = find(k); if (r != k) out += ((k, r)) }
+    val spark = canonical.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("node", "rep")
   }
 
   /** Dedup cut list: every node of `edges` that is NOT its component's
     * minimum — drop these, keep the representatives. */
   def cutList(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     labels(edges, srcCol, dstCol).where(col("node") =!= col("rep"))
+
+  /** Order-independent set identity: (row count, XOR of per-row xxhash64 —
+    * commutative, overflow-free under ANSI, and rows are distinct so no
+    * self-cancellation). One cheap job over an already-checkpointed set;
+    * equal signatures trigger the exact except() confirmation in
+    * [[labels]]. */
+  private def signature(canonical: DataFrame): (Long, Long) = {
+    val r = canonical
+      .agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** Dedup to canonical undirected form: u > v, no self-loops, distinct.
     * One hash aggregate. */

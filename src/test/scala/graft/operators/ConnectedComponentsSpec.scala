@@ -20,13 +20,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def sparkLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def sparkLabels(edges: Seq[(Long, Long)],
+      localThreshold: Long = 4L << 20): Map[Long, Long] = {
     import spark.implicits._
-    ConnectedComponents.labels(edges.toDF("src", "dst"), "src", "dst")
+    ConnectedComponents.labels(edges.toDF("src", "dst"), "src", "dst",
+        localThreshold = localThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("labels match union-find on seeded random graphs") {
+  test("labels match union-find on seeded random graphs (driver finish)") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 5) {
       val n = 30 + trial * 25
@@ -36,9 +38,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("pure distributed star rounds (localThreshold=0) agree with union-find") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60)((rnd.nextInt(35).toLong, rnd.nextInt(35).toLong))
+    assert(sparkLabels(edges, localThreshold = 0L) === unionFind(edges))
+  }
+
   test("path graph (worst case for naive propagation) converges to one min") {
     val path = (1L until 64L).map(i => (i, i + 1))
-    val got = sparkLabels(path)
+    val got = sparkLabels(path, localThreshold = 0L)
     assert(got.size === 64 && got.values.forall(_ == 1L))
   }
 
