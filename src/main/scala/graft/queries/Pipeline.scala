@@ -741,6 +741,33 @@ object Pipeline {
         .select(col("doc_id"),
           coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- fuzzy edit-distance neighbors: entity-resolution dedup -------
+    // Short-field near-matching (titles, names) where shingles/SimHash
+    // are too coarse: operators.FuzzyJoin runs the exact PassJoin-style
+    // pigeonhole (segment inverted index + shifted-substring probes +
+    // threshold-levenshtein verify, never all-pairs). The oracle brute-
+    // forces the quadratic join — affordable at oracle scale only; the
+    // length prefilter keeps DuckDB honest about the same pair set.
+    Entry("q84_fuzzy_neighbors", Some(
+      """WITH nb AS (SELECT a.p_partkey AS k, b.p_partkey AS nk
+        |            FROM part a JOIN part b ON a.p_partkey <> b.p_partkey
+        |             AND abs(length(a.p_name) - length(b.p_name)) <= 1
+        |             AND levenshtein(a.p_name, b.p_name) <= 1)
+        |SELECT p.p_partkey,
+        |       CAST(COALESCE(s.cnt, 0) AS BIGINT) AS n_fuzzy,
+        |       s.mn AS nn_key
+        |FROM part p
+        |LEFT JOIN (SELECT k, count(*) AS cnt, min(nk) AS mn
+        |           FROM nb GROUP BY k) s ON p.p_partkey = s.k
+        |ORDER BY p.p_partkey""".stripMargin)) { (s, d) =>
+      graft.operators.FuzzyJoin.neighborProfile(
+          table(s, d, "part").select(col("p_partkey"), col("p_name")),
+          "p_partkey", "p_name", maxDist = 1)
+        .select(col("id").as("p_partkey"), col("n_fuzzy"),
+          col("nn_id").as("nn_key"))
+        .orderBy(col("p_partkey"))
     }
   )
 
