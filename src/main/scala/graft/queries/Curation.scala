@@ -557,6 +557,47 @@ object Curation {
       val hist = docs.where(col("doc_id") % 5 =!= 0).select(col("fp"))
       val inc = docs.where(col("doc_id") % 5 === 0)
       graft.streaming.Streams.noveltyFilter(inc, hist, "fp").orderBy(col("doc_id"))
+    },
+
+    // ---- corpus-trained unigram LM quality score ----------------------
+    // CCNet-style language-model filtering: train unigram statistics on
+    // the corpus itself, score every document by mean token surprisal,
+    // rank/filter on the score. Surprisal is the INTEGER log2 bucket
+    // ⌊log2 N⌋−⌊log2 c⌋ computed exactly as length(bin(N))−length(bin(c))
+    // — float ln() is libm-dependent and never crosses engines (see Q
+    // scaladoc); the integer bucket ranks documents the same way and is
+    // bit-identical everywhere. Two token-level shuffles total (count
+    // aggregate + dictionary join), same shape as q68's TF-IDF — no
+    // per-doc loops, no driver state.
+    Entry("q85_unigram_surprisal", Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) w
+        |             FROM documents),
+        |cnt AS (SELECT w, count(*) c FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) t FROM cnt),
+        |sur AS (SELECT w, CAST(length(bin(t)) - length(bin(c)) AS BIGINT) s
+        |        FROM cnt CROSS JOIN tot),
+        |doc AS (SELECT t.doc_id, CAST(sum(s.s) AS BIGINT) AS sum_surprisal,
+        |               count(*) AS n_tokens
+        |        FROM tok t JOIN sur s ON t.w = s.w GROUP BY t.doc_id)
+        |SELECT doc_id, sum_surprisal, n_tokens,
+        |       CAST(sum_surprisal AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |         AS mean_surprisal
+        |FROM doc ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val tok = table(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      val cnt = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum(col("c")).cast("long").as("t"))
+      val sur = cnt.crossJoin(broadcast(tot))
+        .select(col("w"),
+          (length(bin(col("t"))) - length(bin(col("c")))).cast("long").as("s"))
+      tok.join(sur, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("s")).cast("long").as("sum_surprisal"),
+          count(lit(1)).as("n_tokens"))
+        .select(col("doc_id"), col("sum_surprisal"), col("n_tokens"),
+          (col("sum_surprisal").cast("double") / col("n_tokens").cast("double"))
+            .as("mean_surprisal"))
+        .orderBy(col("doc_id"))
     }
   )
 }
