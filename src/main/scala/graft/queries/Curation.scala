@@ -598,6 +598,69 @@ object Curation {
           (col("sum_surprisal").cast("double") / col("n_tokens").cast("double"))
             .as("mean_surprisal"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- embedding outliers: distance to own label's centroid ---------
+    // Curation classic: rank every vector by its distance to its label
+    // centroid — far-from-centroid rows are mislabeled/noisy candidates
+    // for removal. Exact cross-engine: dist² = (1/n²)·Σᵢ(n·qxᵢ − Sᵢ)²
+    // over 2^-26 fixed-point components, the square summed in three int64
+    // limb power-sums (q72's scheme — headroom ~134M vectors/label) and
+    // recombined in one fixed IEEE order. Two shuffles (per-(label,i)
+    // centroid aggregate + the join back); the per-label rank window is
+    // the only per-label colocation.
+    Entry("q86_embed_outliers", Some(
+      """WITH ex AS (SELECT vec_id, label, unnest(embedding) v,
+        |                  unnest(range(1, len(embedding)+1)) i
+        |            FROM embeddings),
+        |q AS (SELECT vec_id, label, i,
+        |             CAST(floor(CAST(v AS DOUBLE) * 67108864.0) AS BIGINT) qx
+        |      FROM ex),
+        |s AS (SELECT label, i, CAST(sum(qx) AS BIGINT) sq, count(*) n
+        |      FROM q GROUP BY label, i),
+        |t AS (SELECT q.vec_id, q.label, s.n, s.n * q.qx - s.sq AS tv
+        |      FROM q JOIN s ON q.label = s.label AND q.i = s.i),
+        |ab AS (SELECT vec_id, label, n, tv,
+        |              CAST(floor(CAST(tv AS DOUBLE) / 67108864.0) AS BIGINT) a
+        |       FROM t),
+        |ab2 AS (SELECT vec_id, label, n, a, tv - a * 67108864 AS b FROM ab),
+        |agg AS (SELECT vec_id, label, n, CAST(sum(a*a) AS BIGINT) s2,
+        |               CAST(sum(a*b) AS BIGINT) s1, CAST(sum(b*b) AS BIGINT) s0
+        |        FROM ab2 GROUP BY vec_id, label, n),
+        |d AS (SELECT vec_id, label,
+        |             sqrt((CAST(s2 AS DOUBLE) * 4503599627370496.0
+        |                   + CAST(s1 AS DOUBLE) * 134217728.0) + CAST(s0 AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * 67108864.0) AS dist_to_centroid
+        |      FROM agg)
+        |SELECT vec_id, label, dist_to_centroid,
+        |       CAST(row_number() OVER (PARTITION BY label
+        |              ORDER BY dist_to_centroid DESC, vec_id) AS BIGINT) AS olr_rank
+        |FROM d ORDER BY vec_id""".stripMargin)) { (s, d) =>
+      val q = table(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .toDF("vec_id", "label", "p", "v")
+        .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
+          floor(col("v").cast("double") * lit(67108864.0)).cast("long").as("qx"))
+      val cent = q.groupBy(col("label"), col("i"))
+        .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n"))
+      val dist = q.join(cent, Seq("label", "i"))
+        .select(col("vec_id"), col("label"), col("n"),
+          (col("n") * col("qx") - col("sq")).as("tv"))
+        .withColumn("a",
+          floor(col("tv").cast("double") / lit(67108864.0)).cast("long"))
+        .withColumn("b", col("tv") - col("a") * lit(67108864L))
+        .groupBy(col("vec_id"), col("label"), col("n"))
+        .agg(sum(col("a") * col("a")).as("s2"), sum(col("a") * col("b")).as("s1"),
+          sum(col("b") * col("b")).as("s0"))
+        .select(col("vec_id"), col("label"),
+          (sqrt((col("s2").cast("double") * lit(4503599627370496.0) +
+            col("s1").cast("double") * lit(134217728.0)) + col("s0").cast("double")) /
+            (col("n").cast("double") * lit(67108864.0))).as("dist_to_centroid"))
+      val byLabel = Window.partitionBy(col("label"))
+        .orderBy(col("dist_to_centroid").desc, col("vec_id"))
+      dist
+        .withColumn("olr_rank", row_number().over(byLabel).cast("long"))
+        .orderBy(col("vec_id"))
     }
   )
 }
