@@ -661,6 +661,33 @@ object Curation {
       dist
         .withColumn("olr_rank", row_number().over(byLabel).cast("long"))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- digest-prefiltered novelty (q82 semantics, Bloom fast path) --
+    // Same incremental-ingest split as q82, but routed through
+    // operators.BloomDigest: history → sparse (word, bits) Bloom table,
+    // batch → definite-novel majority skips the history scan, only the
+    // ~fpp maybes anti-join history. The composed filter is EXACT, so
+    // the oracle is the plain relational novelty — DuckDB doesn't need
+    // to know a Bloom filter was involved. That exactness claim IS the
+    // gate.
+    Entry("q87_novelty_digest", Some(
+      s"""WITH fp AS (SELECT doc_id, ${h56Sql("text")} AS fp FROM documents),
+         |hist AS (SELECT fp FROM fp WHERE doc_id % 5 <> 0),
+         |inc AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 0)
+         |SELECT doc_id, fp FROM inc
+         |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = inc.fp)
+         |ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val docs = table(s, d, "documents").select(col("doc_id"), h56(col("text")).as("fp"))
+      val hist = docs.where(col("doc_id") % 5 =!= 0).select(col("fp"))
+      val inc = docs.where(col("doc_id") % 5 === 0)
+      // sized from the parquet row-count metadata (upper bound of hist) —
+      // counting hist itself would pay the fingerprint pass twice
+      val digest = graft.operators.BloomDigest.build(hist, "fp",
+        expectedItems = table(s, d, "documents").count(), fpp = 0.01)
+      graft.streaming.Streams.noveltyFilterDigest(inc, hist, digest, "fp")
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -193,6 +193,15 @@ object Streams {
     batch.join(broadcast(hits), Seq(fpCol), "left_anti")
   }
 
+  /** [[noveltyFilter]] with a [[graft.operators.BloomDigest]] prefilter:
+    * even the per-batch history SCAN disappears for the definitely-novel
+    * majority — only the digest's ~fpp maybes touch history. Still exact.
+    * The digest is a parquet table maintained alongside the history (see
+    * BloomDigest scaladoc for the incremental `bit_or` union). */
+  def noveltyFilterDigest(batch: DataFrame, history: DataFrame,
+      digest: DataFrame, fpCol: String): DataFrame =
+    graft.operators.BloomDigest.noveltyFilter(batch, history, digest, fpCol)
+
   /** Incremental corpus ingestion with exact dedup against all history:
     * each micro-batch keeps only documents whose text fingerprint
     * ([[graft.functions.Fingerprint64]], codegen FNV-1a) has never been
