@@ -768,6 +768,47 @@ object Pipeline {
         .select(col("id").as("p_partkey"), col("n_fuzzy"),
           col("nn_id").as("nn_key"))
         .orderBy(col("p_partkey"))
+    },
+
+    // ---- leakage-safe train/val/test split ----------------------------
+    // The reason q83's clusters exist: a hash split on doc_id leaks
+    // near-duplicates of training docs into eval. Splitting on the
+    // CLUSTER REPRESENTATIVE's hash puts every near-dup group whole into
+    // one split — the decontamination-by-construction split real
+    // pipelines run. 80/10/10 via the portable 56-bit hash of the rep.
+    Entry("q88_leakage_safe_split", Some(
+      s"""WITH RECURSIVE sims AS ($simhashCoreSql),
+         |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |          FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+         |reach(u, v) AS (SELECT u, v FROM edges
+         |                UNION
+         |                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |rep AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+         |lab AS (SELECT d.doc_id,
+         |               CAST(COALESCE(LEAST(r.mn, d.doc_id), d.doc_id) AS BIGINT) rep
+         |        FROM documents d LEFT JOIN rep r USING (doc_id)),
+         |b AS (SELECT doc_id, rep,
+         |             ${h56Sql("CAST(rep AS VARCHAR)")} % 10 AS bkt FROM lab)
+         |SELECT doc_id, rep AS cluster_rep,
+         |       CASE WHEN bkt < 8 THEN 'train' WHEN bkt = 8 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val pairs = graft.operators.SimHashBands
+        .hammingPairs(simhashSpark(s, d), "doc_id", maxDist = 2)
+      val labels = graft.operators.ConnectedComponents
+        .labels(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+      table(s, d, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+        .withColumn("bkt", pmod(h56(col("cluster_rep").cast("string")), lit(10L)))
+        .select(col("doc_id"), col("cluster_rep"),
+          when(col("bkt") < 8, "train").when(col("bkt") === 8, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
     }
   )
 
