@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: image/audio/video as opaque `binary` with typed
   * metadata, plus a feature-extraction pipeline whose Spark-side plumbing
   * (schema, partitioning, batch shape) is real. IMAGE decode is REAL —
-  * `javax.imageio` ships in the JDK (PNG/JPEG/BMP/GIF/WBMP) — and AUDIO
+  * `javax.imageio` ships in the JDK (PNG/JPEG/BMP/GIF/WBMP) — AUDIO
   * decode is REAL — `javax.sound.sampled` ships in the JDK (WAV/AIFF/AU
-  * PCM) — so no new dependency for either; a deterministic stub remains
-  * as the fallback for payloads no reader accepts and for the VIDEO
-  * codecs this container lacks (ffmpeg-class demuxing stays a
-  * clearly-marked STUB).
+  * PCM) — and VIDEO demux is REAL for MJPEG-in-AVI — AVI is a plain RIFF
+  * chunk container ([[demuxAvi]]) and each MJPEG frame chunk is a complete
+  * JPEG that [[decodeImage]] decodes — so no new dependency for any of the
+  * three; a deterministic stub remains as the fallback for payloads no
+  * reader accepts and for the codecs the JDK lacks (H.264-class inter-frame
+  * video needs an external decoder and stays a clearly-marked STUB).
   *
   * The batch shape mirrors what a vectorized (Arrow/pandas-UDF-style) decode
   * would need: `mapPartitions` hands each task an iterator over its whole
@@ -146,7 +148,64 @@ object Multimodal {
       (math.log(n.toDouble) / math.log(2.0)).toFloat)
   }
 
-  /** STUB decoder: stands in for the codecs the JDK lacks (video).
+  /** REAL video demux for the one container+codec combination the JDK can
+    * handle end to end: MJPEG-in-AVI. AVI is a RIFF container — plain
+    * fourcc/size chunk walking, no codec involved — and every `##dc`/`##db`
+    * stream-data chunk of an MJPEG stream is a complete JPEG image that
+    * [[decodeImage]] already decodes. Frame timestamps derive from the main
+    * `avih` header's micro-seconds-per-frame (40 ms/frame assumed when the
+    * header is absent). Returns the ordered `(frame_idx, ts_ms, payload)`
+    * frames; None when the payload is not RIFF/AVI, the structure is
+    * malformed/truncated, or no video stream chunks exist — callers fall
+    * back to [[demuxStub]], the same totality contract as the decoders. */
+  def demuxAvi(bytes: Array[Byte]): Option[Vector[(Int, Long, Array[Byte])]] = {
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    try {
+      if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        return None
+      var usPerFrame = 0L
+      val frames = Vector.newBuilder[Array[Byte]]
+      // walk [from, until) as a chunk sequence; LIST chunks recurse with
+      // their type, so movi frame chunks are recognized wherever nested
+      def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+        var off = from
+        while (off + 8 <= until) {
+          val id = fourcc(off)
+          val size = u32(off + 4)
+          val dataStart = off + 8
+          if (size > until - dataStart)
+            throw new IllegalArgumentException("truncated chunk")
+          val dataEnd = dataStart + size.toInt
+          if (id == "LIST" && size >= 4)
+            walk(dataStart + 4, dataEnd, inMovi = fourcc(dataStart) == "movi")
+          else if (id == "avih" && size >= 4)
+            usPerFrame = u32(dataStart)
+          else if (inMovi && id(0).isDigit && id(1).isDigit &&
+                   id(2) == 'd' && (id(3) == 'c' || id(3) == 'b'))
+            frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          off = dataEnd + (size.toInt & 1) // RIFF chunks are word-aligned
+        }
+      }
+      walk(12, math.min(bytes.length.toLong, 8L + u32(4)).toInt, inMovi = false)
+      val fs = frames.result()
+      if (fs.isEmpty) None
+      else {
+        val us = if (usPerFrame > 0) usPerFrame else 40000L
+        Some(fs.zipWithIndex.map { case (f, i) => (i, i * us / 1000, f) })
+      }
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** Demux one media payload: real RIFF walking for AVI payloads, stub for
+    * everything else — the seam [[sampleFrames]] runs per partition. */
+  def demux(bytes: Array[Byte]): Iterator[(Int, Long, Array[Byte])] =
+    demuxAvi(bytes).map(_.iterator).getOrElse(demuxStub(bytes))
+
+  /** STUB decoder: stands in for the codecs the JDK lacks (inter-frame video).
     * Deterministic fake dimensions/features derived from the bytes
     * so tests are exact. A real deployment swaps only this function
     * (e.g. ffmpeg via JNI). */
@@ -164,8 +223,10 @@ object Multimodal {
   /** Decode one media payload: real ImageIO for decodable `image` rows,
     * real sampled-audio for decodable `audio` rows (the typed metadata pair
     * is (sampleRate Hz, channels) there — the audio shape of the image
-    * (width, height)), stub for everything else (video kinds, unrecognized
-    * payloads). */
+    * (width, height)), real MJPEG-AVI demux + first-keyframe decode for
+    * decodable `video` rows (dimensions and pixel features of the first
+    * decodable frame — per-frame features come from [[sampleFrames]] +
+    * the image path), stub for unrecognized payloads. */
   def decode(kind: String, bytes: Array[Byte]): (Int, Int, Array[Float]) =
     if (kind == "image")
       decodeImage(bytes)
@@ -175,6 +236,12 @@ object Multimodal {
       decodeAudio(bytes)
         .map { case (rate, ch, samples) =>
           (math.round(rate), ch, audioFeatures(rate, ch, samples)) }
+        .getOrElse(decodeStub(kind, bytes))
+    else if (kind == "video")
+      demuxAvi(bytes)
+        .flatMap(_.iterator.flatMap { case (_, _, f) => decodeImage(f) }
+          .nextOption())
+        .map(img => (img.getWidth, img.getHeight, imageFeatures(img)))
         .getOrElse(decodeStub(kind, bytes))
     else decodeStub(kind, bytes)
 
@@ -227,9 +294,11 @@ object Multimodal {
   /** One sampled video frame: the UDTF-shaped output of [[sampleFrames]]. */
   final case class FrameRow(doc_id: Long, frame_idx: Int, ts_ms: Long, frame: Array[Byte])
 
-  /** STUB frame demuxer: derives a deterministic frame count and per-frame
-    * payload from the bytes (a real deployment swaps in ffmpeg/jcodec and
-    * keeps the iterator shape). */
+  /** STUB frame demuxer — the [[demux]] fallback for the containers/codecs
+    * the JDK lacks (MP4, H.264-class inter-frame video): derives a
+    * deterministic frame count and per-frame payload from the bytes (a
+    * real deployment swaps in ffmpeg/jcodec and keeps the iterator
+    * shape). */
   def demuxStub(bytes: Array[Byte]): Iterator[(Int, Long, Array[Byte])] = {
     val nFrames = 8 + (bytes.length % 25) // "video length" from the payload
     // ONE pass over the payload; per-frame hashes derive from it in O(1)
@@ -256,7 +325,7 @@ object Multimodal {
     ds.mapPartitions { rows =>
       // per-partition init would go here (demuxer handles, hw decoder…)
       rows.flatMap { r =>
-        demuxStub(r.media).filter(_._1 % stride == 0)
+        demux(r.media).filter(_._1 % stride == 0)
           .map { case (idx, ts, frame) => FrameRow(r.doc_id, idx, ts, frame) }
       }
     }

@@ -364,6 +364,94 @@ class MultimodalSpec extends AnyFunSuite {
     assert((tf._1, tf._2, tf._3.toSeq) === (tw, th, ts.toSeq))
   }
 
+  test("REAL video demux: generated MJPEG-AVI through demux → frames → decode") {
+    import spark.implicits._
+    import Multimodal.MediaRow
+
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String) = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(tpe: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(tpe) ++ children)
+    // a structurally complete MJPEG AVI: hdrl(avih, strl(strh vids/MJPG,
+    // strf BITMAPINFOHEADER)) + movi(00dc per JPEG frame)
+    def muxAvi(frames: Seq[Array[Byte]], usPerFrame: Int, w: Int, h: Int): Array[Byte] = {
+      val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strh = cc("vids") ++ cc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+        le32(0) ++ le32(1) ++ le32(1000000 / usPerFrame) ++ le32(0) ++
+        le32(frames.length) ++ le32(0) ++ le32(-1) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+      val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        cc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val hdrl = list("hdrl",
+        chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+      val body = cc("AVI ") ++ hdrl ++ movi
+      cc("RIFF") ++ le32(body.length) ++ body
+    }
+    def jpegFrame(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpeg", bos))
+      bos.toByteArray
+    }
+
+    val jpegs = Seq(0xc04030, 0x4080c0, 0x208020, 0x804020, 0x2040a0, 0x909090)
+      .map(jpegFrame(32, 20, _))
+    val avi = muxAvi(jpegs, usPerFrame = 40000, w = 32, h = 20)
+
+    // demux recovers every frame payload byte-identically, 25 fps clock
+    val Some(frames) = Multimodal.demuxAvi(avi)
+    assert(frames.map(_._1) === (0 until 6))
+    assert(frames.map(_._2) === Seq(0L, 40L, 80L, 120L, 160L, 200L))
+    assert(frames.map(_._3.toSeq) === jpegs.map(_.toSeq))
+
+    // decode("video") = real dims + pixel features of the first keyframe
+    val (vw, vh, vf) = Multimodal.decode("video", avi)
+    val first = Multimodal.decodeImage(jpegs.head).get
+    assert((vw, vh) === (32, 20))
+    assert(vf.toSeq === Multimodal.imageFeatures(first).toSeq)
+
+    // sampleFrames takes the REAL path for AVI rows and the stub for the
+    // rest, in the same partition-parallel pass; each real frame then
+    // decodes through the IMAGE path (MJPEG frame = complete JPEG)
+    val garbage = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val media = Seq(MediaRow(1L, "video", avi), MediaRow(2L, "video", garbage))
+      .toDS().repartition(2)
+    val byDoc = Multimodal.sampleFrames(media, stride = 2).collect().groupBy(_.doc_id)
+    assert(byDoc(1L).map(_.frame_idx).sorted.toSeq === Seq(0, 2, 4))
+    assert(byDoc(1L).forall(f => f.ts_ms == f.frame_idx * 40L))
+    assert(byDoc(1L).forall { f =>
+      val img = Multimodal.decodeImage(f.frame).get
+      img.getWidth == 32 && img.getHeight == 20
+    })
+    assert(byDoc(2L).map(_.frame_idx).sorted.toSeq ===
+      Multimodal.demuxStub(garbage).map(_._1).filter(_ % 2 == 0).toSeq)
+
+    // totality: truncating the container mid-chunk falls back to the stub
+    val cut = avi.take(avi.length / 2)
+    assert(Multimodal.demuxAvi(cut).isEmpty)
+    val (sw, sh, sf) = Multimodal.decodeStub("video", cut)
+    val dec = Multimodal.decode("video", cut)
+    assert((dec._1, dec._2, dec._3.toSeq) === (sw, sh, sf.toSeq))
+    // and an AVI whose frames are not decodable images still demuxes but
+    // decode falls back (demux ≠ decode totality are independent)
+    val junkAvi = muxAvi(Seq(garbage), usPerFrame = 40000, w = 8, h = 8)
+    assert(Multimodal.demuxAvi(junkAvi).exists(_.map(_._3.toSeq) === Seq(garbage.toSeq)))
+    val dj = Multimodal.decode("video", junkAvi)
+    val (jw, jh, jf) = Multimodal.decodeStub("video", junkAvi)
+    assert((dj._1, dj._2, dj._3.toSeq) === (jw, jh, jf.toSeq))
+  }
+
   test("frame sampling and resize: UDTF fan-out, stride, aspect-preserving clamp") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.mediaFromDocuments(docs, partitions = 4)
