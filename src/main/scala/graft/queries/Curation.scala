@@ -688,6 +688,67 @@ object Curation {
       graft.streaming.Streams.noveltyFilterDigest(inc, hist, digest, "fp")
         .select(col("doc_id"), col("fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- temperature-weighted source mixing ----------------------------
+    // Training mixtures re-weight sources by mass^alpha (alpha<1 upsamples
+    // the tail — the "temperature" knob of the usual data-mixing recipe).
+    // Everything is INTEGER-exact so both engines agree bit-for-bit:
+    //   weight  w_s = floor(sqrt(sum(n_chars)))        (alpha = 0.5)
+    //   quota_s     = largest-remainder apportionment of N=100 over w_s
+    //                 (base = (N*w) div W, +1 to the largest (N*w) mod W)
+    //   pick        = per-source hash-rank <= quota_s  (deterministic)
+    // Scale shape: one per-source aggregate (|sources| rows — metadata,
+    // not data), quota math on that tiny table (the only global window is
+    // over |sources| rows, same class as q32's offset table), quotas
+    // broadcast back, and a per-source rank window — the one data shuffle.
+    // A hot source is a per-partition top-k (the q58/q74 aggregator swaps
+    // in if quota << source size).
+    Entry("q89_source_mixing", Some(
+      s"""WITH mass AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS m
+         |              FROM documents GROUP BY source),
+         |w AS (SELECT source, CAST(floor(sqrt(CAST(m AS DOUBLE))) AS BIGINT) AS w
+         |      FROM mass),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+         |q0 AS (SELECT source, w, (100 * w) // tw AS base, (100 * w) % tw AS rem
+         |       FROM w, tot),
+         |lo AS (SELECT CAST(100 - sum(base) AS BIGINT) AS lo FROM q0),
+         |qf AS (SELECT source,
+         |              base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+         |                          <= lo THEN 1 ELSE 0 END AS quota
+         |       FROM q0, lo),
+         |ranked AS (SELECT doc_id, source,
+         |                  CAST(row_number() OVER (PARTITION BY source
+         |                    ORDER BY ${h56Sql("CAST(doc_id AS VARCHAR)")}, doc_id)
+         |                    AS BIGINT) AS rk
+         |           FROM documents)
+         |SELECT r.doc_id, r.source, q.quota, r.rk
+         |FROM ranked r JOIN qf q USING (source)
+         |WHERE r.rk <= q.quota ORDER BY r.doc_id""".stripMargin)) { (s, d) =>
+      val docs = table(s, d, "documents")
+      val w = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("m"))
+        .select(col("source"),
+          floor(sqrt(col("m").cast("double"))).cast("long").as("w"))
+      val tot = w.agg(sum(col("w")).cast("long").as("tw"))
+      val q0 = w.crossJoin(broadcast(tot))
+        .withColumn("base", expr("(100 * w) div tw"))
+        .withColumn("rem", expr("(100 * w) % tw"))
+      val lo = q0.agg((lit(100L) - sum(col("base"))).cast("long").as("lo"))
+      // |sources|-row window: bounded metadata, not data (cf. q32)
+      val byRem = Window.orderBy(col("rem").desc, col("source"))
+      val quota = q0.crossJoin(broadcast(lo))
+        .withColumn("quota", col("base") +
+          when(row_number().over(byRem) <= col("lo"), 1L).otherwise(0L))
+        .select(col("source"), col("quota"))
+      val bySrc = Window.partitionBy(col("source"))
+        .orderBy(h56(col("doc_id").cast("string")), col("doc_id"))
+      docs.select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(bySrc).cast("long"))
+        .join(broadcast(quota), Seq("source"))
+        .where(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("quota"), col("rk"))
+        .orderBy(col("doc_id"))
     }
   )
 }
