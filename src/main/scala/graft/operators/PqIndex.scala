@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding columns — the compression side
+  * of large-scale similarity search (Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011; same family as the IVF-ADC
+  * indexes in FAISS).
+  *
+  * The vector space is split into `m` contiguous subspaces of `dim/m`
+  * components; each subspace gets its own k-means codebook of `k` codes;
+  * a vector is stored as `m` small ints (its per-subspace nearest codes).
+  * At 64-dim float32 and m=8, k=16 that is 256 B → 8 B per vector (the
+  * codebook itself is shared, k×dim doubles — driver-sized metadata).
+  *
+  * Search is ADC (asymmetric distance computation): the QUERY stays exact;
+  * per query a distance table `qtab[sub][code] = ||q_sub - c_{sub,code}||²`
+  * is computed once (m×k doubles), and each corpus vector's approximate
+  * squared distance is the table-lookup sum over its stored codes — a
+  * per-row fold over m ints, no vector math on the corpus at search time.
+  *
+  * Scale shape: training aggregates all m subspaces in ONE distributed
+  * job per Lloyd iteration (explode to (id, sub, subvec), join the
+  * broadcast codebook on `sub`, rank-1 assignment, per-(sub,code,i) mean);
+  * only the m×k×subDim codebook ever reaches the driver. Encoding is a
+  * shuffle-free codegen projection. ADC search scans ONLY the codes column
+  * (32× fewer bytes than raw vectors), broadcasts the queries, and never
+  * shuffles the corpus — the one wide op is the per-query top-k window on
+  * the already-tiny candidate set. For 100 TB, compose with [[IvfIndex]]:
+  * IVF buckets prune the scan to nprobe/k of the corpus, PQ codes shrink
+  * the bytes read in the surviving buckets (classic IVF-ADC).
+  */
+object PqIndex {
+
+  /** Trained codebook: `codes(sub)(code)` is a subDim-length centroid. */
+  final case class Codebook(m: Int, subDim: Int, codes: Array[Array[Array[Double]]]) {
+    def k: Int = codes.head.length
+    def dim: Int = m * subDim
+  }
+
+  private def sqDist(a: Column, b: Column): Column =
+    graft.functions.VectorOps.sqDistCol(a, b)
+
+  /** (id, sub, v): each input vector exploded into its m subvectors, cast
+    * to double (float32→double is exact, so both engines see identical
+    * operands). */
+  private def subvectors(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame =
+    emb.select(col(idCol), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s as sub, " +
+          s"slice(cast($vecCol as array<double>), s * $subDim + 1, $subDim) as v))"))
+        .as("sv"))
+      .select(col(idCol), col("sv.sub").as("sub"), col("sv.v").as("v"))
+
+  /** Train per-subspace k-means codebooks. Deterministic init: subspace
+    * `sub`'s codes start from the first `k` vectors by `idCol`. Each Lloyd
+    * iteration is one distributed job covering ALL subspaces; empty codes
+    * keep their previous centroid. */
+  def train(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): Codebook = {
+    graft.functions.VectorOps.register(emb.sparkSession)
+    val initRows = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col(idCol)).limit(k).collect()
+    require(initRows.nonEmpty, "PqIndex.train: empty corpus")
+    val dim = initRows.head.getSeq[Double](1).length
+    require(dim % m == 0, s"PqIndex.train: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val kEff = initRows.length
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m, kEff) { (s, c) =>
+      initRows(c).getSeq[Double](1).slice(s * subDim, (s + 1) * subDim).toArray
+    }
+    val sv = subvectors(emb, idCol, vecCol, m, subDim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      for (_ <- 0 until iters) {
+        val cbDf = (for (s <- 0 until m; c <- 0 until kEff)
+          yield (s, c, cb(s)(c).toSeq)).toDF("sub", "code", "w")
+        // nearest code per (vector, subspace) as min(struct(dd, code, v)):
+        // a HashAggregate with map-side combine, not a sort window; (dd,
+        // code) already breaks every tie, v just rides along to the mean
+        val means = sv.join(broadcast(cbDf), Seq("sub"))
+          .select(col(idCol), col("sub"), struct(
+            sqDist(col("v"), col("w")).as("dd"), col("code").as("code"),
+            col("v").as("v")).as("sc"))
+          .groupBy(col(idCol), col("sub")).agg(min(col("sc")).as("sc"))
+          .select(col("sub"), col("sc.code").as("code"),
+            posexplode(col("sc.v")).as(Seq("i", "x")))
+          .groupBy(col("sub"), col("code"), col("i")).agg(avg(col("x")).as("mean"))
+          .collect() // m×k×subDim doubles — the codebook, driver-sized by design
+        val next = cb.map(_.map(_.clone()))
+        means.foreach { r =>
+          next(r.getAs[Int]("sub"))(r.getAs[Int]("code"))(r.getAs[Int]("i")) =
+            r.getAs[Double]("mean")
+        }
+        // codes no row chose contribute no means rows → keep previous (clone)
+        cb = next
+      }
+      Codebook(m, subDim, cb)
+    } finally sv.unpersist(blocking = false)
+  }
+
+  /** Per-subspace squared distances to every code, as a codegen array
+    * expression (k direct kernel calls — no interpreted lambda). */
+  private def subDistances(sub: Int, vec: Column, cb: Codebook): Column =
+    array(cb.codes(sub).toSeq.map(w => sqDist(
+      slice(vec, sub * cb.subDim + 1, cb.subDim), typedlit(w.toSeq))): _*)
+
+  /** Encode: tag each row with `codes` (array<int>, length m) — its
+    * per-subspace nearest code ids (ties → lowest code, matching the
+    * first-position semantics both engines share). Shuffle-free. */
+  def encode(emb: DataFrame, idCol: String, vecCol: String, cb: Codebook): DataFrame = {
+    graft.functions.VectorOps.register(emb.sparkSession)
+    val vec = col(vecCol).cast("array<double>")
+    val codeCols = (0 until cb.m).map { s =>
+      val dl = subDistances(s, vec, cb)
+      (array_position(dl, array_min(dl)) - 1).cast("int")
+    }
+    emb.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC top-k: approximate squared distance from each query to every
+    * encoded corpus vector via per-query distance tables; smallest-k per
+    * query (ties → lowest id). `queries` must be small (it is broadcast);
+    * output (qid, idCol, approx_dist, rn). */
+  def adcSearch(encoded: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cb: Codebook, k: Int): DataFrame = {
+    graft.functions.VectorOps.register(queries.sparkSession)
+    val qvec = col(vecCol).cast("array<double>")
+    val qtab = array((0 until cb.m).map(s => subDistances(s, qvec, cb)): _*)
+    val q = queries.select(col(idCol).as("qid"), qtab.as("qtab"))
+    broadcast(q).crossJoin(encoded)
+      .where(col(idCol) =!= col("qid"))
+      // ascending-sub fold: the same left-to-right IEEE sum both engines run
+      .select(col("qid"), col(idCol), expr(
+        s"aggregate(sequence(0, ${cb.m - 1}), cast(0.0 as double), " +
+          "(acc, s) -> acc + qtab[s][codes[s]])").as("approx_dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("approx_dist"), col(idCol))).cast("long"))
+      .where(col("rn") <= k)
+  }
+
+  /** ADC shortlist + exact re-rank (the FAISS "refine" stage): take the
+    * top `shortlist` candidates per query by ADC distance — compressed
+    * scan, no raw vectors touched — then recompute EXACT distances for
+    * only those and keep the true top `k`. Costs one extra narrow join of
+    * queries×shortlist rows (broadcast) against the raw vectors; recall
+    * approaches exact search as `shortlist`/`k` grows while the full
+    * corpus is still only ever read as codes. */
+  def adcSearchRefined(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, cb: Codebook, k: Int, shortlist: Int): DataFrame = {
+    val cand = adcSearch(encoded, queries, idCol, vecCol, cb, shortlist)
+      .select(col("qid"), col(idCol))
+    val qv = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    broadcast(cand.join(qv, Seq("qid")))
+      .join(corpus.select(col(idCol), col(vecCol).cast("array<double>").as("_v")),
+        Seq(idCol))
+      .select(col("qid"), col(idCol),
+        sqDist(col("_qv"), col("_v")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))).cast("long"))
+      .where(col("rn") <= k)
+  }
+
+  /** Persist a codebook as a (sub, code, weights) parquet table. */
+  def writeCodebook(spark: SparkSession, cb: Codebook, path: String): Unit = {
+    import spark.implicits._
+    (for (s <- 0 until cb.m; c <- 0 until cb.k)
+      yield (s, c, cb.codes(s)(c).toSeq)).toDF("sub", "code", "weights")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a [[writeCodebook]] table back (byte-identical weights). */
+  def readCodebook(spark: SparkSession, path: String): Codebook = {
+    val rows = spark.read.parquet(path).orderBy(col("sub"), col("code")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val codes = Array.tabulate(m, k)((s, c) =>
+      rows(s * k + c).getSeq[Double](2).toArray)
+    Codebook(m, codes.head.head.length, codes)
+  }
+}

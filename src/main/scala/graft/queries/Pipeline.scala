@@ -569,6 +569,68 @@ object Pipeline {
         .orderBy(col("qid"), col("rn"))
     },
 
+    // product-quantization ADC search (operators.PqIndex): vectors stored
+    // as 8 one-byte codes (32× fewer corpus bytes than raw float32), the
+    // query exact, distances from a per-query m×k lookup table. Training
+    // (per-subspace k-means) is not SQL-replayable, so the codebook is a
+    // parquet FIXTURE like q78's centroids: encode (argmin per subspace,
+    // ties → lowest code) and the ADC fold (ascending subspaces, same IEEE
+    // left fold both engines) replay exactly from it. Scale path: the
+    // search scans ONLY the codes column, queries broadcast, corpus never
+    // shuffled; compose with IVF buckets (q53/q78) for IVF-ADC. Recall vs
+    // exact brute force is pinned by PqSpec, not the oracle.
+    Entry("q90_pq_adc", Some {
+      val fix = s"${System.getProperty("java.io.tmpdir")}/graft-q90-pq/codebook/*.parquet"
+      s"""WITH cb AS (SELECT sub, code, weights FROM read_parquet('$fix')),
+         |sv AS (SELECT vec_id, s.sub,
+         |              list_transform(range(1, 9),
+         |                i -> CAST(embedding[s.sub * 8 + i] AS DOUBLE)) AS v
+         |       FROM embeddings, (SELECT unnest(range(0, 8)) AS sub) s),
+         |d AS (SELECT vec_id, sub, code,
+         |             list_reduce(list_transform(range(1, 9),
+         |               i -> (v[i] - weights[i]) * (v[i] - weights[i])),
+         |               (x, y) -> x + y) AS dd
+         |      FROM sv JOIN cb USING (sub)),
+         |enc AS (SELECT vec_id, sub, code FROM (
+         |          SELECT vec_id, sub, code,
+         |                 row_number() OVER (PARTITION BY vec_id, sub
+         |                   ORDER BY dd, code) AS rn
+         |          FROM d) t WHERE rn = 1),
+         |pairs AS (SELECT dq.vec_id AS qid, e.vec_id, e.sub, dq.dd
+         |          FROM enc e
+         |          JOIN (SELECT vec_id, sub, code, dd FROM d WHERE vec_id < 3) dq
+         |          USING (sub, code)
+         |          WHERE e.vec_id <> dq.vec_id),
+         |adc AS (SELECT qid, vec_id,
+         |               list_reduce(list(dd ORDER BY sub), (x, y) -> x + y)
+         |                 AS approx_dist
+         |        FROM pairs GROUP BY qid, vec_id)
+         |SELECT qid, vec_id, approx_dist, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY approx_dist, vec_id) AS rn FROM adc) t
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.PqIndex
+      val fixDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-q90-pq")
+      graft.core.Storage.deleteRecursively(fixDir)
+      val emb = table(s, d, "embeddings")
+      // train on a deterministic 1/3 sample; codebook VALUES may vary run
+      // to run (float mean order) but fixture and search come from the
+      // SAME run, which is all the gate needs (cf. q78)
+      val trained = PqIndex.train(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      PqIndex.writeCodebook(s, trained, fixDir.resolve("codebook").toString)
+      // search consumes the codebook read BACK so both engines see
+      // byte-identical weights
+      val cb = PqIndex.readCodebook(s, fixDir.resolve("codebook").toString)
+      val enc = PqIndex.encode(emb, "vec_id", "embedding", cb)
+      PqIndex.adcSearch(enc, emb.where(col("vec_id") < 3),
+          "vec_id", "embedding", cb, k = 5)
+        .select(col("qid"), col("vec_id"), col("approx_dist"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    },
+
     // embedding-cosine near-dup: for every vector, its most-similar
     // neighbor WITHIN its 16-bit hyperplane-LSH bucket (exact cosine on the
     // bucketed candidates; a threshold on `score` is the dedup decision).
