@@ -871,6 +871,100 @@ object Pipeline {
           when(col("bkt") < 8, "train").when(col("bkt") === 8, "val")
             .otherwise("test").as("split"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- the whole curation pipeline, composed --------------------------
+    // What a user of this library actually runs: lang-id gate (q41) →
+    // quality threshold (q42) → exact dedup on the normalized fingerprint,
+    // keep lowest id (q44/q45) → SimHash near-dup clusters among the
+    // survivors, keep each cluster's representative (q48/q49/q83) →
+    // 80/10/10 split by hash (q61/q88; every kept doc is its own cluster
+    // rep, so the split is leakage-safe by construction). One oracle
+    // replays all five stages. Scale shape = the stages' own shapes
+    // composed: per-row codegen filters, one hash aggregate for exact
+    // dedup, banded Hamming pairs (never all-pairs), O(log n) CC rounds on
+    // the pair graph only, then a per-row split — no stage collects or
+    // re-shuffles the corpus beyond its own keyed exchange.
+    Entry("q91_curation_pipeline", Some {
+      val qualitySql =
+        """0.4 * least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50, 1.0)
+          | + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text))
+          | + 0.3 * least(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|is|and)\b')) AS DOUBLE)
+          |               / 10, 1.0)""".stripMargin
+      s"""WITH RECURSIVE
+         |f1 AS (SELECT doc_id, $qualitySql AS quality
+         |       FROM documents
+         |       WHERE len(regexp_extract_all(lower(text), '\\b(the|a|of|to|is|and)\\b')) >=
+         |             greatest(len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')),
+         |                      len(regexp_extract_all(lower(text), '\\b(el|la|de|que|es)\\b')),
+         |                      len(regexp_extract_all(lower(text), '\\b(le|les|et|est|une)\\b')), 1)
+         |         AND ($qualitySql) >= 0.7),
+         |norm AS (SELECT doc_id,
+         |                trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         |                                    ' +', ' ', 'g')) AS nt
+         |         FROM documents),
+         |grp AS (SELECT n.nt, min(doc_id) AS keep_id
+         |        FROM norm n JOIN f1 USING (doc_id) GROUP BY n.nt),
+         |f2 AS (SELECT f1.doc_id, f1.quality
+         |       FROM f1 JOIN norm n USING (doc_id)
+         |       JOIN grp g ON n.nt = g.nt AND f1.doc_id = g.keep_id),
+         |sims AS (${simhashCoreSqlOver("documents d JOIN f2 USING (doc_id)")}),
+         |prs AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         |edges AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+         |reach(u, v) AS (SELECT u, v FROM edges
+         |                UNION
+         |                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |rep AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+         |keep AS (SELECT f2.doc_id, f2.quality
+         |         FROM f2 LEFT JOIN rep r USING (doc_id)
+         |         WHERE COALESCE(LEAST(r.mn, f2.doc_id), f2.doc_id) = f2.doc_id)
+         |SELECT doc_id, quality,
+         |       CASE WHEN bkt < 8 THEN 'train' WHEN bkt = 8 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, quality,
+         |             ${h56Sql("CAST(doc_id AS VARCHAR)")} % 10 AS bkt FROM keep) t
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = table(s, d, "documents")
+      def cnt(c: org.apache.spark.sql.Column, pat: String) =
+        regexp_count(c, lit(pat)).cast("long")
+      val en = cnt(lower(col("text")), "\\b(the|a|of|to|is|and)\\b")
+      val de = cnt(lower(col("text")), "\\b(der|die|das|und|ist)\\b")
+      val es = cnt(lower(col("text")), "\\b(el|la|de|que|es)\\b")
+      val fr = cnt(lower(col("text")), "\\b(le|les|et|est|une)\\b")
+      val quality = lit(0.4) * least(
+          regexp_count(col("text"), lit("\\S+")).cast("double") / 50, lit(1.0)) +
+        lit(0.3) * (lit(1.0) -
+          regexp_count(col("text"), lit("[.,;:!?]")).cast("double") / length(col("text"))) +
+        lit(0.3) * least(
+          regexp_count(lower(col("text")), lit("\\b(the|a|of|to|is|and)\\b"))
+            .cast("double") / 10, lit(1.0))
+      val f1 = docs
+        .where(en >= greatest(de, es, fr, lit(1L)))
+        .select(col("doc_id"), quality.as("quality"),
+          trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " ")).as("nt"))
+        .where(col("quality") >= 0.7)
+      // exact dedup: hash aggregate + equi-join back (no sort window)
+      val grp = f1.groupBy(col("nt")).agg(min(col("doc_id")).as("keep_id"))
+      val f2 = f1.join(grp,
+          f1("nt") === grp("nt") && f1("doc_id") === grp("keep_id"))
+        .select(f1("doc_id"), col("quality"))
+      val sims = simhashSpark(s, d).join(f2.select("doc_id"), Seq("doc_id"))
+      val pairs = graft.operators.SimHashBands
+        .hammingPairs(sims, "doc_id", maxDist = 2)
+      val labels = graft.operators.ConnectedComponents
+        .labels(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+      f2.join(labels, Seq("doc_id"), "left")
+        .where(coalesce(col("rep"), col("doc_id")) === col("doc_id"))
+        .withColumn("bkt", pmod(h56(col("doc_id").cast("string")), lit(10L)))
+        .select(col("doc_id"), col("quality"),
+          when(col("bkt") < 8, "train").when(col("bkt") === 8, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -915,14 +1009,15 @@ object Pipeline {
       .where(col("simhash").isNotNull)
   }
 
-  /** DuckDB query computing the same 56-bit simhash (no ORDER BY). */
-  private lazy val simhashCoreSql: String = {
+  /** DuckDB query computing the same 56-bit simhash (no ORDER BY) over an
+    * arbitrary FROM source exposing (doc_id, text). */
+  private def simhashCoreSqlOver(docSrc: String): String = {
     val bitCols = (0 until SimBits)
       .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) b$j").mkString(",\n         ")
     val simExpr = (0 until SimBits)
       .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
     s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) w
-       |            FROM documents),
+       |            FROM $docSrc),
        |hs AS (SELECT doc_id, ${h56Sql("w")} h FROM tok),
        |bits AS (SELECT doc_id,
        |         $bitCols
@@ -930,4 +1025,5 @@ object Pipeline {
        |SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash
        |FROM bits""".stripMargin
   }
+  private lazy val simhashCoreSql: String = simhashCoreSqlOver("documents")
 }
