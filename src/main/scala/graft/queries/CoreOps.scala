@@ -181,6 +181,33 @@ object CoreOps {
             .agg(max_by(col("value"), col("event_id")).as("v")))
       }
       RangedGraft.orderedScan(s, dir.toString, sch)
+    },
+
+    // ---- z-order clustered layout (sources.ZOrderLayout) ---------------
+    // lineitem rewritten in Morton order of (l_orderkey, l_partkey), then
+    // a range predicate on the NON-leading key answered off the clustered
+    // copy. The RESULT is layout-independent (the oracle filters the base
+    // table — that equivalence is the gate); the layout's point is that
+    // matching rows concentrate into few z-files so parquet min-max stats
+    // prune the rest, measured by ZOrderSpec (x-sorted baseline: all 16
+    // files; z-layout: ≤8 either dim, ~1 for a box).
+    Entry("q92_zorder_prune", Some(
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 120
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)) { (s, d) =>
+      import graft.sources.ZOrderLayout
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-q92-zorder")
+      graft.core.Storage.deleteRecursively(dir)
+      ZOrderLayout.write(table(s, d, "lineitem"),
+        "l_orderkey", "l_partkey", dir.toString, files = 16)
+      s.read.parquet(dir.toString)
+        .where(col("l_partkey").between(100, 120))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+          col("l_partkey"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }
   )
 }
