@@ -73,6 +73,109 @@ object Multimodal {
       (math.log(w.toDouble / h) / math.log(2.0)).toFloat)
   }
 
+  /** 63-bit perceptual hash (pHash) of REAL pixel data — the image
+    * near-dup signature (same family as the classic DCT pHash: 32×32
+    * grayscale → 2D DCT-II → the 8×8 low-frequency block minus DC →
+    * median threshold). Two images that re-encode, resize, or lightly
+    * edit the same content land within a small Hamming distance; pair
+    * them with [[graft.operators.SimHashBands.hammingPairsW]] under
+    * `Split63` — never all-pairs. Deterministic: nearest-pixel sampling,
+    * integer luminance weights, StrictMath cosines (bit-specified fdlibm,
+    * immune to platform libm drift), fixed summation order. */
+  def phash64(img: java.awt.image.BufferedImage): Long = {
+    val N = 32
+    val g = Array.ofDim[Double](N, N)
+    var y = 0
+    while (y < N) {
+      var x = 0
+      while (x < N) {
+        val p = img.getRGB(x * img.getWidth / N, y * img.getHeight / N)
+        g(y)(x) = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+          114 * (p & 0xff)).toDouble / 1000.0
+        x += 1
+      }
+      y += 1
+    }
+    val cosT = Array.tabulate(8, N)((k, n) =>
+      StrictMath.cos((2 * n + 1) * k * StrictMath.PI / (2.0 * N)))
+    // separable DCT-II, rows then columns, only the 8×8 block we keep
+    val tmp = Array.ofDim[Double](N, 8)
+    var r = 0
+    while (r < N) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var x = 0
+        while (x < N) { s += g(r)(x) * cosT(u)(x); x += 1 }
+        tmp(r)(u) = s; u += 1
+      }
+      r += 1
+    }
+    val dct = Array.ofDim[Double](8, 8)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var yy = 0
+        while (yy < N) { s += tmp(yy)(u) * cosT(v)(yy); yy += 1 }
+        dct(v)(u) = s; u += 1
+      }
+      v += 1
+    }
+    val coefs = (for (vv <- 0 until 8; uu <- 0 until 8 if vv != 0 || uu != 0)
+      yield dct(vv)(uu)).toArray
+    val median = { val s = coefs.sorted; s(31) } // 63 coefficients
+    var h = 0L; var bit = 0
+    for (vv <- 0 until 8; uu <- 0 until 8 if vv != 0 || uu != 0) {
+      if (dct(vv)(uu) > median) h |= 1L << bit
+      bit += 1
+    }
+    h
+  }
+
+  /** Deterministic 64×64 PNG rendered from text bytes — the battery's
+    * stand-in for a real image corpus (no image files ship with the test
+    * data): pixels cycle the UTF-8 bytes through the RGB channels, so
+    * byte-identical texts render byte-identical images and the real
+    * ImageIO encode→decode→[[phash64]] path gets exercised end to end. */
+  def renderDocImage(text: String): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 64 * 64) {
+      def b(k: Int) = if (bytes.isEmpty) 0 else bytes((i * 3 + k) % bytes.length) & 0xff
+      img.setRGB(i % 64, i / 64, (b(0) << 16) | (b(1) << 8) | b(2))
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Brightness-shift a decodable image by `delta` per channel (clamped)
+    * and re-encode as PNG — a deterministic light-edit generator for
+    * perceptual-hash tests and demos; undecodable payloads pass through. */
+  def brightenPng(bytes: Array[Byte], delta: Int): Array[Byte] =
+    decodeImage(bytes).map { img =>
+      val out = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          def c(shift: Int) =
+            math.min(255, math.max(0, ((p >> shift) & 0xff) + delta))
+          out.setRGB(x, y, (c(16) << 16) | (c(8) << 8) | c(0))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }.getOrElse(bytes)
+
   /** REAL audio decode through the JDK's sampled-audio registry (WAV, AIFF,
     * AU). Any decodable payload is first converted to interleaved 16-bit
     * PCM_SIGNED little-endian at its native rate and channel count, so

@@ -631,6 +631,59 @@ object Pipeline {
         .orderBy(col("qid"), col("rn"))
     },
 
+    // image near-dup via perceptual hash: documents rendered to 64×64 PNGs
+    // (no image corpus ships with the test data), decoded by the REAL
+    // ImageIO reader, pHashed (multimodal.Multimodal.phash64: 32×32 gray →
+    // DCT → 63 median-threshold bits), then paired by the exact 3×21-bit
+    // pigeonhole banding — never all-pairs. The decode+DCT is not
+    // SQL-replayable, so the signatures are a parquet FIXTURE (q78/q90
+    // pattern) and the oracle brute-forces Hamming≤2 over it — proving the
+    // banded join exhaustive is exactly the gate's job. Perceptual
+    // invariances (JPEG re-encode, bilinear downscale) are pinned in
+    // MultimodalSpec. Scale shape: pHash is a per-row map over the media
+    // scan; banding is q49's.
+    Entry("q93_image_phash", Some {
+      val fix = s"${System.getProperty("java.io.tmpdir")}/graft-q93-phash/phash/*.parquet"
+      s"""WITH p AS (SELECT doc_id, phash FROM read_parquet('$fix'))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM p a JOIN p b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+      import graft.multimodal.Multimodal
+      val fixDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-q93-phash")
+      graft.core.Storage.deleteRecursively(fixDir)
+      import s.implicits._
+      // every 20th doc also ships a brightness-shifted re-encoded variant
+      // (id offset 10M) — the edit class pHash exists to catch: the DC
+      // coefficient is excluded and the median threshold recenters, so a
+      // luminance shift barely moves the hash while distinct content stays
+      // far (no full-text dups exist in this corpus — q45's dups are
+      // prefix-only — so un-edited renders alone would pair nothing)
+      val hashes = table(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          // render → REAL PNG encode → REAL ImageIO decode → DCT pHash;
+          // rendered PNGs always decode, but stay total like the rest of
+          // the media pipeline
+          val png = Multimodal.renderDocImage(text)
+          def ph(bytes: Array[Byte]) =
+            Multimodal.decodeImage(bytes).map(Multimodal.phash64).getOrElse(0L)
+          val base = Seq((id, ph(png)))
+          if (id % 20 != 0) base
+          else base :+ ((id + 10000000L, ph(Multimodal.brightenPng(png, 16))))
+        }).toDF("doc_id", "phash")
+      hashes.coalesce(1).write.mode("overwrite")
+        .parquet(fixDir.resolve("phash").toString)
+      val sims = s.read.parquet(fixDir.resolve("phash").toString)
+        .withColumnRenamed("phash", "simhash")
+      graft.operators.SimHashBands
+        .hammingPairsW(sims, "doc_id", maxDist = 2, graft.operators.SimHashBands.Split63)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // embedding-cosine near-dup: for every vector, its most-similar
     // neighbor WITHIN its 16-bit hyperplane-LSH bucket (exact cosine on the
     // bucketed candidates; a threshold on `score` is the dedup decision).

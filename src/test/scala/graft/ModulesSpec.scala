@@ -282,6 +282,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized(4L).n_bytes === garbage.length)
   }
 
+  test("pHash: deterministic, re-encode/resize invariant, distinct images far") {
+    import spark.implicits._
+    def img(w: Int, h: Int, rgb: (Int, Int) => Int) = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb(x, y))
+      im
+    }
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // smooth low-frequency content (cosine mixes — the image class the
+    // JPEG/resize separation holds for; a pixel-noise checkerboard is
+    // aliasing-dominated at the 32×32 downsample and NOT stable)
+    def lumImg(f: (Int, Int) => Double) = img(128, 96, (x, y) => {
+      val c = math.max(0, math.min(255, f(x, y).toInt)); (c << 16) | (c << 8) | c
+    })
+    val a = lumImg((x, y) => 128 + 50 * math.cos(2 * math.Pi * x * 2 / 128.0) +
+      40 * math.cos(2 * math.Pi * y * 3 / 96.0) +
+      30 * math.cos(2 * math.Pi * (x + y) * 1.5 / 128.0))
+    val b = lumImg((x, y) => 128 + 55 * math.sin(2 * math.Pi * x / 128.0 + 1.0) -
+      45 * math.cos(2 * math.Pi * y * 2 / 96.0) +
+      25 * math.sin(2 * math.Pi * (x - y) * 2.5 / 128.0))
+    val ha = Multimodal.phash64(a)
+    // 63-bit contract: bit 63 never set, exactly <32 bits above the median
+    assert(ha >= 0L)
+    assert(Multimodal.phash64(a) === ha) // deterministic
+    // PNG encode → decode round trip is lossless: identical hash
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(a, "png", bos)
+    val back = Multimodal.decodeImage(bos.toByteArray).get
+    assert(Multimodal.phash64(back) === ha)
+    // perceptual separation: light edits (lossy JPEG re-encode, bilinear
+    // downscale) move the hash FAR LESS than distinct content (~31.5 bits
+    // expected for independent hashes). Median thresholding flips
+    // near-zero coefficients under noise, so edits aren't distance-0 —
+    // the margin between edit-distance and distinct-distance is the
+    // property that makes thresholded pairing meaningful.
+    val jos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(a, "jpg", jos)
+    val jpg = Multimodal.decodeImage(jos.toByteArray).get
+    val dJpg = dist(Multimodal.phash64(jpg), ha)
+    assert(dJpg <= 14, s"JPEG re-encode moved pHash by $dJpg bits")
+    // bilinear downscale stays perceptually near
+    val small = Multimodal.decodeImage(
+      Multimodal.resizeMedia(
+        Seq(Multimodal.MediaRow(1L, "image", bos.toByteArray)).toDS(), maxDim = 64)
+        .collect().head.media).get
+    val dSmall = dist(Multimodal.phash64(small), ha)
+    assert(dSmall <= 10, s"downscale moved pHash by $dSmall bits")
+    // genuinely different content is far — well above both edit distances
+    val dOther = dist(Multimodal.phash64(b), ha)
+    assert(dOther >= 24, s"distinct images only $dOther bits apart")
+    assert(dOther > dJpg + 8 && dOther > dSmall + 8, "no edit/distinct margin")
+    // the rendered-document path: identical text → identical hash,
+    // decodable by the REAL ImageIO reader
+    val p1 = Multimodal.renderDocImage("the quick brown fox")
+    val p2 = Multimodal.renderDocImage("the quick brown fox")
+    assert(p1.toSeq === p2.toSeq)
+    assert(Multimodal.decodeImage(p1).isDefined)
+    // the q93-critical invariance is EXACT: a brightness shift on content
+    // that never clamps (ASCII bytes ≤ 0x7e + 16 < 255) adds a constant to
+    // every luminance sample, which moves ONLY the excluded DC coefficient
+    // — the 63 kept coefficients and their median are untouched
+    val hBase = Multimodal.phash64(Multimodal.decodeImage(p1).get)
+    val hBright = Multimodal.phash64(
+      Multimodal.decodeImage(Multimodal.brightenPng(p1, 16)).get)
+    assert(hBright === hBase, "brightness shift must not move pHash")
+  }
+
   test("REAL audio decode: generated WAV/AIFF through decode → features") {
     import Multimodal.MediaRow
     import spark.implicits._
