@@ -28,7 +28,9 @@ object SimHashBands {
 
   private def bandValW(sig: Column, j: Int, widths: Seq[Int]): Column = {
     val off = widths.take(j).sum
-    shiftright(sig, off).bitwiseAND(lit((1L << widths(j)) - 1))
+    // Catalyst doesn't fold shiftright-by-0; keep band 0 a bare mask
+    val shifted = if (off == 0) sig else shiftright(sig, off)
+    shifted.bitwiseAND(lit((1L << widths(j)) - 1))
   }
 
   /** The value of band `j` (0..2) of a 56-bit signature column. */

@@ -187,6 +187,20 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // Gopher quality-rule battery (Rae et al. 2021 App. A1.1): the
+    // published pre-training filter as integer-exact rule bits — one
+    // codegen'd per-row projection, no shuffle (operators/GopherRules).
+    // The stop list is the battery's per-language knob: this corpus has a
+    // synthetic 31-word vocabulary whose only function words are "the" and
+    // "a", so the published English set would make r_stop constant-0;
+    // swapping be→a keeps the >=2-distinct threshold meaningful here.
+    Entry("q94_gopher_rules", Some(graft.operators.GopherRules.oracleSql(
+      Seq("the", "a", "to", "of", "and", "that", "have", "with")))) { (s, d) =>
+      graft.operators.GopherRules.ruleBits(table(s, d, "documents"),
+        stopWords = Seq("the", "a", "to", "of", "and", "that", "have", "with"))
+        .orderBy(col("doc_id"))
+    },
+
     // document fingerprinting: md5 of the normalized text + a 56-bit int fp.
     Entry("q44_fingerprint", Some(
       s"""SELECT doc_id,
