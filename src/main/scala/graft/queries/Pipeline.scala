@@ -201,6 +201,27 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // BPE training's pair statistic (Sennrich et al. 2016): adjacent
+    // character-pair counts weighted by word frequency — the argmax is the
+    // first learned merge. The corpus is touched once (word-count
+    // aggregate); the pair explode runs over the VOCABULARY, so at 100 TB
+    // this is corpus-sized shuffle #1 + vocab-sized shuffle #2. The full
+    // iterative trainer (operators/BpeTrain.train) reruns the vocab-side
+    // statistic per merge; BpeTrainSpec pins it on the classic example.
+    Entry("q95_bpe_pairs", Some(
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) w
+        |             FROM documents),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) c FROM tok GROUP BY w),
+        |pairs AS (SELECT unnest([substr(w, i, 2) for i in range(1, length(w))]) pair, c
+        |          FROM wc WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(c) AS BIGINT) cnt
+        |FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 100""".stripMargin)) {
+      (s, d) =>
+      graft.operators.BpeTrain.pairCounts(
+        graft.operators.BpeTrain.wordCounts(table(s, d, "documents")))
+        .limit(100)
+    },
+
     // document fingerprinting: md5 of the normalized text + a 56-bit int fp.
     Entry("q44_fingerprint", Some(
       s"""SELECT doc_id,
