@@ -614,6 +614,87 @@ object Pipeline {
     // search scans ONLY the codes column, queries broadcast, corpus never
     // shuffled; compose with IVF buckets (q53/q78) for IVF-ADC. Recall vs
     // exact brute force is pinned by PqSpec, not the oracle.
+    // SemDeDup (Abbas et al. 2023): semantic dedup = cluster the embedding
+    // space (trained IVF centroids, persisted as the oracle's fixture),
+    // then WITHIN each cluster drop every vector that has a more-senior
+    // (smaller-id) neighbor above the cosine threshold. All-pairs runs
+    // per-cluster only — the paper's own trade: k scales with N to bound
+    // cluster size, so at 100 TB the pair stage is sum of bounded squares
+    // partitioned by cluster, never a corpus cross join. Keep bit is exact:
+    // both engines compute the same IEEE double cosine (fixed fold order)
+    // from the byte-identical fixture.
+    Entry("q96_semdedup", Some {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-q96-semdedup"
+      s"""WITH cent AS (SELECT bucket, weights FROM read_parquet('$root/centroids/*.parquet')),
+         |emb AS (SELECT vec_id, embedding FROM read_parquet('$root/aug/*.parquet')),
+         |dots AS (SELECT e.vec_id, c.bucket,
+         |                list_reduce(list_transform(range(1, 65), i ->
+         |                  e.embedding[i] * c.weights[i]), (x, y) -> x + y) AS d
+         |         FROM emb e CROSS JOIN cent c),
+         |dlt AS (SELECT vec_id, list(d ORDER BY bucket) AS dl FROM dots GROUP BY vec_id),
+         |assigned AS (SELECT e.vec_id, e.embedding,
+         |                    list_position(l.dl, list_max(l.dl)) - 1 AS bucket
+         |             FROM emb e JOIN dlt l USING (vec_id)),
+         |drops AS (SELECT DISTINCT a.vec_id
+         |          FROM assigned a JOIN assigned b
+         |            ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+         |          WHERE ${dotSql("a.embedding", "b.embedding")} /
+         |                sqrt(${dotSql("a.embedding", "a.embedding")} *
+         |                     ${dotSql("b.embedding", "b.embedding")}) >= 0.999)
+         |SELECT a.vec_id, CAST(a.bucket AS BIGINT) AS cluster,
+         |       CAST(d.vec_id IS NULL AS BIGINT) AS keep
+         |FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.IvfIndex
+      graft.functions.VectorOps.register(s)
+      val fixDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-q96-semdedup")
+      graft.core.Storage.deleteRecursively(fixDir)
+      val emb = table(s, d, "embeddings")
+      val trained = IvfIndex.train(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", k = 8, iters = 2)
+      locally {
+        import s.implicits._
+        trained.zipWithIndex.map { case (c, b) => (b, c.toSeq) }.toSeq
+          .toDF("bucket", "weights").coalesce(1)
+          .write.mode("overwrite").parquet(fixDir.resolve("centroids").toString)
+      }
+      // the corpus has no true embedding near-dups (within-cluster cosine
+      // tops out ~0.47), so every 20th vector gets a deterministically
+      // jittered copy (id offset 10M, cosine ~0.99999) — the duplicate
+      // class SemDeDup exists to drop. The augmented set is a FIXTURE in
+      // double precision so both engines consume byte-identical values.
+      val base = emb.select(col("vec_id"), embD(col("embedding")).as("embedding"))
+      val planted = base.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          expr("transform(embedding, (x, i) -> " +
+            "x + (CAST((vec_id * 31 + i) % 7 AS DOUBLE) - 3.0) * 0.0005)")
+            .as("embedding"))
+      base.union(planted).coalesce(1).write.mode("overwrite")
+        .parquet(fixDir.resolve("aug").toString)
+      val aug = s.read.parquet(fixDir.resolve("aug").toString)
+      val w = s.read.parquet(fixDir.resolve("centroids").toString)
+        .orderBy(col("bucket")).collect().map(_.getSeq[Double](1))
+      val dl = array(w.map(c => dotD(col("embedding"), typedlit(c))).toSeq: _*)
+      val assigned = aug
+        .withColumn("dl", dl)
+        .withColumn("bucket", expr("array_position(dl, array_max(dl)) - 1"))
+        .select(col("vec_id"), col("embedding").as("emb"), col("bucket"))
+      val a = assigned.select(col("vec_id").as("va"), col("emb").as("ea"), col("bucket"))
+      val b = assigned.select(col("vec_id").as("vb"), col("emb").as("eb"), col("bucket"))
+      val dropped = a.join(b, Seq("bucket"))
+        .where(col("vb") < col("va") &&
+          dotD(col("ea"), col("eb")) /
+            sqrt(dotD(col("ea"), col("ea")) * dotD(col("eb"), col("eb"))) >= 0.999)
+        .select(col("va").as("vec_id")).distinct()
+      assigned
+        .join(dropped.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("bucket").cast("long").as("cluster"),
+          col("dropped").isNull.cast("long").as("keep"))
+        .orderBy(col("vec_id"))
+    },
+
     Entry("q90_pq_adc", Some {
       val fix = s"${System.getProperty("java.io.tmpdir")}/graft-q90-pq/codebook/*.parquet"
       s"""WITH cb AS (SELECT sub, code, weights FROM read_parquet('$fix')),
