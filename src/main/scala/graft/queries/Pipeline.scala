@@ -671,7 +671,7 @@ object Pipeline {
           expr("transform(embedding, (x, i) -> " +
             "x + (CAST((vec_id * 31 + i) % 7 AS DOUBLE) - 3.0) * 0.0005)")
             .as("embedding"))
-      base.union(planted).coalesce(1).write.mode("overwrite")
+      base.union(planted).write.mode("overwrite")
         .parquet(fixDir.resolve("aug").toString)
       val aug = s.read.parquet(fixDir.resolve("aug").toString)
       val w = s.read.parquet(fixDir.resolve("centroids").toString)
@@ -791,7 +791,9 @@ object Pipeline {
           if (id % 20 != 0) base
           else base :+ ((id + 10000000L, ph(Multimodal.brightenPng(png, 16))))
         }).toDF("doc_id", "phash")
-      hashes.coalesce(1).write.mode("overwrite")
+      // no coalesce: the oracle globs *.parquet, and collapsing to one
+      // file would serialize the render+DCT map onto a single core
+      hashes.write.mode("overwrite")
         .parquet(fixDir.resolve("phash").toString)
       val sims = s.read.parquet(fixDir.resolve("phash").toString)
         .withColumnRenamed("phash", "simhash")
