@@ -690,6 +690,69 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // ---- corpus-trained trigram LM quality score ----------------------
+    // q85's CCNet-style filter raised to order 3: train trigram/bigram
+    // counts on the corpus itself (KenLM-style count tables), score every
+    // document by mean smoothed trigram surprisal. Add-1 smoothing:
+    // P(w|ctx) = (c3+1)/(c2+V); surprisal is the INTEGER log2 bucket
+    // ⌊log2(c2+V)⌋ − ⌊log2(c3+1)⌋ via length(bin(·)) — exact cross-engine,
+    // no libm (q85's rule). Scale shape: token-linear — two count
+    // aggregates (trigram, bigram) + two dictionary joins + the per-doc
+    // aggregate; V is a 1-row broadcast. Same class as q68/q85: no per-doc
+    // loops, no driver state, every stage a hash aggregate or equi-join.
+    Entry("q97_trigram_lm", Some(
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') ws
+        |             FROM documents),
+        |uni AS (SELECT CAST(count(DISTINCT w) AS BIGINT) v
+        |        FROM (SELECT unnest(ws) w FROM tok)),
+        |big AS (SELECT ws[i] || ' ' || ws[i+1] AS ctx
+        |        FROM (SELECT ws, unnest(range(1, len(ws))) i
+        |              FROM tok WHERE len(ws) >= 2)),
+        |c2 AS (SELECT ctx, CAST(count(*) AS BIGINT) c2 FROM big GROUP BY ctx),
+        |tri AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g,
+        |               ws[i] || ' ' || ws[i+1] AS ctx
+        |        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i
+        |              FROM tok WHERE len(ws) >= 3)),
+        |c3 AS (SELECT g, CAST(count(*) AS BIGINT) c3 FROM tri GROUP BY g),
+        |sc AS (SELECT t.doc_id,
+        |              CAST(length(bin(b.c2 + u.v)) - length(bin(c.c3 + 1)) AS BIGINT) s
+        |       FROM tri t JOIN c3 c USING (g) JOIN c2 b USING (ctx) CROSS JOIN uni u),
+        |doc AS (SELECT doc_id, CAST(sum(s) AS BIGINT) sum_surprisal,
+        |               CAST(count(*) AS BIGINT) n_trigrams
+        |        FROM sc GROUP BY doc_id)
+        |SELECT doc_id, sum_surprisal, n_trigrams,
+        |       CAST(sum_surprisal AS DOUBLE) / CAST(n_trigrams AS DOUBLE)
+        |         AS mean_surprisal
+        |FROM doc ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+      val uni = docs.select(explode(col("ws")).as("w"))
+        .agg(count_distinct(col("w")).cast("long").as("v"))
+      val big = docs.where(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))"))
+          .as("ctx"))
+      val c2 = big.groupBy(col("ctx")).agg(count(lit(1)).as("c2"))
+      val tri = docs.where(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws)-3), i -> struct(" +
+            "concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS g, " +
+            "concat_ws(' ', ws[i], ws[i+1]) AS ctx))")).as("t"))
+        .select(col("doc_id"), col("t.g").as("g"), col("t.ctx").as("ctx"))
+      val c3 = tri.groupBy(col("g")).agg(count(lit(1)).as("c3"))
+      tri.join(c3, Seq("g")).join(c2, Seq("ctx")).crossJoin(broadcast(uni))
+        .select(col("doc_id"),
+          (length(bin(col("c2") + col("v"))) - length(bin(col("c3") + 1)))
+            .cast("long").as("s"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("s")).cast("long").as("sum_surprisal"),
+          count(lit(1)).cast("long").as("n_trigrams"))
+        .select(col("doc_id"), col("sum_surprisal"), col("n_trigrams"),
+          (col("sum_surprisal").cast("double") / col("n_trigrams").cast("double"))
+            .as("mean_surprisal"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- temperature-weighted source mixing ----------------------------
     // Training mixtures re-weight sources by mass^alpha (alpha<1 upsamples
     // the tail — the "temperature" knob of the usual data-mixing recipe).
