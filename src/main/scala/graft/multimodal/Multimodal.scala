@@ -418,6 +418,43 @@ object Multimodal {
     }
   }
 
+  /** (doc_id, frame_idx, phash): the video near-dup signature table —
+    * REAL demux → per-frame JPEG decode → [[phash64]], one
+    * partition-parallel pass over the media scan (frames never shuffle;
+    * only the 24-byte signature rows do). Undecodable frames (stub demux
+    * payloads, corrupt chunks) are dropped: no pixels, no signature. */
+  def framePhashes(ds: Dataset[MediaRow], stride: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    sampleFrames(ds, stride)
+      .mapPartitions(_.flatMap { f =>
+        decodeImage(f.frame).map(img => (f.doc_id, f.frame_idx, phash64(img)))
+      })
+      .toDF("doc_id", "frame_idx", "phash")
+  }
+
+  /** Video near-dup pairs: two videos pair when at least `minFrames` of
+    * their sampled frames match within Hamming≤2 — the frame signatures
+    * go through the exact 3×21-bit pigeonhole banding
+    * ([[graft.operators.SimHashBands.Split63]]), so candidates are banded
+    * equi-join matches, never all-pairs over frames. Frame keys pack
+    * (doc_id, frame_idx) into one long (doc_id < 2^43, frame_idx < 2^20);
+    * packing is doc-major, so the banding's `a < b` order never splits a
+    * video pair across orientations. Output: (video_a, video_b,
+    * n_matched_frames), video_a < video_b. */
+  def videoNearDupPairs(frames: DataFrame, minFrames: Int = 1): DataFrame = {
+    val sigs = frames.select(
+      (col("doc_id") * lit(1048576L) + col("frame_idx")).as("fid"),
+      col("phash").as("simhash"))
+    graft.operators.SimHashBands
+      .hammingPairsW(sigs, "fid", maxDist = 2, graft.operators.SimHashBands.Split63)
+      .select(expr("doc_a div 1048576").as("video_a"),
+        expr("doc_b div 1048576").as("video_b"))
+      .where(col("video_a") =!= col("video_b"))
+      .groupBy(col("video_a"), col("video_b"))
+      .agg(count(lit(1)).as("n_matched_frames"))
+      .where(col("n_matched_frames") >= minFrames)
+  }
+
   /** Frame sampling: every `stride`-th frame of each media row — the typed
     * flatMap (UDTF) shape: one input row fans out to N frame rows, work
     * stays fully partition-parallel, and a real demuxer initializes once

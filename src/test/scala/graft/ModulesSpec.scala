@@ -350,6 +350,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hBright === hBase, "brightness shift must not move pHash")
   }
 
+  test("video near-dup: shared frames pair via banded frame pHash, real demux") {
+    import spark.implicits._
+    import Multimodal.MediaRow
+    // structured frames (cosine mixes — pHash-stable content); seeds give
+    // pairwise-distant signatures, shared frames are byte-identical JPEGs
+    def frame(seed: Int) = jpegFrameF(64, 48, (x, y) => {
+      val l = 128 + 60 * math.cos(2 * math.Pi * (x * (1 + seed % 3) +
+        y * (1 + seed / 3)) / 48.0) + 40 * math.sin(2 * math.Pi * y * (1 + seed % 4) / 32.0)
+      val c = math.max(0, math.min(255, l.toInt)); (c << 16) | (c << 8) | c
+    })
+    val shared = Seq(frame(0), frame(7), frame(13))
+    val aOnly = Seq(frame(21), frame(34))
+    val bOnly = Seq(frame(45), frame(56))
+    val cOnly = (60 to 64).map(frame)
+    val videoA = muxAvi(shared ++ aOnly, 40000, 64, 48)
+    val videoB = muxAvi(bOnly ++ shared, 40000, 64, 48) // shared at other offsets
+    val videoC = muxAvi(cOnly, 40000, 64, 48)
+    val media = Seq(MediaRow(1L, "video", videoA), MediaRow(2L, "video", videoB),
+      MediaRow(3L, "video", videoC)).toDS().repartition(3)
+    val sigs = Multimodal.framePhashes(media, stride = 1)
+    assert(sigs.count() === 15) // every frame decodes; none dropped
+    val pairs = Multimodal.videoNearDupPairs(sigs, minFrames = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L)), s"pairs: $pairs")
+    assert(pairs((1L, 2L)) >= 3) // the three byte-identical frames match
+    // stub-demuxed garbage contributes no signatures (no decodable pixels)
+    val garbage = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val withJunk = Seq(MediaRow(9L, "video", garbage)).toDS()
+    assert(Multimodal.framePhashes(withJunk, stride = 1).count() === 0)
+  }
+
   test("REAL audio decode: generated WAV/AIFF through decode → features") {
     import Multimodal.MediaRow
     import spark.implicits._
@@ -432,46 +463,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert((tf._1, tf._2, tf._3.toSeq) === (tw, th, ts.toSeq))
   }
 
+  private def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int) = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def cc(s: String) = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] =
+    cc(id) ++ le32(data.length) ++ data ++
+      (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+  private def riffList(tpe: String, children: Array[Byte]): Array[Byte] =
+    chunk("LIST", cc(tpe) ++ children)
+  // a structurally complete MJPEG AVI: hdrl(avih, strl(strh vids/MJPG,
+  // strf BITMAPINFOHEADER)) + movi(00dc per JPEG frame)
+  private def muxAvi(frames: Seq[Array[Byte]], usPerFrame: Int, w: Int,
+      h: Int): Array[Byte] = {
+    val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = cc("vids") ++ cc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(1000000 / usPerFrame) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      cc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = riffList("hdrl",
+      chunk("avih", avih) ++ riffList("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = riffList("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le32(body.length) ++ body
+  }
+  private def jpegFrameF(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpeg", bos))
+    bos.toByteArray
+  }
+  private def jpegFrame(w: Int, h: Int, rgb: Int): Array[Byte] =
+    jpegFrameF(w, h, (_, _) => rgb)
+
   test("REAL video demux: generated MJPEG-AVI through demux → frames → decode") {
     import spark.implicits._
     import Multimodal.MediaRow
-
-    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-    def le32(v: Int) = Array(
-      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def cc(s: String) = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    def chunk(id: String, data: Array[Byte]): Array[Byte] =
-      cc(id) ++ le32(data.length) ++ data ++
-        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
-    def list(tpe: String, children: Array[Byte]): Array[Byte] =
-      chunk("LIST", cc(tpe) ++ children)
-    // a structurally complete MJPEG AVI: hdrl(avih, strl(strh vids/MJPG,
-    // strf BITMAPINFOHEADER)) + movi(00dc per JPEG frame)
-    def muxAvi(frames: Seq[Array[Byte]], usPerFrame: Int, w: Int, h: Int): Array[Byte] = {
-      val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
-        le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
-        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
-      val strh = cc("vids") ++ cc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
-        le32(0) ++ le32(1) ++ le32(1000000 / usPerFrame) ++ le32(0) ++
-        le32(frames.length) ++ le32(0) ++ le32(-1) ++ le32(0) ++
-        le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
-      val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
-        cc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
-      val hdrl = list("hdrl",
-        chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-      val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
-      val body = cc("AVI ") ++ hdrl ++ movi
-      cc("RIFF") ++ le32(body.length) ++ body
-    }
-    def jpegFrame(w: Int, h: Int, rgb: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
-      val bos = new java.io.ByteArrayOutputStream()
-      assert(javax.imageio.ImageIO.write(img, "jpeg", bos))
-      bos.toByteArray
-    }
 
     val jpegs = Seq(0xc04030, 0x4080c0, 0x208020, 0x804020, 0x2040a0, 0x909090)
       .map(jpegFrame(32, 20, _))
