@@ -47,7 +47,25 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the full per-query map in-repo: round artifacts keep only a
+    // truncated stdout tail, which has already cost two rounds their
+    // q01–q36 timing history. Every pass's samples are kept alongside the
+    // min so steal-noise episodes are visible after the fact.
+    try {
+      val sfName = new java.io.File(sfDir).getName
+      val dir = java.nio.file.Paths.get("bench")
+      java.nio.file.Files.createDirectories(dir)
+      val passesJson = samples.map(p =>
+        names.map(n => "\"" + n + "\":" + p(n)).mkString("{", ",", "}"))
+        .mkString("[", ",", "]")
+      java.nio.file.Files.writeString(dir.resolve(s"bench_$sfName.json"),
+        s"""{"summary":$line,"passes":$passesJson}""" + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist bench json: $e")
+    }
     spark.stop()
   }
 }

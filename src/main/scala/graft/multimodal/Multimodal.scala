@@ -440,7 +440,10 @@ object Multimodal {
     * (doc_id, frame_idx) into one long (doc_id < 2^43, frame_idx < 2^20);
     * packing is doc-major, so the banding's `a < b` order never splits a
     * video pair across orientations. Output: (video_a, video_b,
-    * n_matched_frames), video_a < video_b. */
+    * n_matched_frames), video_a < video_b; n_matched_frames counts
+    * DISTINCT matched frames of video_a — a single frame of A matching
+    * several near-identical frames of B (a freeze-frame, a title card)
+    * counts once, so `minFrames` means what it says. */
   def videoNearDupPairs(frames: DataFrame, minFrames: Int = 1): DataFrame = {
     val sigs = frames.select(
       (col("doc_id") * lit(1048576L) + col("frame_idx")).as("fid"),
@@ -448,10 +451,10 @@ object Multimodal {
     graft.operators.SimHashBands
       .hammingPairsW(sigs, "fid", maxDist = 2, graft.operators.SimHashBands.Split63)
       .select(expr("doc_a div 1048576").as("video_a"),
-        expr("doc_b div 1048576").as("video_b"))
+        expr("doc_b div 1048576").as("video_b"), col("doc_a").as("fid_a"))
       .where(col("video_a") =!= col("video_b"))
       .groupBy(col("video_a"), col("video_b"))
-      .agg(count(lit(1)).as("n_matched_frames"))
+      .agg(countDistinct(col("fid_a")).as("n_matched_frames"))
       .where(col("n_matched_frames") >= minFrames)
   }
 

@@ -37,8 +37,99 @@ object BpeTrain {
       .orderBy(col("cnt").desc, col("pair"))
 
   /** Learn `nMerges` merges from a (w, c) word-frequency table. Returns the
-    * ranked merge list; stops early if no pair occurs twice. */
-  def train(wc: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    * ranked merge list; stops early if no pair occurs twice.
+    *
+    * Hybrid execution (the ConnectedComponents.localSolve pattern): the
+    * (w, c) table is VOCAB-sized — 10^5..10^6 rows whatever the corpus — so
+    * when it fits under `localThreshold` rows we collect it once and run
+    * the whole merge loop driver-locally with incremental pair-count
+    * maintenance: 2 Spark jobs total (count + collect) instead of 2 per
+    * merge (a 32k-merge production vocabulary would otherwise be ~64k
+    * sequential jobs). Above the threshold, the distributed per-merge loop
+    * keeps the vocabulary on the executors. Both paths share the exact
+    * statistic and the (cnt desc, a, b) argmax tiebreak, so the learned
+    * merge sequence is identical — BpeTrainSpec pins this. */
+  def train(wc: DataFrame, nMerges: Int,
+      localThreshold: Long = 2000000L): Seq[(String, String)] = {
+    if (wc.count() <= localThreshold) {
+      val rows = wc.select(col("w").cast("string"), col("c").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      trainLocal(rows, nMerges)
+    } else trainDistributed(wc, nMerges)
+  }
+
+  /** Driver-local merge loop with incremental pair maintenance: pair counts
+    * and a pair→words index are adjusted only for the words a merge actually
+    * touches (Sennrich et al.'s trick), so each merge costs O(affected
+    * words × word length), not a full vocabulary pass. */
+  private[operators] def trainLocal(wcRows: Array[(String, Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] =
+      wcRows.map { case (w, _) => w.map(_.toString).toArray }
+    val counts: Array[Long] = wcRows.map(_._2)
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def touch(i: Int, sign: Long): Unit = {
+      val sym = words(i)
+      var j = 0
+      while (j < sym.length - 1) {
+        val p = (sym(j), sym(j + 1))
+        val nv = pairCnt.getOrElse(p, 0L) + sign * counts(i)
+        if (nv == 0L) pairCnt.remove(p) else pairCnt(p) = nv
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += i
+        else pairWords.get(p).foreach(_ -= i)
+        j += 1
+      }
+    }
+    words.indices.foreach(touch(_, 1L))
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < nMerges && !done) {
+      // deterministic argmax: max count, ties by (a, b) ascending — the
+      // same total order as the distributed orderBy(cnt desc, a, b)
+      var bp: (String, String) = null
+      var bc = 0L
+      pairCnt.foreach { case (p, c) =>
+        if (bp == null || c > bc || (c == bc &&
+            (p._1 < bp._1 || (p._1 == bp._1 && p._2 < bp._2)))) { bp = p; bc = c }
+      }
+      if (bp == null || bc < 2L) done = true
+      else {
+        merges += bp
+        val affected = pairWords.getOrElse(bp, mutable.BitSet.empty).toArray
+        affected.foreach { i =>
+          touch(i, -1L)
+          words(i) = applyMergeLocal(words(i), bp._1, bp._2)
+          touch(i, 1L)
+        }
+      }
+      m += 1
+    }
+    merges.result()
+  }
+
+  /** One leftmost non-overlapping merge pass — the local twin of
+    * `mergeFold` ("aaa" under (a,a) → ["aa","a"], pinned in
+    * BpeTrainSpec). */
+  private def applyMergeLocal(sym: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** The distributed per-merge loop: adjacent-pair aggregate → 1-row argmax
+    * collect → fold-expression merge, vocabulary never leaving the
+    * executors. Used when the vocabulary exceeds the driver threshold. */
+  private[operators] def trainDistributed(wc: DataFrame,
+      nMerges: Int): Seq[(String, String)] = {
     var vocab = wc.select(expr("filter(split(w, ''), s -> s != '')").as("sym"),
       col("c")).localCheckpoint(true)
     val merges = Seq.newBuilder[(String, String)]

@@ -166,6 +166,46 @@ object PqIndex {
       .where(col("rn") <= k)
   }
 
+  /** IVF-ADC with exact refine — the classic FAISS IVF-PQ composition:
+    * the IVF probe prunes the scan to the queries' nprobe buckets, ADC
+    * ranks ONLY codes inside those buckets (8 B/vector read, corpus never
+    * shuffled), and the exact stage recomputes true distances for just the
+    * per-query shortlist. At 100 TB the touched bytes are
+    * (nprobe/k_ivf) × corpus_codes + shortlist × raw vectors.
+    *
+    * Inputs: `encodedAssigned` = (idCol, bucket, codes) — [[encode]] output
+    * joined with an IVF bucket assignment; `corpus` = (idCol, vecCol) raw
+    * vectors, touched only by the refine join; `probes` = (qid, qvecCol,
+    * bucket), one row per DISTINCT probed bucket per query (broadcast —
+    * queries are small by contract). Output (qid, idCol, dist, rn), the
+    * exact top `k` of the ADC shortlist, ties → lowest id. */
+  def ivfAdcSearchRefined(encodedAssigned: DataFrame, corpus: DataFrame,
+      probes: DataFrame, idCol: String, vecCol: String, qvecCol: String,
+      cb: Codebook, k: Int, shortlist: Int): DataFrame = {
+    graft.functions.VectorOps.register(corpus.sparkSession)
+    val qvec = col(qvecCol).cast("array<double>")
+    val qtab = array((0 until cb.m).map(s => subDistances(s, qvec, cb)): _*)
+    val q = probes.select(col("qid"), qtab.as("qtab"), col("bucket"))
+    val cand = broadcast(q).join(encodedAssigned, Seq("bucket"))
+      .where(col(idCol) =!= col("qid"))
+      // ascending-sub fold, same IEEE order as adcSearch
+      .select(col("qid"), col(idCol), expr(
+        s"aggregate(sequence(0, ${cb.m - 1}), cast(0.0 as double), " +
+          "(acc, s) -> acc + qtab[s][codes[s]])").as("approx_dist"))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("approx_dist"), col(idCol))))
+      .where(col("srn") <= shortlist)
+      .select(col("qid"), col(idCol))
+    val qv = probes.select(col("qid"), qvec.as("_qv")).distinct()
+    broadcast(cand.join(qv, Seq("qid")))
+      .join(corpus.select(col(idCol), col(vecCol).cast("array<double>").as("_v")),
+        Seq(idCol))
+      .select(col("qid"), col(idCol), sqDist(col("_qv"), col("_v")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))).cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /** Persist a codebook as a (sub, code, weights) parquet table. */
   def writeCodebook(spark: SparkSession, cb: Codebook, path: String): Unit = {
     import spark.implicits._

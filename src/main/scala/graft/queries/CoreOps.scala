@@ -129,8 +129,7 @@ object CoreOps {
       import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
       // fixed location per session: the catalog object binds its root at
       // first use, so re-runs (Bench reps) must land at the same place
-      val root = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-q76-catalog")
+      val root = Q.fixture("q76-catalog")
       val tableDir = root.resolve("tt")
       graft.core.Storage.deleteRecursively(tableDir)
       java.nio.file.Files.createDirectories(root)
@@ -166,8 +165,7 @@ object CoreOps {
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)) { (s, d) =>
       import graft.core.{Dimension, MatSchema, ValueCol}
       import graft.sources.RangedGraft
-      val dir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-q77-ranged")
+      val dir = Q.fixture("q77-ranged")
       graft.core.Storage.deleteRecursively(dir)
       val sch = MatSchema(Seq(Dimension("user_id", 1000)),
         Seq(ValueCol("v", org.apache.spark.sql.types.DoubleType)))
@@ -198,8 +196,7 @@ object CoreOps {
         |WHERE l_partkey BETWEEN 100 AND 120
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)) { (s, d) =>
       import graft.sources.ZOrderLayout
-      val dir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-q92-zorder")
+      val dir = Q.fixture("q92-zorder")
       graft.core.Storage.deleteRecursively(dir)
       ZOrderLayout.write(table(s, d, "lineitem"),
         "l_orderkey", "l_partkey", dir.toString, files = 16)

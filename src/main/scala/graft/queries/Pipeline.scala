@@ -534,7 +534,7 @@ object Pipeline {
     // with identical IEEE folds); production assign() keeps its normalized
     // sqdist form, pinned by IvfSpec's recall floors.
     Entry("q78_ivf_search_trained", Some {
-      val fix = s"${System.getProperty("java.io.tmpdir")}/graft-q78-ivf/centroids/*.parquet"
+      val fix = s"${Q.fixture("q78-ivf")}/centroids/*.parquet"
       s"""WITH cent AS (SELECT bucket, weights FROM read_parquet('$fix')),
          |dots AS (SELECT e.vec_id, c.bucket,
          |                list_reduce(list_transform(range(1, 65), i ->
@@ -561,8 +561,7 @@ object Pipeline {
     }) { (s, d) =>
       import graft.operators.IvfIndex
       graft.functions.VectorOps.register(s)
-      val fixDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-q78-ivf")
+      val fixDir = Q.fixture("q78-ivf")
       graft.core.Storage.deleteRecursively(fixDir)
       val emb = table(s, d, "embeddings")
       // train (not replayable) → persist the fixture the oracle reads;
@@ -624,7 +623,7 @@ object Pipeline {
     // both engines compute the same IEEE double cosine (fixed fold order)
     // from the byte-identical fixture.
     Entry("q96_semdedup", Some {
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft-q96-semdedup"
+      val root = s"${Q.fixture("q96-semdedup")}"
       s"""WITH cent AS (SELECT bucket, weights FROM read_parquet('$root/centroids/*.parquet')),
          |emb AS (SELECT vec_id, embedding FROM read_parquet('$root/aug/*.parquet')),
          |dots AS (SELECT e.vec_id, c.bucket,
@@ -648,8 +647,7 @@ object Pipeline {
     }) { (s, d) =>
       import graft.operators.IvfIndex
       graft.functions.VectorOps.register(s)
-      val fixDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-q96-semdedup")
+      val fixDir = Q.fixture("q96-semdedup")
       graft.core.Storage.deleteRecursively(fixDir)
       val emb = table(s, d, "embeddings")
       val trained = IvfIndex.train(emb.where(col("vec_id") % 3 === 0),
@@ -696,7 +694,7 @@ object Pipeline {
     },
 
     Entry("q90_pq_adc", Some {
-      val fix = s"${System.getProperty("java.io.tmpdir")}/graft-q90-pq/codebook/*.parquet"
+      val fix = s"${Q.fixture("q90-pq")}/codebook/*.parquet"
       s"""WITH cb AS (SELECT sub, code, weights FROM read_parquet('$fix')),
          |sv AS (SELECT vec_id, s.sub,
          |              list_transform(range(1, 9),
@@ -727,8 +725,7 @@ object Pipeline {
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
     }) { (s, d) =>
       import graft.operators.PqIndex
-      val fixDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-q90-pq")
+      val fixDir = Q.fixture("q90-pq")
       graft.core.Storage.deleteRecursively(fixDir)
       val emb = table(s, d, "embeddings")
       // train on a deterministic 1/3 sample; codebook VALUES may vary run
@@ -747,6 +744,111 @@ object Pipeline {
         .orderBy(col("qid"), col("rn"))
     },
 
+    // IVF-PQ composition (classic FAISS IVF-ADC + refine,
+    // operators.PqIndex.ivfAdcSearchRefined): the IVF probe prunes the
+    // scan to each query's 2 nearest buckets, ADC ranks only the codes
+    // inside them, and the exact stage re-scores just the per-query
+    // shortlist — at 100 TB the touched bytes are (nprobe/k_ivf) of the
+    // 8 B/vector codes plus shortlist raw vectors. Neither trainer is
+    // SQL-replayable, so BOTH models are parquet fixtures (q78's
+    // centroids pattern + q90's codebook pattern) and every downstream
+    // step — argmax-dot assignment, 2-probe selection, argmin encode, the
+    // ascending-sub ADC fold, the exact-refine fold — replays exactly.
+    Entry("q98_ivf_pq", Some {
+      val root = s"${Q.fixture("q98-ivfpq")}"
+      s"""WITH cent AS (SELECT bucket, weights FROM read_parquet('$root/centroids/*.parquet')),
+         |cb AS (SELECT sub, code, weights FROM read_parquet('$root/codebook/*.parquet')),
+         |dots AS (SELECT e.vec_id, c.bucket,
+         |                list_reduce(list_transform(range(1, 65), i ->
+         |                  CAST(e.embedding[i] AS DOUBLE) * c.weights[i]), (x, y) -> x + y) AS d
+         |         FROM embeddings e CROSS JOIN cent c),
+         |dlt AS (SELECT vec_id, list(d ORDER BY bucket) AS dl FROM dots GROUP BY vec_id),
+         |assigned AS (SELECT e.vec_id, l.dl,
+         |                    list_position(l.dl, list_max(l.dl)) - 1 AS bucket
+         |             FROM embeddings e JOIN dlt l USING (vec_id)),
+         |sv AS (SELECT vec_id, s.sub,
+         |              list_transform(range(1, 9),
+         |                i -> CAST(embedding[s.sub * 8 + i] AS DOUBLE)) AS v
+         |       FROM embeddings, (SELECT unnest(range(0, 8)) AS sub) s),
+         |d AS (SELECT vec_id, sub, code,
+         |             list_reduce(list_transform(range(1, 9),
+         |               i -> (v[i] - weights[i]) * (v[i] - weights[i])),
+         |               (x, y) -> x + y) AS dd
+         |      FROM sv JOIN cb USING (sub)),
+         |enc AS (SELECT vec_id, sub, code FROM (
+         |          SELECT vec_id, sub, code,
+         |                 row_number() OVER (PARTITION BY vec_id, sub
+         |                   ORDER BY dd, code) AS rn
+         |          FROM d) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, bucket,
+         |             COALESCE(list_position(dl,
+         |               list_max(list_filter(dl, x -> x <> list_max(dl)))) - 1, bucket) AS b2
+         |      FROM assigned WHERE vec_id < 3),
+         |qp AS (SELECT qid, unnest(list_distinct(list_value(bucket, b2))) AS bucket FROM q),
+         |cand AS (SELECT qp.qid, a.vec_id
+         |         FROM qp JOIN assigned a USING (bucket) WHERE a.vec_id <> qp.qid),
+         |pairs AS (SELECT c.qid, c.vec_id, e.sub, dq.dd
+         |          FROM cand c JOIN enc e ON e.vec_id = c.vec_id
+         |          JOIN d dq ON dq.vec_id = c.qid AND dq.sub = e.sub AND dq.code = e.code),
+         |adc AS (SELECT qid, vec_id,
+         |               list_reduce(list(dd ORDER BY sub), (x, y) -> x + y) AS approx_dist
+         |        FROM pairs GROUP BY qid, vec_id),
+         |short AS (SELECT qid, vec_id FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY qid
+         |              ORDER BY approx_dist, vec_id) AS srn
+         |            FROM adc) t WHERE srn <= 10),
+         |ref AS (SELECT sh.qid, sh.vec_id,
+         |               list_reduce(list_transform(range(1, 65), i ->
+         |                 (CAST(qe.embedding[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE)) *
+         |                 (CAST(qe.embedding[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE))),
+         |                 (x, y) -> x + y) AS dist
+         |        FROM short sh JOIN embeddings qe ON qe.vec_id = sh.qid
+         |                      JOIN embeddings ce ON ce.vec_id = sh.vec_id)
+         |SELECT qid, vec_id, dist, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY dist, vec_id) AS rn FROM ref) t
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.{IvfIndex, PqIndex}
+      graft.functions.VectorOps.register(s)
+      val fixDir = Q.fixture("q98-ivfpq")
+      graft.core.Storage.deleteRecursively(fixDir)
+      val emb = table(s, d, "embeddings")
+      // coarse + fine models trained on disjoint deterministic samples;
+      // values may vary run to run, but fixture and search share the run
+      val trainedC = IvfIndex.train(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", k = 8, iters = 2)
+      locally {
+        import s.implicits._
+        trainedC.zipWithIndex.map { case (c, b) => (b, c.toSeq) }.toSeq
+          .toDF("bucket", "weights").coalesce(1)
+          .write.mode("overwrite").parquet(fixDir.resolve("centroids").toString)
+      }
+      val trainedCb = PqIndex.train(emb.where(col("vec_id") % 3 === 1),
+        "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      PqIndex.writeCodebook(s, trainedCb, fixDir.resolve("codebook").toString)
+      // both models read BACK so the engines consume byte-identical values
+      val w = s.read.parquet(fixDir.resolve("centroids").toString)
+        .orderBy(col("bucket")).collect().map(_.getSeq[Double](1))
+      val cb = PqIndex.readCodebook(s, fixDir.resolve("codebook").toString)
+      val dl = array(w.map(c => dotD(embD(col("embedding")), typedlit(c))).toSeq: _*)
+      val assigned = emb
+        .withColumn("dl", dl)
+        .withColumn("bucket", expr("array_position(dl, array_max(dl)) - 1"))
+      val encAssigned = assigned.select(col("vec_id"), col("bucket"))
+        .join(PqIndex.encode(emb, "vec_id", "embedding", cb), Seq("vec_id"))
+      val probes = assigned.where(col("vec_id") < 3)
+        .withColumn("b2", coalesce(
+          expr("array_position(dl, array_max(filter(dl, x -> x != array_max(dl)))) - 1"),
+          col("bucket")))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          explode(array_distinct(array(col("bucket"), col("b2")))).as("bucket"))
+      PqIndex.ivfAdcSearchRefined(encAssigned, emb, probes,
+          "vec_id", "embedding", "qv", cb, k = 5, shortlist = 10)
+        .select(col("qid"), col("vec_id"), col("dist"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    },
+
     // image near-dup via perceptual hash: documents rendered to 64×64 PNGs
     // (no image corpus ships with the test data), decoded by the REAL
     // ImageIO reader, pHashed (multimodal.Multimodal.phash64: 32×32 gray →
@@ -759,7 +861,7 @@ object Pipeline {
     // MultimodalSpec. Scale shape: pHash is a per-row map over the media
     // scan; banding is q49's.
     Entry("q93_image_phash", Some {
-      val fix = s"${System.getProperty("java.io.tmpdir")}/graft-q93-phash/phash/*.parquet"
+      val fix = s"${Q.fixture("q93-phash")}/phash/*.parquet"
       s"""WITH p AS (SELECT doc_id, phash FROM read_parquet('$fix'))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
@@ -768,8 +870,7 @@ object Pipeline {
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
       import graft.multimodal.Multimodal
-      val fixDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-q93-phash")
+      val fixDir = Q.fixture("q93-phash")
       graft.core.Storage.deleteRecursively(fixDir)
       import s.implicits._
       // every 20th doc also ships a brightness-shifted re-encoded variant

@@ -18,9 +18,12 @@ import org.apache.spark.sql.types.DecimalType
   *   - Every query ends in a deterministic ORDER BY on a unique key set, and
   *     nullable sort keys say NULLS FIRST explicitly (DuckDB defaults to
   *     NULLS LAST, Spark to NULLS FIRST).
-  *   - events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses; we read
-  *     it with spark.sql.legacy.parquet.nanosAsLong=true (epoch-nano LONG)
-  *     and the oracles use epoch_ns(ts).
+  *   - events.ts is normalized to an epoch-nano LONG whatever the fixture's
+  *     physical parquet type: TIMESTAMP(NANOS) is read via
+  *     spark.sql.legacy.parquet.nanosAsLong=true (arrives as LongType and
+  *     passes through); timestamp[us] / TIMESTAMP_NTZ arrives as a timestamp
+  *     and is cast via unix_micros under the UTC session timezone. The DuckDB
+  *     oracles use epoch_ns(ts), which is correct for both physical types.
   */
 object Q {
   type QueryFn = (SparkSession, String) => DataFrame
@@ -29,9 +32,16 @@ object Q {
   final case class Entry(name: String, oracle: Option[String])(val fn: QueryFn)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
+    if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => df // TIMESTAMP(NANOS) fixture
+        case _ => // timestamp[us] fixture: TIMESTAMP_NTZ (or TIMESTAMP) walltime == UTC instant
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      }
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
   /** Register the named tables as temp views and run Spark SQL — used where
@@ -40,6 +50,16 @@ object Q {
     tables.foreach(t => table(spark, dir, t).createOrReplaceTempView(t))
     spark.sql(query)
   }
+
+  /** Per-process root for oracle FIXTURES (q76/q77/q78/q90/q92/q93/q96):
+    * the Spark query writes them and the DuckDB oracle reads them back, so
+    * the path is interpolated into both at battery-construction time — it
+    * must be stable within a run but unique across runs, or concurrent
+    * verify/bench/test JVMs clobber each other's fixtures mid-query. */
+  private val fixtureRoot: java.nio.file.Path = java.nio.file.Paths.get(
+    System.getProperty("java.io.tmpdir"),
+    s"graft-run-${ProcessHandle.current().pid()}")
+  def fixture(name: String): java.nio.file.Path = fixtureRoot.resolve(name)
 
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   def dec4(c: Column): Column = c.cast(DecimalType(18, 4))

@@ -54,6 +54,26 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(BpeTrain.train(df, 10) === Seq.empty)
   }
 
+  test("hybrid local path learns the identical merge sequence as distributed") {
+    import spark.implicits._
+    // a vocabulary rich enough to exercise ties, overlaps, and early pairs
+    // dying as merges consume them
+    val wc = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L),
+      ("aaa", 4L), ("aaaa", 2L), ("banana", 7L), ("bandana", 1L),
+      ("mississippi", 3L), ("abracadabra", 2L)).toDF("w", "c")
+    val viaLocal = BpeTrain.train(wc, 12) // vocab 10 ≤ threshold → local path
+    val viaDist = BpeTrain.train(wc, 12, localThreshold = 0L) // force distributed
+    assert(viaLocal === viaDist)
+    assert(viaLocal.length === 12)
+    // and the collected-rows entry point agrees with both
+    val rows = wc.as[(String, Long)].collect()
+    assert(BpeTrain.trainLocal(rows, 12) === viaDist)
+  }
+
+  test("local path stops early when no pair repeats") {
+    assert(BpeTrain.trainLocal(Array(("ab", 1L), ("cd", 1L)), 10) === Seq.empty)
+  }
+
   test("pairCounts matches the first training statistic") {
     val pc = BpeTrain.pairCounts(toyWc()).collect()
       .map(r => r.getString(0) -> r.getLong(1))

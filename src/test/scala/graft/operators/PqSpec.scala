@@ -98,4 +98,47 @@ class PqSpec extends AnyFunSuite {
     info(f"quantization error: untrained=$e0%.3f trained=$e4%.3f")
     assert(e4 < e0, s"training must reduce quantization error ($e0 -> $e4)")
   }
+
+  test("IVF-PQ refine with a full-depth shortlist equals exact search within probed buckets") {
+    graft.functions.VectorOps.register(spark)
+    val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val cent = IvfIndex.train(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val dl = array(cent.toSeq.map(c => graft.functions.VectorOps.dotCol(
+      col("embedding").cast("array<double>"), typedlit(c.toSeq))): _*)
+    val assigned = emb.withColumn("dl", dl)
+      .withColumn("bucket", expr("array_position(dl, array_max(dl)) - 1"))
+    val encA = assigned.select(col("vec_id"), col("bucket"))
+      .join(PqIndex.encode(emb, "vec_id", "embedding", cb), Seq("vec_id"))
+    val probes = assigned.where(col("vec_id") < 5)
+      .withColumn("b2", coalesce(
+        expr("array_position(dl, array_max(filter(dl, x -> x != array_max(dl)))) - 1"),
+        col("bucket")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        explode(array_distinct(array(col("bucket"), col("b2")))).as("bucket"))
+    // shortlist = whole corpus → ADC ranking cannot drop anything, so the
+    // exact re-rank must reproduce brute-force search restricted to the
+    // probed buckets — a deterministic identity, not a recall floor
+    val n = emb.count().toInt
+    val got = PqIndex.ivfAdcSearchRefined(encA, emb, probes,
+        "vec_id", "embedding", "qv", cb, k = 5, shortlist = n)
+      .select("qid", "vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = broadcast(probes.select(col("qid"),
+        col("qv").cast("array<double>").as("qd"), col("bucket")))
+      .join(assigned.select(col("vec_id"), col("bucket"),
+        col("embedding").cast("array<double>").as("v")), Seq("bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorOps.sqDistCol(col("qd"), col("v")).as("dd"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dd"), col("vec_id"))))
+      .where(col("rn") <= 5)
+      .select("qid", "vec_id", "dd").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === exact.keySet,
+      s"IVF-PQ full-shortlist result diverged from in-bucket exact search")
+    got.foreach { case (k_, d) => assert(d === exact(k_), s"dist mismatch at $k_") }
+    // and with nprobe=2 of 4 buckets the usual case still finds neighbors
+    assert(got.keys.map(_._1).toSet.size === 5, "every query returned rows")
+  }
 }

@@ -60,15 +60,23 @@ def compare(name, s, d):
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    try:
+        errors = json.load(open(f"{outdir}/errors.json"))
+    except FileNotFoundError:
+        errors = {}
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     ok = fail = noracle = 0
     for name in sorted(oracle):
         sql = oracle[name]
+        if name in errors:
+            print(f"QUERYERR {name}: {errors[name]}"); fail += 1; continue
         s = load_spark(outdir, name)
         if s is None:
             print(f"MISSING  {name}: no spark output"); fail += 1; continue
+        if list(s.columns) == ["__query_error"]:
+            print(f"QUERYERR {name}: {s['__query_error'][0]}"); fail += 1; continue
         try:
             rel = con.sql(sql)
             # Guard the whole bug class behind r4's q64: DuckDB widens
@@ -93,8 +101,13 @@ def main():
     for d_ in sorted(glob.glob(f"{outdir}/*/")):
         n = d_.rstrip("/").split("/")[-1]
         if n not in oracle:
+            if n in errors:
+                print(f"QUERYERR {n}: {errors[n]}"); fail += 1; continue
             sp = load_spark(outdir, n)
             print(f"NOORACLE {n} ({0 if sp is None else len(sp)} rows)"); noracle += 1
+    for n in sorted(errors):
+        if n not in oracle and not glob.glob(f"{outdir}/{n}/"):
+            print(f"QUERYERR {n}: {errors[n]}"); fail += 1
     print(f"\n{ok} ok, {fail} fail, {noracle} without oracle")
     sys.exit(1 if fail else 0)
 
