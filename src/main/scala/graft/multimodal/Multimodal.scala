@@ -432,6 +432,28 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "phash")
   }
 
+  /** (doc_id, frame_idx, phash) for a MIXED media stream: images
+    * contribute one signature at frame_idx 0 (direct decode → [[phash64]]),
+    * videos one per `stride`-sampled decodable frame (demux → per-frame
+    * decode), other kinds none. One partition-parallel pass — the
+    * incremental-ingest twin of [[framePhashes]], so a streaming batch of
+    * heterogeneous media needs a single signature extraction. */
+  def mediaPhashes(ds: Dataset[MediaRow], stride: Int = 1): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      r.kind match {
+        case "image" =>
+          decodeImage(r.media).map(img => (r.doc_id, 0, phash64(img))).iterator
+        case "video" =>
+          demux(r.media).filter(_._1 % stride == 0).flatMap { case (idx, _, fr) =>
+            decodeImage(fr).map(img => (r.doc_id, idx, phash64(img)))
+          }
+        case _ => Iterator.empty
+      }
+    }).toDF("doc_id", "frame_idx", "phash")
+  }
+
   /** Video near-dup pairs: two videos pair when at least `minFrames` of
     * their sampled frames match within Hamming≤2 — the frame signatures
     * go through the exact 3×21-bit pigeonhole banding

@@ -40,7 +40,8 @@ object SimHashBands {
   def bands(sims: DataFrame, idCol: String): DataFrame =
     bandsW(sims, idCol, Split56)
 
-  private def bandsW(sims: DataFrame, idCol: String, widths: Seq[Int]): DataFrame =
+  /** [[bands]] under an explicit 3-band widths split. */
+  def bandsW(sims: DataFrame, idCol: String, widths: Seq[Int]): DataFrame =
     sims.select(col(idCol), col("simhash"),
       posexplode(array(bandValW(col("simhash"), 0, widths),
         bandValW(col("simhash"), 1, widths), bandValW(col("simhash"), 2, widths))))

@@ -279,6 +279,85 @@ object Streams {
     batch.join(broadcast(histHits.union(intraHits).distinct()), Seq(idCol), "left_anti")
   }
 
+  /** Surviving SIGNATURE rows of a media micro-batch: a document drops
+    * when at least `minFrames` DISTINCT frames of it near-match — Hamming
+    * ≤ `maxDist` on the 63-bit pHash — committed frames in `history`, or
+    * frames of a smaller-id document in the same batch. Both inputs are
+    * (doc_id, frame_idx, phash); an image is the 1-frame case (frame_idx
+    * 0), so one gate covers images and videos.
+    *
+    * Join shape is [[nearDupFilter]]'s with the [[graft.operators
+    * .SimHashBands.Split63]] widths: the history side explodes to its band
+    * rows (a per-row map, NO shuffle) and streams through a broadcast-hash
+    * join against the batch's band rows; the Hamming check, the
+    * distinct-frame count, and the doc-level anti join all operate on
+    * batch-derived sides only. Frame keys pack (doc_id, frame_idx)
+    * doc-major into one long (frame_idx < 2^20), so intra-batch pair
+    * orientation `a < b` never splits a document pair. */
+  def mediaNearDupFilter(batchSigs: DataFrame, history: DataFrame,
+      minFrames: Int = 1, maxDist: Int = graft.operators.SimHashBands.MaxHamming)
+      : DataFrame = {
+    import graft.operators.SimHashBands
+    require(maxDist <= SimHashBands.MaxHamming,
+      s"3-band split is exhaustive only up to Hamming ${SimHashBands.MaxHamming}")
+    val sigs = batchSigs.select(
+      (col("doc_id") * lit(1048576L) + col("frame_idx")).as("fid"),
+      col("phash").as("simhash"))
+    val bb = SimHashBands.bandsW(sigs, "fid", SimHashBands.Split63)
+      .select(col("band"), col("band_val"), col("fid"), col("simhash").as("_bsim"))
+    val hb = SimHashBands.bandsW(
+      history.select(col("phash").as("_hid"), col("phash").as("simhash")),
+      "_hid", SimHashBands.Split63)
+    val histMatched = hb.join(broadcast(bb), Seq("band", "band_val"))
+      .where(bit_count(col("simhash").bitwiseXOR(col("_bsim"))) <= maxDist)
+      .select(col("fid"))
+    val intraMatched = SimHashBands
+      .hammingPairsW(sigs, "fid", maxDist, SimHashBands.Split63)
+      .where(expr("doc_a div 1048576") =!= expr("doc_b div 1048576"))
+      .select(col("doc_b").as("fid"))
+    val dropDocs = histMatched.union(intraMatched).distinct()
+      .groupBy(expr("fid div 1048576").as("doc_id"))
+      .agg(countDistinct(col("fid")).as("_nf"))
+      .where(col("_nf") >= minFrames)
+      .select(col("doc_id"))
+    batchSigs.join(broadcast(dropDocs), Seq("doc_id"), "left_anti")
+  }
+
+  /** Incremental near-dup ingest for IMAGE/VIDEO streams — the multimodal
+    * sibling of [[nearDupBucketedIngest]]: each micro-batch of media rows
+    * (doc_id, kind, media) is decoded and pHashed partition-parallel
+    * ([[graft.multimodal.Multimodal.mediaPhashes]]: images one signature,
+    * videos one per `stride`-sampled frame), gated by
+    * [[mediaNearDupFilter]] against every committed signature, and the
+    * surviving documents' signature rows commit as ONE bucketed
+    * transaction. Only 24-byte signatures are ever persisted or joined —
+    * the media bytes never leave the batch scan.
+    *
+    * Replay: a re-run batch finds each survivor at Hamming 0 of its own
+    * committed frames, so every document drops and no txn is claimed —
+    * raw history is exactly-once, same argument as the text sinks. */
+  def mediaNearDupIngest(stream: DataFrame, table: String,
+      schema: graft.core.MatSchema, buckets: Int, checkpoint: String,
+      stride: Int = 1, minFrames: Int = 1,
+      maxDist: Int = graft.operators.SimHashBands.MaxHamming)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(Seq("doc_id", "frame_idx", "phash").forall(schema.columnNames.contains),
+      "the table schema must persist (doc_id, frame_idx, phash)")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val media = batch.select(col("doc_id"), col("kind"), col("media"))
+          .as[graft.multimodal.Multimodal.MediaRow]
+        val sigs = graft.multimodal.Multimodal.mediaPhashes(media, stride)
+        val fresh = mediaNearDupFilter(sigs, spark.table(table), minFrames, maxDist)
+        graft.sources.BucketedGraft.append(spark, table, schema, fresh, buckets)
+        ()
+      }
+  }
+
   /** [[dedupedBucketedIngest]]'s near-dup sibling: each micro-batch keeps
     * only documents NOT within Hamming `maxDist` of any committed doc's
     * SimHash (nor of a smaller-id doc in the same batch) and commits the

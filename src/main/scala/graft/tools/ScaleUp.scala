@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Clone-scale a testdata sf directory by an integer factor, preserving
+  * join structure: every key column (PK and FK alike) is offset by
+  * `copy * KeyStride`, so each copy is a self-consistent shard and joins
+  * fan out exactly as the original — the scaled run's per-query time over
+  * the original's is the superlinearity probe the sf1 bench wants.
+  *
+  * Content columns are NOT cloned verbatim where identity would distort
+  * operator behavior at scale:
+  *   - documents.text gets a deterministic per-copy word substitution
+  *     (~1/3 of words tagged), so cross-copy shingle/fingerprint matches
+  *     vanish and the dedup family scales on real near-dup structure
+  *     instead of manufactured 10-way duplicate classes (intra-copy dup
+  *     structure is preserved untouched); n_chars is recomputed.
+  *   - embeddings.embedding dimension 0 is nudged by copy*1e-4, keeping
+  *     clones out of the exact-tie path while staying inside the same IVF
+  *     bucket geometry.
+  *
+  * region/nation stay fixed (they are dimension tables at every SF).
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor>
+  */
+object ScaleUp {
+  val KeyStride = 100000000L // > any base key; same stride for PK and FK
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args
+    val factor = factorS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def copies(t: String, keyCols: Seq[String],
+        perCopy: (DataFrame, Int) => DataFrame = (df, _) => df): DataFrame = {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      (0 until factor).map { c =>
+        val shifted = keyCols.foldLeft(base)((df, k) =>
+          df.withColumn(k, col(k) + lit(c * KeyStride)))
+        perCopy(shifted, c)
+      }.reduce(_ unionAll _)
+    }
+
+    def write(t: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaleup] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
+    }
+
+    write("region", spark.read.parquet(s"$src/region.parquet"))
+    write("nation", spark.read.parquet(s"$src/nation.parquet"))
+    write("customer", copies("customer", Seq("c_custkey")))
+    write("supplier", copies("supplier", Seq("s_suppkey")))
+    write("part", copies("part", Seq("p_partkey")))
+    write("orders", copies("orders", Seq("o_orderkey", "o_custkey")))
+    write("lineitem", copies("lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey")))
+    write("events", copies("events", Seq("event_id", "user_id")))
+    write("documents", copies("documents", Seq("doc_id"), (df, c) =>
+      if (c == 0) df
+      else df
+        .withColumn("text", concat_ws(" ", expr(
+          s"transform(split(text, ' '), w -> " +
+            s"if(pmod(hash(w), 3) = 0, concat(w, 'x$c'), w))")))
+        .withColumn("n_chars", length(col("text")).cast("long"))))
+    write("embeddings", copies("embeddings", Seq("vec_id"), (df, c) =>
+      if (c == 0) df
+      else df.withColumn("embedding", expr(
+        s"transform(embedding, (x, i) -> " +
+          s"if(i = 0, cast(x + ${c}e-4 as float), x))"))))
+    spark.stop()
+  }
+}

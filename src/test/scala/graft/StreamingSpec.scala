@@ -443,4 +443,93 @@ class StreamingSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
     BucketedGraft.drop(spark, table)
   }
+
+  test("media near-dup ingest: pHash gate for images and videos, exactly-once replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.{Dimension, MatSchema, ValueCol}
+    import graft.sources.BucketedGraft
+    import graft.multimodal.Multimodal
+    import MediaFixtures.{muxAvi, structuredFrame}
+    val table = "bg_media_ingest"
+    BucketedGraft.drop(spark, table)
+    val schema = MatSchema(Seq(Dimension("doc_id", 1000)),
+      Seq(ValueCol("frame_idx", org.apache.spark.sql.types.IntegerType),
+        ValueCol("phash")))
+    BucketedGraft.create(spark, table, schema, buckets = 4)
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-media-ingest").toString
+
+    val imgA = Multimodal.renderDocImage("the quick brown fox jumps over the dog")
+    val imgC = Multimodal.renderDocImage("a third distinct image payload entirely")
+    val imgD = Multimodal.renderDocImage("fresh fourth unseen image bytes")
+    val vid1 = muxAvi(Seq(structuredFrame(0), structuredFrame(7),
+      structuredFrame(13)), 40000, 64, 48)
+    // 3 of vid2's 4 frames are byte-identical to committed vid1 frames
+    val vid2 = muxAvi(Seq(structuredFrame(21), structuredFrame(0),
+      structuredFrame(7), structuredFrame(13)), 40000, 64, 48)
+
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val q = Streams.mediaNearDupIngest(
+      input.toDF().toDF("doc_id", "kind", "media"),
+      table, schema, buckets = 4, checkpoint = checkpoint).start()
+    try {
+      input.addData((1L, "image", imgA), (10L, "video", vid1))
+      q.processAllAvailable()
+      assert(spark.table(table).select("doc_id").distinct().count() === 2)
+      // batch 2: doc 3 is a brightness-jittered re-encode of committed
+      // imgA (pHash-invariant edit → Hamming 0 vs history); doc 5 jitters
+      // doc 4 within the batch (larger id loses); doc 6 is fresh; video 11
+      // shares 3 frames with committed video 10
+      input.addData(
+        (3L, "image", Multimodal.brightenPng(imgA, 16)),
+        (4L, "image", imgC),
+        (5L, "image", Multimodal.brightenPng(imgC, 16)),
+        (6L, "image", imgD),
+        (11L, "video", vid2))
+      q.processAllAvailable()
+      val landed = spark.table(table).select("doc_id").distinct()
+        .as[Long].collect().sorted
+      assert(landed.toSeq === Seq(1L, 4L, 6L, 10L))
+
+      // replay of batch 2: survivors are Hamming-0 to their own committed
+      // signatures, so the gate empties the batch and no txn is claimed
+      val next = BucketedGraft.nextTxnId(spark, table)
+      val replayMedia = Seq(
+        Multimodal.MediaRow(3L, "image", Multimodal.brightenPng(imgA, 16)),
+        Multimodal.MediaRow(4L, "image", imgC),
+        Multimodal.MediaRow(5L, "image", Multimodal.brightenPng(imgC, 16)),
+        Multimodal.MediaRow(6L, "image", imgD),
+        Multimodal.MediaRow(11L, "video", vid2)).toDS()
+      val replaySigs = Multimodal.mediaPhashes(replayMedia)
+      val fresh = Streams.mediaNearDupFilter(replaySigs, spark.table(table))
+      assert(fresh.count() === 0L)
+      assert(BucketedGraft.append(spark, table, schema, fresh, 4) === None)
+      assert(BucketedGraft.nextTxnId(spark, table) === next)
+
+      // minFrames semantics: vid2 matches only 3 committed frames, so a
+      // 4-frame threshold lets it through while doc 3 (1 of 1 frame
+      // matched… but below the 4-frame bar) also survives — the knob is
+      // per-DOCUMENT distinct matched frames
+      val survive4 = Streams.mediaNearDupFilter(
+        replaySigs, spark.table(table), minFrames = 4)
+      assert(survive4.select("doc_id").distinct().as[Long].collect().sorted
+        .toSeq === Seq(3L, 4L, 5L, 6L, 11L))
+    } finally q.stop()
+
+    // scale shape: the committed-signature side explodes to band rows as a
+    // per-row map and is NEVER exchanged — every join broadcasts a
+    // batch-derived side (parquet-backed batch so AQE can't fold it away)
+    val bdir = java.nio.file.Files.createTempDirectory("graft-media-batch").toString
+    Seq((21L, "image", Multimodal.brightenPng(imgD, 16)),
+      (22L, "image", Multimodal.renderDocImage("genuinely novel content")))
+      .toDF("doc_id", "kind", "media").write.parquet(s"$bdir/b")
+    val batchSigs = Multimodal.mediaPhashes(
+      spark.read.parquet(s"$bdir/b").as[Multimodal.MediaRow])
+    val filteredM = Streams.mediaNearDupFilter(batchSigs, spark.table(table))
+    assert(filteredM.select("doc_id").distinct().as[Long].collect().toSeq === Seq(22L))
+    val planM = graft.core.TestSpark.finalPlan(filteredM)
+    assert(!planM.contains("SortMergeJoin") && !planM.contains("ShuffledHashJoin"), planM)
+    assert("BroadcastHashJoin".r.findAllIn(planM).size >= 2, planM)
+    BucketedGraft.drop(spark, table)
+  }
 }
