@@ -903,6 +903,77 @@ object Pipeline {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // incremental media near-dup GATE (streaming.Streams.mediaNearDupFilter
+    // — the batch-vs-committed-history decision the mediaNearDupIngest sink
+    // applies per micro-batch): a batch document drops when ≥ minFrames
+    // DISTINCT frames of it near-match (Hamming ≤ 2 on the 63-bit pHash)
+    // history frames or frames of a smaller-id batch document. Each doc
+    // renders 3 frames (REAL PNG encode → ImageIO decode → DCT pHash — not
+    // SQL-replayable, so signatures are a parquet FIXTURE, q93's pattern);
+    // planted variants exercise every branch: 2 brightness-jittered frames
+    // of a history doc (→ drop), 1 of a history doc (→ survive at
+    // minFrames=2), 2 of a smaller-id batch doc (→ intra-batch drop). The
+    // oracle brute-forces the same decision over the fixture — proving the
+    // banded candidate join exhaustive, exactly like q93. Scale shape: the
+    // history side explodes to band rows as a per-row map (never
+    // shuffled); every join broadcasts a batch-derived side.
+    Entry("q99_media_neardup", Some {
+      val fix = s"${Q.fixture("q99-mnd")}/sigs/*.parquet"
+      s"""WITH s AS (SELECT doc_id, frame_idx, phash, hist FROM read_parquet('$fix')),
+         |b AS (SELECT doc_id, frame_idx, phash FROM s WHERE NOT hist),
+         |h AS (SELECT phash FROM s WHERE hist),
+         |hm AS (SELECT DISTINCT b.doc_id, b.frame_idx FROM b JOIN h
+         |         ON bit_count(xor(b.phash, h.phash)) <= 2),
+         |im AS (SELECT DISTINCT b.doc_id, b.frame_idx FROM b JOIN b b2
+         |         ON b2.doc_id < b.doc_id
+         |        AND bit_count(xor(b.phash, b2.phash)) <= 2),
+         |drops AS (SELECT doc_id
+         |          FROM (SELECT * FROM hm UNION SELECT * FROM im) u
+         |          GROUP BY doc_id HAVING count(*) >= 2)
+         |SELECT doc_id, frame_idx, phash FROM b
+         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY doc_id, frame_idx""".stripMargin
+    }) { (s, d) =>
+      import graft.multimodal.Multimodal
+      val fixDir = Q.fixture("q99-mnd")
+      graft.core.Storage.deleteRecursively(fixDir)
+      import s.implicits._
+      val sigs = table(s, d, "documents")
+        .where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          def ph(b: Array[Byte]) =
+            Multimodal.decodeImage(b).map(Multimodal.phash64).getOrElse(0L)
+          def render(tag: String) = Multimodal.renderDocImage(text + tag)
+          val pngs = (0 until 3).map(i => render(s" #f$i"))
+          val hist = id % 10 == 0 // corpus is doc_id % 5 == 0: half hist, half batch
+          val base = pngs.zipWithIndex.map { case (p, i) => (id, i, ph(p), hist) }
+          def jit(i: Int) = ph(Multimodal.brightenPng(pngs(i), 16))
+          val planted =
+            if (id % 40 == 0) // hist doc → 2 jittered frames: drops
+              Seq((id + 10000000L, 0, jit(0), false),
+                (id + 10000000L, 1, jit(1), false),
+                (id + 10000000L, 2, ph(render(" #px")), false))
+            else if (id % 40 == 20) // hist doc → 1 jittered frame: survives
+              Seq((id + 10000000L, 0, jit(0), false),
+                (id + 10000000L, 1, ph(render(" #py1")), false),
+                (id + 10000000L, 2, ph(render(" #py2")), false))
+            else if (id % 40 == 5) // batch doc → larger-id clone: intra drop
+              Seq((id + 20000000L, 0, jit(0), false),
+                (id + 20000000L, 1, jit(1), false),
+                (id + 20000000L, 2, ph(render(" #pz")), false))
+            else Seq.empty
+          base ++ planted
+        }).toDF("doc_id", "frame_idx", "phash", "hist")
+      // no coalesce: the oracle globs *.parquet (q93's render-parallel note)
+      sigs.write.mode("overwrite").parquet(fixDir.resolve("sigs").toString)
+      val sv = s.read.parquet(fixDir.resolve("sigs").toString)
+      graft.streaming.Streams.mediaNearDupFilter(
+          sv.where(!col("hist")).drop("hist"),
+          sv.where(col("hist")).drop("hist"), minFrames = 2)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     // embedding-cosine near-dup: for every vector, its most-similar
     // neighbor WITHIN its 16-bit hyperplane-LSH bucket (exact cosine on the
     // bucketed candidates; a threshold on `score` is the dedup decision).
