@@ -14,8 +14,10 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
   *     implementations live in [[graft.core]] / [[graft.sources]].
   *   - [[graft.queries.Relational]] q06-q39, q54, q58-q60, q74: full
   *     relational checklist incl. pivot/unpivot and both top-k UDAF tiers.
-  *   - [[graft.queries.Pipeline]]   q40-q60: LLM-data-pipeline operators
-  *     (text analysis, dedup family, similarity search, multimodal).
+  *   - [[graft.queries.Pipeline]]   q40-q60, q75, q78, q83-q84, q88,
+  *     q90, q93-q100: LLM-data-pipeline operators (text analysis, dedup
+  *     family, similarity search incl. IVF-PQ, multimodal pHash, Gopher
+  *     rules, BPE, SemDeDup batch + streaming gates, media near-dup).
   *   - [[graft.queries.Curation]]   q61-q72, q79-q81: curation/batch prep
   *     (sampling, sessions, scrubbing, repetition, caps, stats, TF-IDF,
   *     decontamination, passage dedup, Zipf, embedding profile,

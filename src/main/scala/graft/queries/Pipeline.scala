@@ -849,6 +849,96 @@ object Pipeline {
         .orderBy(col("qid"), col("rn"))
     },
 
+    // incremental SEMANTIC dedup gate (streaming.Streams
+    // .semanticNoveltyFilter — the per-micro-batch decision
+    // semanticBucketedIngest applies): a batch vector drops when cosine ≥
+    // 0.999 against any committed vector sharing a probed IVF bucket
+    // (nprobe=2), or against a smaller-id batch vector in its primary
+    // bucket — streaming SemDeDup against all history. History carries its
+    // bucket from ingest (persisted in the fixture exactly as the sink
+    // persists it); planted jitters cover both drop paths and the
+    // survive path. Centroids, history, and the augmented batch are all
+    // parquet fixtures (training is not SQL-replayable — q78's pattern);
+    // assignment, probe selection, and the cosine fold replay exactly.
+    Entry("q100_stream_semdedup", Some {
+      val root = s"${Q.fixture("q100-ssd")}"
+      s"""WITH cent AS (SELECT bucket, weights FROM read_parquet('$root/centroids/*.parquet')),
+         |h AS (SELECT vec_id, embedding, bucket FROM read_parquet('$root/hist/*.parquet')),
+         |b AS (SELECT vec_id, embedding FROM read_parquet('$root/batch/*.parquet')),
+         |dots AS (SELECT e.vec_id, c.bucket,
+         |                list_reduce(list_transform(range(1, 65), i ->
+         |                  e.embedding[i] * c.weights[i]), (x, y) -> x + y) AS d
+         |         FROM b e CROSS JOIN cent c),
+         |dlt AS (SELECT vec_id, list(d ORDER BY bucket) AS dl FROM dots GROUP BY vec_id),
+         |assigned AS (SELECT e.vec_id, e.embedding, l.dl,
+         |                    list_position(l.dl, list_max(l.dl)) - 1 AS bucket
+         |             FROM b e JOIN dlt l USING (vec_id)),
+         |probes AS (SELECT vec_id AS qid, embedding AS qe,
+         |                  unnest(list_distinct(list_value(bucket,
+         |                    COALESCE(list_position(dl, list_max(list_filter(dl,
+         |                      x -> x <> list_max(dl)))) - 1, bucket)))) AS bucket
+         |           FROM assigned),
+         |hh AS (SELECT DISTINCT p.qid FROM probes p JOIN h
+         |         ON h.bucket = p.bucket
+         |        WHERE ${dotSql("h.embedding", "p.qe")} /
+         |              sqrt(${dotSql("h.embedding", "h.embedding")} *
+         |                   ${dotSql("p.qe", "p.qe")}) >= 0.999),
+         |ih AS (SELECT DISTINCT y.vec_id AS qid
+         |       FROM assigned x JOIN assigned y
+         |         ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |        WHERE ${dotSql("x.embedding", "y.embedding")} /
+         |              sqrt(${dotSql("x.embedding", "x.embedding")} *
+         |                   ${dotSql("y.embedding", "y.embedding")}) >= 0.999)
+         |SELECT vec_id FROM b
+         |WHERE vec_id NOT IN (SELECT qid FROM hh UNION SELECT qid FROM ih)
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.IvfIndex
+      graft.functions.VectorOps.register(s)
+      val fixDir = Q.fixture("q100-ssd")
+      graft.core.Storage.deleteRecursively(fixDir)
+      val emb = table(s, d, "embeddings")
+      val trained = IvfIndex.train(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", k = 8, iters = 2)
+      locally {
+        import s.implicits._
+        trained.zipWithIndex.map { case (c, bk) => (bk, c.toSeq) }.toSeq
+          .toDF("bucket", "weights").coalesce(1)
+          .write.mode("overwrite").parquet(fixDir.resolve("centroids").toString)
+      }
+      val w = s.read.parquet(fixDir.resolve("centroids").toString)
+        .orderBy(col("bucket")).collect().map(_.getSeq[Double](1))
+      val dl = array(w.map(c => dotD(col("embedding"), typedlit(c.toSeq))).toSeq: _*)
+      val base = emb.select(col("vec_id"), embD(col("embedding")).as("embedding"))
+      // history = even ids, bucket persisted with the SAME assignment rule
+      // the ingest sink uses
+      base.where(col("vec_id") % 2 === 0)
+        .withColumn("_dl", dl)
+        .withColumn("bucket", expr("array_position(_dl, array_max(_dl)) - 1"))
+        .drop("_dl")
+        .write.mode("overwrite").parquet(fixDir.resolve("hist").toString)
+      // batch = odd ids + planted jitters (q96's deterministic transform):
+      // a jitter of a committed even id (drops via history), and an
+      // identical jitter PAIR of a batch odd id (larger ids lose to the
+      // smaller-id original intra-batch; the original survives)
+      def jitter(src: org.apache.spark.sql.DataFrame, offset: Long) = src
+        .select((col("vec_id") + lit(offset)).as("vec_id"),
+          expr("transform(embedding, (x, i) -> " +
+            "x + (CAST((vec_id * 31 + i) % 7 AS DOUBLE) - 3.0) * 0.0005)")
+            .as("embedding"))
+      val odd = base.where(col("vec_id") % 2 === 1)
+      odd.unionAll(jitter(base.where(col("vec_id") % 20 === 0), 10000000L))
+        .unionAll(jitter(odd.where(col("vec_id") % 20 === 1), 20000000L))
+        .unionAll(jitter(odd.where(col("vec_id") % 20 === 1), 30000000L))
+        .write.mode("overwrite").parquet(fixDir.resolve("batch").toString)
+      graft.streaming.Streams.semanticNoveltyFilter(
+          s.read.parquet(fixDir.resolve("batch").toString),
+          s.read.parquet(fixDir.resolve("hist").toString),
+          "vec_id", "embedding", w.toSeq.map(_.toSeq), tau = 0.999, nprobe = 2)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+
     // image near-dup via perceptual hash: documents rendered to 64×64 PNGs
     // (no image corpus ships with the test data), decoded by the REAL
     // ImageIO reader, pHashed (multimodal.Multimodal.phash64: 32×32 gray →

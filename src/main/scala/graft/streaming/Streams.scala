@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.core.MatDb
@@ -277,6 +277,103 @@ object Streams {
     val intraHits = SimHashBands.hammingPairs(sigs, idCol, maxDist)
       .select(col("doc_b").as(idCol))
     batch.join(broadcast(histHits.union(intraHits).distinct()), Seq(idCol), "left_anti")
+  }
+
+  /** Rows of `batch` with no committed SEMANTIC near-duplicate — cosine ≥
+    * `tau` against any history vector sharing a probed IVF bucket — and no
+    * smaller-id near-dup in the batch's own primary buckets: streaming
+    * SemDeDup (Abbas et al. 2023, the q96 batch operator) against all
+    * committed history.
+    *
+    * `history` must carry its IVF `bucket` from ingest (an 8-byte column;
+    * [[semanticBucketedIngest]] persists it); the batch assigns itself and
+    * probes its `nprobe` nearest buckets via the driver-sized centroid
+    * table riding the closure. Scale shape: the history side is NEVER
+    * shuffled — it streams through one broadcast-hash join against the
+    * batch's probe rows; per-bucket all-pairs happens only INSIDE the
+    * batch (SemDeDup's own bounded-cluster trade). Partition the history
+    * table by `bucket` to turn the probe into partition pruning on top.
+    *
+    * Exact within its candidate set: cosine is the same IEEE left-fold
+    * both engines run (VectorOps), so the q100 oracle replays the full
+    * decision from persisted fixtures. */
+  def semanticNoveltyFilter(batch: DataFrame, history: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[Seq[Double]], tau: Double,
+      nprobe: Int = 2): DataFrame = {
+    require(nprobe == 1 || nprobe == 2, s"nprobe must be 1 or 2, got $nprobe")
+    graft.functions.VectorOps.register(batch.sparkSession)
+    import graft.functions.VectorOps.dotCol
+    def emb(c: Column) = c.cast("array<double>")
+    def cosine(a: Column, b: Column) =
+      dotCol(a, b) / sqrt(dotCol(a, a) * dotCol(b, b))
+    val dl = array(centroids.map(c => dotCol(emb(col(vecCol)), typedlit(c))): _*)
+    val assigned = batch.withColumn("_dl", dl)
+      .withColumn("_bucket", expr("array_position(_dl, array_max(_dl)) - 1"))
+    val probed =
+      if (nprobe == 1) assigned.withColumn("bucket", col("_bucket"))
+      else assigned.withColumn("_b2", coalesce(
+          expr("array_position(_dl, array_max(filter(_dl, x -> x != array_max(_dl)))) - 1"),
+          col("_bucket")))
+        .withColumn("bucket",
+          explode(array_distinct(array(col("_bucket"), col("_b2")))))
+    val q = probed.select(col(idCol).as("_qid"), emb(col(vecCol)).as("_qv"),
+      col("bucket"))
+    // no same-id exclusion on the history side: anything committed IS
+    // history, including a batch row's own copy — that identity is what
+    // makes a crash-replayed batch drop to empty (exactly-once raw
+    // history), same as the exact and SimHash novelty filters
+    val histHits = history.join(broadcast(q), Seq("bucket"))
+      .where(cosine(emb(col(vecCol)), col("_qv")) >= tau)
+      .select(col("_qid").as(idCol))
+    val a = assigned.select(col(idCol).as("_ia"), emb(col(vecCol)).as("_va"),
+      col("_bucket"))
+    val b = assigned.select(col(idCol).as("_ib"), emb(col(vecCol)).as("_vb"),
+      col("_bucket"))
+    val intraHits = a.join(b, Seq("_bucket"))
+      .where(col("_ia") < col("_ib") && cosine(col("_va"), col("_vb")) >= tau)
+      .select(col("_ib").as(idCol))
+    batch.join(broadcast(histHits.union(intraHits).distinct()), Seq(idCol), "left_anti")
+  }
+
+  /** Incremental SEMANTIC dedup ingest — the embedding-space member of the
+    * sink family (exact [[dedupedBucketedIngest]], SimHash
+    * [[nearDupBucketedIngest]], media [[mediaNearDupIngest]]): each
+    * micro-batch keeps only vectors with no committed cosine-near-dup
+    * ([[semanticNoveltyFilter]]) and commits survivors as one bucketed
+    * transaction WITH their IVF bucket, so every future batch's candidate
+    * join reads history buckets instead of re-assigning the corpus. The
+    * centroid table is trained offline (IvfIndex.train) and rides the
+    * closure, k×dim doubles.
+    *
+    * Replay: a re-run batch meets its own committed vectors at cosine
+    * exactly 1.0 ≥ tau (identical operands, identical fold), so every row
+    * drops and no txn is claimed — raw history exactly-once. */
+  def semanticBucketedIngest(stream: DataFrame, table: String,
+      schema: graft.core.MatSchema, buckets: Int, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]], tau: Double,
+      checkpoint: String, nprobe: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(schema.columnNames.contains("bucket"),
+      "the table schema must persist the 'bucket' column")
+    require(schema.columnNames.contains(vecCol),
+      s"the table schema must persist the '$vecCol' column")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.functions.VectorOps.dotCol
+        val fresh = semanticNoveltyFilter(batch, spark.table(table),
+          idCol, vecCol, centroids, tau, nprobe)
+        val dl = array(centroids.map(c =>
+          dotCol(col(vecCol).cast("array<double>"), typedlit(c))): _*)
+        val withBucket = fresh.withColumn("_dl", dl)
+          .withColumn("bucket", expr("array_position(_dl, array_max(_dl)) - 1"))
+          .withColumn(vecCol, col(vecCol).cast("array<double>"))
+          .drop("_dl")
+        graft.sources.BucketedGraft.append(spark, table, schema, withBucket, buckets)
+        ()
+      }
   }
 
   /** Surviving SIGNATURE rows of a media micro-batch: a document drops

@@ -444,6 +444,78 @@ class StreamingSpec extends AnyFunSuite {
     BucketedGraft.drop(spark, table)
   }
 
+  test("semantic ingest: cosine gate vs committed history, exactly-once replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.{Dimension, MatSchema, ValueCol}
+    import graft.sources.BucketedGraft
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val table = "bg_sem_ingest"
+    BucketedGraft.drop(spark, table)
+    val schema = MatSchema(Seq(Dimension("vec_id", 1000)),
+      Seq(ValueCol("bucket"), ValueCol("embedding", ArrayType(DoubleType))))
+    BucketedGraft.create(spark, table, schema, buckets = 4)
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-sem-ingest").toString
+
+    // two well-separated clusters in 4 dims; centroids trained offline on
+    // a seed sample, riding the sink's closure like a production deploy
+    val seed = Seq((0L, Seq(1.0, 0.01, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.02, 0.0)),
+      (2L, Seq(0.99, 0.0, 0.01, 0.0)), (3L, Seq(0.01, 0.98, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val centroids = graft.operators.IvfIndex
+      .train(seed, "vec_id", "embedding", k = 2, iters = 2).toSeq.map(_.toSeq)
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.semanticBucketedIngest(
+      input.toDF().toDF("vec_id", "embedding"), table, schema, buckets = 4,
+      idCol = "vec_id", vecCol = "embedding", centroids = centroids,
+      tau = 0.999, checkpoint = checkpoint).start()
+    try {
+      input.addData((10L, Seq(1.0, 0.01, 0.0, 0.0)), (11L, Seq(0.0, 1.0, 0.02, 0.0)))
+      q.processAllAvailable()
+      assert(spark.table(table).select("vec_id").distinct().count() === 2)
+      // batch 2: 12 is a jitter of committed 10 (cosine ≈ 1 → drops);
+      // 13 is genuinely novel (orthogonal-ish) and lands; 14 jitters 13
+      // within the same batch (larger id loses intra-batch)
+      input.addData(
+        (12L, Seq(1.0001, 0.0100, 0.00005, 0.0)),
+        (13L, Seq(0.0, 0.0, 0.0, 1.0)),
+        (14L, Seq(0.00002, 0.0, 0.0, 0.9999)))
+      q.processAllAvailable()
+      val landed = spark.table(table).select("vec_id").as[Long].collect().sorted
+      assert(landed.toSeq === Seq(10L, 11L, 13L))
+      // persisted bucket matches the closure assignment rule (history is
+      // bucket-addressable for every future batch)
+      assert(spark.table(table).where($"bucket".isNull).count() === 0)
+
+      // replay of batch 2: survivors meet their own committed copy at
+      // cosine exactly 1.0 — gate empties the batch, no txn claimed
+      val next = BucketedGraft.nextTxnId(spark, table)
+      val replay = Seq((12L, Seq(1.0001, 0.0100, 0.00005, 0.0)),
+        (13L, Seq(0.0, 0.0, 0.0, 1.0)),
+        (14L, Seq(0.00002, 0.0, 0.0, 0.9999))).toDF("vec_id", "embedding")
+      val fresh = Streams.semanticNoveltyFilter(replay, spark.table(table),
+        "vec_id", "embedding", centroids, tau = 0.999)
+      assert(fresh.count() === 0L)
+      assert(BucketedGraft.append(spark, table, schema, fresh
+        .withColumn("bucket", org.apache.spark.sql.functions.lit(0L)), 4) === None)
+      assert(BucketedGraft.nextTxnId(spark, table) === next)
+    } finally q.stop()
+
+    // scale shape: the history side streams through one broadcast join
+    // un-exchanged; only batch-derived sides shuffle or broadcast
+    val bdir = java.nio.file.Files.createTempDirectory("graft-sem-batch").toString
+    Seq((21L, Seq(1.0, 0.0101, 0.0, 0.0)), (22L, Seq(0.5, 0.0, 0.5, 0.70)))
+      .toDF("vec_id", "embedding").write.parquet(s"$bdir/b")
+    val filteredS = Streams.semanticNoveltyFilter(
+      spark.read.parquet(s"$bdir/b"), spark.table(table),
+      "vec_id", "embedding", centroids, tau = 0.999)
+    assert(filteredS.select("vec_id").as[Long].collect().toSeq === Seq(22L))
+    val planS = graft.core.TestSpark.finalPlan(filteredS)
+    assert(!planS.contains("SortMergeJoin") && !planS.contains("ShuffledHashJoin"), planS)
+    BucketedGraft.drop(spark, table)
+  }
+
   test("media near-dup ingest: pHash gate for images and videos, exactly-once replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
