@@ -137,7 +137,8 @@ object Streams {
     * every Nth batch) or with the stream stopped: compact rewrites the
     * snapshot it read, and while it aborts when it detects a transaction
     * committed under it, the detect-then-overwrite window cannot be fully
-    * closed at a last-writer-wins metastore. */
+    * closed at a last-writer-wins metastore. The dedup ingest sinks
+    * expose exactly that policy as their `compactEvery` parameter. */
   def bucketedSink(stream: DataFrame, table: String, schema: graft.core.MatSchema,
       buckets: Int, checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -170,6 +171,22 @@ object Streams {
         graft.sources.RangedGraft.append(batch.sparkSession, path, schema, batch)
         ()
       }
+
+
+  /** Shared by the bucketed ingest sinks: fold the raw transaction log
+    * into one compacted txn every `compactEvery` micro-batches, INSIDE the
+    * sink's own foreachBatch — the one place BucketedGraft.compact's
+    * concurrency contract blesses, because the sink is the table's single
+    * writer and a batch is its serialization point. Dedup semantics
+    * survive compaction: every sink lands a row at most once, so the
+    * newest-wins fold preserves exactly the committed
+    * fingerprint/signature/vector set the next batch joins against.
+    * compactEvery = 0 disables (the default). */
+  private def maybeCompact(spark: SparkSession, table: String,
+      schema: graft.core.MatSchema, buckets: Int, batchId: Long,
+      compactEvery: Int): Unit =
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      graft.sources.BucketedGraft.compact(spark, table, schema, buckets)
 
   /** Rows of `batch` whose `fpCol` value never occurs in `history` — the
     * dedup-against-corpus join, shaped for a history side many orders of
@@ -227,14 +244,14 @@ object Streams {
     * trade (~n²/2⁶⁵ corpus-wide; negligible below ~10⁹ docs). */
   def dedupedBucketedIngest(stream: DataFrame, table: String,
       schema: graft.core.MatSchema, buckets: Int, textCol: String,
-      fpCol: String, checkpoint: String)
+      fpCol: String, checkpoint: String, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(schema.columnNames.contains(fpCol),
       s"fingerprint column '$fpCol' must be part of the table schema")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         graft.functions.Fingerprint64.register(spark) // idempotent
         val fped = batch
@@ -242,7 +259,7 @@ object Streams {
           .dropDuplicates(fpCol)
         val fresh = noveltyFilter(fped, spark.table(table), fpCol)
         graft.sources.BucketedGraft.append(spark, table, schema, fresh, buckets)
-        ()
+        maybeCompact(spark, table, schema, buckets, batchId, compactEvery)
       }
   }
 
@@ -351,7 +368,7 @@ object Streams {
   def semanticBucketedIngest(stream: DataFrame, table: String,
       schema: graft.core.MatSchema, buckets: Int, idCol: String,
       vecCol: String, centroids: Seq[Seq[Double]], tau: Double,
-      checkpoint: String, nprobe: Int = 2)
+      checkpoint: String, nprobe: Int = 2, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(schema.columnNames.contains("bucket"),
       "the table schema must persist the 'bucket' column")
@@ -360,7 +377,7 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import graft.functions.VectorOps.dotCol
         val fresh = semanticNoveltyFilter(batch, spark.table(table),
@@ -372,7 +389,7 @@ object Streams {
           .withColumn(vecCol, col(vecCol).cast("array<double>"))
           .drop("_dl")
         graft.sources.BucketedGraft.append(spark, table, schema, withBucket, buckets)
-        ()
+        maybeCompact(spark, table, schema, buckets, batchId, compactEvery)
       }
   }
 
@@ -436,14 +453,15 @@ object Streams {
   def mediaNearDupIngest(stream: DataFrame, table: String,
       schema: graft.core.MatSchema, buckets: Int, checkpoint: String,
       stride: Int = 1, minFrames: Int = 1,
-      maxDist: Int = graft.operators.SimHashBands.MaxHamming)
+      maxDist: Int = graft.operators.SimHashBands.MaxHamming,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(Seq("doc_id", "frame_idx", "phash").forall(schema.columnNames.contains),
       "the table schema must persist (doc_id, frame_idx, phash)")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
         val media = batch.select(col("doc_id"), col("kind"), col("media"))
@@ -451,7 +469,7 @@ object Streams {
         val sigs = graft.multimodal.Multimodal.mediaPhashes(media, stride)
         val fresh = mediaNearDupFilter(sigs, spark.table(table), minFrames, maxDist)
         graft.sources.BucketedGraft.append(spark, table, schema, fresh, buckets)
-        ()
+        maybeCompact(spark, table, schema, buckets, batchId, compactEvery)
       }
   }
 
@@ -469,14 +487,15 @@ object Streams {
   def nearDupBucketedIngest(stream: DataFrame, table: String,
       schema: graft.core.MatSchema, buckets: Int, textCol: String,
       idCol: String, checkpoint: String,
-      maxDist: Int = graft.operators.SimHashBands.MaxHamming)
+      maxDist: Int = graft.operators.SimHashBands.MaxHamming,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(schema.columnNames.contains("simhash"),
       "the table schema must persist the 'simhash' column")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         graft.functions.TextOps.register(spark) // idempotent
         val sigged = batch.withColumn("simhash",
@@ -484,7 +503,7 @@ object Streams {
           .where(col("simhash").isNotNull)
         val fresh = nearDupFilter(sigged, spark.table(table), idCol, maxDist)
         graft.sources.BucketedGraft.append(spark, table, schema, fresh, buckets)
-        ()
+        maybeCompact(spark, table, schema, buckets, batchId, compactEvery)
       }
   }
 }

@@ -444,6 +444,42 @@ class StreamingSpec extends AnyFunSuite {
     BucketedGraft.drop(spark, table)
   }
 
+  test("ingest auto-compaction bounds txn partitions without losing dedup history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.{Dimension, MatSchema, ValueCol}
+    import graft.sources.BucketedGraft
+    import org.apache.spark.sql.types.StringType
+    val table = "bg_compact_ingest"
+    graft.functions.Fingerprint64.register(spark)
+    BucketedGraft.drop(spark, table)
+    val schema = MatSchema(Seq(Dimension("doc_id", 1000)),
+      Seq(ValueCol("fp"), ValueCol("text", StringType)))
+    BucketedGraft.create(spark, table, schema, buckets = 4)
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-compact-ingest").toString
+
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.dedupedBucketedIngest(input.toDF().toDF("doc_id", "text"),
+      table, schema, buckets = 4, textCol = "text", fpCol = "fp", checkpoint,
+      compactEvery = 2).start()
+    try {
+      input.addData((1L, "alpha")); q.processAllAvailable()            // batch 0
+      input.addData((2L, "beta")); q.processAllAvailable()             // batch 1
+      input.addData((3L, "gamma"), (4L, "delta")); q.processAllAvailable() // batch 2 + compact
+      // the fold collapsed batches 0-2 (+ the compaction txn) into ONE
+      // live txn partition; batch 3 then lands on top of it
+      val txnsAfterCompact = spark.table(table)
+        .select(col("_txn_id")).distinct().count()
+      assert(txnsAfterCompact === 1L, s"expected 1 txn after compact, got $txnsAfterCompact")
+      input.addData((5L, "epsilon"), (6L, "alpha")); q.processAllAvailable() // batch 3
+      // dedup still holds against the COMPACTED history: "alpha" dropped
+      val texts = spark.table(table).select("text").as[String].collect().sorted
+      assert(texts.toSeq === Seq("alpha", "beta", "delta", "epsilon", "gamma"))
+      assert(spark.table(table).select(col("_txn_id")).distinct().count() === 2L)
+    } finally q.stop()
+    BucketedGraft.drop(spark, table)
+  }
+
   test("semantic ingest: cosine gate vs committed history, exactly-once replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
