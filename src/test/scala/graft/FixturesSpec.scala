@@ -20,23 +20,28 @@ import graft.queries.Q
   */
 class FixturesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+  private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1").filter(d => new java.io.File(d).isDirectory)
   private val sf = "/root/testdata/sf0.001"
 
-  /** null dataType in `want` = "any timestamp flavor". */
-  private def check(table: String, want: Seq[(String, DataType)]): Unit = {
-    val got = Q.table(spark, sf, table).schema
-    assert(got.fieldNames.toSeq === want.map(_._1),
-      s"$table columns drifted: fixture now loads as ${got.simpleString}")
-    want.foreach {
-      case (name, null) =>
-        val dt = got(name).dataType
-        assert(dt == TimestampType || dt == TimestampNTZType,
-          s"$table.$name expected a timestamp flavor, fixture now loads as $dt")
-      case (name, dt) =>
-        assert(got(name).dataType == dt,
-          s"$table.$name expected $dt, fixture now loads as ${got(name).dataType}")
+  /** null dataType in `want` = "any timestamp flavor". Checked at every
+    * generated scale factor — the driver regenerates them together, but a
+    * partial regeneration would otherwise slip the guard. */
+  private def check(table: String, want: Seq[(String, DataType)]): Unit =
+    sfDirs.foreach { dir =>
+      val got = Q.table(spark, dir, table).schema
+      assert(got.fieldNames.toSeq === want.map(_._1),
+        s"$dir/$table columns drifted: fixture now loads as ${got.simpleString}")
+      want.foreach {
+        case (name, null) =>
+          val dt = got(name).dataType
+          assert(dt == TimestampType || dt == TimestampNTZType,
+            s"$dir/$table.$name expected a timestamp flavor, fixture now loads as $dt")
+        case (name, dt) =>
+          assert(got(name).dataType == dt,
+            s"$dir/$table.$name expected $dt, fixture now loads as ${got(name).dataType}")
+      }
     }
-  }
 
   test("all battery tables load with the schemas the queries assume") {
     check("region", Seq("r_regionkey" -> IntegerType, "r_name" -> StringType))
