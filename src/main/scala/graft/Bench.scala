@@ -56,7 +56,16 @@ object Bench {
     // min so steal-noise episodes are visible after the fact.
     try {
       val sfName = new java.io.File(sfDir).getName
-      val dir = java.nio.file.Paths.get("bench")
+      // resolve the bench dir from an explicit root, not the process CWD —
+      // a bench launched from elsewhere used to drop its artifact wherever
+      // the JVM happened to start (or silently lose it on a read-only CWD)
+      val dir = sys.env.get("SPARK_GRAFT_BENCH_DIR")
+        .map(java.nio.file.Paths.get(_))
+        .orElse(sys.env.get("SPARK_GRAFT_REPO_ROOT")
+          .map(java.nio.file.Paths.get(_, "bench")))
+        .getOrElse(java.nio.file.Paths.get("bench"))
+        .toAbsolutePath
+      System.err.println(s"[bench] persisting per-query map under $dir")
       java.nio.file.Files.createDirectories(dir)
       val passesJson = samples.map(p =>
         names.map(n => "\"" + n + "\":" + p(n)).mkString("{", ",", "}"))

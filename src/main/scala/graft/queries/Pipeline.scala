@@ -853,8 +853,9 @@ object Pipeline {
     // .semanticNoveltyFilter — the per-micro-batch decision
     // semanticBucketedIngest applies): a batch vector drops when cosine ≥
     // 0.999 against any committed vector sharing a probed IVF bucket
-    // (nprobe=2), or against a smaller-id batch vector in its primary
-    // bucket — streaming SemDeDup against all history. History carries its
+    // (nprobe=2), or against a smaller-id batch vector whose primary
+    // bucket it probes (the same probe rule as the history check) —
+    // streaming SemDeDup against all history. History carries its
     // bucket from ingest (persisted in the fixture exactly as the sink
     // persists it); planted jitters cover both drop paths and the
     // survive path. Centroids, history, and the augmented batch are all
@@ -883,12 +884,12 @@ object Pipeline {
          |        WHERE ${dotSql("h.embedding", "p.qe")} /
          |              sqrt(${dotSql("h.embedding", "h.embedding")} *
          |                   ${dotSql("p.qe", "p.qe")}) >= 0.999),
-         |ih AS (SELECT DISTINCT y.vec_id AS qid
-         |       FROM assigned x JOIN assigned y
-         |         ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-         |        WHERE ${dotSql("x.embedding", "y.embedding")} /
+         |ih AS (SELECT DISTINCT p.qid
+         |       FROM assigned x JOIN probes p
+         |         ON x.bucket = p.bucket AND x.vec_id < p.qid
+         |        WHERE ${dotSql("x.embedding", "p.qe")} /
          |              sqrt(${dotSql("x.embedding", "x.embedding")} *
-         |                   ${dotSql("y.embedding", "y.embedding")}) >= 0.999)
+         |                   ${dotSql("p.qe", "p.qe")}) >= 0.999)
          |SELECT vec_id FROM b
          |WHERE vec_id NOT IN (SELECT qid FROM hh UNION SELECT qid FROM ih)
          |ORDER BY vec_id""".stripMargin

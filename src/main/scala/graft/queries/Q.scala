@@ -37,9 +37,18 @@ object Q {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => df // TIMESTAMP(NANOS) fixture
-        case _ => // timestamp[us] fixture: TIMESTAMP_NTZ (or TIMESTAMP) walltime == UTC instant
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // TIMESTAMP_NTZ fixture: the walltime IS the UTC instant. Pure
+          // NTZ-to-NTZ datetime arithmetic — no cast through TIMESTAMP, so
+          // the session timezone can never reinterpret the walltime (a
+          // non-UTC session used to shift instants here silently).
+          df.withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts) * 1000L"))
+        case _ =>
+          // TIMESTAMP (instant-typed) fixture: unix_micros reads the
+          // instant directly — session-timezone-independent by definition.
           df.withColumn("ts",
-            org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+            org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000L"))
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }

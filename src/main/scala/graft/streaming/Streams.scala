@@ -188,6 +188,41 @@ object Streams {
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       graft.sources.BucketedGraft.compact(spark, table, schema, buckets)
 
+  /** Default per-batch admission bound for the dedup ingest sinks' "batch
+    * broadcasts, history streams" contract (~1M rows). At this size the
+    * broadcast side is ~8 MB of fingerprints / ~24 MB of band rows /
+    * `dim`×8 MB of embeddings — size the knob down for wide vectors, up
+    * for signature-only sinks. */
+  val DefaultMaxBatchRows: Long = 1L << 20
+
+  /** Admission guard for the ingest sinks: the sink family's scale shape
+    * broadcasts BATCH-derived sides only, which is the right 100 TB trade
+    * for steady-state micro-batches but unguarded against a backfill
+    * feeding a 10M-row "batch" — that broadcast would OOM the driver.
+    * Batches over `maxBatchRows` split into ⌈n/maxBatchRows⌉ deterministic
+    * hash slices on `sliceKey`, processed IN ORDER inside the same
+    * foreachBatch; each slice re-reads history, so earlier slices' commits
+    * gate later slices.
+    *
+    * Semantics under slicing: at-most-one member of every near-dup class
+    * still commits (a later slice always sees earlier commits as history),
+    * but the SURVIVOR of an intra-batch pair that straddles slices is the
+    * earliest-committed member, not necessarily the smallest id — the
+    * exact sink is unaffected (equal fingerprints hash to the same slice).
+    * Atomic visibility weakens from per-batch to per-slice; a crash
+    * mid-sequence replays the whole batch, whose already-committed rows
+    * the sinks' replay guards drop — raw history stays exactly-once. */
+  private def admittedSlices(batch: DataFrame, sliceKey: Column,
+      maxBatchRows: Long): Seq[DataFrame] = {
+    require(maxBatchRows > 0, s"maxBatchRows must be positive, got $maxBatchRows")
+    val n = batch.count()
+    if (n <= maxBatchRows) Seq(batch)
+    else {
+      val k = math.toIntExact((n + maxBatchRows - 1) / maxBatchRows)
+      (0 until k).map(s => batch.where(pmod(hash(sliceKey), lit(k)) === s))
+    }
+  }
+
   /** Rows of `batch` whose `fpCol` value never occurs in `history` — the
     * dedup-against-corpus join, shaped for a history side many orders of
     * magnitude larger than the batch:
@@ -244,7 +279,8 @@ object Streams {
     * trade (~n²/2⁶⁵ corpus-wide; negligible below ~10⁹ docs). */
   def dedupedBucketedIngest(stream: DataFrame, table: String,
       schema: graft.core.MatSchema, buckets: Int, textCol: String,
-      fpCol: String, checkpoint: String, compactEvery: Int = 0)
+      fpCol: String, checkpoint: String, compactEvery: Int = 0,
+      maxBatchRows: Long = DefaultMaxBatchRows)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(schema.columnNames.contains(fpCol),
       s"fingerprint column '$fpCol' must be part of the table schema")
@@ -257,8 +293,11 @@ object Streams {
         val fped = batch
           .withColumn(fpCol, graft.functions.Fingerprint64.fingerprint64(col(textCol)))
           .dropDuplicates(fpCol)
-        val fresh = noveltyFilter(fped, spark.table(table), fpCol)
-        graft.sources.BucketedGraft.append(spark, table, schema, fresh, buckets)
+          .persist()
+        try admittedSlices(fped, col(fpCol), maxBatchRows).foreach { slice =>
+          val fresh = noveltyFilter(slice, spark.table(table), fpCol)
+          graft.sources.BucketedGraft.append(spark, table, schema, fresh, buckets)
+        } finally fped.unpersist()
         maybeCompact(spark, table, schema, buckets, batchId, compactEvery)
       }
   }
@@ -298,9 +337,10 @@ object Streams {
 
   /** Rows of `batch` with no committed SEMANTIC near-duplicate — cosine ≥
     * `tau` against any history vector sharing a probed IVF bucket — and no
-    * smaller-id near-dup in the batch's own primary buckets: streaming
-    * SemDeDup (Abbas et al. 2023, the q96 batch operator) against all
-    * committed history.
+    * smaller-id batch near-dup found under the SAME probe rule (candidate
+    * probes its nprobe buckets, incumbent sits at its primary bucket):
+    * streaming SemDeDup (Abbas et al. 2023, the q96 batch operator)
+    * against all committed history.
     *
     * `history` must carry its IVF `bucket` from ingest (an 8-byte column;
     * [[semanticBucketedIngest]] persists it); the batch assigns itself and
@@ -342,11 +382,15 @@ object Streams {
     val histHits = history.join(broadcast(q), Seq("bucket"))
       .where(cosine(emb(col(vecCol)), col("_qv")) >= tau)
       .select(col("_qid").as(idCol))
+    // intra-batch check mirrors the history check's probe rule exactly:
+    // the candidate (larger-id) side probes its nprobe nearest buckets,
+    // the incumbent side sits at its PRIMARY (= stored-at-ingest) bucket —
+    // so a batch pair is compared whenever the committed pair would be
     val a = assigned.select(col(idCol).as("_ia"), emb(col(vecCol)).as("_va"),
-      col("_bucket"))
-    val b = assigned.select(col(idCol).as("_ib"), emb(col(vecCol)).as("_vb"),
-      col("_bucket"))
-    val intraHits = a.join(b, Seq("_bucket"))
+      col("_bucket").as("bucket"))
+    val b = probed.select(col(idCol).as("_ib"), emb(col(vecCol)).as("_vb"),
+      col("bucket"))
+    val intraHits = a.join(b, Seq("bucket"))
       .where(col("_ia") < col("_ib") && cosine(col("_va"), col("_vb")) >= tau)
       .select(col("_ib").as(idCol))
     batch.join(broadcast(histHits.union(intraHits).distinct()), Seq(idCol), "left_anti")
@@ -368,7 +412,8 @@ object Streams {
   def semanticBucketedIngest(stream: DataFrame, table: String,
       schema: graft.core.MatSchema, buckets: Int, idCol: String,
       vecCol: String, centroids: Seq[Seq[Double]], tau: Double,
-      checkpoint: String, nprobe: Int = 2, compactEvery: Int = 0)
+      checkpoint: String, nprobe: Int = 2, compactEvery: Int = 0,
+      maxBatchRows: Long = DefaultMaxBatchRows)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(schema.columnNames.contains("bucket"),
       "the table schema must persist the 'bucket' column")
@@ -380,15 +425,18 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import graft.functions.VectorOps.dotCol
-        val fresh = semanticNoveltyFilter(batch, spark.table(table),
-          idCol, vecCol, centroids, tau, nprobe)
-        val dl = array(centroids.map(c =>
-          dotCol(col(vecCol).cast("array<double>"), typedlit(c))): _*)
-        val withBucket = fresh.withColumn("_dl", dl)
-          .withColumn("bucket", expr("array_position(_dl, array_max(_dl)) - 1"))
-          .withColumn(vecCol, col(vecCol).cast("array<double>"))
-          .drop("_dl")
-        graft.sources.BucketedGraft.append(spark, table, schema, withBucket, buckets)
+        val cached = batch.persist()
+        try admittedSlices(cached, col(idCol), maxBatchRows).foreach { slice =>
+          val fresh = semanticNoveltyFilter(slice, spark.table(table),
+            idCol, vecCol, centroids, tau, nprobe)
+          val dl = array(centroids.map(c =>
+            dotCol(col(vecCol).cast("array<double>"), typedlit(c))): _*)
+          val withBucket = fresh.withColumn("_dl", dl)
+            .withColumn("bucket", expr("array_position(_dl, array_max(_dl)) - 1"))
+            .withColumn(vecCol, col(vecCol).cast("array<double>"))
+            .drop("_dl")
+          graft.sources.BucketedGraft.append(spark, table, schema, withBucket, buckets)
+        } finally cached.unpersist()
         maybeCompact(spark, table, schema, buckets, batchId, compactEvery)
       }
   }
@@ -447,14 +495,22 @@ object Streams {
     * transaction. Only 24-byte signatures are ever persisted or joined —
     * the media bytes never leave the batch scan.
     *
-    * Replay: a re-run batch finds each survivor at Hamming 0 of its own
-    * committed frames, so every document drops and no txn is claimed —
-    * raw history is exactly-once, same argument as the text sinks. */
+    * Replay: exactly-once raw history holds by DOC IDENTITY, not by the
+    * near-dup gate alone — survivors are additionally anti-joined against
+    * every committed `doc_id` ([[noveltyFilter]]'s shape: history streams
+    * through a broadcast semi join, batch ids broadcast). The Hamming-0
+    * argument covers docs with ≥ `minFrames` frames, but a replayed doc
+    * with FEWER frames than `minFrames` (an image doc under minFrames=2)
+    * matches too few committed frames to drop at the gate and would
+    * re-commit duplicate signature rows; the identity guard is
+    * minFrames-independent. It also makes re-sending a previously
+    * committed doc_id a no-op, which is what "incremental ingest by id"
+    * should mean. */
   def mediaNearDupIngest(stream: DataFrame, table: String,
       schema: graft.core.MatSchema, buckets: Int, checkpoint: String,
       stride: Int = 1, minFrames: Int = 1,
       maxDist: Int = graft.operators.SimHashBands.MaxHamming,
-      compactEvery: Int = 0)
+      compactEvery: Int = 0, maxBatchRows: Long = DefaultMaxBatchRows)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(Seq("doc_id", "frame_idx", "phash").forall(schema.columnNames.contains),
       "the table schema must persist (doc_id, frame_idx, phash)")
@@ -466,9 +522,22 @@ object Streams {
         import spark.implicits._
         val media = batch.select(col("doc_id"), col("kind"), col("media"))
           .as[graft.multimodal.Multimodal.MediaRow]
-        val sigs = graft.multimodal.Multimodal.mediaPhashes(media, stride)
-        val fresh = mediaNearDupFilter(sigs, spark.table(table), minFrames, maxDist)
-        graft.sources.BucketedGraft.append(spark, table, schema, fresh, buckets)
+        // persist the SIGNATURES, not the media: slicing must not re-decode
+        // the batch, and admission counts signature rows (what broadcasts)
+        val sigs = graft.multimodal.Multimodal.mediaPhashes(media, stride).persist()
+        // slice on doc_id so a document's frames stay in one slice —
+        // minFrames counts distinct frames per doc within the gate call
+        try admittedSlices(sigs, col("doc_id"), maxBatchRows).foreach { slice =>
+          val gated = mediaNearDupFilter(slice, spark.table(table), minFrames, maxDist)
+          // exact doc-identity replay guard (independent of minFrames): a
+          // doc_id ever committed never commits again, whatever its frame
+          // count — history streams, only batch-derived ids broadcast
+          val ids = gated.select(col("doc_id")).distinct()
+          val committed = spark.table(table).select(col("doc_id"))
+            .join(broadcast(ids), Seq("doc_id"), "left_semi").distinct()
+          val fresh = gated.join(broadcast(committed), Seq("doc_id"), "left_anti")
+          graft.sources.BucketedGraft.append(spark, table, schema, fresh, buckets)
+        } finally sigs.unpersist()
         maybeCompact(spark, table, schema, buckets, batchId, compactEvery)
       }
   }
@@ -488,7 +557,7 @@ object Streams {
       schema: graft.core.MatSchema, buckets: Int, textCol: String,
       idCol: String, checkpoint: String,
       maxDist: Int = graft.operators.SimHashBands.MaxHamming,
-      compactEvery: Int = 0)
+      compactEvery: Int = 0, maxBatchRows: Long = DefaultMaxBatchRows)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(schema.columnNames.contains("simhash"),
       "the table schema must persist the 'simhash' column")
@@ -501,8 +570,11 @@ object Streams {
         val sigged = batch.withColumn("simhash",
           graft.functions.TextOps.simhash56Col(split(lower(col(textCol)), "\\s+")))
           .where(col("simhash").isNotNull)
-        val fresh = nearDupFilter(sigged, spark.table(table), idCol, maxDist)
-        graft.sources.BucketedGraft.append(spark, table, schema, fresh, buckets)
+          .persist()
+        try admittedSlices(sigged, col(idCol), maxBatchRows).foreach { slice =>
+          val fresh = nearDupFilter(slice, spark.table(table), idCol, maxDist)
+          graft.sources.BucketedGraft.append(spark, table, schema, fresh, buckets)
+        } finally sigged.unpersist()
         maybeCompact(spark, table, schema, buckets, batchId, compactEvery)
       }
   }

@@ -75,6 +75,27 @@ class FixturesSpec extends AnyFunSuite {
       "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
   }
 
+  test("events.ts normalization is session-timezone independent") {
+    // a non-UTC library session must read the SAME instants: the NTZ
+    // branch is pure walltime arithmetic and the instant branch reads the
+    // epoch directly — neither may route through a session-tz cast
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    def fingerprint(): (Long, Long, Long) = {
+      val r = Q.table(spark, sf, "events")
+        .selectExpr("min(ts)", "max(ts)", "sum(ts % 1000000007)").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val underUtc = try { spark.conf.set(tzKey, "UTC"); fingerprint() }
+      finally spark.conf.set(tzKey, saved)
+    val underKolkata = try {
+      // half-hour offset: catches whole-hour-insensitive mistakes too
+      spark.conf.set(tzKey, "Asia/Kolkata"); fingerprint()
+    } finally spark.conf.set(tzKey, saved)
+    assert(underKolkata === underUtc,
+      s"events.ts drifted with the session timezone: $underKolkata vs $underUtc")
+  }
+
   test("events.ts normalization yields plausible epoch-nano instants") {
     val mm = Q.table(spark, sf, "events")
       .selectExpr("min(ts) AS lo", "max(ts) AS hi").head()

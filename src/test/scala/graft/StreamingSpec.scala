@@ -640,4 +640,199 @@ class StreamingSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(planM).size >= 2, planM)
     BucketedGraft.drop(spark, table)
   }
+
+  test("admission: an oversized batch slices through the exact sink, dedup intact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.{Dimension, MatSchema, ValueCol}
+    import graft.sources.BucketedGraft
+    import org.apache.spark.sql.types.StringType
+    val table = "bg_admit_exact"
+    BucketedGraft.drop(spark, table)
+    val schema = MatSchema(Seq(Dimension("doc_id", 1000)),
+      Seq(ValueCol("fp"), ValueCol("text", StringType)))
+    BucketedGraft.create(spark, table, schema, buckets = 4)
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-admit-exact").toString
+    val input = MemoryStream[(Long, String)]
+    // maxBatchRows=2 forces a 7-row batch into ⌈7/2⌉ = 4 hash slices
+    val q = Streams.dedupedBucketedIngest(input.toDF().toDF("doc_id", "text"),
+      table, schema, buckets = 4, textCol = "text", fpCol = "fp", checkpoint,
+      maxBatchRows = 2L).start()
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"),
+        (5L, "epsilon"), (6L, "alpha"), (7L, "zeta"))
+      q.processAllAvailable()
+      // exact dedup outcome is IDENTICAL to unsliced (equal fingerprints
+      // hash to the same slice; dropDuplicates ran before slicing)
+      val texts = spark.table(table).select("text").as[String].collect().sorted
+      assert(texts.toSeq === Seq("alpha", "beta", "delta", "epsilon", "gamma", "zeta"))
+      // more than one txn for the single micro-batch proves slicing ran
+      val txns = spark.table(table).select(col("_txn_id")).distinct().count()
+      assert(txns >= 2, s"expected >=2 slice txns, got $txns")
+      // replay of the oversized batch: every slice finds its fingerprints
+      // committed and claims nothing
+      val next = BucketedGraft.nextTxnId(spark, table)
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"),
+        (5L, "epsilon"), (6L, "alpha"), (7L, "zeta"))
+      q.processAllAvailable()
+      assert(spark.table(table).count() === 6)
+      assert(BucketedGraft.nextTxnId(spark, table) === next)
+    } finally q.stop()
+    BucketedGraft.drop(spark, table)
+  }
+
+  test("admission: oversized batches slice through the near-dup and semantic sinks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.{Dimension, MatSchema, ValueCol}
+    import graft.sources.BucketedGraft
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+
+    // --- SimHash sink at maxBatchRows=2 with an intra-batch dup pair ---
+    val ndTable = "bg_admit_nd"
+    BucketedGraft.drop(spark, ndTable)
+    val ndSchema = MatSchema(Seq(Dimension("doc_id", 1000)),
+      Seq(ValueCol("simhash"), ValueCol("text", StringType)))
+    BucketedGraft.create(spark, ndTable, ndSchema, buckets = 4)
+    val ndCp = java.nio.file.Files.createTempDirectory("graft-admit-nd").toString
+    val tDup = "a repeated document about bucketed layouts and manifests"
+    val ndIn = MemoryStream[(Long, String)]
+    val ndQ = Streams.nearDupBucketedIngest(ndIn.toDF().toDF("doc_id", "text"),
+      ndTable, ndSchema, buckets = 4, textCol = "text", idCol = "doc_id", ndCp,
+      maxBatchRows = 2L).start()
+    try {
+      ndIn.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely unrelated text about spark physical plans"),
+        (3L, tDup), (4L, tDup),
+        (5L, "novel content never seen before anywhere"),
+        (6L, "a sixth distinct document on watermarks and state stores"))
+      ndQ.processAllAvailable()
+      val landed = spark.table(ndTable).select("doc_id").as[Long].collect().toSet
+      // at-most-one of the dup pair commits whichever slice each lands in;
+      // every non-dup doc commits
+      assert(Set(1L, 2L, 5L, 6L).subsetOf(landed), s"lost novel docs: $landed")
+      assert((landed & Set(3L, 4L)).size === 1, s"dup pair mishandled: $landed")
+      assert(landed.size === 5)
+    } finally ndQ.stop()
+    BucketedGraft.drop(spark, ndTable)
+
+    // --- semantic sink at maxBatchRows=2 with a cosine-dup pair ---
+    val smTable = "bg_admit_sem"
+    BucketedGraft.drop(spark, smTable)
+    val smSchema = MatSchema(Seq(Dimension("vec_id", 1000)),
+      Seq(ValueCol("bucket"), ValueCol("embedding", ArrayType(DoubleType))))
+    BucketedGraft.create(spark, smTable, smSchema, buckets = 4)
+    val smCp = java.nio.file.Files.createTempDirectory("graft-admit-sem").toString
+    val seed = Seq((0L, Seq(1.0, 0.01, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.02, 0.0)),
+      (2L, Seq(0.99, 0.0, 0.01, 0.0)), (3L, Seq(0.01, 0.98, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val centroids = graft.operators.IvfIndex
+      .train(seed, "vec_id", "embedding", k = 2, iters = 2).toSeq.map(_.toSeq)
+    val smIn = MemoryStream[(Long, Seq[Double])]
+    val smQ = Streams.semanticBucketedIngest(
+      smIn.toDF().toDF("vec_id", "embedding"), smTable, smSchema, buckets = 4,
+      idCol = "vec_id", vecCol = "embedding", centroids = centroids,
+      tau = 0.999, checkpoint = smCp, maxBatchRows = 2L).start()
+    try {
+      smIn.addData(
+        (10L, Seq(1.0, 0.01, 0.0, 0.0)),
+        (11L, Seq(0.0, 1.0, 0.02, 0.0)),
+        (12L, Seq(1.0001, 0.0100, 0.00001, 0.0)), // cosine ~1 vs vec 10
+        (13L, Seq(0.0, 0.0, 0.0, 1.0)),
+        (14L, Seq(0.5, 0.5, 0.5, 0.5)))
+      smQ.processAllAvailable()
+      val landed = spark.table(smTable).select("vec_id").as[Long].collect().toSet
+      assert(Set(11L, 13L, 14L).subsetOf(landed), s"lost novel vectors: $landed")
+      assert((landed & Set(10L, 12L)).size === 1, s"cosine pair mishandled: $landed")
+      assert(landed.size === 4)
+    } finally smQ.stop()
+    BucketedGraft.drop(spark, smTable)
+  }
+
+  test("admission: an oversized media batch slices without re-pairing committed docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.{Dimension, MatSchema, ValueCol}
+    import graft.sources.BucketedGraft
+    import graft.multimodal.Multimodal
+    val table = "bg_admit_media"
+    BucketedGraft.drop(spark, table)
+    val schema = MatSchema(Seq(Dimension("doc_id", 1000)),
+      Seq(ValueCol("frame_idx", org.apache.spark.sql.types.IntegerType),
+        ValueCol("phash")))
+    BucketedGraft.create(spark, table, schema, buckets = 4)
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-admit-media").toString
+    val imgs = (0 until 5).map(i =>
+      Multimodal.renderDocImage(s"admission media payload number $i"))
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val q = Streams.mediaNearDupIngest(
+      input.toDF().toDF("doc_id", "kind", "media"),
+      table, schema, buckets = 4, checkpoint = checkpoint,
+      maxBatchRows = 2L).start()
+    try {
+      // 6 single-frame docs → 6 signature rows → 3 slices; doc 6 reuses
+      // doc 1's exact image (Hamming 0 — pHash jitter-invariance is
+      // content-dependent and not what this test pins): whichever slices
+      // the pair lands in, exactly one member must commit
+      input.addData(
+        (1L, "image", imgs(0)), (2L, "image", imgs(1)), (3L, "image", imgs(2)),
+        (4L, "image", imgs(3)), (5L, "image", imgs(4)),
+        (6L, "image", imgs(0)))
+      q.processAllAvailable()
+      val landed = spark.table(table).select("doc_id").as[Long].collect().toSet
+      assert(Set(2L, 3L, 4L, 5L).subsetOf(landed), s"lost novel docs: $landed")
+      assert((landed & Set(1L, 6L)).size === 1, s"jitter pair mishandled: $landed")
+      assert(landed.size === 5)
+      // replay of the oversized batch: identity guard + Hamming-0 gate
+      // drop every slice to empty
+      val next = BucketedGraft.nextTxnId(spark, table)
+      input.addData(
+        (1L, "image", imgs(0)), (2L, "image", imgs(1)), (3L, "image", imgs(2)),
+        (4L, "image", imgs(3)), (5L, "image", imgs(4)),
+        (6L, "image", imgs(0)))
+      q.processAllAvailable()
+      assert(spark.table(table).select("doc_id").distinct().count() === 5)
+      assert(BucketedGraft.nextTxnId(spark, table) === next)
+    } finally q.stop()
+    BucketedGraft.drop(spark, table)
+  }
+
+  test("media ingest replay guard: docs with fewer frames than minFrames stay exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.{Dimension, MatSchema, ValueCol}
+    import graft.sources.BucketedGraft
+    import graft.multimodal.Multimodal
+    val table = "bg_media_replay"
+    BucketedGraft.drop(spark, table)
+    val schema = MatSchema(Seq(Dimension("doc_id", 1000)),
+      Seq(ValueCol("frame_idx", org.apache.spark.sql.types.IntegerType),
+        ValueCol("phash")))
+    BucketedGraft.create(spark, table, schema, buckets = 4)
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-media-replay").toString
+
+    // single-frame image docs under minFrames=2: the Hamming-0 gate alone
+    // can NEVER drop them (1 matched frame < 2), so exactly-once replay
+    // rests entirely on the doc-identity guard
+    val imgA = Multimodal.renderDocImage("solo image alpha for the replay guard")
+    val imgB = Multimodal.renderDocImage("solo image beta, distinct content")
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val q = Streams.mediaNearDupIngest(
+      input.toDF().toDF("doc_id", "kind", "media"),
+      table, schema, buckets = 4, checkpoint = checkpoint, minFrames = 2).start()
+    try {
+      input.addData((1L, "image", imgA), (2L, "image", imgB))
+      q.processAllAvailable()
+      assert(spark.table(table).count() === 2)
+      val next = BucketedGraft.nextTxnId(spark, table)
+      // crash-replay: the same docs arrive again — identity guard drops
+      // them, no duplicate signature rows, no txn claimed
+      input.addData((1L, "image", imgA), (2L, "image", imgB))
+      q.processAllAvailable()
+      assert(spark.table(table).count() === 2)
+      assert(BucketedGraft.nextTxnId(spark, table) === next)
+    } finally q.stop()
+    BucketedGraft.drop(spark, table)
+  }
 }

@@ -10,8 +10,9 @@ import graft.core.TestSpark
   *
   *   - the surviving set EQUALS the model: a batch vector survives iff no
   *     history vector in one of its nprobe nearest buckets has cosine ≥
-  *     tau, and no smaller-id batch vector sharing its PRIMARY bucket has
-  *     cosine ≥ tau (assignment = argmax dot against the centroid list,
+  *     tau, and no smaller-id batch vector whose PRIMARY bucket is among
+  *     its nprobe probed buckets has cosine ≥ tau — the same probe rule
+  *     on both checks (assignment = argmax dot against the centroid list,
   *     first index on ties — array_position semantics);
   *   - idempotence: filtering the survivors again against the same
   *     history changes nothing (the fixpoint a crash-replay relies on,
@@ -53,9 +54,8 @@ class SemanticFilterPropertySpec extends AnyFunSuite {
     batch.filter { case (id, v) =>
       val pb = probes(v, cents)
       val histHit = hist.exists { case (_, hv, hb) => pb(hb) && cosine(hv, v) >= tau }
-      val myBucket = assign(v, cents)
       val intraHit = batch.exists { case (oid, ov) =>
-        oid < id && assign(ov, cents) == myBucket && cosine(ov, v) >= tau
+        oid < id && pb(assign(ov, cents)) && cosine(ov, v) >= tau
       }
       !histHit && !intraHit
     }.map(_._1).toSet
