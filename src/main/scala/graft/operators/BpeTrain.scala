@@ -45,17 +45,117 @@ object BpeTrain {
     * the whole merge loop driver-locally with incremental pair-count
     * maintenance: 2 Spark jobs total (count + collect) instead of 2 per
     * merge (a 32k-merge production vocabulary would otherwise be ~64k
-    * sequential jobs). Above the threshold, the distributed per-merge loop
-    * keeps the vocabulary on the executors. Both paths share the exact
-    * statistic and the (cnt desc, a, b) argmax tiebreak, so the learned
-    * merge sequence is identical — BpeTrainSpec pins this. */
+    * sequential jobs).
+    *
+    * Above the threshold — a RAW-corpus vocabulary (10^8..10^9 distinct
+    * "words") — [[trainWithFloor]] keeps the job count O(1): train on the
+    * ≤`localThreshold` most frequent words and bound the ignored tail's
+    * influence exactly (see its scaladoc for the certificate). Every path
+    * shares the exact statistic and the (cnt desc, then UTF-8-binary
+    * (a, b)) argmax tiebreak — the same total order as the distributed
+    * `orderBy(cnt.desc, a, b)` — so the learned sequence is a pure
+    * function of the corpus; BpeTrainSpec pins local ≡ distributed and
+    * floor ≡ full under the certificate. */
   def train(wc: DataFrame, nMerges: Int,
       localThreshold: Long = 2000000L): Seq[(String, String)] = {
+    require(localThreshold >= 1, s"localThreshold must be >= 1, got $localThreshold")
     if (wc.count() <= localThreshold) {
       val rows = wc.select(col("w").cast("string"), col("c").cast("long"))
         .collect().map(r => (r.getString(0), r.getLong(1)))
       trainLocal(rows, nMerges)
-    } else trainDistributed(wc, nMerges)
+    } else trainWithFloor(wc, nMerges, localThreshold).merges
+  }
+
+  /** Outcome of the frequency-floor path: the merges, the floor `f` used
+    * (words with count < f were excluded), how many head words trained,
+    * the exact upper bound `tailMass` on any single pair count the
+    * excluded tail could contribute, the smallest argmax decision gap
+    * seen, and whether that makes the sequence PROVABLY identical to
+    * full-vocabulary training. */
+  final case class FloorTrain(merges: Seq[(String, String)], floor: Long,
+      headWords: Long, tailMass: Long, minGap: Long, certifiedExact: Boolean)
+
+  /** Exact-statistic BPE over the ≤`headLimit` most frequent words, with
+    * the excluded tail's influence bounded, in O(1) Spark jobs however
+    * many merges are requested (count histogram + head collect).
+    *
+    * The floor `f` is the smallest count whose head {w : c(w) ≥ f} fits
+    * `headLimit`. Each excluded word contributes at most c(w)·(|w|−1)
+    * occurrences to any single pair count at ANY merge state (merging
+    * never increases a word's adjacent-pair slots), so
+    * `tailMass = Σ_tail c(w)·(|w|−1)` bounds the tail's contribution to
+    * every pair. If at every step the winner's count exceeds the
+    * runner-up's by MORE than `tailMass` (and exceeds `tailMass` itself,
+    * so no tail-only pair can win), no tail assignment can change any
+    * argmax — the head-trained sequence equals full-vocabulary training
+    * exactly, and `certifiedExact` says so. Otherwise the sequence is the
+    * standard frequency-floor approximation with its error bounded by the
+    * reported `tailMass` (the common trade in production tokenizer
+    * pipelines, which drop hapax/sub-floor words outright). */
+  def trainWithFloor(wc: DataFrame, nMerges: Int,
+      headLimit: Long): FloorTrain = {
+    // count histogram: tiny result (distinct counts), one aggregate over
+    // the vocab; mass = Σ c·(|w|-1) per count class, in code points
+    val histRows = wc
+      .select(col("c").cast("long").as("c"),
+        (length(col("w")) - lit(1)).cast("long").as("slots"))
+      .groupBy("c")
+      .agg(count(lit(1)).as("nw"), sum(greatest(col("slots"), lit(0)) * col("c")).as("mass"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    // admit whole count classes from the most frequent down, stopping at
+    // the first that does not fit: the head must be count-contiguous or
+    // "count ≥ floor" would not describe it
+    var acc = 0L
+    var floor = Long.MaxValue
+    var full = false
+    histRows.foreach { case (c, nw, _) =>
+      if (!full && acc + nw <= headLimit) { acc += nw; floor = c }
+      else full = true
+    }
+    require(floor != Long.MaxValue,
+      s"headLimit $headLimit admits no complete count class; raise it " +
+        s"(largest class has ${histRows.headOption.map(_._2).getOrElse(0L)} words)")
+    val tailMass = histRows.collect { case (c, _, m) if c < floor => m }.sum
+    val head = wc.where(col("c") >= floor)
+      .select(col("w").cast("string"), col("c").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (merges, minGap) = trainLocalWithGap(head, nMerges)
+    val certified = minGap > tailMass &&
+      (merges.length == nMerges || tailMass < 2L)
+    FloorTrain(merges, floor, head.length.toLong, tailMass, minGap, certified)
+  }
+
+  /** One symbol per Unicode CODE POINT — matching the executor-side
+    * `split(w, '')`, which splits UTF8String characters, never UTF-16
+    * code units (a surrogate pair is ONE symbol on both paths). */
+  private[operators] def toSymbols(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** UTF-8 byte order — the binary collation Spark's `orderBy` applies to
+    * strings. Differs from Java's UTF-16 `compareTo` exactly where it
+    * matters: supplementary code points sort ABOVE U+E000..U+FFFF in
+    * UTF-8/code-point order but below them in UTF-16 order. */
+  private[operators] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
   }
 
   /** Driver-local merge loop with incremental pair maintenance: pair counts
@@ -63,10 +163,17 @@ object BpeTrain {
     * touches (Sennrich et al.'s trick), so each merge costs O(affected
     * words × word length), not a full vocabulary pass. */
   private[operators] def trainLocal(wcRows: Array[(String, Long)],
-      nMerges: Int): Seq[(String, String)] = {
+      nMerges: Int): Seq[(String, String)] =
+    trainLocalWithGap(wcRows, nMerges)._1
+
+  /** [[trainLocal]] also reporting the smallest decision gap — min over
+    * steps of (winner count − best other count) — the quantity
+    * [[trainWithFloor]]'s exactness certificate compares to the tail
+    * mass. A step with a single live pair counts its full count as gap. */
+  private[operators] def trainLocalWithGap(wcRows: Array[(String, Long)],
+      nMerges: Int): (Seq[(String, String)], Long) = {
     import scala.collection.mutable
-    val words: Array[Array[String]] =
-      wcRows.map { case (w, _) => w.map(_.toString).toArray }
+    val words: Array[Array[String]] = wcRows.map { case (w, _) => toSymbols(w) }
     val counts: Array[Long] = wcRows.map(_._2)
     val pairCnt = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
@@ -84,19 +191,27 @@ object BpeTrain {
     }
     words.indices.foreach(touch(_, 1L))
     val merges = Seq.newBuilder[(String, String)]
+    var minGap = Long.MaxValue
     var m = 0
     var done = false
     while (m < nMerges && !done) {
-      // deterministic argmax: max count, ties by (a, b) ascending — the
-      // same total order as the distributed orderBy(cnt desc, a, b)
+      // deterministic argmax: max count, ties by (a, b) ascending in
+      // UTF-8 BINARY order — the same total order as the distributed
+      // orderBy(cnt desc, a, b)
       var bp: (String, String) = null
       var bc = 0L
+      var second = 0L
       pairCnt.foreach { case (p, c) =>
         if (bp == null || c > bc || (c == bc &&
-            (p._1 < bp._1 || (p._1 == bp._1 && p._2 < bp._2)))) { bp = p; bc = c }
+            (utf8Less(p._1, bp._1) ||
+              (p._1 == bp._1 && utf8Less(p._2, bp._2))))) {
+          if (bp != null) second = math.max(second, math.min(bc, c))
+          bp = p; bc = c
+        } else second = math.max(second, c)
       }
       if (bp == null || bc < 2L) done = true
       else {
+        minGap = math.min(minGap, bc - second)
         merges += bp
         val affected = pairWords.getOrElse(bp, mutable.BitSet.empty).toArray
         affected.foreach { i =>
@@ -107,7 +222,7 @@ object BpeTrain {
       }
       m += 1
     }
-    merges.result()
+    (merges.result(), minGap)
   }
 
   /** One leftmost non-overlapping merge pass — the local twin of
@@ -127,7 +242,10 @@ object BpeTrain {
 
   /** The distributed per-merge loop: adjacent-pair aggregate → 1-row argmax
     * collect → fold-expression merge, vocabulary never leaving the
-    * executors. Used when the vocabulary exceeds the driver threshold. */
+    * executors. Exact at ANY vocabulary size but 2 Spark jobs per merge —
+    * kept as the reference implementation the specs cross-check
+    * [[trainLocal]] and [[trainWithFloor]] against; [[train]] itself
+    * never pays its per-merge job cost anymore. */
   private[operators] def trainDistributed(wc: DataFrame,
       nMerges: Int): Seq[(String, String)] = {
     var vocab = wc.select(expr("filter(split(w, ''), s -> s != '')").as("sym"),
@@ -172,7 +290,7 @@ object BpeTrain {
     * table is model-sized). Applies merges in learned rank order, each as
     * a full leftmost non-overlapping pass. */
   def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var sym = word.map(_.toString)
+    var sym: Seq[String] = toSymbols(word).toSeq
     merges.foreach { case (a, b) =>
       val out = Seq.newBuilder[String]
       var i = 0
