@@ -6,7 +6,7 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * The battery is assembled from four modules:
-  *   - [[graft.queries.CoreOps]]    q01-q05 + q73 + q76 + q77: the reference
+  *   - [[graft.queries.CoreOps]]    q01-q05 + q73 + q76 + q77 + q92 + q101: the reference
   *     engine's own operator semantics (scan order, MVCC upsert, snapshot
   *     horizon, range pruning, count, the bucketed zero-exchange layout,
   *     SQL-native VERSION AS OF through the DSv2 GraftCatalog, and the

@@ -181,6 +181,41 @@ object CoreOps {
       RangedGraft.orderedScan(s, dir.toString, sch)
     },
 
+    // ---- SQL WRITE path (sources.GraftCatalog + GraftInsert) -----------
+    // q76's upsert history driven ENTIRELY from SQL: CREATE TABLE with
+    // chunked dims via TBLPROPERTIES, three INSERT INTO statements (one
+    // committed transaction each, txn ids claimed put-if-absent), then a
+    // VERSION AS OF read — the full SQL write→time-travel round trip is
+    // the gate. Oracle identical in shape to q76: the expected rows are
+    // recomputed from the SOURCE events table, so the claim, the
+    // chunk-routed write, the manifest publish, and the MVCC resolve all
+    // have to reproduce them exactly.
+    Entry("q101_sql_insert", Some(
+      """WITH b AS (SELECT user_id, event_id % 3 AS k, value, event_id
+        |           FROM events WHERE event_id % 3 <= 1),
+        |m AS (SELECT user_id, k, arg_max(value, event_id) v
+        |      FROM b GROUP BY user_id, k)
+        |SELECT user_id, arg_max(v, k) AS v
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)) { (s, d) =>
+      val root = Q.fixture("q101-catalog")
+      val tableDir = root.resolve("ti")
+      graft.core.Storage.deleteRecursively(tableDir)
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g101").isEmpty) {
+        s.conf.set("spark.sql.catalog.g101", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g101.root", root.toString)
+      }
+      s.sql("CREATE TABLE g101.ti (user_id BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:1000')")
+      table(s, d, "events").createOrReplaceTempView("events")
+      (0 to 2).foreach { k =>
+        s.sql(s"""INSERT INTO g101.ti
+                 |SELECT user_id, max_by(value, event_id) AS v
+                 |FROM events WHERE event_id % 3 = $k GROUP BY user_id""".stripMargin)
+      }
+      s.sql("SELECT user_id, v FROM g101.ti VERSION AS OF 2 ORDER BY user_id")
+    },
+
     // ---- z-order clustered layout (sources.ZOrderLayout) ---------------
     // lineitem rewritten in Morton order of (l_orderkey, l_partkey), then
     // a range predicate on the NON-leading key answered off the clustered

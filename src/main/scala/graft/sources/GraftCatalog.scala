@@ -8,9 +8,11 @@ import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, Least, 
 import org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionPath, PartitionSpec}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -67,11 +69,21 @@ import graft.core.{MatDb, MatSchema, Scan, Storage}
   * serves the directory layout, whose dedup legitimately needs its one
   * exchange (BucketedGraftSpec continues to pin the bucketed plans).
   *
-  * Read-only by design: writes go through the transactional APIs
-  * ([[graft.core.MatDb]], `format("graft")`, [[BucketedGraft]]) — a
-  * metastore-mediated `CREATE TABLE` could not express chunked dimensions
-  * or the commit protocols. `TIMESTAMP AS OF` is rejected: the format
-  * records no commit wall-clock (the reference's ids are logical too).
+  * == Writes (round 8) ==
+  * `INSERT INTO <cat>.<t> ...` commits one transaction per statement via
+  * [[GraftInsert]] — the txn id claimed put-if-absent (atomic segment-dir
+  * creation), data chunk-routed exactly like `Transaction.flush`, then
+  * published through the table's own commit protocol, so concurrent SQL
+  * writers commit distinct sequential transactions (GraftCatalogSpec
+  * races them). `CREATE TABLE`/CTAS express chunked dimensions through
+  * `TBLPROPERTIES('graft.dims' = 'dim:chunkSize[,dim:chunkSize...]')`
+  * (and optional `'graft.protocol' = 'manifest'|'rename'`, default
+  * manifest — the multi-writer protocol, since SQL endpoints must assume
+  * concurrent INSERTs). `INSERT OVERWRITE` is rejected (no truncate
+  * capability); overwrite/compact stay Scala-API operations. Writing to a
+  * `VERSION AS OF` relation is rejected. `TIMESTAMP AS OF` is rejected:
+  * the format records no commit wall-clock (the reference's ids are
+  * logical too).
   */
 class GraftCatalog extends TableCatalog {
   private var catalogName: String = _
@@ -129,21 +141,72 @@ class GraftCatalog extends TableCatalog {
     val visible = proto.listCommitted(dir)
       .filter(s => asOf.forall(s.txnId <= _)).sorted
     val paths = visible.map(s => proto.readPath(dir, s).toString)
-    new GraftV2Table(s"$catalogName.${ident.toString}", schema, paths)
+    new GraftV2Table(s"$catalogName.${ident.toString}", schema, paths,
+      // a VERSION AS OF relation is a historical snapshot — not writable
+      writeDir = if (asOf.isEmpty) Some(dir.toString) else None)
   }
 
+  /** `CREATE TABLE`/CTAS: chunked dimensions come from
+    * `TBLPROPERTIES('graft.dims' = 'dim:chunkSize[,...]')`; every other
+    * column is a value column with its declared type. Protocol from
+    * `'graft.protocol'`, default "manifest" (multi-writer publish — the
+    * right default for a SQL endpoint). */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-only; create tables with MatDb.create or df.write.format(\"graft\")")
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables chunk on their dimensions (TBLPROPERTIES graft.dims), not PARTITIONED BY")
+    val dimsProp = Option(properties.get(GraftCatalog.DimsProp)).getOrElse(
+      throw new IllegalArgumentException(
+        s"CREATE TABLE on a graft catalog requires TBLPROPERTIES('${GraftCatalog.DimsProp}' = " +
+          "'dim:chunkSize[,dim:chunkSize...]') naming the key dimensions"))
+    val dims = dimsProp.split(",").map(_.trim).filter(_.nonEmpty).map { spec =>
+      spec.split(":") match {
+        case Array(n, c) => graft.core.Dimension(n.trim, c.trim.toLong)
+        case _ => throw new IllegalArgumentException(
+          s"bad ${GraftCatalog.DimsProp} entry '$spec' (want dim:chunkSize)")
+      }
+    }.toSeq
+    dims.foreach { d =>
+      val f = schema.find(_.name == d.name).getOrElse(throw new IllegalArgumentException(
+        s"${GraftCatalog.DimsProp} names '${d.name}' which is not a column"))
+      require(f.dataType == LongType || f.dataType == org.apache.spark.sql.types.IntegerType,
+        s"dimension '${d.name}' must be integral (chunking is floor(dim/chunkSize)), got ${f.dataType}")
+    }
+    val dimNames = dims.map(_.name).toSet
+    val values = schema.fields.filterNot(f => dimNames.contains(f.name))
+      .map(f => graft.core.ValueCol(f.name, f.dataType)).toSeq
+    val mat = MatSchema(dims, values)
+    val dir = tableDir(ident)
+    if (MatDb.exists(dir.toString))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    java.nio.file.Files.createDirectories(dir.getParent)
+    MatDb.create(SparkSession.active, mat, dir.toString,
+      Option(properties.get(GraftCatalog.ProtocolProp)).getOrElse("manifest"))
+    load(ident, None)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    throw new UnsupportedOperationException("graft catalog does not support ALTER TABLE")
 
-  override def dropTable(ident: Identifier): Boolean = false
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!MatDb.exists(dir.toString)) false
+    else { Storage.deleteRecursively(dir); true }
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    throw new UnsupportedOperationException("graft catalog does not support RENAME TABLE")
+}
+
+object GraftCatalog {
+  /** Table property declaring the chunked key dimensions at CREATE/CTAS:
+    * `'graft.dims' = 'dim:chunkSize[,dim:chunkSize...]'`. */
+  val DimsProp = "graft.dims"
+
+  /** Table property selecting the commit protocol at CREATE/CTAS:
+    * "manifest" (default — multi-writer publish) or "rename". */
+  val ProtocolProp = "graft.protocol"
 }
 
 /** One graft table snapshot as a DSv2 table: logical schema = dimensions +
@@ -162,7 +225,8 @@ class GraftCatalog extends TableCatalog {
   * enumerated driver-side at scan-build time — the same metadata listing
   * any file source performs, O(chunk dirs in visible segments). */
 final class GraftV2Table(tableName: String, val matSchema: MatSchema,
-    val segmentPaths: Seq[String]) extends Table with SupportsRead with SupportsMetadataColumns {
+    val segmentPaths: Seq[String], val writeDir: Option[String] = None)
+    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
 
   /** Data columns physically present in every segment file: logical ++
     * provenance — the shared [[graft.core.Scan.provenanceStruct]]. */
@@ -175,8 +239,38 @@ final class GraftV2Table(tableName: String, val matSchema: MatSchema,
 
   override def schema(): StructType = matSchema.toStructType
 
-  override def capabilities(): java.util.Set[TableCapability] =
-    Collections.singleton(TableCapability.BATCH_READ)
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]()
+    caps.add(TableCapability.BATCH_READ)
+    if (writeDir.isDefined) caps.add(TableCapability.V1_BATCH_WRITE)
+    Collections.unmodifiableSet(caps)
+  }
+
+  /** `INSERT INTO` — one committed transaction per statement, through the
+    * concurrency-safe claim + publish of [[GraftInsert]]. A V1 write: the
+    * insert is a whole-DataFrame transactional commit (claim, chunk-routed
+    * write, protocol publish), which is driver-orchestrated by nature —
+    * the DSv2 per-partition writer/commit split buys nothing here and the
+    * data write itself still runs distributed (one chunk-keyed shuffle). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val dir = writeDir.getOrElse(throw new UnsupportedOperationException(
+      s"$tableName is a VERSION AS OF snapshot — historical versions are read-only"))
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              // no truncate capability is declared, so Spark rejects
+              // INSERT OVERWRITE before reaching here; belt and braces
+              require(!overwrite, "graft catalog INSERT OVERWRITE is not supported")
+              GraftInsert.append(data.sparkSession, dir, data)
+              ()
+            }
+          }
+      }
+    }
+  }
 
   override def metadataColumns(): Array[MetadataColumn] =
     (Seq(Scan.TxnCol, Scan.SeqCol) ++ matSchema.chunkColNames)
@@ -242,11 +336,24 @@ private final case class GraftMetaCol(colName: String, colType: DataType)
   * [[graft.core.MatDb.history]] is the first-class API). */
 case class GraftCatalogDedupRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case rel: DataSourceV2Relation
-        if rel.table.isInstanceOf[GraftV2Table] &&
-          !rel.output.exists(_.name == Scan.TxnCol) =>
-      dedup(rel, rel.table.asInstanceOf[GraftV2Table].matSchema)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // a write command's TARGET relation must stay bare — wrapping it in
+    // the resolve aggregate would corrupt AppendData's table reference
+    // (reads inside the INSERT's query subtree still get wrapped);
+    // reference identity, not equality: `INSERT INTO t SELECT FROM t`
+    // reads and writes structurally similar relations
+    val writeTargets = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand => w.table
+    }
+    def isWriteTarget(rel: DataSourceV2Relation): Boolean =
+      writeTargets.exists(_ eq rel)
+    plan.resolveOperatorsUp {
+      case rel: DataSourceV2Relation
+          if rel.table.isInstanceOf[GraftV2Table] &&
+            !rel.output.exists(_.name == Scan.TxnCol) &&
+            !isWriteTarget(rel) =>
+        dedup(rel, rel.table.asInstanceOf[GraftV2Table].matSchema)
+    }
   }
 
   private def dedup(rel: DataSourceV2Relation, schema: MatSchema): LogicalPlan = {

@@ -1,0 +1,118 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{MatSchema, Scan, SegmentId, Storage}
+
+/** Cross-process-safe append for the SQL write path ([[GraftCatalog]]'s
+  * `INSERT INTO` / CTAS): commits `df` as ONE transaction without an open
+  * [[graft.core.MatDb]] handle.
+  *
+  * Why not `MatDb.open(...).newTransaction()`: `open` allocates txn ids
+  * from an in-process counter seeded at open time — two PROCESSES that
+  * opened at the same version allocate the SAME id and, under the manifest
+  * protocol, write part files into the SAME final-name directory before
+  * either commit can detect the collision. `open` also runs the recovery
+  * sweep, which would delete another live writer's in-flight directories.
+  * A SQL endpoint must assume concurrent INSERTs, so this path:
+  *
+  *   1. CLAIMS the txn id by atomically creating its segment-0 directory —
+  *      `Files.createDirectory` is put-if-absent at the filesystem, the
+  *      same optimistic shape as the manifest protocol's `createLink`
+  *      publish (Storage.scala) and the bucketed layout's partition claim
+  *      (BucketedGraft.claimTxnId). A taken name (live writer, or a crash
+  *      orphan awaiting sweep) just advances the candidate; a claimed-
+  *      then-crashed insert leaves an unreferenced directory that the next
+  *      `MatDb.open` recovery sweeps, its id burned — identical to a
+  *      crashed transaction.
+  *   2. Writes the decorated batch INTO the claimed directory (same chunk
+  *      routing, dimension-metadata, sort and codec as Transaction.flush —
+  *      one shuffle keyed on the chunk columns).
+  *   3. Publishes through the table's own protocol `commit`: manifest
+  *      tables get the optimistic multi-writer publish loop, rename
+  *      tables the segment-0-last rename order.
+  *
+  * Two concurrent catalog INSERTs therefore commit distinct, sequential
+  * transactions with both data sets visible — GraftCatalogSpec races them.
+  * The reference allocates ids in-process with no guard (database.rs:74-79);
+  * this is the multi-writer counterpart its single-process model never
+  * needed. Empty batches claim, detect emptiness from the written files,
+  * drop the claim, and commit nothing (no burned id, same contract as
+  * BucketedGraft.append). */
+object GraftInsert {
+
+  /** Append `df` to the graft table at `dir` as one transaction; returns
+    * the committed txn id, or None when `df` was empty. */
+  def append(spark: SparkSession, dir: String, df: DataFrame): Option[Long] = {
+    val root = Storage.rootPath(dir)
+    val schema = Storage.readSchema(root)
+    val proto = Storage.detect(root)
+    val committed = proto.listCommitted(root)
+    // candidate id outranks everything committed OR on disk (orphans burn
+    // their id exactly like MatDb recovery treats them)
+    val onDisk = list(root).flatMap(p => Storage.decode(p.getFileName.toString))
+      .map(_._1.txnId)
+    var txn = ((committed.map(_.txnId) ++ onDisk) :+ 0L).max + 1L
+    var claimed: Option[(SegmentId, Path)] = None
+    while (claimed.isEmpty) {
+      val id = SegmentId(txn, 0)
+      val p = proto.writePath(root, id)
+      try {
+        Files.createDirectory(p)
+        claimed = Some((id, p))
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => txn += 1L
+      }
+    }
+    val (segId, segPath) = claimed.get
+    // decorate exactly as Transaction.flush: dims carry their chunk size in
+    // field metadata (ChunkPruneRule reads it), rows route to their chunk
+    // partition with one shuffle, sorted by dims for row-group stats
+    val dimCols = schema.dimensions.map { dim =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(MatSchema.ChunkKey, dim.chunkSize).build()
+      col(dim.name).as(dim.name, md)
+    }
+    val projected = df.select(dimCols ++ schema.valueNames.map(col): _*)
+    val withChunks = schema.dimensions.foldLeft(projected) { (d, dim) =>
+      d.withColumn(schema.chunkColName(dim.name),
+        floor(col(dim.name) / lit(dim.chunkSize)).cast("long"))
+    }
+    withChunks
+      .withColumn(Scan.TxnCol, lit(segId.txnId))
+      .withColumn(Scan.SeqCol, lit(0L))
+      .repartition(schema.chunkColNames.map(col): _*)
+      .sortWithinPartitions(schema.dimNames.map(col): _*)
+      .write.mode("append")
+      .option("compression", "zstd")
+      .partitionBy(schema.chunkColNames: _*)
+      .parquet(segPath.toString)
+    if (hasDataFiles(segPath)) {
+      proto.commit(root, Seq(segId), (committed :+ segId).sorted)
+      Some(segId.txnId)
+    } else {
+      Storage.deleteRecursively(segPath)
+      None
+    }
+  }
+
+  private def list(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toSeq }
+      finally s.close()
+    }
+
+  /** Any real data file under the claimed directory (chunk subdirs
+    * included)? Commit markers and hidden files don't count — the same
+    * emptiness rule as BucketedGraft.partitionHasData. */
+  private def hasDataFiles(p: Path): Boolean = {
+    val name = p.getFileName.toString
+    if (Files.isDirectory(p)) list(p).exists(hasDataFiles)
+    else !name.startsWith("_") && !name.startsWith(".")
+  }
+}
