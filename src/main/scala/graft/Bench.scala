@@ -11,7 +11,17 @@ import org.apache.spark.sql.SparkSession
   * 90%+ (oversubscribed hypervisor), which inflate whichever queries they
   * overlap by 10-30x — the min measures the engine, not the neighbor. The
   * later passes are also JIT-warm, which is the steady state a long-lived
-  * cluster session actually runs in. */
+  * cluster session actually runs in.
+  *
+  * Each query is materialized via `queryExecution.toRdd.count()` — the
+  * query's OWN physical plan, every operator, every row. The earlier
+  * `df.count()` harness re-optimized the plan under a count aggregate,
+  * which legally deletes row-count-preserving work: q84's entire
+  * edit-distance join collapsed to a bare parquet count (0.2 s at every
+  * scale factor — a data-independent non-measurement), and window/sort
+  * operators were pruned from other queries. Numbers from rounds ≤ 7 are
+  * therefore LOWER BOUNDS for the affected queries; cross-round deltas
+  * against them are not regressions. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,7 +44,9 @@ object Bench {
     val samples: Seq[Map[String, Double]] = (1 to math.max(1, passes)).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try {
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+        } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // within-query persisted intermediates (q46/q47 shingles) must not
         // outlive their query: population cost is inside dt, release it so

@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   *   - embeddings.embedding dimension 0 is nudged by copy*1e-4, keeping
   *     clones out of the exact-tie path while staying inside the same IVF
   *     bucket geometry.
+  *   - part.p_name gets a per-copy suffix " x<cc>" (copy id written
+  *     twice, so any two copies' suffixes are levenshtein ≥ 2 apart):
+  *     verbatim-cloned names would hand the q84 edit-distance join 10
+  *     identical copies of every name — manufactured 100× candidate
+  *     inflation (each segment bucket 10× on both sides) that measures
+  *     the clone artifact, not the operator. Same-copy pairs keep their
+  *     original distances (both get the same suffix), so true fuzzy
+  *     structure scales exactly linearly in `factor`.
   *
   * region/nation stay fixed (they are dimension tables at every SF).
   *
@@ -58,7 +66,9 @@ object ScaleUp {
     write("nation", spark.read.parquet(s"$src/nation.parquet"))
     write("customer", copies("customer", Seq("c_custkey")))
     write("supplier", copies("supplier", Seq("s_suppkey")))
-    write("part", copies("part", Seq("p_partkey")))
+    write("part", copies("part", Seq("p_partkey"), (df, c) =>
+      if (c == 0) df
+      else df.withColumn("p_name", concat(col("p_name"), lit(s" x$c$c")))))
     write("orders", copies("orders", Seq("o_orderkey", "o_custkey")))
     write("lineitem", copies("lineitem",
       Seq("l_orderkey", "l_partkey", "l_suppkey")))

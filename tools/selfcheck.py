@@ -8,7 +8,7 @@ corresponding DuckDB oracle SQL from <out>/oracle_sql.json over the sf_dir
 parquet tables, and compares: row count, schema (sorted column names), and
 values (rows sorted, columns sorted by name; exact for non-floats, exact and
 1e-9-relative for floats, both reported)."""
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -66,7 +66,11 @@ def main():
         errors = {}
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver testdata are single files; ScaleUp output (sf1) is a
+        # Spark-style directory of part files — glob it for DuckDB
+        p = f"{sfdir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     ok = fail = noracle = 0
     for name in sorted(oracle):
         sql = oracle[name]
