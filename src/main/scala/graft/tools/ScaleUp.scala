@@ -12,10 +12,17 @@ import org.apache.spark.sql.functions._
   * Content columns are NOT cloned verbatim where identity would distort
   * operator behavior at scale:
   *   - documents.text gets a deterministic per-copy word substitution
-  *     (~1/3 of words tagged), so cross-copy shingle/fingerprint matches
-  *     vanish and the dedup family scales on real near-dup structure
-  *     instead of manufactured 10-way duplicate classes (intra-copy dup
-  *     structure is preserved untouched); n_chars is recomputed.
+  *     (EVERY word tagged with the copy id — copies have disjoint
+  *     vocabularies, the PipelineScaleProbe clone construction), so
+  *     cross-copy shingle/fingerprint AND SimHash matches vanish and the
+  *     dedup family scales on real near-dup structure instead of
+  *     manufactured 10-way duplicate classes. A lighter ~1/3-word tagging
+  *     was not enough: it kills shingle matches but leaves many cross-copy
+  *     pairs within SimHash Hamming 2, which chained the copies into a
+  *     9k-doc mega-cluster at factor 10 — quadratic closure work (82M
+  *     reach pairs) that exists only in the clone fixture. Intra-copy dup
+  *     structure is preserved untouched (same rewrite within a copy);
+  *     n_chars is recomputed.
   *   - embeddings.embedding dimension 0 is nudged by copy*1e-4, keeping
   *     clones out of the exact-tie path while staying inside the same IVF
   *     bucket geometry.
@@ -35,6 +42,44 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   val KeyStride = 100000000L // > any base key; same stride for PK and FK
 
+  /** The scaled tables, lazily planned — shared with ScaleUpSpec so the
+    * cross-copy-isolation pins run on the SAME construction main writes. */
+  def scaledTables(spark: SparkSession, src: String, factor: Int)
+      : Seq[(String, DataFrame)] = {
+    def copies(t: String, keyCols: Seq[String],
+        perCopy: (DataFrame, Int) => DataFrame = (df, _) => df): DataFrame = {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      (0 until factor).map { c =>
+        val shifted = keyCols.foldLeft(base)((df, k) =>
+          df.withColumn(k, col(k) + lit(c * KeyStride)))
+        perCopy(shifted, c)
+      }.reduce(_ unionAll _)
+    }
+    Seq(
+      "region" -> spark.read.parquet(s"$src/region.parquet"),
+      "nation" -> spark.read.parquet(s"$src/nation.parquet"),
+      "customer" -> copies("customer", Seq("c_custkey")),
+      "supplier" -> copies("supplier", Seq("s_suppkey")),
+      "part" -> copies("part", Seq("p_partkey"), (df, c) =>
+        if (c == 0) df
+        else df.withColumn("p_name", concat(col("p_name"), lit(s" x$c$c")))),
+      "orders" -> copies("orders", Seq("o_orderkey", "o_custkey")),
+      "lineitem" -> copies("lineitem",
+        Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      "events" -> copies("events", Seq("event_id", "user_id")),
+      "documents" -> copies("documents", Seq("doc_id"), (df, c) =>
+        if (c == 0) df
+        else df
+          .withColumn("text", concat_ws(" ", expr(
+            s"transform(split(text, ' '), w -> concat(w, 'x$c'))")))
+          .withColumn("n_chars", length(col("text")).cast("long"))),
+      "embeddings" -> copies("embeddings", Seq("vec_id"), (df, c) =>
+        if (c == 0) df
+        else df.withColumn("embedding", expr(
+          s"transform(embedding, (x, i) -> " +
+            s"if(i = 0, cast(x + ${c}e-4 as float), x))"))))
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args
     val factor = factorS.toInt
@@ -46,45 +91,10 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    def copies(t: String, keyCols: Seq[String],
-        perCopy: (DataFrame, Int) => DataFrame = (df, _) => df): DataFrame = {
-      val base = spark.read.parquet(s"$src/$t.parquet")
-      (0 until factor).map { c =>
-        val shifted = keyCols.foldLeft(base)((df, k) =>
-          df.withColumn(k, col(k) + lit(c * KeyStride)))
-        perCopy(shifted, c)
-      }.reduce(_ unionAll _)
-    }
-
-    def write(t: String, df: DataFrame): Unit = {
+    scaledTables(spark, src, factor).foreach { case (t, df) =>
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scaleup] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
-
-    write("region", spark.read.parquet(s"$src/region.parquet"))
-    write("nation", spark.read.parquet(s"$src/nation.parquet"))
-    write("customer", copies("customer", Seq("c_custkey")))
-    write("supplier", copies("supplier", Seq("s_suppkey")))
-    write("part", copies("part", Seq("p_partkey"), (df, c) =>
-      if (c == 0) df
-      else df.withColumn("p_name", concat(col("p_name"), lit(s" x$c$c")))))
-    write("orders", copies("orders", Seq("o_orderkey", "o_custkey")))
-    write("lineitem", copies("lineitem",
-      Seq("l_orderkey", "l_partkey", "l_suppkey")))
-    write("events", copies("events", Seq("event_id", "user_id")))
-    write("documents", copies("documents", Seq("doc_id"), (df, c) =>
-      if (c == 0) df
-      else df
-        .withColumn("text", concat_ws(" ", expr(
-          s"transform(split(text, ' '), w -> " +
-            s"if(pmod(hash(w), 3) = 0, concat(w, 'x$c'), w))")))
-        .withColumn("n_chars", length(col("text")).cast("long"))))
-    write("embeddings", copies("embeddings", Seq("vec_id"), (df, c) =>
-      if (c == 0) df
-      else df.withColumn("embedding", expr(
-        s"transform(embedding, (x, i) -> " +
-          s"if(i = 0, cast(x + ${c}e-4 as float), x))"))))
     spark.stop()
   }
 }
