@@ -357,7 +357,7 @@ object Streams {
   def semanticNoveltyFilter(batch: DataFrame, history: DataFrame,
       idCol: String, vecCol: String, centroids: Seq[Seq[Double]], tau: Double,
       nprobe: Int = 2): DataFrame = {
-    require(nprobe == 1 || nprobe == 2, s"nprobe must be 1 or 2, got $nprobe")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     graft.functions.VectorOps.register(batch.sparkSession)
     import graft.functions.VectorOps.dotCol
     def emb(c: Column) = c.cast("array<double>")
@@ -366,13 +366,28 @@ object Streams {
     val dl = array(centroids.map(c => dotCol(emb(col(vecCol)), typedlit(c))): _*)
     val assigned = batch.withColumn("_dl", dl)
       .withColumn("_bucket", expr("array_position(_dl, array_max(_dl)) - 1"))
+    // nprobe 1/2 keep their original closed forms (their exact tie
+    // behavior is fixture-replayed by the q100 oracle); nprobe >= 3 ranks
+    // all k buckets by (dot desc, index asc) and probes the top n — the
+    // recall knob a SemDeDup deployment turns when drop-recall at 2
+    // probes is not enough (RecallProbe measures the curve).
     val probed =
       if (nprobe == 1) assigned.withColumn("bucket", col("_bucket"))
-      else assigned.withColumn("_b2", coalesce(
+      else if (nprobe == 2) assigned.withColumn("_b2", coalesce(
           expr("array_position(_dl, array_max(filter(_dl, x -> x != array_max(_dl)))) - 1"),
           col("_bucket")))
         .withColumn("bucket",
           explode(array_distinct(array(col("_bucket"), col("_b2")))))
+      else assigned.withColumn("bucket", explode(expr(
+        s"""transform(
+           |  slice(
+           |    array_sort(
+           |      transform(_dl, (x, i) -> struct(x as d, i as i)),
+           |      (a, b) -> case when a.d > b.d then -1
+           |                     when a.d < b.d then 1
+           |                     else a.i - b.i end),
+           |    1, ${math.min(nprobe, centroids.size)}),
+           |  s -> cast(s.i as bigint))""".stripMargin)))
     val q = probed.select(col(idCol).as("_qid"), emb(col(vecCol)).as("_qv"),
       col("bucket"))
     // no same-id exclusion on the history side: anything committed IS

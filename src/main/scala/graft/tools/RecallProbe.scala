@@ -72,7 +72,7 @@ object RecallProbe {
     * nprobe; report recall = caught/trueDups and falseDrops. */
   def semanticRecall(spark: SparkSession, d: Int = 256, nHist: Int = 2000,
       nPlanted: Int = 300, nNovel: Int = 200, k: Int = 32, tau: Double = 0.99,
-      epsList: Seq[Double] = Seq(0.02, 0.05, 0.12), nprobes: Seq[Int] = Seq(1, 2),
+      epsList: Seq[Double] = Seq(0.02, 0.05, 0.12), nprobes: Seq[Int] = Seq(1, 2, 3),
       seed: Long = 41L): Seq[SemanticPoint] = {
     import spark.implicits._
     val rng = new java.util.Random(seed)

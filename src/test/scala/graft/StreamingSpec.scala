@@ -480,6 +480,33 @@ class StreamingSpec extends AnyFunSuite {
     BucketedGraft.drop(spark, table)
   }
 
+  test("semantic filter nprobe >= 3: catches a dup stored under the query's 3rd-nearest bucket") {
+    import spark.implicits._
+    // axis-aligned centroids; history vector h sits just inside bucket 2
+    // (its primary), query v is a near-copy of h whose dots rank bucket 2
+    // THIRD — the exact miss class nprobe=2 accepts (standard IVF recall
+    // loss) and nprobe=3 must close. cosine(v,h) ≈ 0.9997 >= tau.
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0))
+    val h = Seq(0.575, 0.570, 0.587) // primary bucket 2
+    val v = Seq(0.587, 0.575, 0.570) // ranks: 0 > 1 > 2
+    val hist = Seq((1L, h, 2L)).toDF("vec_id", "embedding", "bucket")
+    val batch = Seq((10L, v)).toDF("vec_id", "embedding")
+    def survivors(np: Int): Seq[Long] = Streams.semanticNoveltyFilter(
+      batch, hist, "vec_id", "embedding", cents, tau = 0.999, nprobe = np)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(survivors(2) === Seq(10L)) // 3rd-nearest bucket never probed
+    assert(survivors(3) === Seq())    // generic top-n path reaches it
+    // nprobe beyond k clamps to k rather than erroring
+    assert(survivors(5) === Seq())
+    // intra-batch side under the generic path: candidate probes its top-3,
+    // incumbent sits at its primary — smaller id survives, larger drops
+    val batch2 = Seq((1L, h), (10L, v)).toDF("vec_id", "embedding")
+    val out = Streams.semanticNoveltyFilter(
+      batch2, hist.limit(0), "vec_id", "embedding", cents, tau = 0.999, nprobe = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out === Seq(1L))
+  }
+
   test("semantic ingest: cosine gate vs committed history, exactly-once replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
