@@ -463,33 +463,41 @@ object Streams {
     * (doc_id, frame_idx, phash); an image is the 1-frame case (frame_idx
     * 0), so one gate covers images and videos.
     *
-    * Join shape is [[nearDupFilter]]'s with the [[graft.operators
-    * .SimHashBands.Split63]] widths: the history side explodes to its band
+    * Join shape is [[nearDupFilter]]'s with a `bands`-way even split of
+    * the 63 pHash bits ([[graft.operators.SimHashBands.splitW]]; 3 bands
+    * = the Split63 default): the history side explodes to its band
     * rows (a per-row map, NO shuffle) and streams through a broadcast-hash
     * join against the batch's band rows; the Hamming check, the
     * distinct-frame count, and the doc-level anti join all operate on
     * batch-derived sides only. Frame keys pack (doc_id, frame_idx)
     * doc-major into one long (frame_idx < 2^20), so intra-batch pair
-    * orientation `a < b` never splits a document pair. */
+    * orientation `a < b` never splits a document pair.
+    *
+    * `bands` is the recall dial: the pigeonhole is exhaustive for maxDist
+    * ≤ bands-1, and the RecallProbe jitter distribution centers near
+    * Hamming 2.7 — 5 bands + maxDist 4 roughly doubles jitter recall over
+    * the 3-band default at ~(bands/3)× the band rows and a shorter-band
+    * candidate-collision increase the exact Hamming post-filter absorbs. */
   def mediaNearDupFilter(batchSigs: DataFrame, history: DataFrame,
-      minFrames: Int = 1, maxDist: Int = graft.operators.SimHashBands.MaxHamming)
-      : DataFrame = {
+      minFrames: Int = 1, maxDist: Int = graft.operators.SimHashBands.MaxHamming,
+      bands: Int = 3): DataFrame = {
     import graft.operators.SimHashBands
-    require(maxDist <= SimHashBands.MaxHamming,
-      s"3-band split is exhaustive only up to Hamming ${SimHashBands.MaxHamming}")
+    require(maxDist <= bands - 1,
+      s"$bands-band split is exhaustive only up to Hamming ${bands - 1}")
+    val widths = SimHashBands.splitW(63, bands)
     val sigs = batchSigs.select(
       (col("doc_id") * lit(1048576L) + col("frame_idx")).as("fid"),
       col("phash").as("simhash"))
-    val bb = SimHashBands.bandsW(sigs, "fid", SimHashBands.Split63)
+    val bb = SimHashBands.bandsW(sigs, "fid", widths)
       .select(col("band"), col("band_val"), col("fid"), col("simhash").as("_bsim"))
     val hb = SimHashBands.bandsW(
       history.select(col("phash").as("_hid"), col("phash").as("simhash")),
-      "_hid", SimHashBands.Split63)
+      "_hid", widths)
     val histMatched = hb.join(broadcast(bb), Seq("band", "band_val"))
       .where(bit_count(col("simhash").bitwiseXOR(col("_bsim"))) <= maxDist)
       .select(col("fid"))
     val intraMatched = SimHashBands
-      .hammingPairsW(sigs, "fid", maxDist, SimHashBands.Split63)
+      .hammingPairsW(sigs, "fid", maxDist, widths)
       .where(expr("doc_a div 1048576") =!= expr("doc_b div 1048576"))
       .select(col("doc_b").as("fid"))
     val dropDocs = histMatched.union(intraMatched).distinct()
@@ -524,7 +532,7 @@ object Streams {
   def mediaNearDupIngest(stream: DataFrame, table: String,
       schema: graft.core.MatSchema, buckets: Int, checkpoint: String,
       stride: Int = 1, minFrames: Int = 1,
-      maxDist: Int = graft.operators.SimHashBands.MaxHamming,
+      maxDist: Int = graft.operators.SimHashBands.MaxHamming, bands: Int = 3,
       compactEvery: Int = 0, maxBatchRows: Long = DefaultMaxBatchRows)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(Seq("doc_id", "frame_idx", "phash").forall(schema.columnNames.contains),
@@ -543,7 +551,8 @@ object Streams {
         // slice on doc_id so a document's frames stay in one slice —
         // minFrames counts distinct frames per doc within the gate call
         try admittedSlices(sigs, col("doc_id"), maxBatchRows).foreach { slice =>
-          val gated = mediaNearDupFilter(slice, spark.table(table), minFrames, maxDist)
+          val gated = mediaNearDupFilter(slice, spark.table(table), minFrames,
+            maxDist, bands)
           // exact doc-identity replay guard (independent of minFrames): a
           // doc_id ever committed never commits again, whatever its frame
           // count — history streams, only batch-derived ids broadcast

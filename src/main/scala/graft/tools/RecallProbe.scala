@@ -118,6 +118,50 @@ object RecallProbe {
   final case class MediaPoint(delta: Int, maxDist: Int, planted: Int,
       within: Int, recall: Double, meanHamming: Double)
 
+  final case class MediaGatePoint(delta: Int, maxDist: Int, bands: Int,
+      planted: Int, dropped: Int, recall: Double, missed: Int)
+
+  /** END-TO-END recall of [[graft.streaming.Streams.mediaNearDupFilter]]
+    * at each (maxDist, bands) setting: plant brightness-jittered
+    * re-encodes of committed frames as a batch of fresh doc ids and count
+    * how many the gate actually drops. The banded join being
+    * pigeonhole-exact for maxDist ≤ bands-1, the drop set must CONTAIN
+    * every doc whose own jitter Hamming is ≤ maxDist — `missed` counts
+    * the guaranteed drops the gate failed to make and must be 0 (dropped
+    * can exceed the within-range count: a jitter may also near-match a
+    * DIFFERENT history doc, or a smaller-id batch doc). The sweep shows
+    * what raising the band count buys: the mean jitter Hamming sits near
+    * 2.7 on this population, past the 3-band default's reach. */
+  def mediaGateRecall(spark: SparkSession, nDocs: Int = 300, delta: Int = 16,
+      settings: Seq[(Int, Int)] = Seq((2, 3), (3, 4), (4, 5), (6, 7)))
+      : Seq[MediaGatePoint] = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val pairs = Array.tabulate(nDocs) { i =>
+      val png = Multimodal.renderDocImage(s"recall probe document payload $i")
+      def ph(b: Array[Byte]) =
+        Multimodal.decodeImage(b).map(Multimodal.phash64).getOrElse(0L)
+      (ph(png), ph(Multimodal.brightenPng(png, delta)))
+    }
+    val history = pairs.zipWithIndex.toSeq
+      .map { case ((h, _), i) => (i.toLong, 0L, h) }
+      .toDF("doc_id", "frame_idx", "phash")
+    val batch = pairs.zipWithIndex.toSeq
+      .map { case ((_, j), i) => (100000L + i, 0L, j) }
+      .toDF("doc_id", "frame_idx", "phash")
+    settings.map { case (maxDist, bands) =>
+      val survivorIds = graft.streaming.Streams
+        .mediaNearDupFilter(batch, history, minFrames = 1, maxDist, bands)
+        .select("doc_id").as[Long].collect().toSet
+      val dropped = nDocs - survivorIds.size
+      val missed = pairs.zipWithIndex.count { case ((h, j), i) =>
+        java.lang.Long.bitCount(h ^ j) <= maxDist && survivorIds(100000L + i)
+      }
+      MediaGatePoint(delta, maxDist, bands, nDocs, dropped,
+        dropped.toDouble / nDocs, missed)
+    }
+  }
+
   /** Hamming distribution of pHash under brightness-jittered PNG
     * re-encode, per jitter level: the banded join being pigeonhole-exact,
     * this IS the media gate's recall curve. */
@@ -151,7 +195,8 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sem = semanticRecall(spark)
-    val med = mediaRecall(spark)
+    val med = mediaRecall(spark, maxDists = Seq(1, 2, 3, 4, 6))
+    val gate = mediaGateRecall(spark)
     val semJson = sem.map(p =>
       s"""{"nprobe":${p.nprobe},"eps":${p.eps},"planted":${p.planted},""" +
         s""""true_dups":${p.trueDups},"caught":${p.caught},""" +
@@ -162,7 +207,12 @@ object RecallProbe {
         s""""planted":${p.planted},"within":${p.within},"recall":${p.recall},""" +
         s""""mean_hamming":${p.meanHamming}}""")
       .mkString("[", ",", "]")
-    val line = s"""{"semantic":$semJson,"media":$medJson}"""
+    val gateJson = gate.map(p =>
+      s"""{"brightness_delta":${p.delta},"max_dist":${p.maxDist},""" +
+        s""""bands":${p.bands},"planted":${p.planted},"dropped":${p.dropped},""" +
+        s""""recall":${p.recall},"missed":${p.missed}}""")
+      .mkString("[", ",", "]")
+    val line = s"""{"semantic":$semJson,"media":$medJson,"media_gate":$gateJson}"""
     println(line)
     val dir = sys.env.get("SPARK_GRAFT_BENCH_DIR")
       .map(java.nio.file.Paths.get(_))

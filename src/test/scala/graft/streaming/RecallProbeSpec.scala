@@ -51,4 +51,27 @@ class RecallProbeSpec extends AnyFunSuite {
     assert(p.recall >= 0.65, s"media recall floor broke: $p")
     assert(p.meanHamming <= 8.0, s"pHash moved implausibly far under brightness: $p")
   }
+
+  test("media gate realizes the pigeonhole bound, and more bands buy recall") {
+    // same 300-doc delta=16 population; 60 docs keep the spec cheap while
+    // staying on the artifact's construction (per-doc determinism)
+    val dists = RecallProbe.mediaRecall(spark, nDocs = 60,
+      deltas = Seq(16), maxDists = Seq(2, 4))
+    val gates = RecallProbe.mediaGateRecall(spark, nDocs = 60, delta = 16,
+      settings = Seq((2, 3), (4, 5)))
+    // the banded plan is exhaustive, not probabilistic: every doc whose
+    // own jitter Hamming is within maxDist MUST drop (missed = 0), and
+    // drop-recall can only exceed the within-range fraction (cross-doc
+    // and intra-batch near-matches are legitimate extra drops)
+    dists.zip(gates).foreach { case (d, g) =>
+      assert(d.maxDist === g.maxDist)
+      assert(g.missed === 0,
+        s"gate lost in-range pairs the pigeonhole guarantees: $d vs $g")
+      assert(g.recall >= d.recall - 1e-12, s"gate under-dropped: $d vs $g")
+    }
+    val r3 = gates.find(_.bands == 3).get.recall
+    val r5 = gates.find(_.bands == 5).get.recall
+    assert(r5 > r3,
+      s"5-band maxDist=4 should beat 3-band maxDist=2 on jitter centered near 2.7: $r3 vs $r5")
+  }
 }
