@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact edit-distance self-join — entity-resolution-grade fuzzy matching
@@ -21,7 +22,21 @@ import org.apache.spark.sql.functions._
   * yields candidates — an inverted-index hash join, never all-pairs —
   * and `levenshtein` (threshold variant: early-exit DP) verifies
   * exactly. Probe fan-out is ≤ (2k+1)²(k+1) rows per string (18 at k=1):
-  * linear in corpus size with a small constant.
+  * linear in DISTINCT-string count with a small constant.
+  *
+  * DEDUP-FIRST: candidate generation and verification run over the
+  * distinct strings only (one representative per duplicate group). A
+  * low-cardinality column therefore cannot explode the signature join:
+  * a corpus of n rows over m distinct strings costs the PassJoin of m
+  * strings plus output-bound expansion, never Σ(bucket row-counts)²
+  * levenshtein calls. Without this, a 200k-row column with 640 distinct
+  * values (real catalog data is full of such columns) generates ~7·10⁸
+  * candidate verifications for ~3·10⁷ true pairs; with it, the verify
+  * work is the 640-string PassJoin. Duplicate groups re-enter exactly:
+  * [[pairs]] expands representative pairs to id pairs (plus the
+  * distance-0 pairs inside each group) — output-bound by definition —
+  * while [[neighborProfile]] never materializes id pairs at all,
+  * combining per-group counts instead.
   *
   * Scale notes: the signature join shuffles on short segment text, so a
   * stop-word segment can skew a bucket — AQE skew-join splits it, and
@@ -34,15 +49,12 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** Unordered pairs (id_a < id_b, dist) with edit distance ≤ maxDist.
-    * Exact — the segment scheme generates a superset of the true pairs
-    * and verification filters precisely. Ids must be unique. */
-  def pairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int): DataFrame = {
-    require(maxDist >= 1, "maxDist must be >= 1 (use plain equality for 0)")
-    val k = maxDist
-    val base = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
-      .withColumn("len", length(col("s")))
+  /** Unordered representative pairs over UNIQUE strings: (id_a < id_b,
+    * s_a, s_b, dist) with 1 ≤ dist ≤ k (inputs are distinct, so 0 never
+    * occurs). The segment scheme generates a superset of the true pairs
+    * and threshold levenshtein verifies precisely. */
+  private def distinctPairs(dStrings: DataFrame, k: Int): DataFrame = {
+    val base = dStrings.withColumn("len", length(col("s")))
 
     // fixed segmentation of a length-pl string into k+1 pieces: the first
     // (pl mod (k+1)) segments get one extra char. Both sides derive
@@ -88,22 +100,76 @@ object FuzzyJoin {
     // threshold levenshtein early-exits the DP and returns -1 above k
     cand.withColumn("dist", levenshtein(col("s_a"), col("s_b"), k))
       .where(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Unordered pairs (id_a < id_b, dist) with edit distance ≤ maxDist,
+    * INCLUDING the distance-0 pairs inside each duplicate-string group.
+    * Exact and output-bound: representative pairs come from the distinct-
+    * string PassJoin, then expand through each group's id list. Ids must
+    * be unique. */
+  def pairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1 (use plain equality for 0)")
+    val base = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+    val reps = base.groupBy("s").agg(min(col("id")).as("id"))
+      .select(col("id"), col("s"))
+    val dp = distinctPairs(reps, maxDist)
+    // expand: every id of group s_a × every id of group s_b, once each
+    // (dp holds each unordered string pair once, groups are disjoint)
+    val cross = dp
+      .join(base.select(col("id").as("ia"), col("s").as("s_a")), Seq("s_a"))
+      .join(base.select(col("id").as("ib"), col("s").as("s_b")), Seq("s_b"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
+    // distance-0 pairs: unordered id pairs within each duplicate group
+    val zero = base.as("x")
+      .join(base.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(0).as("dist"))
+    cross.union(zero)
   }
 
   /** Per-id fuzzy-neighbor profile over the WHOLE input (ids with no
     * neighbor included with n_fuzzy = 0): neighbor count and minimum
-    * neighbor id — the grouping key a keep-one fuzzy dedup cuts on. */
+    * neighbor id — the grouping key a keep-one fuzzy dedup cuts on.
+    *
+    * Never materializes id-level pairs (whose count is quadratic in
+    * duplicate-group size): per-group counts and the two smallest ids
+    * per group are enough — a row's neighbor count is (own group − 1) +
+    * Σ sizes of groups within distance, and its min neighbor id is the
+    * least of the other ids in its group and the neighbor groups' minima.
+    * Full-data cost: one hash-partition window pass on the string plus
+    * one join back on the same key; everything else is distinct-string
+    * sized. */
   def neighborProfile(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int): DataFrame = {
-    val p = pairs(df, idCol, strCol, maxDist)
-    val sym = p.select(col("id_a").as("id"), col("id_b").as("nb"))
-      .union(p.select(col("id_b").as("id"), col("id_a").as("nb")))
-    df.select(col(idCol).cast("long").as("id"))
-      .join(sym.groupBy("id")
-        .agg(count(lit(1)).as("n_fuzzy"), min(col("nb")).as("nn_id")),
-        Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_fuzzy"), lit(0L)).as("n_fuzzy"),
-        col("nn_id"))
+    val base = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+    val w = Window.partitionBy("s").orderBy("id")
+    val wc = Window.partitionBy("s")
+    val ranked = base.select(col("s"), col("id"),
+      row_number().over(w).as("rn"), count(lit(1)).over(wc).as("cnt"))
+    val groups = ranked.where(col("rn") <= 2).groupBy("s").agg(
+      max(col("cnt")).as("gcnt"),
+      min(when(col("rn") === 1, col("id"))).as("min1"),
+      min(when(col("rn") === 2, col("id"))).as("min2"))
+    val dp = distinctPairs(
+      groups.select(col("min1").as("id"), col("s")), maxDist)
+    // group-level external neighbor stats, keyed back to the string; a
+    // neighbor group's min id IS its representative (min1), so the min
+    // external neighbor id is min(nb)
+    val sym = dp.select(col("s_a").as("s"), col("id_b").as("nb"))
+      .union(dp.select(col("s_b").as("s"), col("id_a").as("nb")))
+    val ext = sym
+      .join(groups.select(col("min1").as("nb"), col("gcnt").as("nb_cnt")),
+        Seq("nb"))
+      .groupBy("s")
+      .agg(sum(col("nb_cnt")).as("ext_cnt"), min(col("nb")).as("ext_min"))
+    val gext = groups.join(ext, Seq("s"), "left")
+    ranked.join(gext, Seq("s"))
+      .select(col("id"),
+        (col("gcnt") - 1 + coalesce(col("ext_cnt"), lit(0L))).as("n_fuzzy"),
+        least(
+          when(col("id") === col("min1"), col("min2")).otherwise(col("min1")),
+          col("ext_min")).as("nn_id"))
   }
 }

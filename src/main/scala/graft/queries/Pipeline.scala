@@ -1247,10 +1247,14 @@ object Pipeline {
     // forces the quadratic join — affordable at oracle scale only; the
     // length prefilter keeps DuckDB honest about the same pair set.
     Entry("q84_fuzzy_neighbors", Some(
-      """WITH nb AS (SELECT a.p_partkey AS k, b.p_partkey AS nk
-        |            FROM part a JOIN part b ON a.p_partkey <> b.p_partkey
-        |             AND abs(length(a.p_name) - length(b.p_name)) <= 1
-        |             AND levenshtein(a.p_name, b.p_name) <= 1)
+      """WITH np AS (SELECT a.p_name AS sa, b.p_name AS sb
+        |            FROM (SELECT DISTINCT p_name FROM part) a,
+        |                 (SELECT DISTINCT p_name FROM part) b
+        |            WHERE levenshtein(a.p_name, b.p_name) <= 1),
+        |nb AS (SELECT x.p_partkey AS k, y.p_partkey AS nk
+        |       FROM part x JOIN np ON x.p_name = np.sa
+        |                   JOIN part y ON y.p_name = np.sb
+        |                              AND y.p_partkey <> x.p_partkey)
         |SELECT p.p_partkey,
         |       CAST(COALESCE(s.cnt, 0) AS BIGINT) AS n_fuzzy,
         |       s.mn AS nn_key

@@ -58,6 +58,29 @@ class FuzzyJoinSpec extends AnyFunSuite {
       assert(viaSpark(rows, k) === brute(rows, k), s"k=$k")
   }
 
+  test("pairs and neighborProfile are exact on duplicate-heavy input") {
+    // low-cardinality column: 8 distinct strings over 90 rows — the shape
+    // that must NOT explode candidate generation (dedup-first contract)
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("red bolt", "red bolz", "red  bolt", "blue gear",
+      "blue gea", "zzz", "zz", "qqqqqq")
+    val rows = (0L until 90L).map(i => (i, vocab(rnd.nextInt(vocab.size))))
+    for (k <- Seq(1, 2)) {
+      assert(viaSpark(rows, k) === brute(rows, k), s"pairs k=$k")
+      val bruteProfile = rows.map { case (id, s) =>
+        val nbs = rows.collect {
+          case (j, t) if j != id && lev(s, t) <= k => j
+        }
+        (id, nbs.size.toLong, if (nbs.isEmpty) -1L else nbs.min)
+      }.toSet
+      import spark.implicits._
+      val got = FuzzyJoin.neighborProfile(rows.toDF("id", "s"), "id", "s", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(got === bruteProfile, s"profile k=$k")
+    }
+  }
+
   test("neighborProfile counts both directions and keeps isolated ids") {
     import spark.implicits._
     val df = Seq(1L -> "abcd", 2L -> "abce", 3L -> "abcf", 4L -> "zzzzzz")
