@@ -549,6 +549,44 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- replayable HLL (graft-native sketch, hash-exact oracle) -------
+    // Unlike q37's built-in HLL++, graft.operators.Hll defines the sketch
+    // in portable integer arithmetic over the battery's 56-bit md5 hash,
+    // so DuckDB replays registers, sum, and estimate bit-for-bit.
+    Entry("q102_hll_sketch", Some(
+      """WITH h AS (SELECT l_returnflag,
+        |                  (('0x' || substr(md5('pk:' || CAST(l_partkey AS VARCHAR)), 1, 14))::BIGINT) AS h
+        |           FROM lineitem),
+        |b AS (SELECT l_returnflag, h % 64 AS b, h // 64 AS w FROM h),
+        |r AS (SELECT l_returnflag, b,
+        |             max(least(bit_count((w & -w) - 1) + 1, 46)) AS m
+        |      FROM b GROUP BY 1, 2),
+        |t AS (SELECT l_returnflag,
+        |             CAST(sum(1::BIGINT << (46 - m))
+        |                  + (64 - count(*)) * (1::BIGINT << 46) AS BIGINT) AS t
+        |      FROM r GROUP BY 1),
+        |e AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+        |      FROM lineitem GROUP BY 1)
+        |SELECT t.l_returnflag,
+        |       CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |         * CAST(70368744177664 AS DOUBLE) / CAST(t AS DOUBLE) AS est_parts,
+        |       e.exact_parts
+        |FROM t JOIN e ON t.l_returnflag = e.l_returnflag
+        |ORDER BY t.l_returnflag""".stripMargin)) { (s, d) =>
+      val li = table(s, d, "lineitem")
+      val hashed = li.select(col("l_returnflag"),
+        conv(substring(md5(concat(lit("pk:"), col("l_partkey").cast("string"))),
+          1, 14), 16, 10).cast("long").as("h"))
+      val est = graft.operators.Hll
+        .approxDistinct(hashed, Seq("l_returnflag"), "h")
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      est.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("est_distinct").as("est_parts"),
+          col("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- exact percentiles ---------------------------------------------
     // Over the integer-valued l_quantity so linear interpolation lands on
     // exact .0/.5 doubles — engine-formula differences can't show up.
