@@ -27,18 +27,25 @@ import org.apache.spark.sql.functions._
 object Scan {
   val TxnCol = "_txn_id"
   val SeqCol = "_seq"
+  val DelCol = "_del"
   val ChunkPrefix = "_ck_"
 
   /** The read schema every layout's segment files share: the logical
     * columns (nullable — parquet reads never enforce non-null) plus the
-    * `_txn_id`/`_seq` provenance pair. One definition, consumed by the
-    * directory layout ([[raw]], which appends chunk-key columns), the DSv2
-    * catalog, and the ranged layout — a provenance change lands in all
-    * three or none. */
+    * `_del` tombstone marker and the `_txn_id`/`_seq` provenance pair. One
+    * definition, consumed by the directory layout ([[raw]], which appends
+    * chunk-key columns), the DSv2 catalog, and the ranged layout — a
+    * provenance change lands in all three or none.
+    *
+    * `_del` is nullable by design: segments written before deletes existed
+    * (and layouts that never write tombstones) simply lack the column, the
+    * explicit read schema surfaces it as null, and [[dedup]] coalesces
+    * null → false — old data reads unchanged, byte-for-byte. */
   def provenanceStruct(schema: MatSchema): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(schema.toStructType.fields.map(_.copy(nullable = true)) ++
-      Seq(StructField(TxnCol, LongType), StructField(SeqCol, LongType)))
+      Seq(StructField(DelCol, BooleanType),
+        StructField(TxnCol, LongType), StructField(SeqCol, LongType)))
   }
 
   /** Read the raw union of segment dirs + extra in-memory batches, with
@@ -61,7 +68,7 @@ object Scan {
     }
     val cols = dimCols ++ schema.valueNames.map(col) ++
       schema.chunkColNames.map(c => col(c).cast("long").as(c)) ++
-      Seq(col(TxnCol), col(SeqCol))
+      Seq(col(DelCol), col(TxnCol), col(SeqCol))
     // One read per segment dir (each is its own Hive-partitioned tree); the
     // union of parquet scans collapses into a single multi-file scan stage.
     // The schema is supplied explicitly — never inferred: a transaction
@@ -78,7 +85,7 @@ object Scan {
       import org.apache.spark.sql.types._
       val st = StructType(schema.toStructType.fields ++
         schema.chunkColNames.map(StructField(_, LongType)) ++
-        provenanceStruct(schema).fields.takeRight(2))
+        provenanceStruct(schema).fields.takeRight(3))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
     } else all.reduce(_ unionByName _)
   }
@@ -97,16 +104,25 @@ object Scan {
     * every committed version. */
   def dedup(df: DataFrame, schema: MatSchema): DataFrame = {
     val dims = schema.dimNames.map(col)
-    if (schema.valueNames.isEmpty) df.select(dims: _*).distinct()
+    val hasDel = df.columns.contains(DelCol)
+    if (schema.valueNames.isEmpty && !hasDel) df.select(dims: _*).distinct()
     else {
       val ver = (least(col(TxnCol), lit(1L << 40)) * lit(1L << 22) +
         least(col(SeqCol), lit((1L << 22) - 1))).as("_ver")
-      df.withColumn("_ver", ver)
+      // the winning row's tombstone flag rides through the SAME aggregate
+      // (one more primitive max_by buffer — still HashAggregateExec, still
+      // one exchange); coalesce happens per-row so a winner from a
+      // pre-delete segment (null _del) reads as live
+      val valueAggs = schema.valueNames.map(v => max_by(col(v), col("_ver")).as(v))
+      val delAgg =
+        if (hasDel) Seq(max_by(coalesce(col(DelCol), lit(false)), col("_ver")).as(DelCol))
+        else Nil
+      val aggs = valueAggs ++ delAgg
+      val resolved = df.withColumn("_ver", ver)
         .groupBy(dims: _*)
-        .agg(
-          max_by(col(schema.valueNames.head), col("_ver")).as(schema.valueNames.head),
-          schema.valueNames.tail.map(v => max_by(col(v), col("_ver")).as(v)): _*)
-        .select((schema.dimNames ++ schema.valueNames).map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      val live = if (hasDel) resolved.filter(!col(DelCol)) else resolved
+      live.select((schema.dimNames ++ schema.valueNames).map(col): _*)
     }
   }
 

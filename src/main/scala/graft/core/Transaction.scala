@@ -51,7 +51,7 @@ final class Transaction private[core] (
   /** Columns added to a batch: chunk keys, txn id (MaxValue until commit —
     * own writes outrank all committed data, reference scan.rs:159-163 intent),
     * and the batch sequence number. */
-  private def decorate(df: DataFrame, seq: Long): DataFrame = {
+  private def decorate(df: DataFrame, seq: Long, del: Boolean = false): DataFrame = {
     // dims re-aliased with chunk-size metadata: it persists into the parquet
     // footer, so scan attributes carry it and graft.plans.ChunkPruneRule can
     // derive partition predicates on pushed-down filters
@@ -66,6 +66,7 @@ final class Transaction private[core] (
         floor(col(dim.name) / lit(dim.chunkSize)).cast("long"))
     }
     withChunks
+      .withColumn(Scan.DelCol, lit(del))
       .withColumn(Scan.TxnCol, lit(Long.MaxValue))
       .withColumn(Scan.SeqCol, lit(seq))
   }
@@ -79,6 +80,34 @@ final class Transaction private[core] (
     val projected = df.select(schema.columnNames.map(col): _*)
     buffered = buffered :+ decorate(projected, seq)
   }
+
+  /** Buffer TOMBSTONES for the key points in `df` (needs the dimension
+    * columns; anything else is dropped). A tombstone is an ordinary MVCC
+    * version — all value columns null, `_del = true` — so it routes to its
+    * chunk, shuffles and commits exactly like an insert, and "newest wins"
+    * is the whole delete semantic: the resolve aggregate picks it as the
+    * winning version and the post-resolve tombstone filter drops the key
+    * ([[Scan.dedup]]). A later insert of the same key outranks the
+    * tombstone and resurrects it; time travel before the deleting txn
+    * still sees the old row. The reference has no delete (its only write
+    * is `add_values`, transaction.rs:67-85) — this is the missing half of
+    * upsert, built from the same machinery. */
+  def deleteRows(df: DataFrame): Unit = {
+    requireOpen()
+    val seq = nextSeq; nextSeq += 1
+    val nulls = schema.values.foldLeft(df.select(schema.dimNames.map(col): _*)) {
+      (d, v) => d.withColumn(v.name, lit(null).cast(v.dataType))
+    }
+    buffered = buffered :+ decorate(nulls, seq, del = true)
+  }
+
+  /** Tombstone every key whose CURRENT resolved row (own uncommitted writes
+    * included) matches `pred` — the `DELETE FROM ... WHERE` semantic. Value
+    * predicates apply post-resolve (a superseded version matching the
+    * predicate does not doom the key); dimension predicates prune the scan
+    * as usual. */
+  def deleteWhere(pred: Column): Unit =
+    deleteRows(query().filter(pred))
 
   /** Convenience: add rows given as tuples of longs in schema order. */
   def addRowsSeq(rows: Seq[Seq[Any]]): Unit = {

@@ -216,6 +216,51 @@ object CoreOps {
       s.sql("SELECT user_id, v FROM g101.ti VERSION AS OF 2 ORDER BY user_id")
     },
 
+    // ---- SQL DELETE path (MVCC tombstones; GraftCatalog SupportsDelete) -
+    // The engine's delete semantic driven from SQL: seed the table with
+    // each user's latest value (txn 1), DELETE a dimension range (txn 2 —
+    // tombstones, pushed to the scan), DELETE by a VALUE predicate (txn 3 —
+    // applied post-resolve: a superseded version matching the predicate
+    // must not doom its key), then re-INSERT a subset (txn 4 — newest wins
+    // over tombstones, resurrecting the keys). The oracle replays all four
+    // transactions relationally from the source events table, so the
+    // tombstone write, the post-resolve predicate split, and the
+    // resurrect-by-upsert all have to reproduce exactly. The reference has
+    // no delete (its only write is add_values, transaction.rs:67-85) —
+    // this gate covers the engine-extension half of upsert.
+    Entry("q103_sql_delete", Some(
+      """WITH base AS (SELECT user_id, arg_max(value, event_id) AS v
+        |              FROM events GROUP BY user_id),
+        |d1 AS (SELECT * FROM base WHERE user_id NOT BETWEEN 10 AND 59),
+        |d2 AS (SELECT * FROM d1 WHERE NOT (v < 100.0)),
+        |re AS (SELECT DISTINCT user_id, CAST(-1.0 AS DOUBLE) AS v
+        |       FROM events WHERE user_id BETWEEN 10 AND 29),
+        |fin AS (SELECT user_id, v FROM d2
+        |        WHERE user_id NOT IN (SELECT user_id FROM re)
+        |        UNION ALL SELECT user_id, v FROM re)
+        |SELECT user_id, v FROM fin ORDER BY user_id""".stripMargin)) { (s, d) =>
+      val root = Q.fixture("q103-catalog")
+      val tableDir = root.resolve("td")
+      graft.core.Storage.deleteRecursively(tableDir)
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g103").isEmpty) {
+        s.conf.set("spark.sql.catalog.g103", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g103.root", root.toString)
+      }
+      s.sql("CREATE TABLE g103.td (user_id BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:1000')")
+      table(s, d, "events").createOrReplaceTempView("events")
+      s.sql("""INSERT INTO g103.td
+              |SELECT user_id, max_by(value, event_id) AS v
+              |FROM events GROUP BY user_id""".stripMargin)
+      s.sql("DELETE FROM g103.td WHERE user_id BETWEEN 10 AND 59")
+      s.sql("DELETE FROM g103.td WHERE v < 100.0")
+      s.sql("""INSERT INTO g103.td
+              |SELECT DISTINCT user_id, CAST(-1.0 AS DOUBLE)
+              |FROM events WHERE user_id BETWEEN 10 AND 29""".stripMargin)
+      s.sql("SELECT user_id, v FROM g103.td ORDER BY user_id")
+    },
+
     // ---- z-order clustered layout (sources.ZOrderLayout) ---------------
     // lineitem rewritten in Morton order of (l_orderkey, l_partkey), then
     // a range predicate on the NON-leading key answered off the clustered

@@ -4,11 +4,11 @@ import java.util.Collections
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, Least, Literal, Multiply, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, Coalesce, Least, Literal, Multiply, NamedExpression, Not}
 import org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Filter => LogicalFilter}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
@@ -226,7 +226,8 @@ object GraftCatalog {
   * any file source performs, O(chunk dirs in visible segments). */
 final class GraftV2Table(tableName: String, val matSchema: MatSchema,
     val segmentPaths: Seq[String], val writeDir: Option[String] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
+    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
+    with SupportsDelete {
 
   /** Data columns physically present in every segment file: logical ++
     * provenance — the shared [[graft.core.Scan.provenanceStruct]]. */
@@ -274,7 +275,40 @@ final class GraftV2Table(tableName: String, val matSchema: MatSchema,
 
   override def metadataColumns(): Array[MetadataColumn] =
     (Seq(Scan.TxnCol, Scan.SeqCol) ++ matSchema.chunkColNames)
-      .map(n => GraftMetaCol(n, LongType)).toArray
+      .map(n => GraftMetaCol(n, LongType)).toArray :+
+      (GraftMetaCol(Scan.DelCol, org.apache.spark.sql.types.BooleanType): MetadataColumn)
+
+  /** `DELETE FROM <cat>.<t> WHERE ...` — one committed transaction of MVCC
+    * TOMBSTONES for the keys whose current resolved row matches the
+    * predicate ([[graft.core.Transaction.deleteWhere]] semantics, through
+    * the same cross-process claim + publish as INSERT,
+    * [[GraftInsert.tombstone]]). Value predicates apply POST-resolve (a
+    * superseded version matching the filter does not doom its key);
+    * dimension predicates push into the scan. Spark only routes predicates
+    * it can translate to source filters here; [[GraftFilters]] defines the
+    * supported set ([[canDeleteWhere]] refuses the rest, which surfaces as
+    * a clear analysis error instead of a wrong answer). */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    writeDir.isDefined && GraftFilters.toColumn(filters).isDefined
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val dir = writeDir.getOrElse(throw new UnsupportedOperationException(
+      s"$tableName is a VERSION AS OF snapshot — historical versions are read-only"))
+    val pred = GraftFilters.toColumn(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft DELETE cannot translate filters: ${filters.mkString(", ")}"))
+    val spark = SparkSession.active
+    // resolve the CURRENT snapshot (this table's visible segment set may be
+    // stale if other writers committed since load — re-list, same as INSERT)
+    val root = Storage.rootPath(dir)
+    val proto = Storage.detect(root)
+    val paths = proto.listCommitted(root).sorted.map(s => proto.readPath(root, s).toString)
+    val doomed = Scan.resolve(spark, matSchema, paths, Nil)
+      .filter(pred)
+      .select(matSchema.dimNames.map(org.apache.spark.sql.functions.col): _*)
+    GraftInsert.tombstone(spark, dir, doomed)
+    ()
+  }
 
   /** Enumerate every `_ck_a=x/_ck_b=y/...` leaf directory under the visible
     * segments and pin its partition values explicitly. */
@@ -320,6 +354,47 @@ private final case class GraftMetaCol(colName: String, colType: DataType)
   override def isNullable: Boolean = true
 }
 
+/** V1 source-filter → Column translation for the DELETE path. Flat
+  * attributes only (graft columns are flat by construction); any filter
+  * shape outside this set makes the whole translation `None`, which
+  * [[GraftV2Table.canDeleteWhere]] reports so Spark raises the standard
+  * untranslatable-DELETE error rather than silently deleting the wrong
+  * rows. */
+private[sources] object GraftFilters {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  def toColumn(filters: Array[Filter]): Option[Column] =
+    if (filters.isEmpty) Some(lit(true)) // DELETE FROM t with no WHERE
+    else {
+      val cols = filters.map(one)
+      if (cols.exists(_.isEmpty)) None
+      else Some(cols.flatten.reduce(_ && _))
+    }
+
+  private def one(f: Filter): Option[Column] = f match {
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for { lc <- one(l); rc <- one(r) } yield lc && rc
+    case Or(l, r) => for { lc <- one(l); rc <- one(r) } yield lc || rc
+    case org.apache.spark.sql.sources.Not(c) => one(c).map(!_)
+    case _ => None
+  }
+}
+
 /** Analyzer rule completing [[GraftCatalog]]'s read semantics: every
   * [[GraftV2Table]] relation is wrapped with the MVCC newest-wins resolve —
   * the exact packed-`_ver` `max_by` aggregate of [[graft.core.Scan.dedup]],
@@ -342,9 +417,15 @@ case class GraftCatalogDedupRule(spark: SparkSession) extends Rule[LogicalPlan] 
     // (reads inside the INSERT's query subtree still get wrapped);
     // reference identity, not equality: `INSERT INTO t SELECT FROM t`
     // reads and writes structurally similar relations
-    val writeTargets = plan.collect {
+    val writeTargets: Seq[LogicalPlan] = plan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand => w.table
-    }
+      // DELETE's target relation must also stay bare: Spark resolves the
+      // condition against it and plans SupportsDelete on the RELATION node
+      // (the tombstone resolve happens inside deleteWhere, not in the plan).
+      // The target arrives as SubqueryAlias(relation) — collect the
+      // relations under it, not the alias node
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d.table
+    }.flatMap(_.collect { case r: DataSourceV2Relation => r })
     def isWriteTarget(rel: DataSourceV2Relation): Boolean =
       writeTargets.exists(_ eq rel)
     plan.resolveOperatorsUp {
@@ -363,27 +444,32 @@ case class GraftCatalogDedupRule(spark: SparkSession) extends Rule[LogicalPlan] 
       .find(_.name == name)
       .getOrElse(throw new IllegalStateException(s"graft relation lost column $name"))
     val dims = schema.dimNames.map(attr)
-    if (schema.valueNames.isEmpty) {
-      // no value columns: resolve = distinct over the key points
-      Aggregate(dims, dims.map(_.asInstanceOf[NamedExpression]), withMeta)
-    } else {
-      // _ver packing identical to Scan.dedup: txn saturated at 2^40 in the
-      // high bits, seq saturated in the low 22 — one primitive max_by buffer
-      // per value column keeps the plan on HashAggregateExec
-      val ver = Add(
-        Multiply(Least(Seq(attr(Scan.TxnCol), Literal(1L << 40))), Literal(1L << 22)),
-        Least(Seq(attr(Scan.SeqCol), Literal((1L << 22) - 1))))
-      val aggExprs: Seq[NamedExpression] = dims ++ schema.valueNames.map { v =>
+    // _ver packing identical to Scan.dedup: txn saturated at 2^40 in the
+    // high bits, seq saturated in the low 22 — one primitive max_by buffer
+    // per value column keeps the plan on HashAggregateExec
+    val ver = Add(
+      Multiply(Least(Seq(attr(Scan.TxnCol), Literal(1L << 40))), Literal(1L << 22)),
+      Least(Seq(attr(Scan.SeqCol), Literal((1L << 22) - 1))))
+    // the winning version's tombstone flag resolves through the same
+    // aggregate (Scan.dedup's delete-aware path): null _del (pre-delete
+    // segments) coalesces to live, and a Filter above the aggregate drops
+    // retired keys before the restoring Project hides the flag
+    val delAlias = Alias(
+      MaxBy(Coalesce(Seq(attr(Scan.DelCol), Literal(false))), ver).toAggregateExpression(),
+      "_del_resolved")()
+    val aggExprs: Seq[NamedExpression] =
+      dims ++ schema.valueNames.map { v =>
         Alias(MaxBy(attr(v), ver).toAggregateExpression(), v)()
-      }
-      val agg = Aggregate(dims, aggExprs, withMeta)
-      // restore the ORIGINAL output attribute ids so references bound to the
-      // bare relation (star expansion, earlier-resolved filters) stay valid
-      val restored = out.map { a =>
-        if (schema.dimNames.contains(a.name)) a
-        else Alias(agg.output.find(_.name == a.name).get, a.name)(exprId = a.exprId)
-      }
-      Project(restored, agg)
+      } :+ delAlias
+    val agg = Aggregate(dims, aggExprs, withMeta)
+    val delAttr = agg.output.find(_.name == "_del_resolved").get
+    val live = LogicalFilter(Not(delAttr), agg)
+    // restore the ORIGINAL output attribute ids so references bound to the
+    // bare relation (star expansion, earlier-resolved filters) stay valid
+    val restored = out.map { a =>
+      if (schema.dimNames.contains(a.name)) a
+      else Alias(agg.output.find(_.name == a.name).get, a.name)(exprId = a.exprId)
     }
+    Project(restored, live)
   }
 }

@@ -46,7 +46,19 @@ object GraftInsert {
 
   /** Append `df` to the graft table at `dir` as one transaction; returns
     * the committed txn id, or None when `df` was empty. */
-  def append(spark: SparkSession, dir: String, df: DataFrame): Option[Long] = {
+  def append(spark: SparkSession, dir: String, df: DataFrame): Option[Long] =
+    commitBatch(spark, dir, df, tombstone = false)
+
+  /** Commit TOMBSTONES for the key points in `df` as one transaction — the
+    * cross-process `DELETE FROM` write path ([[GraftCatalog]]'s
+    * `SupportsDelete`). Same claim + chunk-routed write + protocol publish
+    * as [[append]]; the rows just carry null values and `_del = true`, so
+    * the MVCC resolve retires the keys ([[graft.core.Scan.dedup]]). */
+  def tombstone(spark: SparkSession, dir: String, keys: DataFrame): Option[Long] =
+    commitBatch(spark, dir, keys, tombstone = true)
+
+  private def commitBatch(spark: SparkSession, dir: String, df: DataFrame,
+      tombstone: Boolean): Option[Long] = {
     val root = Storage.rootPath(dir)
     val schema = Storage.readSchema(root)
     val proto = Storage.detect(root)
@@ -76,12 +88,19 @@ object GraftInsert {
         .putLong(MatSchema.ChunkKey, dim.chunkSize).build()
       col(dim.name).as(dim.name, md)
     }
-    val projected = df.select(dimCols ++ schema.valueNames.map(col): _*)
+    val projected =
+      if (tombstone)
+        // tombstone rows: dimensions only, value columns null
+        schema.values.foldLeft(df.select(dimCols: _*)) { (d, v) =>
+          d.withColumn(v.name, lit(null).cast(v.dataType))
+        }
+      else df.select(dimCols ++ schema.valueNames.map(col): _*)
     val withChunks = schema.dimensions.foldLeft(projected) { (d, dim) =>
       d.withColumn(schema.chunkColName(dim.name),
         floor(col(dim.name) / lit(dim.chunkSize)).cast("long"))
     }
     withChunks
+      .withColumn(Scan.DelCol, lit(tombstone))
       .withColumn(Scan.TxnCol, lit(segId.txnId))
       .withColumn(Scan.SeqCol, lit(0L))
       .repartition(schema.chunkColNames.map(col): _*)

@@ -204,6 +204,49 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcat.race")
   }
 
+  test("SQL DELETE tombstones keys; value predicates post-resolve; time travel intact") {
+    mkTable("del") // txns 1..3: 110 live keys, keys 0..49 at v=2, 25..29 at v=3
+    // dimension-predicate delete: one committed txn (4) of tombstones
+    spark.sql("DELETE FROM gcat.del WHERE t >= 100")
+    assert(spark.sql("SELECT * FROM gcat.del").count() === 100)
+    assert(spark.sql("SELECT * FROM gcat.del WHERE t = 105").count() === 0)
+    // pre-delete horizon still sees them
+    assert(spark.sql("SELECT * FROM gcat.del VERSION AS OF 3").count() === 110)
+    // value-predicate delete: only keys whose CURRENT value matches go.
+    // v=1 is the current value for keys 50..99 (keys 0..49 were upserted
+    // to v=2 — their superseded v=1 versions must NOT doom them)
+    spark.sql("DELETE FROM gcat.del WHERE v = 1")
+    val left = spark.sql("SELECT t, v FROM gcat.del").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(left.size === 50, s"expected keys 0..49, got ${left.size}")
+    assert(left.keySet === (0L until 50L).toSet)
+    // reinsert resurrects a deleted key (newest wins over the tombstone)
+    spark.sql("INSERT INTO gcat.del SELECT 105, 5, 42")
+    assert(spark.sql("SELECT v FROM gcat.del WHERE t = 105").head().getLong(0) === 42L)
+    // the Scala API sees the same state (shared format, fresh open)
+    assert(MatDb.open(spark, root.resolve("del").toString).snapshot().count() === 51)
+    // deleting through a historical snapshot is rejected
+    val hist = intercept[Exception](
+      spark.sql("DELETE FROM gcat.del VERSION AS OF 1 WHERE t = 0"))
+    assert(hist.getMessage.nonEmpty)
+    spark.sql("DROP TABLE gcat.del")
+  }
+
+  test("DELETE with no WHERE empties the table but keeps history; untranslatable predicates fail clearly") {
+    spark.sql("DROP TABLE IF EXISTS gcat.trunc")
+    spark.sql(
+      """CREATE TABLE gcat.trunc TBLPROPERTIES('graft.dims' = 't:50,sensor:10')
+        |AS SELECT id AS t, id % 10 AS sensor, id AS v FROM range(0, 20)""".stripMargin)
+    spark.sql("DELETE FROM gcat.trunc")
+    assert(spark.sql("SELECT * FROM gcat.trunc").count() === 0)
+    assert(spark.sql("SELECT * FROM gcat.trunc VERSION AS OF 1").count() === 20)
+    // an expression no source filter can carry (t % 2) must error, not
+    // silently delete the wrong rows
+    val bad = intercept[Exception](spark.sql("DELETE FROM gcat.trunc WHERE t % 2 = 0"))
+    assert(bad.getMessage.nonEmpty)
+    spark.sql("DROP TABLE gcat.trunc")
+  }
+
   test("empty INSERT claims no transaction") {
     spark.sql("DROP TABLE IF EXISTS gcat.emptyins")
     spark.sql(
