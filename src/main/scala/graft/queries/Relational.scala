@@ -587,6 +587,36 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- replayable Count-Min sketch (hash-exact oracle) ---------------
+    // Heavy-hitter frequency estimation: graft.operators.CountMin, like
+    // q102's HLL, is defined in portable integer arithmetic (int64 sums
+    // and mins over the 56-bit md5 hash — no floating point at all), so
+    // DuckDB replays every counter and every estimate exactly. est_cnt ≥
+    // exact_cnt always (CM overestimates only, on slot collisions).
+    Entry("q104_count_min", Some(
+      """WITH d(i) AS (VALUES (0),(1),(2),(3)),
+        |pairs AS (SELECT l_partkey, i,
+        |                 (('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 14))::BIGINT) % 256 AS slot
+        |          FROM lineitem CROSS JOIN d),
+        |cms AS (SELECT i, slot, count(*) AS c FROM pairs GROUP BY 1, 2),
+        |k AS (SELECT l_partkey, count(*) AS exact_cnt FROM lineitem GROUP BY 1),
+        |kslot AS (SELECT DISTINCT l_partkey, i, slot FROM pairs),
+        |est AS (SELECT l_partkey, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_cnt
+        |        FROM kslot LEFT JOIN cms USING (i, slot) GROUP BY 1)
+        |SELECT k.l_partkey, est_cnt, exact_cnt
+        |FROM k JOIN est USING (l_partkey)
+        |ORDER BY est_cnt DESC, k.l_partkey LIMIT 20""".stripMargin)) { (s, d) =>
+      import graft.operators.CountMin
+      val keys = table(s, d, "lineitem").select(col("l_partkey"))
+      val cms = CountMin.sketch(keys, Nil, "l_partkey")
+      val est = CountMin.estimate(cms, keys, Nil, "l_partkey")
+      val exact = keys.groupBy(col("l_partkey")).agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, Seq("l_partkey"))
+        .select(col("l_partkey"), col("est_cnt"), col("exact_cnt"))
+        .orderBy(col("est_cnt").desc, col("l_partkey"))
+        .limit(20)
+    },
+
     // ---- exact percentiles ---------------------------------------------
     // Over the integer-valued l_quantity so linear interpolation lands on
     // exact .0/.5 doubles — engine-formula differences can't show up.
