@@ -222,6 +222,41 @@ object Pipeline {
         .limit(100)
     },
 
+    // ---- BM25 full-text search (inverted index, hash-exact oracle) -----
+    // graft.operators.Bm25: postings/lexicon/doc-length index (three hash
+    // aggregates over one token explosion) + fixed-point BM25 scoring —
+    // per-(doc,term) contributions are floor(tfn * rsj * 2^20) (per-row
+    // IEEE double ops on identical operands, bit-identical cross-engine;
+    // the log-free RSJ weight avoids libm), summed per doc in int64, so
+    // the DuckDB oracle replays every score exactly. The query touches
+    // only the three query terms' postings; the per-doc sum is one
+    // aggregate over the matching rows — query cost scales with the
+    // terms' document frequency, never the corpus.
+    Entry("q105_bm25", Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |             FROM documents),
+        |post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |lex AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+        |dstat AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |st AS (SELECT count(*) AS n,
+        |              CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |       FROM dstat),
+        |m AS (SELECT p.doc_id,
+        |             CAST(floor(((CAST(p.tf AS DOUBLE) * 2.2) /
+        |                    (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dstat.dl AS DOUBLE)) / st.avgdl)))
+        |               * (((CAST(st.n AS DOUBLE) - CAST(lex.df AS DOUBLE)) + 0.5) / (CAST(lex.df AS DOUBLE) + 0.5))
+        |               * 1048576.0) AS BIGINT) AS contrib
+        |      FROM post p JOIN lex USING (term) JOIN dstat USING (doc_id) CROSS JOIN st
+        |      WHERE p.term IN ('merge', 'vector', 'batch'))
+        |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score,
+        |       count(*) AS matched_terms
+        |FROM m GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin)) {
+      (s, d) =>
+      import graft.operators.Bm25
+      val (post, lex, docs) = Bm25.index(table(s, d, "documents"), "doc_id", "text")
+      Bm25.search(post, lex, docs, Seq("merge", "vector", "batch"), 15)
+    },
+
     // document fingerprinting: md5 of the normalized text + a 56-bit int fp.
     Entry("q44_fingerprint", Some(
       s"""SELECT doc_id,
