@@ -3,6 +3,21 @@ package graft.core
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** MERGE clause actions ([[Transaction.mergeRows]]): what happens to a
+  * source row whose key is (not) present in the target snapshot. */
+object MergeAction {
+  sealed trait Matched
+  sealed trait NotMatched
+  /** Matched: upsert the source row as the key's new version. */
+  case object Update extends Matched
+  /** Matched: tombstone the key. */
+  case object Delete extends Matched
+  /** Not matched: insert the source row. */
+  case object Insert extends NotMatched
+  /** Leave the key/source row alone. */
+  case object Ignore extends Matched with NotMatched
+}
+
 /** A snapshot-isolated read-write transaction (reference: transaction.rs).
   *
   * Write path (reference semantics, Spark execution):
@@ -108,6 +123,76 @@ final class Transaction private[core] (
     * as usual. */
   def deleteWhere(pred: Column): Unit =
     deleteRows(query().filter(pred))
+
+  /** UPDATE ... SET ... WHERE: rewrite the value columns of every key whose
+    * CURRENT resolved row matches `pred`. In an MVCC table an update is
+    * just an upsert of the recomputed row — one new version per matched
+    * key, no read-modify-write of segments. `set` expressions may
+    * reference the row's current columns; dimension columns are the key
+    * identity and cannot be assigned. */
+  def updateWhere(pred: Column, set: Map[String, Column]): Unit = {
+    val bad = set.keySet.intersect(schema.dimNames.toSet)
+    require(bad.isEmpty, s"cannot assign dimension column(s) ${bad.mkString(", ")} " +
+      "(dimensions are the row identity; delete + insert to move a row)")
+    require(set.keySet.subsetOf(schema.valueNames.toSet),
+      s"unknown column(s) in SET: ${(set.keySet -- schema.valueNames).mkString(", ")}")
+    val cur = query().filter(pred)
+    addRows(set.foldLeft(cur) { case (d, (c, e)) => d.withColumn(c, e) })
+  }
+
+  /** MERGE INTO with the classic clause algebra, on the natural key (the
+    * dimensions — `source` must carry them plus, for inserts/updates, the
+    * value columns):
+    *
+    *   - `(Update, Insert)` — plain upsert: ZERO joins, `source` commits
+    *     as new versions (MVCC newest-wins IS this merge; the fast path a
+    *     copy-on-write format cannot take).
+    *   - `(Update, Ignore)` — update-only: one semi-join against the
+    *     snapshot's KEY columns.
+    *   - `(Ignore, Insert)` — insert-if-absent: one anti-join.
+    *   - `(Delete, Insert|Ignore)` — matched keys tombstone; unmatched
+    *     insert or drop.
+    *
+    * Only the target's key columns ever stream through the join; the
+    * snapshot's values stay on disk. For updates that COMBINE target and
+    * source values, see [[mergeUpdate]]. */
+  def mergeRows(source: DataFrame,
+      whenMatched: MergeAction.Matched,
+      whenNotMatched: MergeAction.NotMatched): Unit = {
+    requireOpen()
+    import MergeAction._
+    (whenMatched, whenNotMatched) match {
+      case (Update, Insert) => addRows(source) // upsert: the zero-join fast path
+      case (Ignore, Ignore) => ()
+      case _ =>
+        val keys = query().select(schema.dimNames.map(col): _*)
+        def matched = source.join(keys, schema.dimNames, "left_semi")
+        def unmatched = source.join(keys, schema.dimNames, "left_anti")
+        whenMatched match {
+          case Update => addRows(matched)
+          case Delete => deleteRows(matched)
+          case Ignore => ()
+        }
+        whenNotMatched match {
+          case Insert => addRows(unmatched)
+          case Ignore => ()
+        }
+    }
+  }
+
+  /** MERGE's matched-UPDATE with expressions over BOTH sides: inner-join
+    * the resolved snapshot (alias `t`) with `source` (alias `s`) on the
+    * dimensions and upsert the recomputed rows — e.g.
+    * `set = Map("v" -> (col("t.v") + col("s.bonus")))`. Unmatched source
+    * rows are ignored (compose with [[mergeRows]]`(Ignore, Insert)` for
+    * the full upsert-with-arithmetic). */
+  def mergeUpdate(source: DataFrame, set: Map[String, Column]): Unit = {
+    val bad = set.keySet.intersect(schema.dimNames.toSet)
+    require(bad.isEmpty, s"cannot assign dimension column(s) ${bad.mkString(", ")}")
+    val joined = query().alias("t").join(source.alias("s"), schema.dimNames, "inner")
+    val updated = set.foldLeft(joined) { case (d, (c, e)) => d.withColumn(c, e) }
+    addRows(updated.select(schema.columnNames.map(col): _*))
+  }
 
   /** Convenience: add rows given as tuples of longs in schema order. */
   def addRowsSeq(rows: Seq[Seq[Any]]): Unit = {

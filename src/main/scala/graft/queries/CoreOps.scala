@@ -261,6 +261,58 @@ object CoreOps {
       s.sql("SELECT user_id, v FROM g103.td ORDER BY user_id")
     },
 
+    // ---- MERGE / UPDATE (MVCC upsert algebra; core.Transaction) --------
+    // The full DML algebra over one fixture table: seed even-keyed users
+    // (txn 1), MERGE insert-if-absent at a sentinel value (txn 2 — one
+    // anti-join against the snapshot's KEY columns), MERGE update
+    // combining target and source values (txn 3 — aliased inner join,
+    // t.v + s.bonus), MERGE matched-delete (txn 4 — semi-join →
+    // tombstones). The oracle replays the four transactions relationally,
+    // so join matching, the combine arithmetic, and tombstone resolution
+    // all have to reproduce exactly. The (Update, Insert) clause pair is
+    // deliberately absent here: it is the ZERO-join upsert fast path
+    // already gated by q01/q76/q101.
+    Entry("q106_merge", Some(
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |seed AS (SELECT user_id, arg_max(value, event_id) AS v
+        |         FROM events WHERE user_id % 2 = 0 GROUP BY user_id),
+        |ins AS (SELECT * FROM seed
+        |        UNION ALL
+        |        SELECT user_id, CAST(-5.0 AS DOUBLE) FROM u
+        |        WHERE user_id NOT IN (SELECT user_id FROM seed)),
+        |upd AS (SELECT user_id,
+        |               CASE WHEN user_id < 20 THEN v + 7.5 ELSE v END AS v
+        |        FROM ins),
+        |fin AS (SELECT * FROM upd WHERE user_id NOT BETWEEN 100 AND 119)
+        |SELECT user_id, v FROM fin ORDER BY user_id""".stripMargin)) { (s, d) =>
+      import graft.core.{Dimension, MatDb, MatSchema, MergeAction, ValueCol}
+      val dir = Q.fixture("q106-merge")
+      graft.core.Storage.deleteRecursively(dir)
+      val sch = MatSchema(Seq(Dimension("user_id", 1000)),
+        Seq(ValueCol("v", org.apache.spark.sql.types.DoubleType)))
+      val db = MatDb.create(s, sch, dir.toString)
+      val ev = table(s, d, "events")
+      val users = ev.select(col("user_id")).distinct()
+      val t1 = db.newTransaction()
+      t1.addRows(ev.where(col("user_id") % 2 === 0)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("value"), col("event_id")).as("v")))
+      t1.commit()
+      val t2 = db.newTransaction()
+      t2.mergeRows(users.withColumn("v", lit(-5.0)),
+        MergeAction.Ignore, MergeAction.Insert)
+      t2.commit()
+      val t3 = db.newTransaction()
+      t3.mergeUpdate(users.where(col("user_id") < 20).withColumn("bonus", lit(7.5)),
+        Map("v" -> (col("t.v") + col("s.bonus"))))
+      t3.commit()
+      val t4 = db.newTransaction()
+      t4.mergeRows(users.where(col("user_id").between(100, 119)),
+        MergeAction.Delete, MergeAction.Ignore)
+      t4.commit()
+      db.snapshot().orderBy(col("user_id"))
+    },
+
     // ---- z-order clustered layout (sources.ZOrderLayout) ---------------
     // lineitem rewritten in Morton order of (l_orderkey, l_partkey), then
     // a range predicate on the NON-leading key answered off the clustered

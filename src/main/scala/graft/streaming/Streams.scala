@@ -172,6 +172,64 @@ object Streams {
         ()
       }
 
+  /** CDC-apply sink: a change stream of upserts AND deletes folded into
+    * the MVCC table — the retract-stream counterpart of [[matDbSink]],
+    * built on the tombstone delete ([[graft.core.Transaction.deleteRows]]).
+    *
+    * The stream carries the table's dimension and value columns plus
+    * `opCol` (`"D"` = delete, anything else = upsert) and `ordCol` (the
+    * change-log sequence — the within-batch tie-break). Each micro-batch:
+    *
+    *   1. fold to the LAST change per key by `ordCol` (one hash aggregate
+    *      — the standard CDC per-key compaction; intermediate flip-flops
+    *      inside a batch are unobservable by design, exactly as a batch
+    *      boundary is the unit of atomic visibility);
+    *   2. commit that fold as ONE transaction: tombstones for keys whose
+    *      last change is a delete, upserts for the rest (disjoint key
+    *      sets, so the two writes' seq order is irrelevant).
+    *
+    * Replay: a crash-re-run batch re-lands the same folded changes under
+    * a fresh txn id — tombstone-over-tombstone and upsert-over-equal-
+    * upsert both resolve to the identical snapshot, so the RESOLVED view
+    * is exactly-once while the raw history is at-least-once (the same
+    * MVCC-absorption contract as [[bucketedSink]], now covering deletes).
+    *
+    * Scale shape: the fold is one map-side-combining aggregate over the
+    * batch; the commit is `Transaction.flush`'s single chunk-keyed
+    * shuffle. History is never read, let alone shuffled — cost is
+    * O(batch), independent of table size. */
+  def cdcApplySink(stream: DataFrame, db: MatDb, opCol: String, ordCol: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val schema = db.schema
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dims = schema.dimNames.map(col)
+        // the fold stays one HashAggregate: per-column primitive max_by
+        // buffers (a max_by(struct, ord) payload pick would fall back to
+        // SortAggregate). ordCol must be unique per key within a batch —
+        // a change log's sequence is — so every column picks the same
+        // winning change.
+        val isDel = (col(opCol) === lit("D")).as("_cdc_del")
+        val aggs = max_by(col("_cdc_del"), col(ordCol)).as("_cdc_del") +:
+          schema.valueNames.map(c => max_by(col(c), col(ordCol)).as(c))
+        val last = batch.select(dims ++ Seq(isDel, col(ordCol)) ++
+            schema.valueNames.map(col): _*)
+          .groupBy(dims: _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .cache()
+        try {
+          val txn = db.newTransaction()
+          txn.deleteRows(last.where(col("_cdc_del")))
+          txn.addRows(last.where(!col("_cdc_del")))
+          txn.commit()
+        } finally last.unpersist()
+        ()
+      }
+  }
+
 
   /** Shared by the bucketed ingest sinks: fold the raw transaction log
     * into one compacted txn every `compactEvery` micro-batches, INSIDE the

@@ -238,6 +238,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("cdc apply sink: upserts AND deletes fold per key; replay is MVCC-absorbed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.{Dimension, MatSchema, MatDb, ValueCol}
+    val path = Files.createTempDirectory("graft-cdc-db").toString
+    val schema = MatSchema(Seq(Dimension("k", 10)), Seq(ValueCol("v")))
+    val db = MatDb.create(spark, schema, path)
+    val checkpoint = Files.createTempDirectory("graft-cdc-ckpt").toString
+
+    // change events: (k, v, op, ord)
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val q = Streams.cdcApplySink(input.toDF().toDF("k", "v", "op", "ord"),
+      db, "op", "ord", checkpoint).start()
+    try {
+      input.addData((1L, 10L, "I", 1L), (2L, 20L, "I", 2L), (3L, 30L, "I", 3L))
+      q.processAllAvailable()
+      assert(db.snapshot().orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+      // batch 2, deliberately out of arrival order within the batch:
+      //   k1: U v=11 then U v=12  -> last change wins (v=12)
+      //   k2: D                   -> deleted
+      //   k4: I v=40 then D       -> never observable (created+deleted in batch)
+      //   k5: D then I v=50       -> alive (insert after delete)
+      input.addData(
+        (1L, 12L, "U", 13L), (1L, 11L, "U", 11L),
+        (2L, 0L, "D", 12L),
+        (4L, 40L, "I", 14L), (4L, 0L, "D", 15L),
+        (5L, 0L, "D", 16L), (5L, 50L, "I", 17L))
+      q.processAllAvailable()
+      val snap = db.snapshot().orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(snap.toSeq === Seq((1L, 12L), (3L, 30L), (5L, 50L)))
+      // the batch committed as ONE transaction; time travel sees pre-delete
+      assert(db.committedSegments.map(_.txnId).distinct.size === 2)
+      assert(db.asOf(1L).where($"k" === 2L).count() === 1)
+    } finally q.stop()
+
+    // replay: the same folded batch under a fresh txn id leaves the
+    // RESOLVED view identical (tombstone-over-tombstone, equal upserts)
+    val txn = db.newTransaction()
+    txn.deleteRows(Seq((2L, 0L)).toDF("k", "v").select($"k"))
+    txn.addRows(Seq((1L, 12L), (5L, 50L)).toDF("k", "v"))
+    txn.commit()
+    assert(db.snapshot().orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq === Seq((1L, 12L), (3L, 30L), (5L, 50L)))
+  }
+
   test("bucketed sink: micro-batch = bucketed transaction, replay is MVCC-absorbed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
