@@ -617,6 +617,39 @@ object Relational {
         .limit(20)
     },
 
+    // ---- replayable histogram quantiles (hash-exact oracle) ------------
+    // The third mergeable sketch (HLL q102, Count-Min q104): rank
+    // statistics from a fixed power-of-two binning — bin = floor(x/64) is
+    // an exact exponent shift even on fractional doubles, the rank
+    // ceil(p*n) is pure int64 rational arithmetic, and the estimate is a
+    // bin lower edge, so DuckDB replays every estimate bit-for-bit where
+    // percentile_approx/approx_quantile (KLL/t-digest) could gate
+    // rows-only at best. The quantile scan runs over BIN rows (a window
+    // over the sketch), never the data. q54 keeps the exact counterpart.
+    Entry("q107_hist_quantile", Some(
+      """WITH h AS (SELECT l_returnflag,
+        |                  CAST(floor(l_extendedprice / 64.0) AS BIGINT) AS bin,
+        |                  count(*) AS cnt
+        |           FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, bin, cnt,
+        |             sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+        |             sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |      FROM h),
+        |p(p_num, p_den) AS (VALUES (1, 2), (9, 10), (99, 100)),
+        |x AS (SELECT l_returnflag, p_num, p_den, min(bin) AS b
+        |      FROM c CROSS JOIN p
+        |      WHERE cum >= (n * p_num + p_den - 1) // p_den
+        |      GROUP BY 1, 2, 3)
+        |SELECT l_returnflag, p_num, p_den, CAST(b * 64 AS BIGINT) AS est
+        |FROM x ORDER BY l_returnflag, p_num, p_den""".stripMargin)) { (s, d) =>
+      import graft.operators.HistQuantile
+      val li = table(s, d, "lineitem")
+      val h = HistQuantile.histogram(li, Seq("l_returnflag"), "l_extendedprice", 64L)
+      HistQuantile.quantiles(h, Seq("l_returnflag"), 64L,
+          Seq((1, 2), (9, 10), (99, 100)))
+        .orderBy(col("l_returnflag"), col("p_num"), col("p_den"))
+    },
+
     // ---- exact percentiles ---------------------------------------------
     // Over the integer-valued l_quantity so linear interpolation lands on
     // exact .0/.5 doubles — engine-formula differences can't show up.
