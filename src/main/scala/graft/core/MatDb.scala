@@ -135,6 +135,53 @@ final class MatDb private (
     Scan.dedup(base.repartitionByRange(dims: _*), schema).orderBy(dims: _*)
   }
 
+  /** CDC read side (the inverse of
+    * [[graft.streaming.Streams.cdcApplySink]]): the NET row-level change
+    * between two committed horizons as (op, dims..., values...) — `"I"`
+    * key absent at `fromTxn`, present at `toTxn`; `"U"` present at both
+    * with any value changed (null-safe compare); `"D"` present at `from`,
+    * absent (tombstoned) at `to`. Values are the `toTxn` row; `"D"` rows
+    * carry nulls. Keys rewritten to an identical value emit nothing — the
+    * feed is the minimal delta, so applying it to a replica of the
+    * `fromTxn` snapshot (upserts + deletes — exactly what `cdcApplySink`
+    * consumes) reproduces the `toTxn` snapshot (ChangesSpec round-trips
+    * it).
+    *
+    * Scale shape: only keys TOUCHED by transactions in `(from, to]` can
+    * appear, so both snapshot reads are semi-joined down to the touched
+    * key set before the resolve aggregate — the historical table streams
+    * through one join against the (typically small, broadcastable) touched
+    * keys; nothing else is resolved, and the final diff joins two
+    * touched-sized sides. Cost is O(versions of touched keys), not
+    * O(table), plus the unavoidable scan-side pruning Spark applies. */
+  def changesBetween(fromTxn: Long, toTxn: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromTxn <= toTxn, s"changesBetween: from $fromTxn > to $toTxn")
+    val dims = schema.dimNames
+    val segs = synchronized(committed)
+    val touched = Scan.raw(spark, schema,
+        segmentReadPaths(segs.filter(s => s.txnId > fromTxn && s.txnId <= toTxn)), Nil)
+      .select(dims.map(col): _*).distinct()
+    def restricted(asOf: Long): DataFrame = Scan.dedup(
+      Scan.raw(spark, schema, segmentReadPaths(segs.filter(_.txnId <= asOf)), Nil)
+        .join(touched, dims, "left_semi"),
+      schema)
+    val o = restricted(fromTxn)
+      .select((dims.map(col) :+ lit(true).as("_o")) ++
+        schema.valueNames.map(v => col(v).as(s"_o_$v")): _*)
+    val n = restricted(toTxn).withColumn("_n", lit(true))
+    val joined = n.join(o, dims, "full_outer")
+    val anyDiff = schema.valueNames
+      .map(v => !(col(v) <=> col(s"_o_$v")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val op = when(col("_o").isNull, "I")
+      .when(col("_n").isNull, "D")
+      .when(anyDiff, "U")
+    joined.withColumn("op", op)
+      .where(col("op").isNotNull)
+      .select(col("op") +: (dims ++ schema.valueNames).map(col): _*)
+  }
+
   /** Commit history of this table: one row per committed segment with its
     * transaction id, segment number, and path — the discovery API for time
     * travel (`asOf(txn_id)`). Driver-side metadata, like the listing. */

@@ -313,6 +313,49 @@ object CoreOps {
       db.snapshot().orderBy(col("user_id"))
     },
 
+    // ---- CDC read side (core.MatDb.changesBetween) ---------------------
+    // The minimal I/U/D delta between two horizons: seed (txn 1), then in
+    // txn 2 overwrite users < 30 to a sentinel, REWRITE users 30..39 to
+    // their unchanged value (must emit NOTHING — the feed is the net
+    // delta, not the write log) and insert one synthetic user; txn 3
+    // deletes a range. The oracle replays the delta relationally, so the
+    // touched-keys restriction, the null-safe value diff, and the
+    // tombstone-as-absence semantics all have to reproduce exactly.
+    // ChangesSpec additionally pins the round-trip law with the apply
+    // side: replica@from + changes = table@to.
+    Entry("q108_cdc_changes", Some(
+      """WITH seed AS (SELECT user_id, arg_max(value, event_id) AS v
+        |              FROM events GROUP BY user_id),
+        |ch AS (
+        |  SELECT 'U' AS op, user_id, CAST(-1.0 AS DOUBLE) AS v
+        |  FROM seed WHERE user_id < 30
+        |  UNION ALL
+        |  SELECT 'I', 100000, CAST(9.0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT 'D', user_id, CAST(NULL AS DOUBLE)
+        |  FROM seed WHERE user_id BETWEEN 40 AND 49)
+        |SELECT op, user_id, v FROM ch ORDER BY user_id, op""".stripMargin)) { (s, d) =>
+      import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+      val dir = Q.fixture("q108-changes")
+      graft.core.Storage.deleteRecursively(dir)
+      val sch = MatSchema(Seq(Dimension("user_id", 1000)),
+        Seq(ValueCol("v", org.apache.spark.sql.types.DoubleType)))
+      val db = MatDb.create(s, sch, dir.toString)
+      val seed = table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      val t1 = db.newTransaction(); t1.addRows(seed); t1.commit()
+      val t2 = db.newTransaction()
+      t2.addRows(seed.where(col("user_id") < 30).withColumn("v", lit(-1.0)))
+      t2.addRows(seed.where(col("user_id").between(30, 39))) // same-value rewrite
+      t2.addRows(s.range(1).select(lit(100000L).as("user_id"), lit(9.0).as("v")))
+      t2.commit()
+      val t3 = db.newTransaction()
+      t3.deleteRows(seed.where(col("user_id").between(40, 49)).select(col("user_id")))
+      t3.commit()
+      db.changesBetween(1L, 3L).orderBy(col("user_id"), col("op"))
+    },
+
     // ---- z-order clustered layout (sources.ZOrderLayout) ---------------
     // lineitem rewritten in Morton order of (l_orderkey, l_partkey), then
     // a range predicate on the NON-leading key answered off the clustered

@@ -58,7 +58,12 @@ class GraftStreamSource extends TableProvider with DataSourceRegister {
 
   private def streamSchema(path: String): StructType = {
     val s = Storage.readSchema(Storage.rootPath(path))
+    // _del rides along so a downstream consumer sees DELETES as deletes
+    // (a tombstone row otherwise looks like an upsert to all-null values);
+    // files from pre-delete segments surface it as null ≡ live, the same
+    // read-compat contract as Scan.provenanceStruct
     StructType(s.toStructType.fields ++ Seq(
+      StructField(graft.core.Scan.DelCol, org.apache.spark.sql.types.BooleanType),
       StructField(graft.core.Scan.TxnCol, LongType),
       StructField(graft.core.Scan.SeqCol, LongType)))
   }

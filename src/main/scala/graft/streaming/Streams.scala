@@ -41,8 +41,11 @@ object Streams {
     require(db.protocol == graft.core.Storage.RenameProtocol,
       "segmentStream supports rename-protocol tables only; use " +
         "spark.readStream.format(\"graft-stream\") for manifest tables")
+    // _del rides along (null ≡ live for pre-delete segments) so the raw
+    // change stream distinguishes deletes from null-valued upserts
     val st = org.apache.spark.sql.types.StructType(
       db.schema.toStructType.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_del", org.apache.spark.sql.types.BooleanType),
         org.apache.spark.sql.types.StructField("_txn_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("_seq", org.apache.spark.sql.types.LongType)))
     val hex8 = "[0-9a-f]" * 8

@@ -283,6 +283,19 @@ class StreamingSpec extends AnyFunSuite {
     txn.commit()
     assert(db.snapshot().orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
       .toSeq === Seq((1L, 12L), (3L, 30L), (5L, 50L)))
+
+    // the raw segment stream carries the tombstone flag, so a DOWNSTREAM
+    // consumer can re-apply deletes as deletes (k5's delete was folded
+    // away by its later insert — only k2 and k4 ever tombstoned)
+    val seg = Streams.segmentStream(spark, path)
+    val q2 = seg.writeStream.format("memory").queryName("cdcsegs")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val dels = spark.table("cdcsegs").where($"_del" === true)
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(dels === Set(2L, 4L))
+    } finally q2.stop()
   }
 
   test("bucketed sink: micro-batch = bucketed transaction, replay is MVCC-absorbed") {
