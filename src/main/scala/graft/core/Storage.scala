@@ -117,7 +117,13 @@ object Storage {
 
   def writeSchema(root: Path, schema: MatSchema): Unit = {
     Files.createDirectories(root)
-    Files.write(schemaPath(root), schema.json.getBytes(StandardCharsets.UTF_8))
+    // write-then-atomic-move: schema.json is also REwritten by ALTER TABLE
+    // (schema evolution), and a reader must never see a torn document
+    val tmp = schemaPath(root).resolveSibling("schema.json.tmp")
+    Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, schemaPath(root),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   def readSchema(root: Path): MatSchema =

@@ -356,6 +356,43 @@ object CoreOps {
       db.changesBetween(1L, 3L).orderBy(col("user_id"), col("op"))
     },
 
+    // ---- schema evolution (GraftCatalog ALTER TABLE) -------------------
+    // ADD COLUMN is metadata-only at any scale: schema.json is rewritten,
+    // no segment is touched, and every pre-alter row reads the new column
+    // as null through the explicit read schema (the same mechanism that
+    // keeps pre-delete segments byte-compatible with `_del`). The gate
+    // drives it from SQL end-to-end — create, insert, ALTER ADD, insert
+    // WITH the new column, read — and the oracle replays the two
+    // generations relationally (nulls for the old one).
+    Entry("q109_schema_evolution", Some(
+      """WITH olds AS (SELECT user_id, arg_max(value, event_id) AS v,
+        |                     CAST(NULL AS DOUBLE) AS w
+        |              FROM events WHERE user_id < 50 GROUP BY user_id),
+        |news AS (SELECT DISTINCT user_id, CAST(-2.0 AS DOUBLE) AS v,
+        |                CAST(1.5 AS DOUBLE) AS w
+        |         FROM events WHERE user_id >= 50),
+        |fin AS (SELECT * FROM olds UNION ALL SELECT * FROM news)
+        |SELECT user_id, v, w FROM fin ORDER BY user_id""".stripMargin)) { (s, d) =>
+      val root = Q.fixture("q109-catalog")
+      graft.core.Storage.deleteRecursively(root.resolve("te"))
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g109").isEmpty) {
+        s.conf.set("spark.sql.catalog.g109", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g109.root", root.toString)
+      }
+      s.sql("CREATE TABLE g109.te (user_id BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:1000')")
+      table(s, d, "events").createOrReplaceTempView("events")
+      s.sql("""INSERT INTO g109.te
+              |SELECT user_id, max_by(value, event_id) AS v
+              |FROM events WHERE user_id < 50 GROUP BY user_id""".stripMargin)
+      s.sql("ALTER TABLE g109.te ADD COLUMNS (w DOUBLE)")
+      s.sql("""INSERT INTO g109.te
+              |SELECT DISTINCT user_id, CAST(-2.0 AS DOUBLE), CAST(1.5 AS DOUBLE)
+              |FROM events WHERE user_id >= 50""".stripMargin)
+      s.sql("SELECT user_id, v, w FROM g109.te ORDER BY user_id")
+    },
+
     // ---- z-order clustered layout (sources.ZOrderLayout) ---------------
     // lineitem rewritten in Morton order of (l_orderkey, l_partkey), then
     // a range predicate on the NON-leading key answered off the clustered

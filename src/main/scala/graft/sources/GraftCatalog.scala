@@ -186,8 +186,55 @@ class GraftCatalog extends TableCatalog {
     load(ident, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog does not support ALTER TABLE")
+  /** Schema evolution, METADATA-ONLY at any scale: `ADD COLUMN` / `DROP
+    * COLUMN` on VALUE columns rewrite `schema.json` and touch no segment
+    * — the explicit read schema surfaces an added column as null in every
+    * pre-alter segment (the same mechanism that makes `_del` and every
+    * other schema widening byte-compatible), and a dropped column simply
+    * stops being read (its bytes become dead weight until the next
+    * compact rewrites live rows). Dimensions are the key identity and the
+    * chunk layout — never alterable. Added columns must be nullable (old
+    * rows ARE null). Concurrent writers racing an alter see either schema
+    * (both valid: extra df columns are dropped on write, missing ones
+    * were just added — their absence reads as null). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!MatDb.exists(dir.toString)) throw new NoSuchTableException(ident)
+    val cur = Storage.readSchema(dir)
+    val next = changes.foldLeft(cur) { (sch, change) =>
+      change match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            "graft columns are flat; nested ADD COLUMN is not supported")
+          val name = add.fieldNames.head
+          require(!sch.columnNames.contains(name), s"column '$name' already exists")
+          require(add.isNullable,
+            s"added column '$name' must be nullable (pre-alter rows read it as null)")
+          require(add.position == null,
+            "graft ADD COLUMN ignores ordering; drop the FIRST/AFTER clause")
+          sch.copy(values = sch.values :+ graft.core.ValueCol(name, add.dataType))
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames.length == 1,
+            "graft columns are flat; nested DROP COLUMN is not supported")
+          val name = del.fieldNames.head
+          require(!sch.dimNames.contains(name),
+            s"'$name' is a dimension — the key identity and chunk layout are not alterable")
+          if (!sch.valueNames.contains(name)) {
+            require(del.ifExists != null && del.ifExists,
+              s"no such column '$name' (use DROP COLUMN IF EXISTS)")
+            sch
+          } else {
+            require(sch.values.size > 1,
+              s"cannot drop the last value column '$name'")
+            sch.copy(values = sch.values.filterNot(_.name == name))
+          }
+        case other => throw new UnsupportedOperationException(
+          s"graft ALTER TABLE supports ADD/DROP of value columns only, got $other")
+      }
+    }
+    Storage.writeSchema(dir, next)
+    load(ident, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

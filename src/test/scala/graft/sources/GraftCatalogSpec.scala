@@ -247,6 +247,49 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcat.trunc")
   }
 
+  test("ALTER TABLE ADD/DROP COLUMN is metadata-only; pre-alter segments read null") {
+    spark.sql("DROP TABLE IF EXISTS gcat.evo")
+    spark.sql(
+      """CREATE TABLE gcat.evo (t BIGINT, v BIGINT)
+        |TBLPROPERTIES('graft.dims' = 't:50')""".stripMargin)
+    spark.sql("INSERT INTO gcat.evo SELECT id, id * 10 FROM range(0, 5)")
+    val preAlterFiles = java.nio.file.Files.walk(root.resolve("evo"))
+      .filter(_.toString.endsWith(".parquet")).count()
+
+    spark.sql("ALTER TABLE gcat.evo ADD COLUMNS (w DOUBLE)")
+    // metadata-only: no segment file was touched
+    val postAlterFiles = java.nio.file.Files.walk(root.resolve("evo"))
+      .filter(_.toString.endsWith(".parquet")).count()
+    assert(postAlterFiles === preAlterFiles, "ALTER must not rewrite segments")
+    assert(spark.sql("SELECT * FROM gcat.evo").columns.toSeq === Seq("t", "v", "w"))
+    assert(spark.sql("SELECT * FROM gcat.evo WHERE w IS NULL").count() === 5,
+      "pre-alter rows read the added column as null")
+
+    // writes after the alter carry the new column; upsert resolves it
+    spark.sql("INSERT INTO gcat.evo SELECT id, id, CAST(1.5 AS DOUBLE) FROM range(3, 7)")
+    val rows = spark.sql("SELECT t, v, w FROM gcat.evo ORDER BY t").collect()
+    assert(rows.length === 7)
+    assert(rows(0).isNullAt(2) && rows(0).getLong(1) === 0L)   // old row: w null
+    assert(rows(3).getDouble(2) === 1.5 && rows(3).getLong(1) === 3L) // upserted
+    assert(rows(6).getDouble(2) === 1.5)
+
+    // the Scala API sees the evolved schema on a fresh open
+    val opened = MatDb.open(spark, root.resolve("evo").toString)
+    assert(opened.schema.valueNames === Seq("v", "w"))
+
+    // DROP COLUMN: metadata-only; the column stops being read
+    spark.sql("ALTER TABLE gcat.evo DROP COLUMN v")
+    assert(spark.sql("SELECT * FROM gcat.evo").columns.toSeq === Seq("t", "w"))
+    assert(spark.sql("SELECT * FROM gcat.evo").count() === 7)
+
+    // guards: dimensions and last value column are not alterable
+    val dimErr = intercept[Exception](spark.sql("ALTER TABLE gcat.evo DROP COLUMN t"))
+    assert(dimErr.getMessage.contains("dimension"))
+    val lastErr = intercept[Exception](spark.sql("ALTER TABLE gcat.evo DROP COLUMN w"))
+    assert(lastErr.getMessage.contains("last value column"))
+    spark.sql("DROP TABLE gcat.evo")
+  }
+
   test("empty INSERT claims no transaction") {
     spark.sql("DROP TABLE IF EXISTS gcat.emptyins")
     spark.sql(
