@@ -244,7 +244,49 @@ class GraftCatalogSpec extends AnyFunSuite {
     // silently delete the wrong rows
     val bad = intercept[Exception](spark.sql("DELETE FROM gcat.trunc WHERE t % 2 = 0"))
     assert(bad.getMessage.nonEmpty)
+    // SQL TRUNCATE TABLE rides the same tombstone path (TruncatableTable
+    // default = deleteWhere(true)): empties the view, keeps history
+    spark.sql("INSERT INTO gcat.trunc SELECT id, id % 10, id FROM range(0, 7)")
+    assert(spark.sql("SELECT * FROM gcat.trunc").count() === 7)
+    spark.sql("TRUNCATE TABLE gcat.trunc")
+    assert(spark.sql("SELECT * FROM gcat.trunc").count() === 0)
+    assert(spark.sql("SELECT * FROM gcat.trunc VERSION AS OF 3").count() === 7)
     spark.sql("DROP TABLE gcat.trunc")
+  }
+
+  test("concurrent DELETE and INSERT claim distinct transactions; last writer wins per key") {
+    spark.sql("DROP TABLE IF EXISTS gcat.dirace")
+    spark.sql(
+      """CREATE TABLE gcat.dirace TBLPROPERTIES('graft.dims' = 't:50,sensor:10')
+        |AS SELECT id AS t, id % 10 AS sensor, id AS v FROM range(0, 30)""".stripMargin)
+    val dir = root.resolve("dirace").toString
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // race a tombstone batch (keys 0..14) against an insert batch
+    // (keys 10..19 at v=999) through the same claim path SQL DML uses
+    val delF = Future(GraftInsert.tombstone(spark, dir,
+      batch((0L until 15L).map(i => (i, i % 10, 0L)))))
+    val insF = Future(GraftInsert.append(spark, dir,
+      batch((10L until 20L).map(i => (i, i % 10, 999L)))))
+    val delTxn = Await.result(delF, 120.seconds).get
+    val insTxn = Await.result(insF, 120.seconds).get
+    assert(delTxn !== insTxn, "claims must hand out distinct txn ids")
+    // keys 0..9: deleted (only the tombstone touched them); keys 15..19:
+    // inserted (only the insert touched them); keys 10..14: LAST txn wins
+    val snap = spark.sql("SELECT t, v FROM gcat.dirace").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach(k => assert(!snap.contains(k), s"key $k must be deleted"))
+    (15L until 20L).foreach(k => assert(snap(k) === 999L, s"key $k must be inserted"))
+    val contested = (10L until 15L)
+    if (insTxn > delTxn) contested.foreach(k =>
+      assert(snap(k) === 999L, s"insert committed later; key $k must be resurrected"))
+    else contested.foreach(k =>
+      assert(!snap.contains(k), s"delete committed later; key $k must be gone"))
+    // untouched tail of the seed survives either way
+    (20L until 30L).foreach(k => assert(snap(k) === k))
+    spark.sql("DROP TABLE gcat.dirace")
   }
 
   test("ALTER TABLE ADD/DROP COLUMN is metadata-only; pre-alter segments read null") {
