@@ -41,6 +41,59 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q13_anti_join").contains("LeftAnti"), plan("q13_anti_join"))
   }
 
+  test("count-min estimate broadcasts the sketch; the fold stays HashAggregate") {
+    val p = plan("q104_count_min")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bm25 search broadcasts the lexicon slice and corpus stats") {
+    val p = plan("q105_bm25")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the query-terms filter must reach the postings before any join
+    assert(p.contains("term"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("histogram quantile sketch folds and windows without sort aggregation") {
+    val p = plan("q107_hist_quantile")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("delete-aware MVCC resolve keeps the single HashAggregate + tombstone filter") {
+    val path = Files.createTempDirectory("graft-planspec-del").toString
+    val schema = MatSchema(Seq(Dimension("k", 10)), Seq(ValueCol("v")))
+    val db = MatDb.create(spark, schema, path)
+    val t = db.newTransaction()
+    t.addRowsSeq((0L until 50L).map(i => Seq[Any](i, i)))
+    t.commit()
+    val d = db.newTransaction()
+    d.deleteWhere(org.apache.spark.sql.functions.col("k") < 10)
+    d.commit()
+    val p = db.snapshot().queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    // exactly one dedup aggregate pair (partial+final), not one per segment
+    assert(p.contains("max_by"), p)
+    assert(p.contains("_del"), p)
+  }
+
+  test("cdc changesBetween semi-joins both snapshots down to touched keys") {
+    val path = Files.createTempDirectory("graft-planspec-cdc").toString
+    val schema = MatSchema(Seq(Dimension("k", 10)), Seq(ValueCol("v")))
+    val db = MatDb.create(spark, schema, path)
+    val t1 = db.newTransaction()
+    t1.addRowsSeq((0L until 50L).map(i => Seq[Any](i, i))); t1.commit()
+    val t2 = db.newTransaction()
+    t2.addRowsSeq(Seq(Seq[Any](1L, 99L))); t2.commit()
+    val p = db.changesBetween(1L, 2L).queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("core MVCC dedup stays on HashAggregate with partition+data filters") {
     val path = Files.createTempDirectory("graft-planspec").toString
     val schema = MatSchema(Seq(Dimension("k", 10)), Seq(ValueCol("v")))
