@@ -725,6 +725,39 @@ object Relational {
         .orderBy(col("source"), col("rn"))
     },
 
+    // ---- fixed-size per-group sampling (priority sampling) -------------
+    // k docs per source, uniform without replacement, DETERMINISTIC:
+    // priority = 52-bit md5 hash of the key (exact in a double — 56 bits
+    // would not be), take the k highest via the native O(k) top-k
+    // aggregate. This is distributed reservoir sampling done right at
+    // 100 TB: each partition reduces to ≤ k rows per group map-side, no
+    // per-group sort of the data ever happens — the oracle's own
+    // window/row_number spelling (which DOES sort each partition) defines
+    // the semantics, the TopKScored plan beats it. Complements q61's
+    // rate-based Bernoulli hash sampling: here the output SIZE is exact.
+    Entry("q110_group_sample", Some(
+      """WITH pri AS (SELECT source, doc_id,
+        |         CAST(((('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT) // 16) AS DOUBLE) AS pri
+        |         FROM documents)
+        |SELECT source, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source ORDER BY pri DESC, doc_id) rn
+        |  FROM pri) t
+        |WHERE rn <= 10 ORDER BY source, rn""".stripMargin)) { (s, d) =>
+      import graft.functions.TopKScored
+      TopKScored.register(s)
+      val pri = expr(
+        "cast((cast(conv(substring(md5(concat('s:', cast(doc_id as string))), 1, 14), 16, 10) as bigint) div 16) as double)")
+      table(s, d, "documents")
+        .select(col("source"), col("doc_id"), pri.as("pri"))
+        .groupBy(col("source"))
+        .agg(TopKScored.topkCol(col("doc_id"), col("pri"), 10).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("rn"))
+        .orderBy(col("source"), col("rn"))
+    },
+
     // ---- pivot (wide aggregation) --------------------------------------
     // Dataset.pivot with an explicit value list (deterministic columns; an
     // inferred list would be a distinct scan) — one hash aggregate, cells
