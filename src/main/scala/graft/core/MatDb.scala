@@ -227,7 +227,27 @@ final class MatDb private (
     // is also the expectedBase its commit is conflict-checked against
     txn.addRows(txn.query())
     txn.commitReplacing()
+    clearPurgedTombstones()
     txn.id.getOrElse(-1L)
+  }
+
+  /** After a compact, every live segment holds exactly THIS handle's
+    * columns — so any ALTER-dropped name absent from this handle's schema
+    * has no bytes left on disk and its tombstone can be lifted (re-ADDing
+    * the name becomes legal, reading null for pre-add rows). A name still
+    * present in this handle's (stale) schema was rewritten WITH its bytes,
+    * so its tombstone stays. CAS loop: a concurrent ALTER just means
+    * re-reading and re-filtering. */
+  private def clearPurgedTombstones(): Unit = {
+    var tries = 0
+    while (tries < 16) {
+      val (cur, version) = Storage.readSchemaVersioned(root)
+      val keep = cur.dropped.filter(schema.columnNames.contains)
+      if (keep == cur.dropped) return
+      if (Storage.casSchema(root, version, cur.copy(dropped = keep))) return
+      tries += 1
+    }
+    throw new IllegalStateException("compact: too many schema publish races")
   }
 }
 

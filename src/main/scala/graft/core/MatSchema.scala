@@ -29,10 +29,13 @@ final case class Dimension(name: String, chunkSize: Long) {
 }
 final case class ValueCol(name: String, dataType: DataType = LongType)
 
-final case class MatSchema(dimensions: Seq[Dimension], values: Seq[ValueCol]) {
+final case class MatSchema(dimensions: Seq[Dimension], values: Seq[ValueCol],
+    dropped: Seq[String] = Nil) {
   require(dimensions.nonEmpty, "at least one dimension required")
   private val allNames = dimensions.map(_.name) ++ values.map(_.name)
   require(allNames.distinct.size == allNames.size, "duplicate column names")
+  require(dropped.forall(!allNames.contains(_)),
+    "a dropped column name cannot also be a live column")
 
   def dimNames: Seq[String] = dimensions.map(_.name)
   def valueNames: Seq[String] = values.map(_.name)
@@ -43,11 +46,14 @@ final case class MatSchema(dimensions: Seq[Dimension], values: Seq[ValueCol]) {
   def chunkColNames: Seq[String] = dimNames.map(chunkColName)
 
   def toStructType: StructType = {
-    val dimFields = dimensions.map { d =>
-      val md = new MetadataBuilder()
+    val dimFields = dimensions.zipWithIndex.map { case (d, i) =>
+      val b = new MetadataBuilder()
         .putBoolean(MatSchema.DimKey, value = true)
         .putLong(MatSchema.ChunkKey, d.chunkSize)
-        .build()
+      // dropped-name tombstones ride on the first dimension field so the
+      // whole schema still round-trips through one StructType.json document
+      if (i == 0 && dropped.nonEmpty) b.putStringArray(MatSchema.DroppedKey, dropped.toArray)
+      val md = b.build()
       StructField(d.name, LongType, nullable = false, md)
     }
     val valFields = values.map(v => StructField(v.name, v.dataType, nullable = true))
@@ -61,12 +67,24 @@ object MatSchema {
   val DimKey = "graft.dimension"
   val ChunkKey = "graft.chunkSize"
 
+  /** Names of value columns DROPPED by ALTER TABLE whose bytes still sit in
+    * pre-drop segments (segments are read by column NAME, so re-adding such
+    * a name would resurrect the old values — or fail the scan on a type
+    * change). Cleared by compaction, which rewrites every live row without
+    * them. */
+  val DroppedKey = "graft.droppedCols"
+
   def fromStructType(st: StructType): MatSchema = {
     val (dimFields, valFields) = st.fields.partition(f =>
       f.metadata.contains(DimKey) && f.metadata.getBoolean(DimKey))
+    val dropped = dimFields.headOption
+      .filter(_.metadata.contains(DroppedKey))
+      .map(_.metadata.getStringArray(DroppedKey).toSeq)
+      .getOrElse(Nil)
     MatSchema(
       dimFields.toSeq.map(f => Dimension(f.name, f.metadata.getLong(ChunkKey))),
-      valFields.toSeq.map(f => ValueCol(f.name, f.dataType)))
+      valFields.toSeq.map(f => ValueCol(f.name, f.dataType)),
+      dropped)
   }
 
   def fromJson(json: String): MatSchema =

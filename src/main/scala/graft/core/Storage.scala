@@ -117,8 +117,8 @@ object Storage {
 
   def writeSchema(root: Path, schema: MatSchema): Unit = {
     Files.createDirectories(root)
-    // write-then-atomic-move: schema.json is also REwritten by ALTER TABLE
-    // (schema evolution), and a reader must never see a torn document
+    // write-then-atomic-move: schema.json is also REwritten as the ALTER
+    // TABLE read mirror, and a reader must never see a torn document
     val tmp = schemaPath(root).resolveSibling("schema.json.tmp")
     Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, schemaPath(root),
@@ -126,8 +126,58 @@ object Storage {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  def readSchema(root: Path): MatSchema =
-    MatSchema.fromJson(new String(Files.readAllBytes(schemaPath(root)), StandardCharsets.UTF_8))
+  def readSchema(root: Path): MatSchema = readSchemaVersioned(root)._1
+
+  // ---- schema versioning (ALTER TABLE compare-and-set) --------------------
+  //
+  // `schema.json` alone cannot serialize concurrent ALTERs: an
+  // unsynchronized read-modify-write silently loses one of two racing
+  // changes (the atomic move only prevents torn READS). Post-alter schemas
+  // therefore live as immutable `_schema/<version>.json` documents published
+  // with the same put-if-absent primitive as manifest commits
+  // (tryWriteManifest's hard-link conditional put): the loser of a race gets
+  // `false` back, re-reads, and re-applies its change. `schema.json` stays
+  // as a read mirror of the latest version — readers PREFER the versioned
+  // file, so a crash between CAS and mirror rewrite is harmless.
+
+  private def schemaVerDir(root: Path): Path = root.resolve("_schema")
+  private val SchemaVer: Regex = """^([0-9a-f]{8})\.json$""".r
+
+  private def latestSchemaFile(root: Path): Option[(Path, Long)] =
+    listDir(schemaVerDir(root)).flatMap { p =>
+      p.getFileName.toString match {
+        case SchemaVer(v) => Some((p, java.lang.Long.parseLong(v, 16)))
+        case _            => None
+      }
+    }.sortBy(_._2).lastOption
+
+  /** Current schema + its version (version 0 = the CREATE-time schema.json;
+    * the first ALTER publishes version 1). */
+  def readSchemaVersioned(root: Path): (MatSchema, Long) =
+    latestSchemaFile(root) match {
+      case Some((p, v)) =>
+        (MatSchema.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)), v)
+      case None =>
+        (MatSchema.fromJson(
+          new String(Files.readAllBytes(schemaPath(root)), StandardCharsets.UTF_8)), 0L)
+    }
+
+  /** Atomic compare-and-set of the table schema: succeeds iff no other
+    * writer published since version `expected` was read. On success the
+    * mirror `schema.json` is refreshed; on failure the caller must re-read
+    * ([[readSchemaVersioned]]) and re-apply its change. */
+  def casSchema(root: Path, expected: Long, next: MatSchema): Boolean = {
+    val dir = schemaVerDir(root)
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, ".schema-", ".tmp")
+    Files.write(tmp, next.json.getBytes(StandardCharsets.UTF_8))
+    val won =
+      try { Files.createLink(dir.resolve(f"${expected + 1L}%08x.json"), tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally { Files.deleteIfExists(tmp); () }
+    if (won) writeSchema(root, next)
+    won
+  }
 
   /** List a directory, CLOSING the stream (Files.list holds an fd until
     * closed — leaking it on hot paths like commit/stream-planning

@@ -196,44 +196,63 @@ class GraftCatalog extends TableCatalog {
     * chunk layout — never alterable. Added columns must be nullable (old
     * rows ARE null). Concurrent writers racing an alter see either schema
     * (both valid: extra df columns are dropped on write, missing ones
-    * were just added — their absence reads as null). */
+    * were just added — their absence reads as null).
+    *
+    * Dropped names are TOMBSTONED, not forgotten: segments are read by
+    * column NAME, and pre-drop segments still hold the dropped column's
+    * bytes, so re-adding the name would silently resurrect old values (or
+    * fail the scan on a type change). ADD COLUMN of a tombstoned name is
+    * rejected until `MatDb.compact()` rewrites every live row without it
+    * and clears the tombstone.
+    *
+    * Concurrent ALTERs serialize through [[Storage.casSchema]]: the loser
+    * of a publish race re-reads and re-applies its change against the
+    * winner's schema, so neither change is lost. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!MatDb.exists(dir.toString)) throw new NoSuchTableException(ident)
-    val cur = Storage.readSchema(dir)
-    val next = changes.foldLeft(cur) { (sch, change) =>
-      change match {
-        case add: TableChange.AddColumn =>
-          require(add.fieldNames.length == 1,
-            "graft columns are flat; nested ADD COLUMN is not supported")
-          val name = add.fieldNames.head
-          require(!sch.columnNames.contains(name), s"column '$name' already exists")
-          require(add.isNullable,
-            s"added column '$name' must be nullable (pre-alter rows read it as null)")
-          require(add.position == null,
-            "graft ADD COLUMN ignores ordering; drop the FIRST/AFTER clause")
-          sch.copy(values = sch.values :+ graft.core.ValueCol(name, add.dataType))
-        case del: TableChange.DeleteColumn =>
-          require(del.fieldNames.length == 1,
-            "graft columns are flat; nested DROP COLUMN is not supported")
-          val name = del.fieldNames.head
-          require(!sch.dimNames.contains(name),
-            s"'$name' is a dimension — the key identity and chunk layout are not alterable")
-          if (!sch.valueNames.contains(name)) {
-            require(del.ifExists != null && del.ifExists,
-              s"no such column '$name' (use DROP COLUMN IF EXISTS)")
-            sch
-          } else {
-            require(sch.values.size > 1,
-              s"cannot drop the last value column '$name'")
-            sch.copy(values = sch.values.filterNot(_.name == name))
-          }
-        case other => throw new UnsupportedOperationException(
-          s"graft ALTER TABLE supports ADD/DROP of value columns only, got $other")
+    var tries = 0
+    while (tries < 16) {
+      val (cur, version) = Storage.readSchemaVersioned(dir)
+      val next = changes.foldLeft(cur) { (sch, change) =>
+        change match {
+          case add: TableChange.AddColumn =>
+            require(add.fieldNames.length == 1,
+              "graft columns are flat; nested ADD COLUMN is not supported")
+            val name = add.fieldNames.head
+            require(!sch.columnNames.contains(name), s"column '$name' already exists")
+            require(!sch.dropped.contains(name),
+              s"column '$name' was previously dropped and pre-drop segments still " +
+                "contain its bytes; run compact() to rewrite them before re-adding the name")
+            require(add.isNullable,
+              s"added column '$name' must be nullable (pre-alter rows read it as null)")
+            require(add.position == null,
+              "graft ADD COLUMN ignores ordering; drop the FIRST/AFTER clause")
+            sch.copy(values = sch.values :+ graft.core.ValueCol(name, add.dataType))
+          case del: TableChange.DeleteColumn =>
+            require(del.fieldNames.length == 1,
+              "graft columns are flat; nested DROP COLUMN is not supported")
+            val name = del.fieldNames.head
+            require(!sch.dimNames.contains(name),
+              s"'$name' is a dimension — the key identity and chunk layout are not alterable")
+            if (!sch.valueNames.contains(name)) {
+              require(del.ifExists,
+                s"no such column '$name' (use DROP COLUMN IF EXISTS)")
+              sch
+            } else {
+              require(sch.values.size > 1,
+                s"cannot drop the last value column '$name'")
+              sch.copy(values = sch.values.filterNot(_.name == name),
+                dropped = (sch.dropped :+ name).distinct)
+            }
+          case other => throw new UnsupportedOperationException(
+            s"graft ALTER TABLE supports ADD/DROP of value columns only, got $other")
+        }
       }
+      if (Storage.casSchema(dir, version, next)) return load(ident, None)
+      tries += 1 // lost the publish race: re-read and re-apply
     }
-    Storage.writeSchema(dir, next)
-    load(ident, None)
+    throw new IllegalStateException("ALTER TABLE: too many schema publish races")
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -214,12 +214,28 @@ object Streams {
         // buffers (a max_by(struct, ord) payload pick would fall back to
         // SortAggregate). ordCol must be unique per key within a batch —
         // a change log's sequence is — so every column picks the same
-        // winning change.
+        // winning change. That uniqueness is ENFORCED below: on an ord tie
+        // the independent per-column max_by picks are unordered, which
+        // could commit a torn row (values from one change, the delete flag
+        // from another), so a duplicate (key, ord) pair fails the batch
+        // loudly instead.
         val isDel = (col(opCol) === lit("D")).as("_cdc_del")
+        val keyed = batch.select(dims ++ Seq(isDel, col(ordCol)) ++
+            schema.valueNames.map(col): _*)
+          .cache()
+        val tie = keyed.groupBy(dims :+ col(ordCol): _*).count()
+          .where(col("count") > 1).limit(1).collect()
+        if (tie.nonEmpty) {
+          keyed.unpersist()
+          throw new IllegalArgumentException(
+            s"cdcApplySink: duplicate ($ordCol) for key " +
+              tie.head.toSeq.init.mkString("(", ",", ")") +
+              s" — '$ordCol' must be unique per key within a batch, or the " +
+              "per-column fold could commit a torn row")
+        }
         val aggs = max_by(col("_cdc_del"), col(ordCol)).as("_cdc_del") +:
           schema.valueNames.map(c => max_by(col(c), col(ordCol)).as(c))
-        val last = batch.select(dims ++ Seq(isDel, col(ordCol)) ++
-            schema.valueNames.map(col): _*)
+        val last = keyed
           .groupBy(dims: _*)
           .agg(aggs.head, aggs.tail: _*)
           .cache()
@@ -228,7 +244,7 @@ object Streams {
           txn.deleteRows(last.where(col("_cdc_del")))
           txn.addRows(last.where(!col("_cdc_del")))
           txn.commit()
-        } finally last.unpersist()
+        } finally { last.unpersist(); keyed.unpersist(); () }
         ()
       }
   }

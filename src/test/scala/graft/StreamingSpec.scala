@@ -298,6 +298,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("cdc apply sink fails loudly on a duplicate (key, ord) pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.{Dimension, MatSchema, MatDb, ValueCol}
+    val path = Files.createTempDirectory("graft-cdc-tie").toString
+    val schema = MatSchema(Seq(Dimension("k", 10)), Seq(ValueCol("v")))
+    val db = MatDb.create(spark, schema, path)
+    val checkpoint = Files.createTempDirectory("graft-cdc-tie-ckpt").toString
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val q = Streams.cdcApplySink(input.toDF().toDF("k", "v", "op", "ord"),
+      db, "op", "ord", checkpoint).start()
+    try {
+      // two changes for key 1 with the SAME ord: the independent per-column
+      // max_by folds are unordered on a tie (could commit a torn row mixing
+      // v from one change with the delete flag of the other), so the batch
+      // must fail rather than guess
+      input.addData((1L, 10L, "I", 7L), (1L, 0L, "D", 7L))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.processAllAvailable())
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(err).exists(c =>
+        c.getMessage != null && c.getMessage.contains("must be unique per key")))
+      // nothing committed from the poisoned batch
+      assert(db.snapshot().count() === 0)
+    } finally q.stop()
+  }
+
   test("bucketed sink: micro-batch = bucketed transaction, replay is MVCC-absorbed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

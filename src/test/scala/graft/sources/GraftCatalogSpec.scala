@@ -332,6 +332,47 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcat.evo")
   }
 
+  test("re-ADD of a dropped column is rejected until compact purges its bytes") {
+    spark.sql("DROP TABLE IF EXISTS gcat.readd")
+    spark.sql(
+      """CREATE TABLE gcat.readd (t BIGINT, a BIGINT, b BIGINT)
+        |TBLPROPERTIES('graft.dims' = 't:50')""".stripMargin)
+    spark.sql("INSERT INTO gcat.readd SELECT id, id * 10, id FROM range(0, 5)")
+    spark.sql("ALTER TABLE gcat.readd DROP COLUMN a")
+    // pre-drop segments still hold a's bytes and segments are read by NAME:
+    // re-adding 'a' would silently resurrect id*10 instead of reading null
+    val err = intercept[Exception](
+      spark.sql("ALTER TABLE gcat.readd ADD COLUMNS (a BIGINT)"))
+    assert(err.getMessage.contains("previously dropped"))
+    // a fresh name is unaffected by the tombstone
+    spark.sql("ALTER TABLE gcat.readd ADD COLUMNS (c BIGINT)")
+    // compact rewrites every live row without 'a'; the tombstone lifts
+    MatDb.open(spark, root.resolve("readd").toString).compact()
+    spark.sql("ALTER TABLE gcat.readd ADD COLUMNS (a BIGINT)")
+    val rows = spark.sql("SELECT t, a FROM gcat.readd ORDER BY t").collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.isNullAt(1)),
+      "re-added column must read null, not the pre-drop values")
+    spark.sql("DROP TABLE gcat.readd")
+  }
+
+  test("concurrent ALTERs serialize through the schema CAS; neither is lost") {
+    spark.sql("DROP TABLE IF EXISTS gcat.altrace")
+    spark.sql(
+      """CREATE TABLE gcat.altrace (t BIGINT, v BIGINT)
+        |TBLPROPERTIES('graft.dims' = 't:50')""".stripMargin)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val names = (0 until 8).map(i => s"c$i")
+    val futs = names.map(n =>
+      Future(spark.sql(s"ALTER TABLE gcat.altrace ADD COLUMNS ($n BIGINT)")))
+    futs.foreach(Await.result(_, 120.seconds))
+    val cols = spark.sql("SELECT * FROM gcat.altrace").columns.toSet
+    names.foreach(n => assert(cols.contains(n), s"concurrent ALTER adding '$n' was lost"))
+    spark.sql("DROP TABLE gcat.altrace")
+  }
+
   test("empty INSERT claims no transaction") {
     spark.sql("DROP TABLE IF EXISTS gcat.emptyins")
     spark.sql(
