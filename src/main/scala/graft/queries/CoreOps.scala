@@ -393,6 +393,50 @@ object CoreOps {
       s.sql("SELECT user_id, v, w FROM g109.te ORDER BY user_id")
     },
 
+    // ---- schema-evolution lifecycle: DROP → compact → re-ADD -----------
+    // The dropped name is TOMBSTONED (pre-drop segments still hold its
+    // bytes and segments are read by NAME, so an immediate re-ADD would
+    // silently resurrect the old values); compact() rewrites every live
+    // row without the column and lifts the tombstone, after which the
+    // re-added column reads null for every pre-add row — which is exactly
+    // what the oracle's relational replay asserts.
+    Entry("q111_alter_compact_readd", Some(
+      """WITH olds AS (SELECT user_id, arg_max(value, event_id) AS v,
+        |                     CAST(NULL AS DOUBLE) AS w
+        |              FROM events WHERE user_id < 60 GROUP BY user_id),
+        |news AS (SELECT DISTINCT user_id, CAST(-3.0 AS DOUBLE) AS v,
+        |                CAST(7.5 AS DOUBLE) AS w
+        |         FROM events WHERE user_id >= 60 AND user_id < 90),
+        |fin AS (SELECT * FROM olds UNION ALL SELECT * FROM news)
+        |SELECT user_id, v, w FROM fin ORDER BY user_id""".stripMargin)) { (s, d) =>
+      val root = Q.fixture("q111-catalog")
+      graft.core.Storage.deleteRecursively(root.resolve("tc"))
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g111").isEmpty) {
+        s.conf.set("spark.sql.catalog.g111", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g111.root", root.toString)
+      }
+      s.sql("CREATE TABLE g111.tc (user_id BIGINT, v DOUBLE, w DOUBLE) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:1000')")
+      table(s, d, "events").createOrReplaceTempView("events")
+      s.sql("""INSERT INTO g111.tc
+              |SELECT user_id, max_by(value, event_id) AS v,
+              |       max_by(value, event_id) * 2.0 AS w
+              |FROM events WHERE user_id < 60 GROUP BY user_id""".stripMargin)
+      s.sql("ALTER TABLE g111.tc DROP COLUMN w")
+      // immediate re-ADD is rejected — w's bytes are still in the segment
+      val err = try { s.sql("ALTER TABLE g111.tc ADD COLUMNS (w DOUBLE)"); null }
+        catch { case e: Exception => e }
+      require(err != null && err.getMessage.contains("previously dropped"),
+        "re-ADD of a dropped column must be rejected before compaction")
+      graft.core.MatDb.open(s, root.resolve("tc").toString).compact()
+      s.sql("ALTER TABLE g111.tc ADD COLUMNS (w DOUBLE)")
+      s.sql("""INSERT INTO g111.tc
+              |SELECT DISTINCT user_id, CAST(-3.0 AS DOUBLE), CAST(7.5 AS DOUBLE)
+              |FROM events WHERE user_id >= 60 AND user_id < 90""".stripMargin)
+      s.sql("SELECT user_id, v, w FROM g111.tc ORDER BY user_id")
+    },
+
     // ---- z-order clustered layout (sources.ZOrderLayout) ---------------
     // lineitem rewritten in Morton order of (l_orderkey, l_partkey), then
     // a range predicate on the NON-leading key answered off the clustered

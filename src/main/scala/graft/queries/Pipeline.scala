@@ -24,6 +24,7 @@ object Pipeline {
   private val NumPerm = 16    // minhash permutations
   private val BandSize = 4    // rows per LSH band -> 4 bands
   private val SimBits = 56    // simhash width (fits the 56-bit hash)
+  private val KmvK = 128      // KMV sketch size (q113)
 
   /** 56-bit md5-based hash — Spark side. */
   private def h56(c: Column): Column =
@@ -1438,8 +1439,165 @@ object Pipeline {
           when(col("bkt") < 8, "train").when(col("bkt") === 8, "val")
             .otherwise("test").as("split"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- PII scan (operators.PiiScan) ----------------------------------
+    // Compliance scan of a corpus: per-source counts of leaked emails /
+    // IPv4s / phone numbers. The synthetic corpus is clean, so both
+    // engines INJECT identical deterministic PII first (doc_id-keyed, so
+    // the fixture stays untouched); detection is then PiiScan's
+    // regex-per-category codegen projections — patterns constrained to
+    // the Java-regex ∩ RE2 subset so DuckDB replays every count exactly.
+    Entry("q112_pii_scan", Some {
+      import graft.operators.PiiScan
+      val pats = PiiScan.Patterns.toMap
+      s"""WITH aug AS (SELECT source, doc_id,
+         |  text
+         |  || CASE WHEN doc_id % 7 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+         |          || '@example.com now' ELSE '' END
+         |  || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |          || '.' || CAST(doc_id % 250 AS VARCHAR) || '.7 up' ELSE '' END
+         |  || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+         |          || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' soon' ELSE '' END AS t
+         |  FROM documents),
+         |cnt AS (SELECT source,
+         |  CAST(len(regexp_extract_all(t, '${pats("emails")}')) AS BIGINT) AS emails,
+         |  CAST(len(regexp_extract_all(t, '${pats("ips")}')) AS BIGINT) AS ips,
+         |  CAST(len(regexp_extract_all(t, '${pats("phones")}')) AS BIGINT) AS phones
+         |  FROM aug)
+         |SELECT source, count(*) AS docs,
+         |       CAST(sum(CASE WHEN emails + ips + phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS docs_with_pii,
+         |       CAST(sum(emails) AS BIGINT) AS emails,
+         |       CAST(sum(ips) AS BIGINT) AS ips,
+         |       CAST(sum(phones) AS BIGINT) AS phones
+         |FROM cnt GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.PiiScan
+      val aug = table(s, d, "documents").select(col("source"), concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit(" contact u"),
+          col("doc_id").cast("string"), lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" host 10."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 250).cast("string"), lit(".7 up"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, concat(lit(" call 555-"),
+          (lit(100L) + col("doc_id") % 900).cast("string"), lit("-"),
+          (lit(1000L) + col("doc_id") % 9000).cast("string"), lit(" soon")))
+          .otherwise(lit(""))).as("t"))
+      PiiScan.scan(aug, "t")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("pii_total") > 0, 1L).otherwise(0L)).cast("long").as("docs_with_pii"),
+          sum(col("emails")).cast("long").as("emails"),
+          sum(col("ips")).cast("long").as("ips"),
+          sum(col("phones")).cast("long").as("phones"))
+        .orderBy(col("source"))
+    },
+
+    // ---- KMV distinct sketch + set algebra (functions.KmvSketch) -------
+    // Per-source vocabulary cardinality from an O(k) mergeable sketch,
+    // plus EXACT set algebra across sketches: the union sketch of two
+    // sources is the merge of their sketches (the k smallest of a union
+    // are a subset of the union of the k smallest), and the intersection
+    // estimate follows by inclusion–exclusion. The oracle replays the
+    // sketch literally — "the k smallest distinct 56-bit hashes" — via a
+    // row_number window, and the estimator is per-row IEEE arithmetic, so
+    // every estimate (not just the exact counts) is hash-exact across
+    // engines. exact_distinct rides along to show the estimator's error.
+    Entry("q113_kmv_distinct", Some(kmvOracleSql)) { (s, d) =>
+      graft.functions.KmvSketch.register(s)
+      import graft.functions.KmvSketch.kmvCol
+      val k = KmvK
+      // per-source 3-gram shingle cardinality (the q46 shingle definition,
+      // keyed by source instead of doc_id — NearDup.shingles takes any id)
+      val hashed = graft.operators.NearDup
+        .shingles(table(s, d, "documents"), "source", "text")
+        .select(col("source"), h56(col("g")).as("h"))
+      def est(sk: Column): Column =
+        when(size(sk) < k, size(sk).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(72057594037927936.0) /
+            element_at(sk, k).cast("double"))
+      val perSk = hashed.groupBy(col("source")).agg(kmvCol(col("h"), k).as("sk"))
+      val per = perSk
+        .select(col("source").as("scope"), est(col("sk")).as("est_distinct"))
+      val exact = hashed.distinct().groupBy(col("source"))
+        .agg(count(lit(1)).as("exact_distinct"))
+        .withColumnRenamed("source", "scope")
+      val perRows = per.join(exact, Seq("scope"))
+      // union WITHOUT rescanning the corpus: merge the two per-source
+      // sketches (k smallest of their union — the KMV union law, exact).
+      // The oracle replays the union by re-scanning; equality of the two
+      // routes is precisely the law the gate pins.
+      val uSketch = perSk.where(col("source") === "src0").select(col("sk").as("sk0"))
+        .crossJoin(perSk.where(col("source") === "src1").select(col("sk").as("sk1")))
+        .select(est(slice(array_sort(array_distinct(
+          concat(col("sk0"), col("sk1")))), 1, k)).as("est_distinct"))
+      val pairH = hashed.where(col("source").isin("src0", "src1"))
+      val uExact = pairH.select(col("h")).distinct()
+        .agg(count(lit(1)).as("exact_distinct"))
+      val uRow = uSketch.crossJoin(uExact)
+        .select(lit("union(src0,src1)").as("scope"),
+          col("est_distinct"), col("exact_distinct"))
+      val iExact = pairH.distinct().groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .where(col("n") === 2).agg(count(lit(1)).as("exact_distinct"))
+      val e0 = per.where(col("scope") === "src0").select(col("est_distinct").as("e0"))
+      val e1 = per.where(col("scope") === "src1").select(col("est_distinct").as("e1"))
+      val eu = uSketch.select(col("est_distinct").as("eu"))
+      val iRow = e0.crossJoin(e1).crossJoin(eu).crossJoin(iExact)
+        .select(lit("intersect(src0,src1)").as("scope"),
+          ((col("e0") + col("e1")) - col("eu")).as("est_distinct"),
+          col("exact_distinct"))
+      perRows.unionByName(uRow).unionByName(iRow).orderBy(col("scope"))
     }
   )
+
+  /** DuckDB replay of q113: the sketch is "the k smallest distinct hashes"
+    * (row_number window), estimates in identical IEEE double arithmetic. */
+  private lazy val kmvOracleSql: String = {
+    val K = KmvK
+    // 7.2057594037927936e16 = 2^56 — scientific notation so DuckDB parses
+    // a DOUBLE (a plain decimal literal becomes DECIMAL and overflows)
+    def est(nd: String, kth: String): String =
+      s"CASE WHEN $nd < $K THEN CAST($nd AS DOUBLE) " +
+        s"ELSE CAST(${K - 1} AS DOUBLE) * 7.2057594037927936e16 / CAST($kth AS DOUBLE) END"
+    s"""WITH tok AS (SELECT source, string_split_regex(lower(text), '\\s+') ws
+       |            FROM documents
+       |            WHERE len(string_split_regex(lower(text), '\\s+')) >= 3),
+       |sh AS (SELECT source,
+       |              list_distinct(list_transform(range(1, len(ws) - 1),
+       |                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) gs
+       |       FROM tok),
+       |ex AS (SELECT source, unnest(gs) g FROM sh),
+       |h AS (SELECT DISTINCT source, ${h56Sql("g")} AS h FROM ex),
+       |ranked AS (SELECT source, h,
+       |                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+       |                  count(*) OVER (PARTITION BY source) AS nd
+       |           FROM h),
+       |per AS (SELECT source AS scope,
+       |               ${est("max(nd)", s"max(CASE WHEN rn = $K THEN h END)")} AS est_distinct,
+       |               CAST(max(nd) AS BIGINT) AS exact_distinct
+       |        FROM ranked GROUP BY source),
+       |hu AS (SELECT DISTINCT h FROM h WHERE source IN ('src0','src1')),
+       |rankedu AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+       |                   count(*) OVER () AS nd
+       |            FROM hu),
+       |peru AS (SELECT 'union(src0,src1)' AS scope,
+       |                ${est("max(nd)", s"max(CASE WHEN rn = $K THEN h END)")} AS est_distinct,
+       |                CAST(max(nd) AS BIGINT) AS exact_distinct
+       |         FROM rankedu),
+       |hi AS (SELECT h FROM h WHERE source IN ('src0','src1')
+       |       GROUP BY h HAVING count(*) = 2),
+       |inter AS (SELECT 'intersect(src0,src1)' AS scope,
+       |                 ((SELECT est_distinct FROM per WHERE scope = 'src0')
+       |                   + (SELECT est_distinct FROM per WHERE scope = 'src1'))
+       |                  - (SELECT est_distinct FROM peru) AS est_distinct,
+       |                 (SELECT CAST(count(*) AS BIGINT) FROM hi) AS exact_distinct)
+       |SELECT scope, est_distinct, exact_distinct
+       |FROM (SELECT * FROM per UNION ALL SELECT * FROM peru
+       |      UNION ALL SELECT * FROM inter)
+       |ORDER BY scope""".stripMargin
+  }
 
   // ---- generated helpers ----------------------------------------------
 
