@@ -812,6 +812,54 @@ object Curation {
         .where(col("rk") <= col("quota"))
         .select(col("doc_id"), col("source"), col("quota"), col("rk"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- PageRank in exact integer fixed point (operators.PageRank) ----
+    // Source-authority prior for curation: rank the part graph whose
+    // edges are consecutive lineitems within an order. All arithmetic is
+    // int64 floor division (rank mass in integer units), so three damped
+    // iterations replay bit-identically in DuckDB — the float PageRank
+    // everyone writes depends on summation order, which no distributed
+    // engine should promise; this one is engine-independent by
+    // construction. Top 100 under a total (rank, node) order.
+    Entry("q114_pagerank", Some(pagerankOracleSql)) { (s, d) =>
+      val li = table(s, d, "lineitem")
+      val nxt = lead(col("l_partkey"), 1).over(
+        Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber")))
+      val edges = li.select(col("l_partkey").as("src"), nxt.as("dst"))
+        .where(col("dst").isNotNull && col("dst") =!= col("src"))
+      graft.operators.PageRank.run(edges, iters = 3)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(100)
     }
   )
+
+  /** DuckDB replay of q114: the same three integer fixed-point iterations
+    * as chained CTEs. Sums cast to BIGINT (DuckDB sum() is HUGEINT). */
+  private lazy val pagerankOracleSql: String = {
+    def iter(prev: String, out: String): String =
+      s"""$out AS (SELECT nodes.node,
+         |            ((1000000000000 // n) * 15 // 100)
+         |              + (85 * COALESCE(c.s, 0)) // 100 AS rank
+         |        FROM nodes CROSS JOIN nn
+         |        LEFT JOIN (SELECT ewd.dst AS node,
+         |                          CAST(sum(r.rank // ewd.od) AS BIGINT) AS s
+         |                   FROM $prev r JOIN ewd ON r.node = ewd.src
+         |                   GROUP BY ewd.dst) c USING (node))""".stripMargin
+    s"""WITH e AS (SELECT l_partkey AS src,
+       |                  lead(l_partkey) OVER (PARTITION BY l_orderkey
+       |                                        ORDER BY l_linenumber) AS dst
+       |           FROM lineitem),
+       |edges AS (SELECT src, dst FROM e WHERE dst IS NOT NULL AND dst <> src),
+       |outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+       |ewd AS (SELECT edges.src, edges.dst, outd.od FROM edges JOIN outd USING (src)),
+       |nodes AS (SELECT DISTINCT node FROM
+       |          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) t),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, (1000000000000 // n) AS rank FROM nodes CROSS JOIN nn),
+       |${iter("r0", "it1")},
+       |${iter("it1", "it2")},
+       |${iter("it2", "it3")}
+       |SELECT node, rank FROM it3 ORDER BY rank DESC, node LIMIT 100""".stripMargin
+  }
 }

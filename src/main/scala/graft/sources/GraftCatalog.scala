@@ -261,8 +261,24 @@ class GraftCatalog extends TableCatalog {
     else { Storage.deleteRecursively(dir); true }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft catalog does not support RENAME TABLE")
+  /** RENAME TABLE = one atomic directory rename: every path inside a graft
+    * table (segments, `_log/` manifests, `_schema/` versions) is relative
+    * to its root, so the move carries the full history — committed data,
+    * time travel, and schema versions all survive under the new name.
+    * Same-filesystem only (true of a catalog root by construction). A
+    * writer holding an open handle to the OLD path fails its next commit
+    * with a missing-directory error rather than resurrecting the old name
+    * — the same contract as dropping a table under a live handle. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    val to = tableDir(newIdent)
+    if (!MatDb.exists(from.toString)) throw new NoSuchTableException(oldIdent)
+    if (MatDb.exists(to.toString))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName) ++ newIdent.namespace() :+ newIdent.name())
+    java.nio.file.Files.createDirectories(to.getParent)
+    java.nio.file.Files.move(from, to, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 }
 
 object GraftCatalog {

@@ -373,6 +373,34 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcat.altrace")
   }
 
+  test("RENAME TABLE moves the whole history: data, time travel, schema versions") {
+    spark.sql("DROP TABLE IF EXISTS gcat.rnsrc")
+    spark.sql("DROP TABLE IF EXISTS gcat.rndst")
+    spark.sql(
+      """CREATE TABLE gcat.rnsrc (t BIGINT, v BIGINT)
+        |TBLPROPERTIES('graft.dims' = 't:50')""".stripMargin)
+    spark.sql("INSERT INTO gcat.rnsrc SELECT id, id FROM range(0, 5)")
+    spark.sql("INSERT INTO gcat.rnsrc SELECT id, id * 100 FROM range(0, 5)")
+    spark.sql("ALTER TABLE gcat.rnsrc ADD COLUMNS (w DOUBLE)")
+    spark.sql("ALTER TABLE gcat.rnsrc RENAME TO rndst")
+    assert(spark.sql("SELECT * FROM gcat.rndst").columns.toSeq === Seq("t", "v", "w"))
+    assert(spark.sql("SELECT sum(v) FROM gcat.rndst").collect()(0).getLong(0) === 1000L)
+    // MVCC history rode along: txn 1 is still visible under the new name
+    assert(spark.sql("SELECT sum(v) FROM gcat.rndst VERSION AS OF 1")
+      .collect()(0).getLong(0) === 10L)
+    val gone = intercept[Exception](spark.sql("SELECT * FROM gcat.rnsrc").collect())
+    assert(gone.getMessage.toLowerCase.contains("rnsrc"))
+    // renaming ONTO an existing table is refused
+    spark.sql(
+      """CREATE TABLE gcat.rnsrc (t BIGINT, v BIGINT)
+        |TBLPROPERTIES('graft.dims' = 't:50')""".stripMargin)
+    val clash = intercept[Exception](
+      spark.sql("ALTER TABLE gcat.rndst RENAME TO rnsrc"))
+    assert(clash.getMessage.toLowerCase.contains("already exists"))
+    spark.sql("DROP TABLE gcat.rnsrc")
+    spark.sql("DROP TABLE gcat.rndst")
+  }
+
   test("empty INSERT claims no transaction") {
     spark.sql("DROP TABLE IF EXISTS gcat.emptyins")
     spark.sql(
