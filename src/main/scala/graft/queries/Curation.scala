@@ -824,8 +824,12 @@ object Curation {
     // construction. Top 100 under a total (rank, node) order.
     Entry("q114_pagerank", Some(pagerankOracleSql)) { (s, d) =>
       val li = table(s, d, "lineitem")
+      // (orderkey, linenumber) is NOT unique in the fixture — the walk
+      // order adds l_partkey so remaining ties have equal partkey and the
+      // edge MULTISET is permutation-invariant (deterministic both engines)
       val nxt = lead(col("l_partkey"), 1).over(
-        Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber")))
+        Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_partkey")))
       val edges = li.select(col("l_partkey").as("src"), nxt.as("dst"))
         .where(col("dst").isNotNull && col("dst") =!= col("src"))
       graft.operators.PageRank.run(edges, iters = 3)
@@ -848,7 +852,7 @@ object Curation {
          |                   GROUP BY ewd.dst) c USING (node))""".stripMargin
     s"""WITH e AS (SELECT l_partkey AS src,
        |                  lead(l_partkey) OVER (PARTITION BY l_orderkey
-       |                                        ORDER BY l_linenumber) AS dst
+       |                                        ORDER BY l_linenumber, l_partkey) AS dst
        |           FROM lineitem),
        |edges AS (SELECT src, dst FROM e WHERE dst IS NOT NULL AND dst <> src),
        |outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
