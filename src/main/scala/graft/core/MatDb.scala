@@ -231,6 +231,88 @@ final class MatDb private (
     txn.id.getOrElse(-1L)
   }
 
+  /** Checkpoint compaction WITH time-travel retention: fold every segment
+    * of transactions `<= horizon` into ONE baseline segment set, leaving
+    * newer transactions untouched — the middle ground between the
+    * reference's accumulate-forever and [[compact]]'s flatten-everything.
+    * Afterward the current snapshot and `asOf(t)` for every `t >= horizon`
+    * are IDENTICAL (CheckpointSpec pins it); time travel below the horizon
+    * is gone (that history is what was reclaimed).
+    *
+    * Why it composes with MVCC "newest wins": the baseline is the resolved
+    * LIVE state at the horizon, written under the horizon's own max txn id
+    * (with a fresh segment number and `_seq` saturated), so every retained
+    * transaction still outranks it and every tombstone or upsert above the
+    * horizon keeps meaning exactly what it meant. Tombstones at or below
+    * the horizon have finished their work (their keys are simply absent
+    * from the baseline) and are physically discarded.
+    *
+    * Atomicity: the same replace publish as [[compact]] —
+    * `visibleAfter = baseline ++ retained`, conflict-checked against the
+    * snapshot, `ConcurrentModificationException` if any commit lands
+    * concurrently. Returns the baseline's txn id, or -1 if nothing is old
+    * enough to fold. Scale shape: one resolve (the flagship aggregate)
+    * over the folded prefix + one chunk-partitioned write; retained
+    * segments are not read at all. */
+  def checkpoint(horizon: Long): Long = {
+    // manifest protocol only: under renames, recovery's completeness rule
+    // (a txn missing its segment 0 never finished committing) would drop a
+    // baseline that replaces its own txn's segment 0 — and the rename swap
+    // is not atomic anyway. The manifest's conditional-put publish is.
+    require(protocol == Storage.ManifestProtocol,
+      "checkpoint(horizon) requires the 'manifest' commit protocol " +
+        "(use compact() for a full flatten under the rename protocol)")
+    val base = synchronized(committed)
+    val replaced = base.filter(_.txnId <= horizon)
+    if (replaced.isEmpty) return -1L
+    val retained = base.filterNot(_.txnId <= horizon)
+    val tid = replaced.map(_.txnId).max
+    val bid = SegmentId(tid, replaced.filter(_.txnId == tid).map(_.segNum).max + 1)
+    val resolved = Scan.resolve(spark, schema, segmentReadPaths(replaced), Nil, None)
+    // mirror of Transaction.flush's segment write (chunk routing, zstd,
+    // dim metadata for ChunkPruneRule), with pinned provenance: the
+    // horizon txn's id, a saturated _seq ("the final word" of that txn)
+    val dimCols = schema.dimensions.map { dim =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(MatSchema.ChunkKey, dim.chunkSize).build()
+      org.apache.spark.sql.functions.col(dim.name).as(dim.name, md)
+    }
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    val decorated = schema.dimensions.foldLeft(
+      resolved.select(dimCols ++ schema.valueNames.map(col): _*)) { (d, dim) =>
+        d.withColumn(schema.chunkColName(dim.name),
+          floor(col(dim.name) / lit(dim.chunkSize)).cast("long"))
+      }
+      .withColumn(Scan.DelCol, lit(false))
+      .withColumn(Scan.TxnCol, lit(tid))
+      .withColumn(Scan.SeqCol, lit((1L << 22) - 1))
+    registerInFlight(bid) // shield from vacuum while writing
+    try {
+      decorated
+        .repartition(schema.chunkColNames.map(col): _*)
+        .sortWithinPartitions(schema.dimNames.map(col): _*)
+        .write
+        .option("compression", "zstd")
+        .partitionBy(schema.chunkColNames: _*)
+        .parquet(protocol.writePath(root, bid).toString)
+      synchronized {
+        if (committed != base) {
+          protocol.discardInFlight(root, bid)
+          throw new java.util.ConcurrentModificationException(
+            "table changed since the checkpoint's snapshot; retry")
+        }
+        committed = protocol
+          .replace(root, Seq(bid), (Seq(bid) ++ retained).sorted, base)
+          .toVector.sorted
+      }
+    } finally resolveInFlight(Seq(bid))
+    // rename protocol: visibility IS the listing — superseded dirs go now.
+    // manifest protocol: already invisible; vacuum()/recovery sweeps them.
+    if (protocol == Storage.RenameProtocol)
+      replaced.foreach(s => protocol.deleteSegment(root, s))
+    tid
+  }
+
   /** After a compact, every live segment holds exactly THIS handle's
     * columns — so any ALTER-dropped name absent from this handle's schema
     * has no bytes left on disk and its tombstone can be lifted (re-ADDing

@@ -437,6 +437,58 @@ object CoreOps {
       s.sql("SELECT user_id, v, w FROM g111.tc ORDER BY user_id")
     },
 
+    // ---- checkpoint compaction with time-travel retention --------------
+    // MatDb.checkpoint(horizon): fold every txn <= horizon into one
+    // baseline under the horizon's own txn id, leaving newer txns — and
+    // their time travel — untouched (compact() flattens everything; the
+    // reference accumulates forever). The gate reads BOTH the horizon
+    // snapshot and the current snapshot after checkpointing and the
+    // oracle replays both relationally: retained upserts and tombstones
+    // must keep meaning exactly what they meant over the folded baseline.
+    Entry("q115_checkpoint_horizon", Some(
+      """WITH base AS (SELECT user_id, arg_max(value, event_id) AS v
+        |              FROM events GROUP BY user_id),
+        |h AS (SELECT user_id,
+        |             CASE WHEN user_id < 30 THEN v + 1.0 ELSE v END AS v
+        |      FROM base),
+        |cur AS (SELECT user_id,
+        |               CASE WHEN user_id < 10 THEN CAST(-5.0 AS DOUBLE)
+        |                    WHEN user_id < 30 THEN v + 1.0 ELSE v END AS v
+        |        FROM base WHERE user_id NOT BETWEEN 40 AND 49
+        |        UNION ALL SELECT 100000, CAST(9.0 AS DOUBLE))
+        |SELECT 'at_horizon' AS gen, user_id, v FROM h
+        |UNION ALL SELECT 'current' AS gen, user_id, v FROM cur
+        |ORDER BY gen, user_id""".stripMargin)) { (s, d) =>
+      import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+      val dir = Q.fixture("q115-ckpt")
+      graft.core.Storage.deleteRecursively(dir)
+      val sch = MatSchema(Seq(Dimension("user_id", 1000)),
+        Seq(ValueCol("v", org.apache.spark.sql.types.DoubleType)))
+      val db = MatDb.create(s, sch, dir.toString, "manifest")
+      val seed = table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      val t1 = db.newTransaction(); t1.addRows(seed); t1.commit()
+      val t2 = db.newTransaction()
+      t2.addRows(seed.where(col("user_id") < 30)
+        .withColumn("v", col("v") + lit(1.0)))
+      t2.commit()
+      val t3 = db.newTransaction()
+      t3.deleteRows(seed.where(col("user_id").between(40, 49)).select(col("user_id")))
+      t3.addRows(s.range(1).select(lit(100000L).as("user_id"), lit(9.0).as("v")))
+      t3.commit()
+      val t4 = db.newTransaction()
+      t4.addRows(seed.where(col("user_id") < 10).withColumn("v", lit(-5.0)))
+      t4.commit()
+      require(db.checkpoint(2L) == 2L)
+      require(db.committedSegments.count(_.txnId <= 2L) == 1,
+        "txns 1 and 2 must fold into one baseline segment")
+      db.asOf(2L).select(lit("at_horizon").as("gen"), col("user_id"), col("v"))
+        .unionByName(db.snapshot()
+          .select(lit("current").as("gen"), col("user_id"), col("v")))
+        .orderBy(col("gen"), col("user_id"))
+    },
+
     // ---- z-order clustered layout (sources.ZOrderLayout) ---------------
     // lineitem rewritten in Morton order of (l_orderkey, l_partkey), then
     // a range predicate on the NON-leading key answered off the clustered
