@@ -1549,6 +1549,34 @@ object Pipeline {
           ((col("e0") + col("e1")) - col("eu")).as("est_distinct"),
           col("exact_distinct"))
       perRows.unionByName(uRow).unionByName(iRow).orderBy(col("scope"))
+    },
+
+    // ---- hard-negative mining (operators.HardNegatives) ----------------
+    // Contrastive-training counterpart of q50/q96: per anchor, the k
+    // HIGHEST-cosine candidates inside [0.15, 0.30) — informative
+    // negatives strictly below the near-dup ceiling. Band filter before
+    // ranking; ranking via the O(k) TopKScored aggregate whose tie order
+    // is pinned equal to the oracle's row_number window.
+    Entry("q116_hard_negatives", Some(
+      s"""WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding ce FROM embeddings),
+         |scored AS (
+         |  SELECT qid, vec_id,
+         |         ${dotSql("qe", "ce")} /
+         |         sqrt(${dotSql("qe", "qe")} * ${dotSql("ce", "ce")}) AS score
+         |  FROM q CROSS JOIN c WHERE vec_id != qid),
+         |banded AS (SELECT * FROM scored WHERE score >= 0.15 AND score < 0.30)
+         |SELECT qid, vec_id, score, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn
+         |      FROM banded) t
+         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)) { (s, d) =>
+      val e = table(s, d, "embeddings")
+      graft.operators.HardNegatives.mine(
+        e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), embD(col("embedding")).as("qe")),
+        e.select(col("vec_id"), embD(col("embedding")).as("ce")),
+        k = 10, lo = 0.15, hi = 0.30)
+        .orderBy(col("qid"), col("rn"))
     }
   )
 
