@@ -154,7 +154,16 @@ final class MatDb private (
     * keys; nothing else is resolved, and the final diff joins two
     * touched-sized sides. Cost is O(versions of touched keys), not
     * O(table), plus the unavoidable scan-side pruning Spark applies. */
-  def changesBetween(fromTxn: Long, toTxn: Long): DataFrame = {
+  def changesBetween(fromTxn: Long, toTxn: Long): DataFrame =
+    changesBetween(fromTxn, toTxn, includeOld = false)
+
+  /** As [[changesBetween]]; with `includeOld = true` every row also carries
+    * the PRE-image value columns as `_old_<name>` (null for I rows, the
+    * replaced values for U, the deleted values for D) — what an
+    * incremental consumer needs to RETRACT the old contribution before
+    * applying the new one ([[graft.operators.IncrementalAgg]]). Dimensions
+    * need no pre-image: they are the key, identical on both sides. */
+  def changesBetween(fromTxn: Long, toTxn: Long, includeOld: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
     require(fromTxn <= toTxn, s"changesBetween: from $fromTxn > to $toTxn")
     val dims = schema.dimNames
@@ -177,9 +186,11 @@ final class MatDb private (
     val op = when(col("_o").isNull, "I")
       .when(col("_n").isNull, "D")
       .when(anyDiff, "U")
+    val outCols = (col("op") +: (dims ++ schema.valueNames).map(col)) ++
+      (if (includeOld) schema.valueNames.map(v => col(s"_o_$v").as(s"_old_$v")) else Nil)
     joined.withColumn("op", op)
       .where(col("op").isNotNull)
-      .select(col("op") +: (dims ++ schema.valueNames).map(col): _*)
+      .select(outCols: _*)
   }
 
   /** Commit history of this table: one row per committed segment with its

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.MatDb
+
+/** Incrementally-maintained aggregate — a materialized GROUP BY view over a
+  * graft table kept current from the CDC feed, never by rescanning the
+  * base: classic incremental view maintenance (retract the pre-image,
+  * apply the post-image), built from `changesBetween`'s minimal delta.
+  *
+  * The view is itself a graft table (group = dimension; SUM and COUNT =
+  * value columns), so it inherits MVCC time travel, snapshot isolation,
+  * and the commit protocol — each maintenance step is ONE transaction, and
+  * `viewDb.asOf(t)` is the aggregate as of maintenance step t.
+  *
+  * Exactness: SUM over a DECIMAL value column is associative and
+  * order-free, so the incrementally-maintained sum is bit-equal to a full
+  * recompute (the q117 gate pins incremental-vs-relational equality
+  * through DuckDB; the float shortcut would drift by summation order —
+  * same reason the battery's aggregate rules cast to DECIMAL).
+  *
+  * Scale shape: cost per step is O(delta) — `changesBetween` restricts
+  * resolution to touched keys; the delta folds map-side to one row per
+  * TOUCHED GROUP; the view update joins that (small) per-group delta
+  * against the view's current rows for those groups only. A 100 TB base
+  * table with a million-row daily delta maintains its per-source totals by
+  * reading the delta, not the table.
+  */
+object IncrementalAgg {
+
+  /** Fold the base table's delta `(fromTxn, toTxn]` into the view.
+    *
+    * `viewDb` schema contract: dimensions = (`groupCol`), values =
+    * (`sum_<valueCol>` of the value column's type, `cnt` LONG). `groupCol`
+    * must be a base DIMENSION or LONG value column; `valueCol` a base
+    * value column (DECIMAL recommended — see exactness note above). Rows
+    * whose count reaches zero are deleted (a group with no rows has no
+    * aggregate, matching GROUP BY semantics). Returns the view's
+    * maintenance transaction id. */
+  def maintain(base: MatDb, viewDb: MatDb, fromTxn: Long, toTxn: Long,
+      groupCol: String, valueCol: String): Long = {
+    val sumCol = s"sum_$valueCol"
+    require(viewDb.schema.dimNames == Seq(groupCol) &&
+      viewDb.schema.valueNames == Seq(sumCol, "cnt"),
+      s"view schema must be dims=($groupCol), values=($sumCol, cnt); " +
+        s"got dims=${viewDb.schema.dimNames} values=${viewDb.schema.valueNames}")
+    val delta = base.changesBetween(fromTxn, toTxn, includeOld = true)
+    val isDim = base.schema.dimNames.contains(groupCol)
+    val oldG = if (isDim) col(groupCol) else col(s"_old_$groupCol")
+    // retract the pre-image (U and D rows), apply the post-image (I and U
+    // rows) — a group-moving update retracts from one group and applies to
+    // the other through the same two legs
+    val retract = delta.where(col("op").isin("U", "D"))
+      .select(oldG.as(groupCol), (-col(s"_old_$valueCol")).as("dv"), lit(-1L).as("dc"))
+    val apply_ = delta.where(col("op").isin("I", "U"))
+      .select(col(groupCol), col(valueCol).as("dv"), lit(1L).as("dc"))
+    val perGroup = retract.unionByName(apply_)
+      .groupBy(col(groupCol))
+      .agg(sum(col("dv")).cast(delta.schema(valueCol).dataType).as("dv"),
+        sum(col("dc")).as("dc"))
+    // the view streams through ONE semi-join against the (small, broadcast)
+    // touched-group set — the view is never shuffled whole, mirroring the
+    // ingest sinks' history-streams/delta-broadcasts contract
+    val current = viewDb.snapshot()
+      .join(broadcast(perGroup.select(col(groupCol))), Seq(groupCol), "left_semi")
+      .select(col(groupCol), col(sumCol).as("_cur_sum"), col("cnt").as("_cur_cnt"))
+    // decimal addition widens precision (18,4 + 18,4 → 19,4); cast back to
+    // the view's declared type so segments stay byte-compatible
+    val sumType = viewDb.schema.values.find(_.name == sumCol).get.dataType
+    val merged = perGroup.join(current, Seq(groupCol), "left")
+      .select(col(groupCol),
+        (coalesce(col("_cur_sum"), lit(0).cast(sumType)) + col("dv"))
+          .cast(sumType).as(sumCol),
+        (coalesce(col("_cur_cnt"), lit(0L)) + col("dc")).as("cnt"))
+    val txn = viewDb.newTransaction()
+    txn.deleteRows(merged.where(col("cnt") === 0L).select(col(groupCol)))
+    txn.addRows(merged.where(col("cnt") =!= 0L))
+    txn.commit()
+    txn.id.getOrElse(-1L)
+  }
+}

@@ -489,6 +489,58 @@ object CoreOps {
         .orderBy(col("gen"), col("user_id"))
     },
 
+    // ---- incremental aggregate view (operators.IncrementalAgg) ---------
+    // A materialized GROUP BY view maintained from changesBetween's
+    // minimal delta — retract pre-image, apply post-image — never by
+    // rescanning the base. Three maintenance steps (insert; value updates
+    // + a group-moving update; deletes), then the view is read and the
+    // oracle recomputes the SAME aggregate relationally from the final
+    // base state: incremental == full recompute, exactly (DECIMAL sums
+    // are order-free).
+    Entry("q117_incremental_agg", Some(
+      """WITH b AS (SELECT event_id, user_id, value FROM events WHERE event_id < 800),
+        |fin AS (SELECT event_id,
+        |               CASE WHEN event_id >= 200 AND event_id < 300
+        |                    THEN user_id + 100000 ELSE user_id END AS grp,
+        |               CASE WHEN event_id < 200
+        |                    THEN CAST(value + 10.0 AS DECIMAL(18,4))
+        |                    ELSE CAST(value AS DECIMAL(18,4)) END AS v
+        |        FROM b WHERE NOT (event_id >= 400 AND event_id < 500))
+        |SELECT grp, CAST(sum(v) AS DOUBLE) AS sum_v, count(*) AS cnt
+        |FROM fin GROUP BY grp ORDER BY grp""".stripMargin)) { (s, d) =>
+      import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      val root = Q.fixture("q117-iagg")
+      graft.core.Storage.deleteRecursively(root)
+      val dec = DecimalType(18, 4)
+      val base = MatDb.create(s, MatSchema(Seq(Dimension("event_id", 100)),
+        Seq(ValueCol("grp", LongType), ValueCol("v", dec))),
+        root.resolve("base").toString, "manifest")
+      val view = MatDb.create(s, MatSchema(Seq(Dimension("grp", 1000)),
+        Seq(ValueCol("sum_v", dec), ValueCol("cnt", LongType))),
+        root.resolve("view").toString, "manifest")
+      val e = table(s, d, "events")
+      val t1 = base.newTransaction()
+      t1.addRows(e.where(col("event_id") < 800).select(col("event_id"),
+        col("user_id").as("grp"), Q.dec4(col("value")).as("v")))
+      t1.commit()
+      graft.operators.IncrementalAgg.maintain(base, view, 0L, 1L, "grp", "v")
+      val t2 = base.newTransaction()
+      t2.addRows(e.where(col("event_id") < 200).select(col("event_id"),
+        col("user_id").as("grp"), Q.dec4(col("value") + lit(10.0)).as("v")))
+      t2.addRows(e.where(col("event_id").between(200, 299)).select(col("event_id"),
+        (col("user_id") + lit(100000L)).as("grp"), Q.dec4(col("value")).as("v")))
+      t2.commit()
+      graft.operators.IncrementalAgg.maintain(base, view, 1L, 2L, "grp", "v")
+      val t3 = base.newTransaction()
+      t3.deleteRows(e.where(col("event_id").between(400, 499)).select(col("event_id")))
+      t3.commit()
+      graft.operators.IncrementalAgg.maintain(base, view, 2L, 3L, "grp", "v")
+      view.snapshot()
+        .select(col("grp"), col("sum_v").cast("double").as("sum_v"), col("cnt"))
+        .orderBy(col("grp"))
+    },
+
     // ---- z-order clustered layout (sources.ZOrderLayout) ---------------
     // lineitem rewritten in Morton order of (l_orderkey, l_partkey), then
     // a range predicate on the NON-leading key answered off the clustered

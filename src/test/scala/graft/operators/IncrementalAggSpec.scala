@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.{Dimension, MatDb, MatSchema, TestSpark, ValueCol}
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** graft.operators.IncrementalAgg — battery q117's operator. Invariant:
+  * after every maintenance step, the view equals a full GROUP BY recompute
+  * of the base snapshot, exactly (DECIMAL sums are order-free). */
+class IncrementalAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dec = DecimalType(18, 4)
+
+  private def newBase(): MatDb = MatDb.create(spark,
+    MatSchema(Seq(Dimension("k", 100)),
+      Seq(ValueCol("g", LongType), ValueCol("v", dec))),
+    Files.createTempDirectory("graft-iagg-base").toString, "manifest")
+
+  private def newView(): MatDb = MatDb.create(spark,
+    MatSchema(Seq(Dimension("g", 100)),
+      Seq(ValueCol("sum_v", dec), ValueCol("cnt", LongType))),
+    Files.createTempDirectory("graft-iagg-view").toString, "manifest")
+
+  private def recompute(base: MatDb): Map[Long, (String, Long)] =
+    base.snapshot().groupBy(col("g"))
+      .agg(sum(col("v")).cast(dec).as("sum_v"), count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDecimal(1).toPlainString, r.getLong(2)))).toMap
+
+  private def viewState(view: MatDb): Map[Long, (String, Long)] =
+    view.snapshot().collect().map(r => r.getLong(0) ->
+      ((r.getDecimal(1).toPlainString, r.getLong(2)))).toMap
+
+  test("view equals a full recompute after insert, group-move update, and delete") {
+    import spark.implicits._
+    val base = newBase(); val view = newView()
+    def df(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("k", "g", "vs").select(col("k"), col("g"), col("vs").cast(dec).as("v"))
+
+    val t1 = base.newTransaction()
+    t1.addRows(df((0L until 20L).map(k => (k, k % 4, s"${k}.25")))); t1.commit()
+    assert(IncrementalAgg.maintain(base, view, 0L, 1L, "g", "v") === 1L)
+    assert(viewState(view) === recompute(base))
+
+    // txn 2: change values for g=0 keys; MOVE keys 1,5 from g=1 to g=9
+    val t2 = base.newTransaction()
+    t2.addRows(df(Seq((0L, 0L, "100.0000"), (4L, 0L, "200.0000"),
+      (1L, 9L, "1.2500"), (5L, 9L, "5.2500"))))
+    t2.commit()
+    IncrementalAgg.maintain(base, view, 1L, 2L, "g", "v")
+    assert(viewState(view) === recompute(base))
+    assert(viewState(view)(9L)._2 === 2L, "moved keys must appear in the new group")
+
+    // txn 3: delete every g=2 key — the group's view row must disappear
+    val t3 = base.newTransaction()
+    t3.deleteRows((0L until 20L).filter(_ % 4 == 2).toDF("k")); t3.commit()
+    IncrementalAgg.maintain(base, view, 2L, 3L, "g", "v")
+    assert(viewState(view) === recompute(base))
+    assert(!viewState(view).contains(2L), "an emptied group has no aggregate row")
+
+    // a second view maintained in ONE step over the same range agrees
+    val view2 = newView()
+    IncrementalAgg.maintain(base, view2, 0L, 3L, "g", "v")
+    assert(viewState(view2) === viewState(view))
+
+    // the view is itself a graft table: time travel to maintenance step 1
+    assert(view.asOf(1L).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      === Map(0L -> 5L, 1L -> 5L, 2L -> 5L, 3L -> 5L))
+  }
+
+  test("a no-op delta commits nothing new to the view") {
+    val base = newBase(); val view = newView()
+    import spark.implicits._
+    val t1 = base.newTransaction()
+    t1.addRows(Seq((1L, 1L, "2.5000")).toDF("k", "g", "vs")
+      .select(col("k"), col("g"), col("vs").cast(dec).as("v")))
+    t1.commit()
+    IncrementalAgg.maintain(base, view, 0L, 1L, "g", "v")
+    val before = viewState(view)
+    IncrementalAgg.maintain(base, view, 1L, 1L, "g", "v") // empty range
+    assert(viewState(view) === before)
+  }
+}
