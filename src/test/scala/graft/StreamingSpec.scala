@@ -298,6 +298,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("graft-stream over a checkpointed table replays the baseline as its horizon txn") {
+    import spark.implicits._
+    import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+    val path = Files.createTempDirectory("graft-stream-ckpt-db").toString
+    val checkpoint = Files.createTempDirectory("graft-stream-ckpt-ckpt").toString
+    val db = MatDb.create(spark,
+      MatSchema(Seq(Dimension("k", 10)), Seq(ValueCol("v"))), path, "manifest")
+    val t1 = db.newTransaction()
+    t1.addRows(Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("k", "v")); t1.commit()
+    val t2 = db.newTransaction()
+    t2.addRows(Seq((1L, 2L)).toDF("k", "v")); t2.commit()
+    val t3 = db.newTransaction()
+    t3.addRows(Seq((9L, 9L)).toDF("k", "v")); t3.commit()
+    db.checkpoint(2L)
+
+    val batches = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long)]]()
+    val q = spark.readStream.format("graft-stream")
+      .option("maxTxnsPerBatch", "1")
+      .load(path)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        batches(bid) = df.select("k", "v", "_txn_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // folded history arrives as ONE txn (the horizon's id) carrying the
+    // RESOLVED baseline — k=1 shows only its winning value — followed by
+    // the retained txn 3 unchanged
+    val byTxn = batches.values.flatten.groupBy(_._3)
+    assert(byTxn.keySet === Set(2L, 3L))
+    assert(byTxn(2L).map(t => (t._1, t._2)).toSet ===
+      Set((1L, 2L), (2L, 1L), (3L, 1L)))
+    assert(byTxn(3L).map(t => (t._1, t._2)).toSet === Set((9L, 9L)))
+  }
+
   test("cdc apply sink fails loudly on a duplicate (key, ord) pair") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
