@@ -324,6 +324,29 @@ final class MatDb private (
     tid
   }
 
+  /** Policy convenience over [[checkpoint]]: fold history once the table
+    * has accumulated more than `maxSegments` committed segment sets,
+    * keeping the newest `retainTxns` transactions time-travelable. Call it
+    * after commits on a long-lived table (e.g. every N micro-batches —
+    * the MatDb counterpart of the bucketed sinks' `compactEvery`);
+    * it is a no-op until the threshold trips, so calling often is cheap.
+    * Returns the baseline txn id when a fold ran. */
+  def checkpointIfNeeded(maxSegments: Int, retainTxns: Int): Option[Long] = {
+    require(maxSegments >= 1 && retainTxns >= 0,
+      s"need maxSegments >= 1 and retainTxns >= 0: $maxSegments, $retainTxns")
+    val segs = synchronized(committed)
+    if (segs.size <= maxSegments) None
+    else {
+      val txns = segs.map(_.txnId).distinct.sorted
+      if (txns.size <= retainTxns + 1) None // nothing old enough to fold
+      else {
+        val horizon = txns(txns.size - retainTxns - 1)
+        val tid = checkpoint(horizon)
+        if (tid >= 0) Some(tid) else None
+      }
+    }
+  }
+
   /** After a compact, every live segment holds exactly THIS handle's
     * columns — so any ALTER-dropped name absent from this handle's schema
     * has no bytes left on disk and its tombstone can be lifted (re-ADDing

@@ -33,7 +33,10 @@ object IncrementalAgg {
     * `viewDb` schema contract: dimensions = (`groupCol`), values =
     * (`sum_<valueCol>` of the value column's type, `cnt` LONG). `groupCol`
     * must be a base DIMENSION or LONG value column; `valueCol` a base
-    * value column (DECIMAL recommended — see exactness note above). Rows
+    * value column (DECIMAL recommended — see exactness note above) and
+    * NON-NULL by contract: a null value would vanish from the sum but
+    * still count in `cnt` (SQL's SUM-skips-nulls vs COUNT(*) mismatch) —
+    * filter or coalesce nulls upstream. Rows
     * whose count reaches zero are deleted (a group with no rows has no
     * aggregate, matching GROUP BY semantics). Returns the view's
     * maintenance transaction id. */

@@ -107,6 +107,18 @@ class CheckpointSpec extends AnyFunSuite {
     assert(state(db.snapshot())(50L) === 50L)
   }
 
+  test("checkpointIfNeeded folds only past the threshold, keeping retainTxns travelable") {
+    val db = freshDb(); build(db) // 4 txns, 4 segment sets
+    assert(db.checkpointIfNeeded(maxSegments = 4, retainTxns = 2) === None)
+    val pre = state(db.snapshot())
+    // threshold 3 < 4 segments: fold everything but the newest 2 txns
+    assert(db.checkpointIfNeeded(maxSegments = 3, retainTxns = 2) === Some(2L))
+    assert(state(db.snapshot()) === pre)
+    assert(db.asOf(3L).count() > 0, "the retained window stays travelable")
+    // now at 3 segment sets (baseline + 2): same call is a no-op again
+    assert(db.checkpointIfNeeded(maxSegments = 3, retainTxns = 2) === None)
+  }
+
   test("rename-protocol tables are refused with a pointer to compact()") {
     val dir = Files.createTempDirectory("graft-ckpt-rn").toString
     val db = MatDb.create(spark,
