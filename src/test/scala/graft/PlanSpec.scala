@@ -63,6 +63,57 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("kmv sketch aggregates as ObjectHashAggregate (O(k) buffers, no sort)") {
+    // judge the FINAL adaptive plan: the initial plan renders the 1-row
+    // crossJoins as CartesianProduct before AQE sizes them to broadcasts
+    val df = SparkEntry.queries("q113_kmv_distinct")(spark, sf)
+    df.collect()
+    val p = TestSpark.finalPlan(df)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hard negatives broadcast the anchors and rank via the O(k) aggregate") {
+    val p = plan("q116_hard_negatives")
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("ObjectHashAggregate"), p) // topk_scored, not a window sort
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("incremental view maintenance never shuffles the whole view") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val dec = DecimalType(18, 4)
+    val base = MatDb.create(spark,
+      MatSchema(Seq(Dimension("k", 100)),
+        Seq(ValueCol("g", LongType), ValueCol("v", dec))),
+      Files.createTempDirectory("graft-planspec-iagg-b").toString, "manifest")
+    val view = MatDb.create(spark,
+      MatSchema(Seq(Dimension("g", 100)),
+        Seq(ValueCol("sum_v", dec), ValueCol("cnt", LongType))),
+      Files.createTempDirectory("graft-planspec-iagg-v").toString, "manifest")
+    import spark.implicits._
+    val t1 = base.newTransaction()
+    t1.addRows(Seq((1L, 1L, "1.0000"), (2L, 2L, "2.0000")).toDF("k", "g", "vs")
+      .select(col("k"), col("g"), col("vs").cast(dec).as("v")))
+    t1.commit()
+    graft.operators.IncrementalAgg.maintain(base, view, 0L, 1L, "g", "v")
+    val t2 = base.newTransaction()
+    t2.addRows(Seq((1L, 1L, "9.0000")).toDF("k", "g", "vs")
+      .select(col("k"), col("g"), col("vs").cast(dec).as("v")))
+    t2.commit()
+    // plan of the SECOND maintenance (view non-empty): the view side must
+    // reach the delta through a broadcast semi-join, never a shuffle of
+    // the whole view
+    graft.operators.IncrementalAgg.maintain(base, view, 1L, 2L, "g", "v")
+    val p = view.snapshot().queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the maintain itself is committed; pin its input shape via a dry run
+    val delta = base.changesBetween(1L, 2L, includeOld = true)
+    assert(delta.queryExecution.executedPlan.toString.contains("LeftSemi"))
+  }
+
   test("delete-aware MVCC resolve keeps the single HashAggregate + tombstone filter") {
     val path = Files.createTempDirectory("graft-planspec-del").toString
     val schema = MatSchema(Seq(Dimension("k", 10)), Seq(ValueCol("v")))
