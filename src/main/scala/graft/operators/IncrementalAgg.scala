@@ -81,4 +81,53 @@ object IncrementalAgg {
     txn.commit()
     txn.id.getOrElse(-1L)
   }
+
+  /** As [[maintain]], but REPLAY-ABSORBABLE: instead of adding a delta to
+    * the view's current values (which double-counts if the same range is
+    * ever applied twice), recompute the AFFECTED GROUPS' aggregates
+    * absolutely from `base.asOf(toTxn)` and upsert them. Re-running the
+    * LAST applied range lands byte-identical rows, which MVCC newest-wins
+    * resolution absorbs — the same exactly-once-resolved contract as the
+    * streaming ingest sinks, making this the mode
+    * [[graft.streaming.Streams.viewMaintSink]] uses under at-least-once
+    * `foreachBatch` delivery. The contract is TAIL replay only — exactly
+    * what a checkpointed stream can deliver (the final incomplete batch
+    * re-runs; earlier ranges are never re-presented). Re-applying a
+    * STALE range after newer ranges have landed would regress the view
+    * to asOf(its toTxn) for its touched groups — don't hand-drive this
+    * mode out of order.
+    *
+    * The trade: cost is O(history of touched GROUPS), not O(delta) — the
+    * restricted recompute streams the base through one semi-join against
+    * the broadcast touched-group set (groups touched by the delta,
+    * pre- or post-image). Right for fine-grained groups (per-user,
+    * per-document); for coarse groups (per-source over a 100 TB corpus)
+    * prefer [[maintain]] under a driver that guarantees each range is
+    * applied once. Reading `asOf(toTxn)` (not the live snapshot) is what
+    * makes replay deterministic even after the base has moved on. */
+  def maintainAbsolute(base: MatDb, viewDb: MatDb, fromTxn: Long, toTxn: Long,
+      groupCol: String, valueCol: String): Long = {
+    val sumCol = s"sum_$valueCol"
+    require(viewDb.schema.dimNames == Seq(groupCol) &&
+      viewDb.schema.valueNames == Seq(sumCol, "cnt"),
+      s"view schema must be dims=($groupCol), values=($sumCol, cnt); " +
+        s"got dims=${viewDb.schema.dimNames} values=${viewDb.schema.valueNames}")
+    val delta = base.changesBetween(fromTxn, toTxn, includeOld = true)
+    val isDim = base.schema.dimNames.contains(groupCol)
+    val oldG = if (isDim) col(groupCol) else col(s"_old_$groupCol")
+    val touched = delta.select(col(groupCol)).where(col(groupCol).isNotNull)
+      .union(delta.select(oldG.as(groupCol)).where(oldG.isNotNull))
+      .distinct()
+    val sumType = viewDb.schema.values.find(_.name == sumCol).get.dataType
+    val newAgg = base.asOf(toTxn)
+      .join(broadcast(touched), Seq(groupCol), "left_semi")
+      .groupBy(col(groupCol))
+      .agg(sum(col(valueCol)).cast(sumType).as(sumCol), count(lit(1)).as("cnt"))
+    val emptied = touched.join(newAgg.select(col(groupCol)), Seq(groupCol), "left_anti")
+    val txn = viewDb.newTransaction()
+    txn.deleteRows(emptied)
+    txn.addRows(newAgg)
+    txn.commit()
+    txn.id.getOrElse(-1L)
+  }
 }

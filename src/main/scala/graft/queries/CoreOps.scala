@@ -541,6 +541,56 @@ object CoreOps {
         .orderBy(col("grp"))
     },
 
+    // ---- streaming materialized view (Streams.viewMaintSink) -----------
+    // The streaming composition of q117: the base table's own transaction
+    // stream (format("graft-stream"), one txn per micro-batch) drives
+    // replay-absorbable view maintenance (maintainAbsolute — tail replays
+    // land byte-identical rows, so the resolved view is exactly-once).
+    // The oracle recomputes the aggregate relationally from the final
+    // base state: streamed-incremental == full recompute, exactly.
+    Entry("q118_stream_view", Some(
+      """WITH b AS (SELECT event_id, user_id, value FROM events WHERE event_id < 600),
+        |fin AS (SELECT user_id AS grp,
+        |               CASE WHEN event_id < 150
+        |                    THEN CAST(value + 5.0 AS DECIMAL(18,4))
+        |                    ELSE CAST(value AS DECIMAL(18,4)) END AS v
+        |        FROM b WHERE NOT (event_id >= 300 AND event_id < 380))
+        |SELECT grp, CAST(sum(v) AS DOUBLE) AS sum_v, count(*) AS cnt
+        |FROM fin GROUP BY grp ORDER BY grp""".stripMargin)) { (s, d) =>
+      import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      val root = Q.fixture("q118-sview")
+      graft.core.Storage.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val dec = DecimalType(18, 4)
+      val basePath = root.resolve("base").toString
+      val base = MatDb.create(s, MatSchema(Seq(Dimension("event_id", 100)),
+        Seq(ValueCol("grp", LongType), ValueCol("v", dec))), basePath, "manifest")
+      val view = MatDb.create(s, MatSchema(Seq(Dimension("grp", 1000)),
+        Seq(ValueCol("sum_v", dec), ValueCol("cnt", LongType))),
+        root.resolve("view").toString, "manifest")
+      val e = table(s, d, "events")
+      val t1 = base.newTransaction()
+      t1.addRows(e.where(col("event_id") < 600).select(col("event_id"),
+        col("user_id").as("grp"), Q.dec4(col("value")).as("v")))
+      t1.commit()
+      val t2 = base.newTransaction()
+      t2.addRows(e.where(col("event_id") < 150).select(col("event_id"),
+        col("user_id").as("grp"), Q.dec4(col("value") + lit(5.0)).as("v")))
+      t2.commit()
+      val t3 = base.newTransaction()
+      t3.deleteRows(e.where(col("event_id").between(300, 379)).select(col("event_id")))
+      t3.commit()
+      val q = graft.streaming.Streams.viewMaintSink(
+        s.readStream.format("graft-stream").option("maxTxnsPerBatch", "1")
+          .load(basePath),
+        basePath, view, "grp", "v", root.resolve("ckpt").toString).start()
+      try q.processAllAvailable() finally q.stop()
+      view.snapshot()
+        .select(col("grp"), col("sum_v").cast("double").as("sum_v"), col("cnt"))
+        .orderBy(col("grp"))
+    },
+
     // ---- z-order clustered layout (sources.ZOrderLayout) ---------------
     // lineitem rewritten in Morton order of (l_orderkey, l_partkey), then
     // a range predicate on the NON-leading key answered off the clustered

@@ -221,6 +221,20 @@ final class GraftFileReader(file: String, schema: StructType)
         case BooleanType => g.getBoolean(f.name, 0)
         case StringType  => UTF8String.fromBytes(g.getBinary(f.name, 0).getBytes)
         case BinaryType  => g.getBinary(f.name, 0).getBytes
+        case d: org.apache.spark.sql.types.DecimalType =>
+          // Spark writes precision <= 18 as INT64 unscaled, wider (and
+          // legacy) as big-endian unscaled bytes in FLBA/BINARY
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+          fileType.getType(f.name).asPrimitiveType().getPrimitiveTypeName match {
+            case INT64 =>
+              org.apache.spark.sql.types.Decimal(g.getLong(f.name, 0), d.precision, d.scale)
+            case INT32 =>
+              org.apache.spark.sql.types.Decimal(g.getInteger(f.name, 0).toLong, d.precision, d.scale)
+            case _ =>
+              val unscaled = new java.math.BigInteger(g.getBinary(f.name, 0).getBytes)
+              org.apache.spark.sql.types.Decimal(
+                new java.math.BigDecimal(unscaled, d.scale), d.precision, d.scale)
+          }
         case dt => throw new UnsupportedOperationException(
           s"graft-stream: unsupported column type $dt for ${f.name}")
       }

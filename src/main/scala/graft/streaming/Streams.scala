@@ -250,6 +250,41 @@ object Streams {
   }
 
 
+  /** Streaming materialized view: keep a grouped SUM/COUNT view of a graft
+    * table current from the table's own transaction stream
+    * (`format("graft-stream")` on the base path). Each micro-batch
+    * carries whole base transactions (the source's txn-aligned offsets);
+    * the sink derives the batch's `(from, to]` txn range from the rows'
+    * `_txn_id` and applies
+    * [[graft.operators.IncrementalAgg.maintainAbsolute]] — the
+    * replay-absorbable mode: a crash-re-run batch recomputes the SAME
+    * touched groups from `asOf(to)` and re-lands byte-identical rows,
+    * which newest-wins resolution absorbs. The RESOLVED view is
+    * exactly-once while the raw view history is at-least-once — the same
+    * contract as every other graft ingest sink. The range trick is safe
+    * against burned txn ids: any committed txn between the previous
+    * batch's end and this batch's min would have been IN this batch.
+    *
+    * The view db must follow IncrementalAgg's schema contract
+    * (dims = (groupCol), values = (sum_<valueCol>, cnt)) and have this
+    * sink as its single writer. */
+  def viewMaintSink(stream: DataFrame, basePath: String, viewDb: MatDb,
+      groupCol: String, valueCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val range = batch.agg(min(col("_txn_id")).as("lo"), max(col("_txn_id")).as("hi"))
+          .collect()(0)
+        if (!range.isNullAt(0)) {
+          val base = MatDb.open(batch.sparkSession, basePath)
+          graft.operators.IncrementalAgg.maintainAbsolute(base, viewDb,
+            range.getLong(0) - 1L, range.getLong(1), groupCol, valueCol)
+        }
+        ()
+      }
+
   /** Shared by the bucketed ingest sinks: fold the raw transaction log
     * into one compacted txn every `compactEvery` micro-batches, INSIDE the
     * sink's own foreachBatch — the one place BucketedGraft.compact's

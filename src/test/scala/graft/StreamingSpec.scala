@@ -336,6 +336,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(byTxn(3L).map(t => (t._1, t._2)).toSet === Set((9L, 9L)))
   }
 
+  test("view-maintenance sink: streaming materialized view, exactly-once resolved") {
+    import spark.implicits._
+    import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val dec = DecimalType(18, 4)
+    val basePath = Files.createTempDirectory("graft-viewsink-base").toString
+    val base = MatDb.create(spark,
+      MatSchema(Seq(Dimension("k", 100)),
+        Seq(ValueCol("g", LongType), ValueCol("v", dec))), basePath, "manifest")
+    val view = MatDb.create(spark,
+      MatSchema(Seq(Dimension("g", 100)),
+        Seq(ValueCol("sum_v", dec), ValueCol("cnt", LongType))),
+      Files.createTempDirectory("graft-viewsink-view").toString, "manifest")
+    val checkpoint = Files.createTempDirectory("graft-viewsink-ckpt").toString
+    def df(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("k", "g", "vs").select($"k", $"g", $"vs".cast(dec).as("v"))
+    def recompute() = base.snapshot().groupBy($"g")
+      .agg(org.apache.spark.sql.functions.sum($"v").cast(dec).as("s"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getDecimal(1).toPlainString, r.getLong(2)))).toMap
+    def viewState() = view.snapshot().collect()
+      .map(r => r.getLong(0) -> ((r.getDecimal(1).toPlainString, r.getLong(2)))).toMap
+    def runOnce(): Unit = {
+      val q = Streams.viewMaintSink(
+        spark.readStream.format("graft-stream").load(basePath),
+        basePath, view, "g", "v", checkpoint).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    val t1 = base.newTransaction()
+    t1.addRows(df((0L until 12L).map(k => (k, k % 3, s"${k}.2500")))); t1.commit()
+    runOnce()
+    assert(viewState() === recompute())
+
+    // txn 2: group move + value change; txn 3: delete a whole group's keys
+    val t2 = base.newTransaction()
+    t2.addRows(df(Seq((0L, 7L, "0.2500"), (3L, 0L, "99.0000")))); t2.commit()
+    val t3 = base.newTransaction()
+    t3.deleteRows((0L until 12L).filter(_ % 3 == 2).toDF("k")); t3.commit()
+    runOnce() // restart from checkpoint: picks up ONLY txns 2 and 3
+    assert(viewState() === recompute())
+    assert(!viewState().contains(2L), "the emptied group's row must be deleted")
+    assert(viewState()(7L)._2 === 1L, "the moved key lands in its new group")
+
+    // the view is MVCC too: its first maintenance step is still travelable
+    assert(view.asOf(1L).count() === 3L)
+  }
+
   test("cdc apply sink fails loudly on a duplicate (key, ord) pair") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

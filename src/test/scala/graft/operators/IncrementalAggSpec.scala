@@ -70,6 +70,30 @@ class IncrementalAggSpec extends AnyFunSuite {
       === Map(0L -> 5L, 1L -> 5L, 2L -> 5L, 3L -> 5L))
   }
 
+  test("maintainAbsolute equals a recompute and absorbs a tail replay") {
+    import spark.implicits._
+    val base = newBase(); val view = newView()
+    def df(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("k", "g", "vs").select(col("k"), col("g"), col("vs").cast(dec).as("v"))
+    val t1 = base.newTransaction()
+    t1.addRows(df((0L until 20L).map(k => (k, k % 4, s"${k}.50")))); t1.commit()
+    IncrementalAgg.maintainAbsolute(base, view, 0L, 1L, "g", "v")
+    assert(viewState(view) === recompute(base))
+    // group move + value change + a delete emptying group 3
+    val t2 = base.newTransaction()
+    t2.addRows(df(Seq((1L, 9L, "1.5000"), (0L, 0L, "77.0000"))))
+    t2.deleteRows((0L until 20L).filter(_ % 4 == 3).toDF("k"))
+    t2.commit()
+    IncrementalAgg.maintainAbsolute(base, view, 1L, 2L, "g", "v")
+    val afterT2 = viewState(view)
+    assert(afterT2 === recompute(base))
+    assert(!afterT2.contains(3L))
+    // tail replay of the SAME range (the foreachBatch crash case): the
+    // recomputed rows are byte-identical, MVCC-absorbed — view unchanged
+    IncrementalAgg.maintainAbsolute(base, view, 1L, 2L, "g", "v")
+    assert(viewState(view) === afterT2)
+  }
+
   test("a no-op delta commits nothing new to the view") {
     val base = newBase(); val view = newView()
     import spark.implicits._
