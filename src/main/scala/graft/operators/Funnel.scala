@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel analysis: how deep into a step sequence (view → click →
+  * purchase, …) each user gets, where step i+1 only counts if it happens
+  * STRICTLY AFTER the user's earliest qualifying step i — the classic
+  * conversion funnel with ordering semantics, not mere set membership.
+  *
+  * Shape: chained whole-partition window minima —
+  * `t_{i+1} = min(ts WHERE type = step_{i+1} AND ts > t_i) OVER (PARTITION
+  * BY user)`. Unbounded partition windows need NO sort, every chained pass
+  * reuses the same hash partitioning, and the final per-user reduction
+  * also reuses it — the entire k-step funnel costs ONE exchange on the
+  * user column regardless of k or data volume (PlanSpec-checkable), where
+  * the textbook k-way self-join form costs k shuffles of the event table.
+  */
+object Funnel {
+
+  /** Per-user funnel depth: (userCol, depth BIGINT), depth = number of
+    * steps completed in strict order (0 = not even step 1). `tsCol` must
+    * be a totally-ordered column (epoch numeric or timestamp); ties
+    * between consecutive steps do NOT advance the funnel (strictly
+    * after). */
+  def depths(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val w = Window.partitionBy(col(userCol))
+    val chained = steps.zipWithIndex.foldLeft(events) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step && col(s"_t$i").isNotNull &&
+          col(tsCol) > col(s"_t$i")
+      df.withColumn(s"_t${i + 1}", min(when(cond, col(tsCol))).over(w))
+    }
+    var depth: Column = lit(0L)
+    for (i <- 1 to steps.size)
+      depth = when(col(s"_t$i").isNotNull, lit(i.toLong)).otherwise(depth)
+    chained.groupBy(col(userCol)).agg(max(depth).as("depth"))
+  }
+
+  /** Funnel report: one row per depth 0..k with the user count. */
+  def report(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame =
+    depths(events, userCol, typeCol, tsCol, steps)
+      .groupBy(col("depth")).agg(count(lit(1)).as("users"))
+      .orderBy(col("depth"))
+}

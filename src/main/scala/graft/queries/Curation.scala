@@ -814,6 +814,36 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // ---- ordered funnel analysis (operators.Funnel) --------------------
+    // Strict-order conversion depth (view -> click -> purchase): step i+1
+    // counts only strictly after the user's earliest qualifying step i.
+    // Chained whole-partition window minima — no sort, one exchange on
+    // user_id for the whole funnel — where the textbook k-way self-join
+    // costs k shuffles. The oracle replays the same chained windows.
+    Entry("q119_funnel", Some(
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) tn FROM events
+        |            WHERE event_id < 120),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tn END)
+        |                 OVER (PARTITION BY user_id) AS t1 FROM e),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+        |                          AND tn > t1 THEN tn END)
+        |                 OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+        |                          AND tn > t2 THEN tn END)
+        |                 OVER (PARTITION BY user_id) AS t3 FROM s2),
+        |d AS (SELECT user_id,
+        |             max(CASE WHEN t3 IS NOT NULL THEN 3
+        |                      WHEN t2 IS NOT NULL THEN 2
+        |                      WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS depth
+        |      FROM s3 GROUP BY user_id)
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS users
+        |FROM d GROUP BY depth ORDER BY depth""".stripMargin)) { (s, d) =>
+      graft.operators.Funnel.report(
+        table(s, d, "events").where(col("event_id") < 120)
+          .select(col("user_id"), col("event_type"), col("ts")),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+    },
+
     // ---- PageRank in exact integer fixed point (operators.PageRank) ----
     // Source-authority prior for curation: rank the part graph whose
     // edges are consecutive lineitems within an order. All arithmetic is
