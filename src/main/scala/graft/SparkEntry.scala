@@ -5,23 +5,28 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * The battery is assembled from four modules:
-  *   - [[graft.queries.CoreOps]]    q01-q05 + q73 + q76 + q77 + q92 + q101: the reference
-  *     engine's own operator semantics (scan order, MVCC upsert, snapshot
-  *     horizon, range pruning, count, the bucketed zero-exchange layout,
-  *     SQL-native VERSION AS OF through the DSv2 GraftCatalog, and the
-  *     zero-exchange ordered scan of the ranged layout) — the
-  *     implementations live in [[graft.core]] / [[graft.sources]].
+  * The battery (119 queries as of round 9) is assembled from four modules:
+  *   - [[graft.queries.CoreOps]]    q01-q05, q73, q76-q77, q92, q101-q103,
+  *     q106, q108-q109, q111, q115, q117-q118: the engine's own operator
+  *     semantics — scan order, MVCC upsert/delete, snapshot horizon, range
+  *     pruning, the bucketed/ranged/z-order layouts, SQL DML + VERSION AS
+  *     OF through the DSv2 GraftCatalog, schema evolution with dropped-name
+  *     tombstones, CDC, checkpoint compaction, and incremental/streaming
+  *     aggregate views ([[graft.core]] / [[graft.sources]] /
+  *     [[graft.operators.IncrementalAgg]]).
   *   - [[graft.queries.Relational]] q06-q39, q54, q58-q60, q74: full
   *     relational checklist incl. pivot/unpivot and both top-k UDAF tiers.
-  *   - [[graft.queries.Pipeline]]   q40-q60, q75, q78, q83-q84, q88,
-  *     q90, q93-q100: LLM-data-pipeline operators (text analysis, dedup
-  *     family, similarity search incl. IVF-PQ, multimodal pHash, Gopher
-  *     rules, BPE, SemDeDup batch + streaming gates, media near-dup).
-  *   - [[graft.queries.Curation]]   q61-q72, q79-q81: curation/batch prep
-  *     (sampling, sessions, scrubbing, repetition, caps, stats, TF-IDF,
-  *     decontamination, passage dedup, Zipf, embedding profile,
-  *     sequence packing, sliding-window chunking, epoch shuffle).
+  *   - [[graft.queries.Pipeline]]   q40-q53, q55-q57, q75, q78, q83-q84,
+  *     q88, q90, q93-q100, q104-q105, q107, q110, q112-q113, q116:
+  *     LLM-data-pipeline operators (text analysis, dedup family,
+  *     similarity search incl. IVF-PQ and hard-negative mining, multimodal
+  *     pHash, Gopher rules, BPE, SemDeDup batch + streaming, media
+  *     near-dup, the replayable sketches, BM25, PII scan, KMV set algebra).
+  *   - [[graft.queries.Curation]]   q61-q72, q79-q82, q85-q87, q89, q91,
+  *     q97, q114, q119: curation/batch prep (sampling, sessions,
+  *     scrubbing, repetition, caps, stats, TF-IDF, decontamination,
+  *     passage dedup, Zipf, embedding profile, packing/chunking/shuffle,
+  *     trigram-LM scoring, PageRank, strict-order funnels).
   */
 object SparkEntry {
   private lazy val battery: Seq[Q.Entry] =
