@@ -373,6 +373,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcat.altrace")
   }
 
+  test("a crash between schema CAS and mirror rewrite is harmless: readers prefer the versioned file") {
+    import graft.core.{Dimension, MatSchema, Storage, ValueCol}
+    val root = java.nio.file.Files.createTempDirectory("graft-cas-crash")
+    val v0 = MatSchema(Seq(Dimension("t", 50)), Seq(ValueCol("v")))
+    Storage.writeSchema(root, v0)
+    // simulate the crash window: publish version 1 via the CAS primitive,
+    // then clobber the mirror back to the PRE-alter document (as if the
+    // process died before the mirror rewrite)
+    val v1 = v0.copy(values = v0.values :+ ValueCol("w"))
+    assert(Storage.casSchema(root, 0L, v1))
+    java.nio.file.Files.write(Storage.schemaPath(root),
+      v0.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Storage.readSchema(root).valueNames === Seq("v", "w"),
+      "readers must see the CAS-published schema, not the stale mirror")
+    assert(Storage.readSchemaVersioned(root)._2 === 1L)
+    // the next CAS continues from the versioned truth
+    val v2 = v1.copy(values = v1.values.filterNot(_.name == "w"), dropped = Seq("w"))
+    assert(!Storage.casSchema(root, 0L, v2), "a stale expected-version must lose")
+    assert(Storage.casSchema(root, 1L, v2))
+    assert(Storage.readSchema(root).dropped === Seq("w"))
+  }
+
   test("RENAME TABLE moves the whole history: data, time travel, schema versions") {
     spark.sql("DROP TABLE IF EXISTS gcat.rnsrc")
     spark.sql("DROP TABLE IF EXISTS gcat.rndst")
