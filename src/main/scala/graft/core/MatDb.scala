@@ -317,10 +317,8 @@ final class MatDb private (
           .toVector.sorted
       }
     } finally resolveInFlight(Seq(bid))
-    // rename protocol: visibility IS the listing — superseded dirs go now.
-    // manifest protocol: already invisible; vacuum()/recovery sweeps them.
-    if (protocol == Storage.RenameProtocol)
-      replaced.foreach(s => protocol.deleteSegment(root, s))
+    // manifest protocol (required at entry): superseded dirs are already
+    // invisible; vacuum()/recovery sweeps them.
     tid
   }
 

@@ -243,11 +243,33 @@ final class Transaction private[core] (
   /** Key-ordered query — the reference's scan output order (scan.rs:183-238). */
   def queryOrdered(): DataFrame = query().orderBy(schema.dimNames.map(col): _*)
 
-  /** Final flush + atomic visibility flip. */
+  /** Final flush + atomic visibility flip.
+    *
+    * Schema-drift guard: append commits are not conflict-checked against
+    * replaces, so a writer holding a pre-DROP handle could otherwise land
+    * segments carrying a dropped column's bytes AFTER compact() lifted its
+    * tombstone — and a later re-ADD of the name would resurrect the stale
+    * values. One cheap on-disk schema read at commit closes that window:
+    * every value column this transaction wrote must still exist in the
+    * CURRENT schema (a handle missing newly-ADDed columns is fine — those
+    * read as null). */
   def commit(): Unit = {
     requireOpen()
     flush()
-    if (flushed.nonEmpty) db.commitTransaction(flushed)
+    if (flushed.nonEmpty) {
+      val cur = Storage.readSchema(db.root)
+      val gone = schema.valueNames.filterNot(cur.valueNames.contains)
+      if (gone.nonEmpty) {
+        flushed.foreach(id => db.protocol.discardInFlight(db.root, id))
+        db.resolveInFlight(flushed)
+        closed = true
+        throw new java.util.ConcurrentModificationException(
+          s"columns ${gone.mkString(", ")} were dropped or renamed since this " +
+            "transaction opened; committing its segments would resurrect stale " +
+            "bytes on a future re-ADD — reopen against the current schema and retry")
+      }
+      db.commitTransaction(flushed)
+    }
     db.resolveInFlight(flushed)
     closed = true
   }

@@ -236,7 +236,9 @@ class GraftCatalog extends TableCatalog {
             require(!sch.dimNames.contains(name),
               s"'$name' is a dimension — the key identity and chunk layout are not alterable")
             if (!sch.valueNames.contains(name)) {
-              require(del.ifExists,
+              // ifExists is a boxed Boolean in the TableChange API — a
+              // programmatic deleteColumn may pass null; never unbox it raw
+              require(del.ifExists != null && del.ifExists,
                 s"no such column '$name' (use DROP COLUMN IF EXISTS)")
               sch
             } else {

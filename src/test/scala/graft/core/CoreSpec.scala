@@ -245,6 +245,45 @@ abstract class CoreProtocolBehaviors(protocolName: String)
     assert(db2.snapshot().where("time = 0 and sensor_id = 0").head().getLong(2) === 99L)
   }
 
+  test("stale pre-DROP handle cannot commit dropped-column bytes (no re-ADD resurrection)") {
+    val path = tmpDir()
+    val two = MatSchema(
+      Seq(Dimension("time", 50), Dimension("sensor_id", 10)),
+      Seq(ValueCol("v"), ValueCol("w")))
+    val db = MatDb.create(spark, two, path, protocolName)
+    val t0 = db.newTransaction()
+    t0.addRowsSeq(Seq(Seq(1L, 1L, 10L, 100L)))
+    t0.commit()
+    // stale handle captured BEFORE the drop: its schema still carries 'w'
+    // and its next txn id (2) is about to be superseded by other writers
+    val stale = MatDb.open(spark, path)
+    for (i <- 2 to 3) { // other writers advance history past stale's ids
+      val t = db.newTransaction()
+      t.addRowsSeq(Seq(Seq(i.toLong, 1L, i * 10L, i * 100L)))
+      t.commit()
+    }
+    // another writer drops 'w' and compacts — the tombstone lifts, so
+    // nothing on disk remembers 'w' ever existed
+    val (cur, ver) = Storage.readSchemaVersioned(db.root)
+    assert(Storage.casSchema(db.root, ver,
+      cur.copy(values = cur.values.filterNot(_.name == "w"), dropped = Seq("w"))))
+    val post = MatDb.open(spark, path)
+    post.compact()
+    post.vacuum() // clear superseded dirs so the stale write itself succeeds
+    assert(Storage.readSchema(db.root).dropped.isEmpty, "compact lifts the tombstone")
+    // the stale handle's commit (txn id 2 — BELOW the baseline, carrying
+    // w's bytes) must fail LOUDLY, not land silently-outranked segments
+    val txn = stale.newTransaction()
+    txn.addRowsSeq(Seq(Seq(2L, 2L, 20L, 200L)))
+    val err = intercept[java.util.ConcurrentModificationException](txn.commit())
+    assert(err.getMessage.contains("w"))
+    // nothing committed; a post-drop handle sees only the compacted rows
+    val fresh = MatDb.open(spark, path)
+    assert(fresh.snapshot().count() === 3)
+    // and the segment directory holds no uncommitted leftovers carrying 'w'
+    assert(fresh.snapshot().columns.toSeq === Seq("time", "sensor_id", "v"))
+  }
+
   test("history lists committed segments for time-travel discovery") {
     val path = tmpDir()
     val db = create(path)

@@ -59,4 +59,41 @@ class PageRankSpec extends AnyFunSuite {
     assert(got === model(dangling, 4))
     assert(got(1L) < got(2L) && got(2L) < got(3L))
   }
+
+  test("deep runs: lineage truncation keeps the plan bounded and ranks exact") {
+    import spark.implicits._
+    val iters = 24
+    // checkpointEvery=4 truncates 5 times over 24 iterations; the returned
+    // frame's logical plan must be at most ~one truncation window deep, not
+    // 24 nested joins — and the ranks must equal the straight-line model
+    // bit-for-bit (truncation is plan surgery, never arithmetic).
+    val got = PageRank.run(diamond.toDF("src", "dst"), iters, checkpointEvery = 4)
+    val planDepth = got.queryExecution.logical.collect { case p => p }.size
+    val untruncated = PageRank.run(diamond.toDF("src", "dst"), 6)
+    val untruncDepth = untruncated.queryExecution.logical.collect { case p => p }.size
+    assert(planDepth <= untruncDepth,
+      s"24-iteration truncated plan ($planDepth nodes) must be no deeper than " +
+        s"an untruncated 6-iteration plan ($untruncDepth nodes)")
+    val ranks = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks === model(diamond, iters))
+  }
+
+  test("convergeEarly stops at the integer fixpoint with the fixpoint's ranks") {
+    import spark.implicits._
+    // the two-cycle reaches its integer fixpoint quickly; 50 requested
+    // iterations with convergeEarly must return exactly the 50-iteration
+    // model (the fixpoint IS the model's value from then on)
+    val cyc = Seq((1L, 2L), (2L, 1L))
+    val got = PageRank.run(cyc.toDF("src", "dst"), 50, convergeEarly = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === model(cyc, 50))
+  }
+
+  test("guards: empty edges and oversized totalUnits fail loudly") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    intercept[IllegalArgumentException](PageRank.run(empty, 3))
+    intercept[IllegalArgumentException](
+      PageRank.run(diamond.toDF("src", "dst"), 1, totalUnits = Long.MaxValue))
+  }
 }
