@@ -5,14 +5,15 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * The battery (119 queries as of round 9) is assembled from four modules:
+  * The battery (120 queries as of round 10) is assembled from four modules:
   *   - [[graft.queries.CoreOps]]    q01-q05, q73, q76-q77, q92, q101-q103,
-  *     q106, q108-q109, q111, q115, q117-q118: the engine's own operator
-  *     semantics — scan order, MVCC upsert/delete, snapshot horizon, range
-  *     pruning, the bucketed/ranged/z-order layouts, SQL DML + VERSION AS
-  *     OF through the DSv2 GraftCatalog, schema evolution with dropped-name
-  *     tombstones, CDC, checkpoint compaction, and incremental/streaming
-  *     aggregate views ([[graft.core]] / [[graft.sources]] /
+  *     q106, q108-q109, q111, q115, q117-q118, q120: the engine's own
+  *     operator semantics — scan order, MVCC upsert/delete, snapshot
+  *     horizon, range pruning, the bucketed/ranged/z-order layouts, SQL
+  *     DML (INSERT/DELETE/UPDATE/MERGE INTO) + VERSION AS OF through the
+  *     DSv2 GraftCatalog, schema evolution with dropped-name tombstones,
+  *     CDC, checkpoint compaction, and incremental/streaming aggregate
+  *     views ([[graft.core]] / [[graft.sources]] /
   *     [[graft.operators.IncrementalAgg]]).
   *   - [[graft.queries.Relational]] q06-q39, q54, q58-q60, q74: full
   *     relational checklist incl. pivot/unpivot and both top-k UDAF tiers.

@@ -118,8 +118,12 @@ object Storage {
   def writeSchema(root: Path, schema: MatSchema): Unit = {
     Files.createDirectories(root)
     // write-then-atomic-move: schema.json is also REwritten as the ALTER
-    // TABLE read mirror, and a reader must never see a torn document
-    val tmp = schemaPath(root).resolveSibling("schema.json.tmp")
+    // TABLE read mirror, and a reader must never see a torn document.
+    // Writer-unique tmp name: two CAS winners in quick succession both
+    // refresh the mirror — a shared tmp would let one writer move the
+    // other's file away mid-rewrite (and readers prefer the versioned
+    // _schema/ file anyway, so mirror refresh order is harmless).
+    val tmp = Files.createTempFile(root, ".schema-mirror-", ".tmp")
     Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, schemaPath(root),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,

@@ -591,6 +591,67 @@ object CoreOps {
         .orderBy(col("grp"))
     },
 
+    // ---- SQL row-level DML (sources.GraftRowLevel, round 10) -----------
+    // The q106 MERGE algebra, now from PURE SQL: Spark's
+    // SupportsRowLevelOperations (delta-based) plans UPDATE and MERGE as
+    // one-transaction MVCC delta commits. Scenario: seed per-user rows
+    // (SQL INSERT ... GROUP BY), statement UPDATE over a key range, then
+    // one MERGE exercising matched-DELETE (first-clause-wins, n % 2 = 0),
+    // matched-UPDATE combining both sides (t.v + s.sv), not-matched-INSERT
+    // and NOT-MATCHED-BY-SOURCE-UPDATE. The oracle replays all four
+    // statements relationally; all arithmetic is per-row IEEE +/* and
+    // order-independent aggregates (min / arg_max / count), so the result
+    // is hash-exact cross-engine.
+    Entry("q120_sql_merge", Some(
+      """WITH seed AS (SELECT user_id, arg_max(value, event_id) AS v,
+        |                     count(*) AS n
+        |              FROM events GROUP BY user_id),
+        |upd AS (SELECT user_id,
+        |               CASE WHEN user_id < 40 THEN v * 2 ELSE v END AS v,
+        |               CASE WHEN user_id < 40 THEN n + 1 ELSE n END AS n
+        |        FROM seed),
+        |src AS (SELECT user_id, min(value) AS sv
+        |        FROM events WHERE user_id BETWEEN 20 AND 79 GROUP BY user_id),
+        |merged AS (SELECT t.user_id,
+        |                  CASE WHEN s.user_id IS NOT NULL THEN t.v + s.sv
+        |                       ELSE t.v END AS v,
+        |                  CASE WHEN s.user_id IS NOT NULL THEN t.n + 1
+        |                       ELSE CAST(0 AS BIGINT) END AS n,
+        |                  CASE WHEN s.user_id IS NOT NULL AND t.n % 2 = 0
+        |                       THEN 1 ELSE 0 END AS del
+        |           FROM upd t LEFT JOIN src s USING (user_id)),
+        |ins AS (SELECT user_id, sv AS v, CAST(0 AS BIGINT) AS n FROM src
+        |        WHERE user_id NOT IN (SELECT user_id FROM upd)),
+        |fin AS (SELECT user_id, v, n FROM merged WHERE del = 0
+        |        UNION ALL SELECT user_id, v, n FROM ins)
+        |SELECT user_id, v, n FROM fin ORDER BY user_id""".stripMargin)) { (s, d) =>
+      val root = Q.fixture("q120-rowlevel")
+      val tableDir = root.resolve("td")
+      graft.core.Storage.deleteRecursively(tableDir)
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g120").isEmpty) {
+        s.conf.set("spark.sql.catalog.g120", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g120.root", root.toString)
+      }
+      s.sql("CREATE TABLE g120.td (user_id BIGINT, v DOUBLE, n BIGINT) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:1000')")
+      table(s, d, "events").createOrReplaceTempView("events")
+      s.sql("""INSERT INTO g120.td
+              |SELECT user_id, max_by(value, event_id), count(*)
+              |FROM events GROUP BY user_id""".stripMargin)
+      s.sql("UPDATE g120.td SET v = v * 2, n = n + 1 WHERE user_id < 40")
+      s.sql(
+        """MERGE INTO g120.td t
+          |USING (SELECT user_id, min(value) AS sv FROM events
+          |       WHERE user_id BETWEEN 20 AND 79 GROUP BY user_id) s
+          |ON t.user_id = s.user_id
+          |WHEN MATCHED AND t.n % 2 = 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = t.v + s.sv, n = t.n + 1
+          |WHEN NOT MATCHED THEN INSERT (user_id, v, n) VALUES (s.user_id, s.sv, 0)
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n = 0""".stripMargin)
+      s.sql("SELECT user_id, v, n FROM g120.td ORDER BY user_id")
+    },
+
     // ---- z-order clustered layout (sources.ZOrderLayout) ---------------
     // lineitem rewritten in Morton order of (l_orderkey, l_partkey), then
     // a range predicate on the NON-leading key answered off the clustered

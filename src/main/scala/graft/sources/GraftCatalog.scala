@@ -311,7 +311,21 @@ object GraftCatalog {
 final class GraftV2Table(tableName: String, val matSchema: MatSchema,
     val segmentPaths: Seq[String], val writeDir: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
-    with SupportsDelete {
+    with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `MERGE INTO` / subquery-`DELETE` — delta-based
+    * row-level operations (every change is one MVCC version; see
+    * [[GraftRowLevelOperation]]). Simple filter-only DELETEs still take
+    * the cheaper metadata path below ([[deleteWhere]]) — Spark prefers it
+    * when [[canDeleteWhere]] accepts. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(writeDir.isDefined,
+      s"$tableName is a VERSION AS OF snapshot — historical versions are read-only")
+    new GraftRowLevelBuilder(this, info)
+  }
 
   /** Data columns physically present in every segment file: logical ++
     * provenance — the shared [[graft.core.Scan.provenanceStruct]]. */
@@ -500,30 +514,69 @@ case class GraftCatalogDedupRule(spark: SparkSession) extends Rule[LogicalPlan] 
     // the resolve aggregate would corrupt AppendData's table reference
     // (reads inside the INSERT's query subtree still get wrapped);
     // reference identity, not equality: `INSERT INTO t SELECT FROM t`
-    // reads and writes structurally similar relations
+    // reads and writes structurally similar relations.
+    // Row-level writes (WriteDelta from UPDATE/MERGE) are the exception:
+    // their `table` field IS the read relation instance inside the query —
+    // the query occurrence must get the resolve wrap (the merge must match
+    // against RESOLVED rows), while the un-traversed `table`/`originalTable`
+    // fields keep the bare reference Spark validates against.
     val writeTargets: Seq[LogicalPlan] = plan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand => w.table
+      case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand
+          if !w.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.RowLevelWrite] =>
+        w.table
       // DELETE's target relation must also stay bare: Spark resolves the
       // condition against it and plans SupportsDelete on the RELATION node
       // (the tombstone resolve happens inside deleteWhere, not in the plan).
       // The target arrives as SubqueryAlias(relation) — collect the
       // relations under it, not the alias node
       case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d.table
+      // UPDATE/MERGE targets likewise stay bare until RewriteUpdateTable /
+      // RewriteMergeIntoTable replace them with a WriteDelta whose READ
+      // relation (RowLevelOperationTable) then takes the wrap; wrapping the
+      // target first would hide the DataSourceV2Relation those rewrites
+      // pattern-match on. The MERGE SOURCE subtree is not excluded — reads
+      // there resolve like any query.
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable => u.table
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable => m.targetTable
     }.flatMap(_.collect { case r: DataSourceV2Relation => r })
     def isWriteTarget(rel: DataSourceV2Relation): Boolean =
       writeTargets.exists(_ eq rel)
     plan.resolveOperatorsUp {
       case rel: DataSourceV2Relation
-          if rel.table.isInstanceOf[GraftV2Table] &&
+          if graftTableOf(rel).isDefined &&
             !rel.output.exists(_.name == Scan.TxnCol) &&
             !isWriteTarget(rel) =>
-        dedup(rel, rel.table.asInstanceOf[GraftV2Table].matSchema)
+        dedup(rel, graftTableOf(rel).get.matSchema)
     }
   }
 
+  /** The graft table behind a relation: direct, or wrapped in Spark's
+    * [[org.apache.spark.sql.connector.write.RowLevelOperationTable]] (the
+    * read relation UPDATE/MERGE rewrites plan against). */
+  private def graftTableOf(rel: DataSourceV2Relation): Option[GraftV2Table] =
+    rel.table match {
+      case g: GraftV2Table => Some(g)
+      case other => org.apache.spark.sql.GraftInternals.rowLevelInnerTable(other)
+        .collect { case g: GraftV2Table => g }
+    }
+
   private def dedup(rel: DataSourceV2Relation, schema: MatSchema): LogicalPlan = {
     val out = rel.output
-    val withMeta = rel.withMetadataColumns()
+    // a RowLevelOperationTable doesn't implement SupportsMetadataColumns, so
+    // withMetadataColumns() no-ops there — append the provenance attributes
+    // by hand (the scan builder is the table's own, its data schema carries
+    // them; column pruning resolves them by name like any data column)
+    val withMeta =
+      if (rel.table.isInstanceOf[GraftV2Table]) rel.withMetadataColumns()
+      else rel.copy(output = rel.output ++
+        (Seq(Scan.TxnCol -> LongType, Scan.SeqCol -> LongType) ++
+          // chunk keys too: ChunkPruneRule turns dimension predicates into
+          // partition filters on these, same as a plain catalog read
+          schema.chunkColNames.map(_ -> LongType) :+
+          (Scan.DelCol -> (org.apache.spark.sql.types.BooleanType: DataType)))
+          .map { case (n, t) =>
+            org.apache.spark.sql.catalyst.expressions.AttributeReference(n, t)()
+          })
     def attr(name: String): Attribute = withMeta.output
       .find(_.name == name)
       .getOrElse(throw new IllegalStateException(s"graft relation lost column $name"))

@@ -57,29 +57,37 @@ object GraftInsert {
   def tombstone(spark: SparkSession, dir: String, keys: DataFrame): Option[Long] =
     commitBatch(spark, dir, keys, tombstone = true)
 
+  /** CLAIM a fresh transaction's segment-0 directory put-if-absent — the
+    * cross-process id allocation shared by the SQL INSERT/DELETE path and
+    * the row-level delta write ([[GraftDeltaBatchWrite]]). The candidate id
+    * outranks everything committed OR on disk (orphans burn their id
+    * exactly like MatDb recovery treats them); `Files.createDirectory` is
+    * atomic at the filesystem, so concurrent claimants get distinct ids. */
+  private[sources] def claimSegment(root: Path,
+      proto: graft.core.Protocol): (SegmentId, Path) = {
+    val committed = proto.listCommitted(root)
+    val onDisk = list(root).flatMap(p => Storage.decode(p.getFileName.toString))
+      .map(_._1.txnId)
+    var txn = ((committed.map(_.txnId) ++ onDisk) :+ 0L).max + 1L
+    while (true) {
+      val id = SegmentId(txn, 0)
+      val p = proto.writePath(root, id)
+      try {
+        Files.createDirectory(p)
+        return (id, p)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => txn += 1L
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def commitBatch(spark: SparkSession, dir: String, df: DataFrame,
       tombstone: Boolean): Option[Long] = {
     val root = Storage.rootPath(dir)
     val schema = Storage.readSchema(root)
     val proto = Storage.detect(root)
-    val committed = proto.listCommitted(root)
-    // candidate id outranks everything committed OR on disk (orphans burn
-    // their id exactly like MatDb recovery treats them)
-    val onDisk = list(root).flatMap(p => Storage.decode(p.getFileName.toString))
-      .map(_._1.txnId)
-    var txn = ((committed.map(_.txnId) ++ onDisk) :+ 0L).max + 1L
-    var claimed: Option[(SegmentId, Path)] = None
-    while (claimed.isEmpty) {
-      val id = SegmentId(txn, 0)
-      val p = proto.writePath(root, id)
-      try {
-        Files.createDirectory(p)
-        claimed = Some((id, p))
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => txn += 1L
-      }
-    }
-    val (segId, segPath) = claimed.get
+    val (segId, segPath) = claimSegment(root, proto)
     // decorate exactly as Transaction.flush: dims carry their chunk size in
     // field metadata (ChunkPruneRule reads it), rows route to their chunk
     // partition with one shuffle, sorted by dims for row-group stats
@@ -110,7 +118,9 @@ object GraftInsert {
       .partitionBy(schema.chunkColNames: _*)
       .parquet(segPath.toString)
     if (hasDataFiles(segPath)) {
-      proto.commit(root, Seq(segId), (committed :+ segId).sorted)
+      // publish against the CURRENT committed set — concurrent writers may
+      // have committed while this batch was writing
+      proto.commit(root, Seq(segId), (proto.listCommitted(root) :+ segId).sorted)
       Some(segId.txnId)
     } else {
       Storage.deleteRecursively(segPath)

@@ -32,4 +32,15 @@ object GraftInternals {
     org.apache.spark.sql.classic.Dataset.ofRows(
       cs, LogicalRDD(output, rdd, partitioning, ordering, isStreaming = false)(cs))
   }
+
+  /** Unwrap Spark's `private[sql]` RowLevelOperationTable (the table the
+    * UPDATE/MERGE rewrite plans its read relation against) back to the
+    * underlying catalog table, so graft's analyzer rule can recognize its
+    * own tables behind the wrapper. */
+  def rowLevelInnerTable(
+      table: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.connector.catalog.Table] = table match {
+    case r: org.apache.spark.sql.connector.write.RowLevelOperationTable => Some(r.table)
+    case _ => None
+  }
 }

@@ -240,10 +240,6 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DELETE FROM gcat.trunc")
     assert(spark.sql("SELECT * FROM gcat.trunc").count() === 0)
     assert(spark.sql("SELECT * FROM gcat.trunc VERSION AS OF 1").count() === 20)
-    // an expression no source filter can carry (t % 2) must error, not
-    // silently delete the wrong rows
-    val bad = intercept[Exception](spark.sql("DELETE FROM gcat.trunc WHERE t % 2 = 0"))
-    assert(bad.getMessage.nonEmpty)
     // SQL TRUNCATE TABLE rides the same tombstone path (TruncatableTable
     // default = deleteWhere(true)): empties the view, keeps history
     spark.sql("INSERT INTO gcat.trunc SELECT id, id % 10, id FROM range(0, 7)")
@@ -251,6 +247,13 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("TRUNCATE TABLE gcat.trunc")
     assert(spark.sql("SELECT * FROM gcat.trunc").count() === 0)
     assert(spark.sql("SELECT * FROM gcat.trunc VERSION AS OF 3").count() === 7)
+    // an expression no source filter can carry (t % 2) falls through
+    // canDeleteWhere to the row-level delta path and still deletes exactly
+    // the matching CURRENT rows (pre-round-10 this errored)
+    spark.sql("INSERT INTO gcat.trunc SELECT id, id % 10, id FROM range(0, 8)")
+    spark.sql("DELETE FROM gcat.trunc WHERE t % 2 = 0")
+    assert(spark.sql("SELECT t FROM gcat.trunc ORDER BY t").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 3L, 5L, 7L))
     spark.sql("DROP TABLE gcat.trunc")
   }
 

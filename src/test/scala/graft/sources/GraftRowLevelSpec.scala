@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TestSpark
+
+/** SQL `UPDATE` / `MERGE INTO` / expression-`DELETE` through the DSv2
+  * row-level operation path ([[GraftRowLevelOperation]]): statement
+  * semantics against hand-computed expectations, MVCC history/time-travel
+  * preservation, the SQL cardinality check, dimension-immutability, the
+  * scan-side pruning of the row-level read, and a concurrent-writer race
+  * through the shared txn claim. */
+class GraftRowLevelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val root = {
+    val dir = Files.createTempDirectory("graft-rowlevel-spec")
+    spark.conf.set("spark.sql.catalog.grl", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grl.root", dir.toString)
+    dir
+  }
+
+  private def fresh(name: String, n: Int = 10): Unit = {
+    root
+    spark.sql(s"DROP TABLE IF EXISTS grl.$name")
+    spark.sql(s"CREATE TABLE grl.$name (k BIGINT, v BIGINT, w STRING) " +
+      "TBLPROPERTIES('graft.dims' = 'k:100')")
+    spark.sql(s"INSERT INTO grl.$name SELECT id, id * 10, concat('r', id) FROM range(0, $n)")
+  }
+
+  private def state(name: String): Seq[(Long, Long, String)] =
+    spark.sql(s"SELECT k, v, w FROM grl.$name ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+
+  test("UPDATE ... SET expr WHERE: one upsert transaction, history intact") {
+    fresh("u1", 5)
+    spark.sql("UPDATE grl.u1 SET v = v + 1, w = concat(w, '!') WHERE k >= 3")
+    assert(state("u1") === Seq(
+      (0L, 0L, "r0"), (1L, 10L, "r1"), (2L, 20L, "r2"),
+      (3L, 31L, "r3!"), (4L, 41L, "r4!")))
+    // exactly one new transaction; pre-update state still time-travelable
+    assert(spark.sql("SELECT v FROM grl.u1 VERSION AS OF 1 WHERE k = 3").head().getLong(0) === 30L)
+    // empty match commits NOTHING (no burned txn, no empty segment)
+    spark.sql("UPDATE grl.u1 SET v = -1 WHERE k > 1000")
+    val txns = graft.core.MatDb.open(spark, root.resolve("u1").toString)
+      .history().collect().map(_.getLong(0)).distinct
+    assert(txns.sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("MERGE INTO: all three clause kinds with per-clause conditions") {
+    fresh("m1", 5) // keys 0..4
+    spark.sql(
+      """MERGE INTO grl.m1
+        |USING (SELECT id AS k, id * 100 AS nv FROM range(3, 8)) s
+        |ON grl.m1.k = s.k
+        |WHEN MATCHED AND s.k = 4 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (k, v, w) VALUES (s.k, s.nv, 'new')""".stripMargin)
+    assert(state("m1") === Seq(
+      (0L, 0L, "r0"), (1L, 10L, "r1"), (2L, 20L, "r2"),
+      (3L, 300L, "r3"), // matched update
+      (5L, 500L, "new"), (6L, 600L, "new"), (7L, 700L, "new"))) // not matched
+    // k=4 tombstoned, but alive before the merge txn
+    assert(spark.sql("SELECT count(*) FROM grl.m1 VERSION AS OF 1 WHERE k = 4").head().getLong(0) === 1L)
+  }
+
+  test("MERGE INTO: NOT MATCHED BY SOURCE update and conditional delete") {
+    fresh("m2", 5)
+    spark.sql(
+      """MERGE INTO grl.m2
+        |USING (SELECT id AS k, CAST(0 AS BIGINT) AS nv FROM range(2, 4)) s
+        |ON grl.m2.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED BY SOURCE AND grl.m2.k = 0 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET w = 'stale'""".stripMargin)
+    assert(state("m2") === Seq(
+      (1L, 10L, "stale"), (2L, 0L, "r2"), (3L, 0L, "r3"), (4L, 40L, "stale")))
+  }
+
+  test("MERGE UPDATE SET * / INSERT * star expansion") {
+    fresh("m3", 3)
+    spark.sql(
+      """MERGE INTO grl.m3
+        |USING (SELECT id AS k, -id AS v, 'x' AS w FROM range(2, 5)) s
+        |ON grl.m3.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(state("m3") === Seq(
+      (0L, 0L, "r0"), (1L, 10L, "r1"), (2L, -2L, "x"), (3L, -3L, "x"), (4L, -4L, "x")))
+  }
+
+  test("SQL cardinality check: a target row matching two source rows errors") {
+    fresh("c1", 3)
+    val err = intercept[Exception](spark.sql(
+      """MERGE INTO grl.c1
+        |USING (SELECT 2 AS k, id AS nv FROM range(0, 2)) s
+        |ON grl.c1.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin))
+    assert(err.getMessage.contains("MERGE_CARDINALITY_VIOLATION"))
+    assert(state("c1") === Seq((0L, 0L, "r0"), (1L, 10L, "r1"), (2L, 20L, "r2")),
+      "a failed merge must commit nothing")
+  }
+
+  test("dimensions are immutable row identity: assigning them fails, nothing commits") {
+    fresh("d1", 3)
+    val err = intercept[Exception](spark.sql("UPDATE grl.d1 SET k = k + 100 WHERE v = 0"))
+    assert(err.getMessage.contains("row identity")
+      || Option(err.getCause).exists(_.getMessage.contains("row identity"))
+      || err.getMessage.contains("dimension"))
+    assert(state("d1") === Seq((0L, 0L, "r0"), (1L, 10L, "r1"), (2L, 20L, "r2")))
+  }
+
+  test("DELETE with a subquery predicate rides the row-level path") {
+    fresh("s1", 6)
+    spark.sql("DELETE FROM grl.s1 WHERE k IN (SELECT id * 2 FROM range(0, 3))")
+    assert(state("s1").map(_._1) === Seq(1L, 3L, 5L))
+  }
+
+  test("row-level read prunes: dimension predicate reaches the scan and the chunk dirs") {
+    fresh("p1", 1000)
+    val plan = spark.sql(
+      "EXPLAIN FORMATTED UPDATE grl.p1 SET v = 0 WHERE k BETWEEN 200 AND 250")
+      .head().getString(0)
+    assert(plan.contains("PushedFilters: [GreaterThanOrEqual(k,200), LessThanOrEqual(k,250)]"), plan)
+    assert(plan.contains("(_ck_k#") && plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("max_by"), "row-level read must resolve MVCC before merging:\n" + plan)
+  }
+
+  test("concurrent UPDATEs on disjoint ranges both commit (distinct claimed txns)") {
+    fresh("r1", 40)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val f1 = Future(spark.sql("UPDATE grl.r1 SET v = -1 WHERE k < 20"))
+    val f2 = Future(spark.sql("UPDATE grl.r1 SET v = -2 WHERE k >= 20"))
+    Await.result(f1, 120.seconds); Await.result(f2, 120.seconds)
+    val got = state("r1")
+    assert(got.size === 40)
+    assert(got.forall { case (k, v, _) => if (k < 20) v === -1L else v === -2L })
+    val txns = graft.core.MatDb.open(spark, root.resolve("r1").toString)
+      .history().collect().map(_.getLong(0)).distinct
+    assert(txns.size === 3, s"two updates must claim two distinct txns: ${txns.sorted.toSeq}")
+  }
+
+  test("historical snapshots are read-only: UPDATE/MERGE on VERSION AS OF fails") {
+    fresh("v1", 3)
+    spark.sql("UPDATE grl.v1 SET v = 1 WHERE k = 0") // make version 1 historical
+    val err = intercept[Exception](
+      spark.sql("UPDATE grl.v1 VERSION AS OF 1 SET v = 9 WHERE k = 0"))
+    assert(err.getMessage.nonEmpty)
+    assert(spark.sql("SELECT v FROM grl.v1 WHERE k = 0").head().getLong(0) === 1L)
+  }
+
+  test("multi-dimension table: merge routes chunks and keys correctly") {
+    root
+    spark.sql("DROP TABLE IF EXISTS grl.md")
+    spark.sql("CREATE TABLE grl.md (a BIGINT, b BIGINT, x DOUBLE) " +
+      "TBLPROPERTIES('graft.dims' = 'a:10,b:10')")
+    spark.sql("INSERT INTO grl.md SELECT id % 5, id, id * 1.5 FROM range(0, 50)")
+    spark.sql(
+      """MERGE INTO grl.md
+        |USING (SELECT id % 5 AS a, id AS b, -1.0 AS nx FROM range(0, 60)) s
+        |ON grl.md.a = s.a AND grl.md.b = s.b
+        |WHEN MATCHED AND grl.md.b < 10 THEN UPDATE SET x = s.nx
+        |WHEN NOT MATCHED THEN INSERT (a, b, x) VALUES (s.a, s.b, 99.0)""".stripMargin)
+    val agg = spark.sql(
+      """SELECT count(*),
+        |       sum(CASE WHEN x = -1.0 THEN 1 ELSE 0 END),
+        |       sum(CASE WHEN x = 99.0 THEN 1 ELSE 0 END) FROM grl.md""".stripMargin).head()
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) === ((60L, 10L, 10L)))
+    spark.sql("DROP TABLE grl.md")
+  }
+}
