@@ -116,6 +116,18 @@ final class MatDb private (
 
   def asOf(txnId: Long): DataFrame = snapshot(Some(txnId))
 
+  /** `TIMESTAMP AS OF`: the snapshot of the newest transaction whose
+    * commit wall-clock is <= `tsMillis` (timestamps made monotone by txn
+    * order — see [[Storage.commitTimestamps]]). A timestamp before the
+    * first commit yields the empty table, same as `asOf(0)`. */
+  def asOfTimestamp(tsMillis: Long): DataFrame =
+    asOf(resolveTimestamp(tsMillis).getOrElse(0L))
+
+  /** Newest committed txn id with commit wall-clock <= `tsMillis`. */
+  def resolveTimestamp(tsMillis: Long): Option[Long] =
+    Storage.commitTimestamps(root, protocol, synchronized(committed))
+      .filter(_._2 <= tsMillis).lastOption.map(_._1)
+
   /** Key-ordered full scan — the reference's one query operator
     * (scan.rs:183-238): newest version per key, ordered by dimensions.
     *
@@ -194,13 +206,17 @@ final class MatDb private (
   }
 
   /** Commit history of this table: one row per committed segment with its
-    * transaction id, segment number, and path — the discovery API for time
-    * travel (`asOf(txn_id)`). Driver-side metadata, like the listing. */
+    * transaction id, segment number, path, and commit wall-clock — the
+    * discovery API for time travel (`asOf(txn_id)` /
+    * `asOfTimestamp(millis)`). Driver-side metadata, like the listing. */
   def history(): DataFrame = {
     import spark.implicits._
-    synchronized(committed)
-      .map(s => (s.txnId, s.segNum, protocol.readPath(root, s).toString))
-      .toDF("txn_id", "seg_num", "path")
+    val segs = synchronized(committed)
+    val ts = Storage.commitTimestamps(root, protocol, segs).toMap
+    segs
+      .map(s => (s.txnId, s.segNum, protocol.readPath(root, s).toString,
+        new java.sql.Timestamp(ts(s.txnId))))
+      .toDF("txn_id", "seg_num", "path", "commit_ts")
   }
 
   /** Expose the resolved snapshot to Spark SQL as a temp view — the §7.1
@@ -306,6 +322,16 @@ final class MatDb private (
         .option("compression", "zstd")
         .partitionBy(schema.chunkColNames: _*)
         .parquet(protocol.writePath(root, bid).toString)
+      // preserve the horizon txn's ORIGINAL commit wall-clock on the folded
+      // baseline (stampCommitTs won't overwrite an existing stamp), so
+      // TIMESTAMP AS OF keeps resolving exactly like before the fold for
+      // every t >= the horizon commit
+      Storage.commitTimestamps(root, protocol, replaced).lastOption.foreach {
+        case (_, ts) =>
+          java.nio.file.Files.write(
+            protocol.writePath(root, bid).resolve(Storage.CommitTsFile),
+            String.valueOf(ts).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
       synchronized {
         if (committed != base) {
           protocol.discardInFlight(root, bid)

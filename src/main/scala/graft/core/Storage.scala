@@ -115,6 +115,51 @@ object Storage {
 
   def schemaPath(root: Path): Path = root.resolve("schema.json")
 
+  // ---- commit wall-clock (TIMESTAMP AS OF) -------------------------------
+  //
+  // Each transaction's FIRST segment directory carries a `_commit_ts` file
+  // (epoch millis), written just before the commit becomes visible — under
+  // renames while the directory is still `.tmp`, under the manifest before
+  // the manifest publish — so a visible transaction always has its stamp.
+  // Underscore-prefixed, so parquet readers and data-file checks ignore it.
+  // Readers make the series MONOTONE by running-max over txn order (wall
+  // clocks of different writer processes may skew; transaction ids are the
+  // authoritative order, timestamps are a resolution aid). The reference
+  // has no commit clock (its ids are logical, database.rs:74-79) — this is
+  // the minimal metadata TIMESTAMP AS OF needs.
+
+  val CommitTsFile = "_commit_ts"
+
+  /** Stamp `System.currentTimeMillis` into each new transaction's first
+    * segment (no-op where a stamp already exists — checkpoint pre-seeds
+    * the folded baseline with the horizon txn's ORIGINAL timestamp). */
+  private[core] def stampCommitTs(root: Path, proto: Protocol,
+      newIds: Seq[SegmentId]): Unit =
+    newIds.groupBy(_.txnId).values.map(_.min).foreach { id =>
+      val f = proto.writePath(root, id).resolve(CommitTsFile)
+      if (!Files.exists(f))
+        Files.write(f, String.valueOf(System.currentTimeMillis())
+          .getBytes(StandardCharsets.UTF_8))
+    }
+
+  /** Per-transaction commit wall-clock (epoch millis) over the given
+    * visible segments, monotone by txn order. Transactions predating the
+    * stamp (or folded baselines of pre-stamp history) read as 0 — i.e.
+    * visible at every timestamp, the only safe reading for old tables. */
+  def commitTimestamps(root: Path, proto: Protocol,
+      segs: Seq[SegmentId]): Seq[(Long, Long)] = {
+    var run = 0L
+    segs.groupBy(_.txnId).toSeq.sortBy(_._1).map { case (txn, ids) =>
+      val ts = ids.sorted.iterator
+        .map(id => proto.readPath(root, id).resolve(CommitTsFile))
+        .find(Files.exists(_))
+        .map(p => new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
+        .getOrElse(0L)
+      run = math.max(run, ts)
+      (txn, run)
+    }
+  }
+
   def writeSchema(root: Path, schema: MatSchema): Unit = {
     Files.createDirectories(root)
     // write-then-atomic-move: schema.json is also REwritten as the ALTER
@@ -232,6 +277,7 @@ object Storage {
     /** Atomic visibility flip: rename in reverse order so segment 0 — the
       * commit marker — lands last (reference transaction.rs:127-136). */
     def commit(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId]): Seq[SegmentId] = {
+      stampCommitTs(root, this, newIds) // into the .tmp dirs, pre-visibility
       newIds.sorted.reverse.foreach { id =>
         Files.move(segmentPath(root, id, tmp = true), segmentPath(root, id, tmp = false))
       }
@@ -307,6 +353,7 @@ object Storage {
 
     private def publish(root: Path, newIds: Seq[SegmentId], replaceAll: Boolean,
         intended: Seq[SegmentId], expectedBase: Seq[SegmentId] = Seq.empty): Seq[SegmentId] = {
+      stampCommitTs(root, this, newIds) // dirs are final-named, still invisible
       var tries = 0
       while (tries < 16) {
         val latest = latestManifest(root)

@@ -652,6 +652,60 @@ object CoreOps {
       s.sql("SELECT user_id, v, n FROM g120.td ORDER BY user_id")
     },
 
+    // ---- TIMESTAMP AS OF time travel (round 10) -------------------------
+    // Commit wall-clock stamps (_commit_ts, monotone by txn order) make
+    // point-in-time reads first-class: the gate reads the SAME mid-history
+    // state twice — once as VERSION AS OF 2, once as TIMESTAMP AS OF txn
+    // 2's own commit timestamp — and the oracle replays that state twice.
+    // Resolution off by one txn fails the gate (txn 3 deletes a key range,
+    // so state@3 != state@2 by construction).
+    Entry("q121_timestamp_asof", Some(
+      """WITH s2 AS (
+        |  SELECT user_id,
+        |         CASE WHEN user_id < 20 THEN CAST(-1.0 AS DOUBLE) ELSE v END AS v
+        |  FROM (SELECT user_id, arg_max(value, event_id) AS v
+        |        FROM events WHERE user_id < 50 GROUP BY user_id)
+        |  UNION ALL SELECT 100000, CAST(7.0 AS DOUBLE))
+        |SELECT src, user_id, v FROM (
+        |  SELECT 'v' AS src, user_id, v FROM s2
+        |  UNION ALL
+        |  SELECT 't' AS src, user_id, v FROM s2)
+        |ORDER BY src, user_id""".stripMargin)) { (s, d) =>
+      val root = Q.fixture("q121-tsasof")
+      val tableDir = root.resolve("td")
+      graft.core.Storage.deleteRecursively(tableDir)
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g121").isEmpty) {
+        s.conf.set("spark.sql.catalog.g121", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g121.root", root.toString)
+      }
+      s.sql("CREATE TABLE g121.td (user_id BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:1000')")
+      table(s, d, "events").createOrReplaceTempView("events")
+      s.sql("""INSERT INTO g121.td
+              |SELECT user_id, max_by(value, event_id)
+              |FROM events WHERE user_id < 50 GROUP BY user_id""".stripMargin)
+      Thread.sleep(10) // commit stamps are millis; separate the txns' clocks
+      s.sql("""INSERT INTO g121.td
+              |SELECT DISTINCT user_id, CAST(-1.0 AS DOUBLE)
+              |FROM events WHERE user_id < 20
+              |UNION ALL SELECT 100000, CAST(7.0 AS DOUBLE)""".stripMargin)
+      Thread.sleep(10)
+      s.sql("DELETE FROM g121.td WHERE user_id BETWEEN 30 AND 39")
+      val ts2 = graft.core.MatDb.open(s, tableDir.toString).history()
+        .where(col("txn_id") === 2).head().getTimestamp(3).getTime
+      val lit2 = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ts2))
+      s.sql(
+        s"""SELECT src, user_id, v FROM (
+           |  SELECT 'v' AS src, user_id, v FROM g121.td VERSION AS OF 2
+           |  UNION ALL
+           |  SELECT 't' AS src, user_id, v FROM g121.td TIMESTAMP AS OF '$lit2')
+           |ORDER BY src, user_id""".stripMargin)
+    },
+
     // ---- z-order clustered layout (sources.ZOrderLayout) ---------------
     // lineitem rewritten in Morton order of (l_orderkey, l_partkey), then
     // a range predicate on the NON-leading key answered off the clustered

@@ -81,9 +81,11 @@ import graft.core.{MatDb, MatSchema, Scan, Storage}
   * manifest — the multi-writer protocol, since SQL endpoints must assume
   * concurrent INSERTs). `INSERT OVERWRITE` is rejected (no truncate
   * capability); overwrite/compact stay Scala-API operations. Writing to a
-  * `VERSION AS OF` relation is rejected. `TIMESTAMP AS OF` is rejected:
-  * the format records no commit wall-clock (the reference's ids are
-  * logical too).
+  * `VERSION AS OF` / `TIMESTAMP AS OF` relation is rejected.
+  * `UPDATE` / `MERGE INTO` / subquery-`DELETE` commit through the delta
+  * row-level path ([[GraftRowLevelOperation]], round 10). `TIMESTAMP AS
+  * OF` resolves against per-commit wall-clock stamps
+  * ([[graft.core.Storage.commitTimestamps]], round 10).
   */
 class GraftCatalog extends TableCatalog {
   private var catalogName: String = _
@@ -127,9 +129,20 @@ class GraftCatalog extends TableCatalog {
     load(ident, Some(txn))
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft tables have no commit timestamps; use VERSION AS OF <txn_id>")
+  /** `TIMESTAMP AS OF <ts>` — Spark hands the evaluated timestamp in
+    * MICROseconds; resolve it to the newest transaction whose commit
+    * wall-clock (`_commit_ts`, monotone by txn order) is <= it, then load
+    * that version. A timestamp before the first commit loads the empty
+    * version-0 snapshot, mirroring `VERSION AS OF 0`. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!MatDb.exists(dir.toString)) throw new NoSuchTableException(ident)
+    val proto = Storage.detect(dir)
+    val txn = Storage.commitTimestamps(dir, proto, proto.listCommitted(dir))
+      .filter(_._2 <= timestamp / 1000L) // micros -> millis
+      .lastOption.map(_._1).getOrElse(0L)
+    load(ident, Some(txn))
+  }
 
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
     val dir = tableDir(ident)

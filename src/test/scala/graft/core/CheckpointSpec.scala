@@ -119,6 +119,22 @@ class CheckpointSpec extends AnyFunSuite {
     assert(db.checkpointIfNeeded(maxSegments = 3, retainTxns = 2) === None)
   }
 
+  test("checkpoint preserves the horizon txn's commit timestamp; resolution unchanged above it") {
+    val db = freshDb(); build(db)
+    val preTs = db.history().collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(3).getTime).toMap
+    val pre2 = state(db.asOfTimestamp(preTs(2L)))
+    db.checkpoint(2L)
+    val post = db.history().collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(3).getTime).toMap
+    assert(post(2L) === preTs(2L),
+      "the folded baseline must carry the horizon txn's ORIGINAL wall-clock")
+    assert(post(3L) === preTs(3L) && post(4L) === preTs(4L))
+    assert(state(db.asOfTimestamp(preTs(2L))) === pre2,
+      "TIMESTAMP AS OF at the horizon commit must resolve identically after the fold")
+    assert(state(db.asOfTimestamp(preTs(4L))) === state(db.snapshot()))
+  }
+
   test("rename-protocol tables are refused with a pointer to compact()") {
     val dir = Files.createTempDirectory("graft-ckpt-rn").toString
     val db = MatDb.create(spark,

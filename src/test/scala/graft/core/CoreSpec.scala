@@ -292,7 +292,8 @@ abstract class CoreProtocolBehaviors(protocolName: String)
     }
     val h = db.history().collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(h.map(_._1).distinct.sorted.toSeq === Seq(1L, 2L))
-    assert(db.history().schema.fieldNames.toSeq === Seq("txn_id", "seg_num", "path"))
+    assert(db.history().schema.fieldNames.toSeq
+      === Seq("txn_id", "seg_num", "path", "commit_ts"))
   }
 
   test("committing an empty batch leaves the table fully readable") {

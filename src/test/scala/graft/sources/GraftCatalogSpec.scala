@@ -97,16 +97,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(valq.count() === 45)
   }
 
-  test("catalog lists graft tables; missing table and TIMESTAMP AS OF fail clearly") {
-    mkTable("listed")
+  test("catalog lists graft tables; missing table fails; TIMESTAMP AS OF resolves commits") {
+    val db = mkTable("listed") // txns 1..3, all committed "now"
     val tables = spark.sql("SHOW TABLES IN gcat").collect().map(_.getString(1)).toSet
     assert(tables.contains("listed"))
     val miss = intercept[Exception](spark.sql("SELECT * FROM gcat.nope").collect())
     assert(miss.getMessage.toLowerCase.contains("table"))
-    val ts = intercept[Exception](
-      spark.sql("SELECT * FROM gcat.listed TIMESTAMP AS OF '2026-01-01'").collect())
-    assert(ts.getMessage.contains("VERSION AS OF") ||
-      ts.getMessage.contains("timestamp"))
+    // a timestamp before the first commit = empty version-0 snapshot
+    assert(spark.sql("SELECT * FROM gcat.listed TIMESTAMP AS OF '2001-01-01'").count() === 0)
+    // a timestamp in the future = the current snapshot, == VERSION AS OF max
+    assert(spark.sql("SELECT * FROM gcat.listed TIMESTAMP AS OF '2200-01-01'")
+      .collect().toSet ===
+      spark.sql("SELECT * FROM gcat.listed VERSION AS OF 3").collect().toSet)
+    // the per-txn stamps are surfaced, monotone, and resolve exactly:
+    // TIMESTAMP AS OF txn 2's own wall-clock sees txn 2, not txn 3
+    val ts = db.history().collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(3).getTime).toMap
+    assert(ts(1L) <= ts(2L) && ts(2L) <= ts(3L))
+    assert(db.resolveTimestamp(ts(2L)).exists(_ >= 2L))
+    if (ts(2L) < ts(3L)) { // same-millisecond commits can't split txn 2 from 3
+      assert(db.resolveTimestamp(ts(2L)) === Some(2L))
+      assert(db.asOfTimestamp(ts(2L)).collect().toSet === db.asOf(2L).collect().toSet)
+    }
   }
 
   test("SQL INSERT INTO commits one transaction; upserts resolve; time travel sees each") {
