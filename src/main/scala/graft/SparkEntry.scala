@@ -5,9 +5,9 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * The battery (120 queries as of round 10) is assembled from four modules:
+  * The battery (122 queries as of round 10) is assembled from four modules:
   *   - [[graft.queries.CoreOps]]    q01-q05, q73, q76-q77, q92, q101-q103,
-  *     q106, q108-q109, q111, q115, q117-q118, q120: the engine's own
+  *     q106, q108-q109, q111, q115, q117-q118, q120-q121: the engine's own
   *     operator semantics — scan order, MVCC upsert/delete, snapshot
   *     horizon, range pruning, the bucketed/ranged/z-order layouts, SQL
   *     DML (INSERT/DELETE/UPDATE/MERGE INTO) + VERSION AS OF through the
@@ -24,10 +24,11 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
   *     pHash, Gopher rules, BPE, SemDeDup batch + streaming, media
   *     near-dup, the replayable sketches, BM25, PII scan, KMV set algebra).
   *   - [[graft.queries.Curation]]   q61-q72, q79-q82, q85-q87, q89, q91,
-  *     q97, q114, q119: curation/batch prep (sampling, sessions,
+  *     q97, q114, q119, q122: curation/batch prep (sampling, sessions,
   *     scrubbing, repetition, caps, stats, TF-IDF, decontamination,
   *     passage dedup, Zipf, embedding profile, packing/chunking/shuffle,
-  *     trigram-LM scoring, PageRank, strict-order funnels).
+  *     trigram-LM scoring, PageRank, strict-order + conversion-window
+  *     funnels).
   */
 object SparkEntry {
   private lazy val battery: Seq[Q.Entry] =

@@ -28,15 +28,28 @@ import graft.core.MatDb
   */
 object IncrementalAgg {
 
+  /** Loud guard for the non-null `valueCol` contract: a null would vanish
+    * from SUM but still count in `cnt` (SQL's SUM-skips-nulls vs COUNT(*)
+    * mismatch), silently skewing the view forever. One cheap probe over
+    * the delta (the only place new nulls can enter); the batch fails
+    * BEFORE any view transaction opens, so nothing commits. */
+  private def requireNoNullValues(delta: org.apache.spark.sql.DataFrame,
+      valueCol: String): Unit =
+    require(delta.where(col("op").isin("I", "U") && col(valueCol).isNull)
+      .limit(1).isEmpty,
+      s"delta contains null $valueCol rows — the view's SUM would skip them " +
+        "while cnt counts them; coalesce or filter upstream (nothing was applied)")
+
   /** Fold the base table's delta `(fromTxn, toTxn]` into the view.
     *
     * `viewDb` schema contract: dimensions = (`groupCol`), values =
     * (`sum_<valueCol>` of the value column's type, `cnt` LONG). `groupCol`
     * must be a base DIMENSION or LONG value column; `valueCol` a base
     * value column (DECIMAL recommended — see exactness note above) and
-    * NON-NULL by contract: a null value would vanish from the sum but
-    * still count in `cnt` (SQL's SUM-skips-nulls vs COUNT(*) mismatch) —
-    * filter or coalesce nulls upstream. Rows
+    * NON-NULL, enforced loudly per batch ([[requireNoNullValues]]): a null
+    * would vanish from the sum but still count in `cnt` (SQL's
+    * SUM-skips-nulls vs COUNT(*) mismatch) — filter or coalesce nulls
+    * upstream. Rows
     * whose count reaches zero are deleted (a group with no rows has no
     * aggregate, matching GROUP BY semantics). Returns the view's
     * maintenance transaction id. */
@@ -48,6 +61,7 @@ object IncrementalAgg {
       s"view schema must be dims=($groupCol), values=($sumCol, cnt); " +
         s"got dims=${viewDb.schema.dimNames} values=${viewDb.schema.valueNames}")
     val delta = base.changesBetween(fromTxn, toTxn, includeOld = true)
+    requireNoNullValues(delta, valueCol)
     val isDim = base.schema.dimNames.contains(groupCol)
     val oldG = if (isDim) col(groupCol) else col(s"_old_$groupCol")
     // retract the pre-image (U and D rows), apply the post-image (I and U
@@ -113,6 +127,7 @@ object IncrementalAgg {
       s"view schema must be dims=($groupCol), values=($sumCol, cnt); " +
         s"got dims=${viewDb.schema.dimNames} values=${viewDb.schema.valueNames}")
     val delta = base.changesBetween(fromTxn, toTxn, includeOld = true)
+    requireNoNullValues(delta, valueCol)
     val isDim = base.schema.dimNames.contains(groupCol)
     val oldG = if (isDim) col(groupCol) else col(s"_old_$groupCol")
     val touched = delta.select(col(groupCol)).where(col(groupCol).isNotNull)

@@ -844,6 +844,42 @@ object Curation {
         "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
     },
 
+    // ---- funnel with a CONVERSION WINDOW (round 10) ---------------------
+    // q119's strict-order funnel plus the predicate real funnel analyses
+    // add: step i+1 must land within maxGap of the user's step-i time
+    // ("clicked within ~5.6h of the view"). Same chained unbounded-window
+    // minima — the window is one more conjunct inside the when(), so the
+    // whole k-step funnel still costs ONE exchange (FunnelSpec pins it).
+    // Timestamps compared as epoch NANOS on both engines (the fixture
+    // loader already surfaces ts as epoch-nanos BIGINT; DuckDB epoch_ns —
+    // exact integers, no float time arithmetic). Window = 2e13 ns ~ 5.6h.
+    Entry("q122_funnel_window", Some(
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) tn FROM events
+        |            WHERE event_id < 200),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tn END)
+        |                 OVER (PARTITION BY user_id) AS t1 FROM e),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+        |                          AND tn > t1 AND tn <= t1 + 20000000000000
+        |                          THEN tn END)
+        |                 OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+        |                          AND tn > t2 AND tn <= t2 + 20000000000000
+        |                          THEN tn END)
+        |                 OVER (PARTITION BY user_id) AS t3 FROM s2),
+        |d AS (SELECT user_id,
+        |             max(CASE WHEN t3 IS NOT NULL THEN 3
+        |                      WHEN t2 IS NOT NULL THEN 2
+        |                      WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS depth
+        |      FROM s3 GROUP BY user_id)
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS users
+        |FROM d GROUP BY depth ORDER BY depth""".stripMargin)) { (s, d) =>
+      graft.operators.Funnel.report(
+        table(s, d, "events").where(col("event_id") < 200)
+          .select(col("user_id"), col("event_type"), col("ts").as("tn")),
+        "user_id", "event_type", "tn", Seq("view", "click", "purchase"),
+        maxGap = Some(20000000000000L))
+    },
+
     // ---- PageRank in exact integer fixed point (operators.PageRank) ----
     // Source-authority prior for curation: rank the part graph whose
     // edges are consecutive lineitems within an order. All arithmetic is

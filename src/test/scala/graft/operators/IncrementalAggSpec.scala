@@ -106,4 +106,32 @@ class IncrementalAggSpec extends AnyFunSuite {
     IncrementalAgg.maintain(base, view, 1L, 1L, "g", "v") // empty range
     assert(viewState(view) === before)
   }
+
+  test("a poisoned delta (null value) fails the batch loudly; nothing commits") {
+    val base = newBase(); val view = newView()
+    import spark.implicits._
+    def df(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("k", "g", "vs").select(col("k"), col("g"), col("vs").cast(dec).as("v"))
+    val t1 = base.newTransaction(); t1.addRows(df(Seq((1L, 1L, "2.5000")))); t1.commit()
+    IncrementalAgg.maintain(base, view, 0L, 1L, "g", "v")
+    val before = viewState(view)
+    val viewTxns = view.committedSegments.map(_.txnId).distinct.size
+    // txn 2: one good row, one NULL v row — SUM would skip it, cnt would
+    // count it; the whole batch must fail before the view transaction opens
+    val t2 = base.newTransaction()
+    t2.addRows(Seq((2L, 1L, "1.0000")).toDF("k", "g", "vs")
+      .select(col("k"), col("g"), col("vs").cast(dec).as("v"))
+      .unionByName(Seq((3L, 1L)).toDF("k", "g")
+        .select(col("k"), col("g"), lit(null).cast(dec).as("v"))))
+    t2.commit()
+    val err = intercept[IllegalArgumentException](
+      IncrementalAgg.maintain(base, view, 1L, 2L, "g", "v"))
+    assert(err.getMessage.contains("null"))
+    val errAbs = intercept[IllegalArgumentException](
+      IncrementalAgg.maintainAbsolute(base, view, 1L, 2L, "g", "v"))
+    assert(errAbs.getMessage.contains("null"))
+    assert(viewState(view) === before, "a failed batch must not move the view")
+    assert(view.committedSegments.map(_.txnId).distinct.size === viewTxns,
+      "a failed batch must not commit a view transaction")
+  }
 }
