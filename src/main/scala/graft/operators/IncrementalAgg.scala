@@ -126,18 +126,56 @@ object IncrementalAgg {
       viewDb.schema.valueNames == Seq(sumCol, "cnt"),
       s"view schema must be dims=($groupCol), values=($sumCol, cnt); " +
         s"got dims=${viewDb.schema.dimNames} values=${viewDb.schema.valueNames}")
+    maintainAbsoluteMulti(base, viewDb, fromTxn, toTxn, groupCol)
+  }
+
+  /** [[maintainAbsolute]] generalized: the VIEW SCHEMA is the aggregate
+    * spec. The view's dimension is the group column; every value column
+    * declares its aggregate by NAME — `sum_<col>`, `min_<col>`,
+    * `max_<col>` over base columns, or `cnt` (row count). All of one
+    * view's aggregates are maintained from a single restricted recompute
+    * (one semi-join + one multi-aggregate pass over the touched groups'
+    * history), so adding aggregates costs buffer width, not passes.
+    *
+    * MIN/MAX are only safe in THIS absolute mode: a delta-based retract
+    * cannot undo a retired extremum without the group's history, which the
+    * restricted recompute reads anyway. Same replay-absorbable tail-replay
+    * contract as [[maintainAbsolute]]. Null contract: `sum_` inputs must
+    * be non-null (guarded per batch); `min_`/`max_` skip nulls natively
+    * and `cnt` counts rows, so they need no guard. */
+  def maintainAbsoluteMulti(base: MatDb, viewDb: MatDb, fromTxn: Long, toTxn: Long,
+      groupCol: String): Long = {
+    require(viewDb.schema.dimNames == Seq(groupCol),
+      s"view must be keyed by ($groupCol); got dims=${viewDb.schema.dimNames}")
+    val aggs: Seq[org.apache.spark.sql.Column] = viewDb.schema.values.map { v =>
+      def src(prefix: String): String = {
+        val c = v.name.stripPrefix(prefix)
+        require(base.schema.columnNames.contains(c),
+          s"view column ${v.name} names no base column '$c'")
+        c
+      }
+      v.name match {
+        case "cnt" => count(lit(1)).as("cnt")
+        case n if n.startsWith("sum_") => sum(col(src("sum_"))).cast(v.dataType).as(n)
+        case n if n.startsWith("min_") => min(col(src("min_"))).cast(v.dataType).as(n)
+        case n if n.startsWith("max_") => max(col(src("max_"))).cast(v.dataType).as(n)
+        case other => throw new IllegalArgumentException(
+          s"view value column '$other' declares no aggregate " +
+            "(expected sum_<col>, min_<col>, max_<col>, or cnt)")
+      }
+    }
     val delta = base.changesBetween(fromTxn, toTxn, includeOld = true)
-    requireNoNullValues(delta, valueCol)
+    viewDb.schema.valueNames.filter(_.startsWith("sum_")).map(_.stripPrefix("sum_"))
+      .distinct.foreach(requireNoNullValues(delta, _))
     val isDim = base.schema.dimNames.contains(groupCol)
     val oldG = if (isDim) col(groupCol) else col(s"_old_$groupCol")
     val touched = delta.select(col(groupCol)).where(col(groupCol).isNotNull)
       .union(delta.select(oldG.as(groupCol)).where(oldG.isNotNull))
       .distinct()
-    val sumType = viewDb.schema.values.find(_.name == sumCol).get.dataType
     val newAgg = base.asOf(toTxn)
       .join(broadcast(touched), Seq(groupCol), "left_semi")
       .groupBy(col(groupCol))
-      .agg(sum(col(valueCol)).cast(sumType).as(sumCol), count(lit(1)).as("cnt"))
+      .agg(aggs.head, aggs.tail: _*)
     val emptied = touched.join(newAgg.select(col(groupCol)), Seq(groupCol), "left_anti")
     val txn = viewDb.newTransaction()
     txn.deleteRows(emptied)

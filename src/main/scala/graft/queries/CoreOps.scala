@@ -591,6 +591,77 @@ object CoreOps {
         .orderBy(col("grp"))
     },
 
+    // ---- multi-view streaming maintenance (round 10) --------------------
+    // One base-table transaction stream drives TWO materialized views in
+    // the same sink — different group columns, different aggregate sets
+    // (A: per-grp SUM+COUNT; B: per-src MIN+MAX+COUNT), each view's schema
+    // being its spec (IncrementalAgg.maintainAbsoluteMulti). The oracle
+    // recomputes both views relationally from the final base state:
+    // streamed-incremental == full recompute for every aggregate, exactly
+    // (DECIMAL sums, order-free MIN/MAX/COUNT).
+    Entry("q123_multi_view", Some(
+      """WITH b AS (SELECT event_id, user_id, value FROM events WHERE event_id < 600),
+        |fin AS (SELECT user_id AS grp, user_id % 10 AS src,
+        |               CASE WHEN event_id < 150
+        |                    THEN CAST(value + 5.0 AS DECIMAL(18,4))
+        |                    ELSE CAST(value AS DECIMAL(18,4)) END AS v
+        |        FROM b WHERE NOT (event_id >= 300 AND event_id < 380)),
+        |va AS (SELECT 'a' AS vw, grp AS g, CAST(sum(v) AS DOUBLE) AS x1,
+        |              CAST(NULL AS DOUBLE) AS x2, count(*) AS cnt
+        |       FROM fin GROUP BY grp),
+        |vb AS (SELECT 'b' AS vw, src AS g, CAST(min(v) AS DOUBLE) AS x1,
+        |              CAST(max(v) AS DOUBLE) AS x2, count(*) AS cnt
+        |       FROM fin GROUP BY src)
+        |SELECT vw, g, x1, x2, cnt
+        |FROM (SELECT * FROM va UNION ALL SELECT * FROM vb)
+        |ORDER BY vw, g""".stripMargin)) { (s, d) =>
+      import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      val root = Q.fixture("q123-mview")
+      graft.core.Storage.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val dec = DecimalType(18, 4)
+      val basePath = root.resolve("base").toString
+      val base = MatDb.create(s, MatSchema(Seq(Dimension("event_id", 100)),
+        Seq(ValueCol("grp", LongType), ValueCol("src", LongType), ValueCol("v", dec))),
+        basePath, "manifest")
+      val viewA = MatDb.create(s, MatSchema(Seq(Dimension("grp", 1000)),
+        Seq(ValueCol("sum_v", dec), ValueCol("cnt", LongType))),
+        root.resolve("va").toString, "manifest")
+      val viewB = MatDb.create(s, MatSchema(Seq(Dimension("src", 10)),
+        Seq(ValueCol("min_v", dec), ValueCol("max_v", dec), ValueCol("cnt", LongType))),
+        root.resolve("vb").toString, "manifest")
+      val e = table(s, d, "events")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.select(col("event_id"),
+        col("user_id").as("grp"), (col("user_id") % 10).as("src"),
+        Q.dec4(col("value")).as("v"))
+      val t1 = base.newTransaction()
+      t1.addRows(rows(e.where(col("event_id") < 600)))
+      t1.commit()
+      val t2 = base.newTransaction()
+      t2.addRows(rows(e.where(col("event_id") < 150))
+        .withColumn("v", Q.dec4(col("v") + lit(5.0))))
+      t2.commit()
+      val t3 = base.newTransaction()
+      t3.deleteRows(e.where(col("event_id").between(300, 379)).select(col("event_id")))
+      t3.commit()
+      val q = graft.streaming.Streams.viewMaintSink(
+        s.readStream.format("graft-stream").option("maxTxnsPerBatch", "1")
+          .load(basePath),
+        basePath, Seq(viewA -> "grp", viewB -> "src"),
+        root.resolve("ckpt").toString).start()
+      try q.processAllAvailable() finally q.stop()
+      viewA.snapshot()
+        .select(lit("a").as("vw"), col("grp").as("g"),
+          col("sum_v").cast("double").as("x1"),
+          lit(null).cast("double").as("x2"), col("cnt"))
+        .unionByName(viewB.snapshot()
+          .select(lit("b").as("vw"), col("src").as("g"),
+            col("min_v").cast("double").as("x1"),
+            col("max_v").cast("double").as("x2"), col("cnt")))
+        .orderBy(col("vw"), col("g"))
+    },
+
     // ---- SQL row-level DML (sources.GraftRowLevel, round 10) -----------
     // The q106 MERGE algebra, now from PURE SQL: Spark's
     // SupportsRowLevelOperations (delta-based) plans UPDATE and MERGE as

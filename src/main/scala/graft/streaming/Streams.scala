@@ -270,7 +270,33 @@ object Streams {
     * sink as its single writer. */
   def viewMaintSink(stream: DataFrame, basePath: String, viewDb: MatDb,
       groupCol: String, valueCol: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(viewDb.schema.valueNames == Seq(s"sum_$valueCol", "cnt"),
+      s"view schema must be values=(sum_$valueCol, cnt); " +
+        s"got ${viewDb.schema.valueNames} (multi-aggregate views: pass " +
+        "the views overload)")
+    viewMaintSink(stream, basePath, Seq(viewDb -> groupCol), checkpoint)
+  }
+
+  /** Multi-view [[viewMaintSink]]: maintain SEVERAL materialized views —
+    * each with its own group column and aggregate set — from ONE
+    * transaction stream of the same base table. Each view's schema is its
+    * aggregate spec ([[graft.operators.IncrementalAgg.maintainAbsoluteMulti]]:
+    * values named `sum_<col>` / `min_<col>` / `max_<col>` / `cnt`). The
+    * batch's txn range is resolved once; every view then folds it through
+    * its own restricted recompute in the same foreachBatch, so all views
+    * advance in lockstep with the base (a crash replays the tail range
+    * into every view, and each absorbs it byte-identically).
+    *
+    * The base handle is intentionally REOPENED per micro-batch: a MatDb
+    * pins its committed-segment snapshot at open, and this sink exists to
+    * chase OTHER writers' commits — a cached handle would read an empty
+    * delta forever. The per-batch cost is one directory/manifest listing,
+    * the same metadata read any snapshot query performs. */
+  def viewMaintSink(stream: DataFrame, basePath: String,
+      views: Seq[(MatDb, String)], checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(views.nonEmpty, "viewMaintSink: need at least one view")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
@@ -279,11 +305,14 @@ object Streams {
           .collect()(0)
         if (!range.isNullAt(0)) {
           val base = MatDb.open(batch.sparkSession, basePath)
-          graft.operators.IncrementalAgg.maintainAbsolute(base, viewDb,
-            range.getLong(0) - 1L, range.getLong(1), groupCol, valueCol)
+          views.foreach { case (viewDb, groupCol) =>
+            graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, viewDb,
+              range.getLong(0) - 1L, range.getLong(1), groupCol)
+          }
         }
         ()
       }
+  }
 
   /** Shared by the bucketed ingest sinks: fold the raw transaction log
     * into one compacted txn every `compactEvery` micro-batches, INSIDE the

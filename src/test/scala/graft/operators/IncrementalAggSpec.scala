@@ -107,6 +107,53 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(viewState(view) === before)
   }
 
+  test("maintainAbsoluteMulti: min/max/sum/cnt views track a recompute across churn") {
+    import spark.implicits._
+    val base = newBase()
+    val view = MatDb.create(spark,
+      MatSchema(Seq(Dimension("g", 100)),
+        Seq(ValueCol("min_v", dec), ValueCol("max_v", dec),
+          ValueCol("sum_v", dec), ValueCol("cnt", LongType))),
+      Files.createTempDirectory("graft-iagg-multi").toString, "manifest")
+    def df(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("k", "g", "vs").select(col("k"), col("g"), col("vs").cast(dec).as("v"))
+    def recomputeAll(): Set[(Long, String, String, String, Long)] =
+      base.snapshot().groupBy(col("g"))
+        .agg(min(col("v")).cast(dec).as("mn"), max(col("v")).cast(dec).as("mx"),
+          sum(col("v")).cast(dec).as("sm"), count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString,
+          r.getDecimal(2).toPlainString, r.getDecimal(3).toPlainString, r.getLong(4))).toSet
+    def viewAll(): Set[(Long, String, String, String, Long)] =
+      view.snapshot().collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString,
+        r.getDecimal(2).toPlainString, r.getDecimal(3).toPlainString, r.getLong(4))).toSet
+    // txn1 seed; txn2 overwrites the group-1 MIN holder upward and the
+    // group-2 MAX holder downward (the retired-extremum case a delta
+    // retract cannot handle); txn3 deletes group 3 entirely
+    val t1 = base.newTransaction()
+    t1.addRows(df(Seq((1L, 1L, "1.0000"), (2L, 1L, "5.0000"),
+      (3L, 2L, "9.0000"), (4L, 2L, "2.0000"), (5L, 3L, "7.0000"))))
+    t1.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 0L, 1L, "g")
+    assert(viewAll() === recomputeAll())
+    val t2 = base.newTransaction()
+    t2.addRows(df(Seq((1L, 1L, "4.0000"), (3L, 2L, "3.0000"))))
+    t2.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 1L, 2L, "g")
+    assert(viewAll() === recomputeAll())
+    val t3 = base.newTransaction()
+    t3.deleteRows(Seq(5L).toDF("k"))
+    t3.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 2L, 3L, "g")
+    assert(viewAll() === recomputeAll())
+    assert(!viewAll().exists(_._1 == 3L), "an emptied group leaves the view")
+    // an undeclarable aggregate name fails loudly
+    val bad = MatDb.create(spark,
+      MatSchema(Seq(Dimension("g", 100)), Seq(ValueCol("avg_v", dec))),
+      Files.createTempDirectory("graft-iagg-bad").toString, "manifest")
+    intercept[IllegalArgumentException](
+      IncrementalAgg.maintainAbsoluteMulti(base, bad, 0L, 3L, "g"))
+  }
+
   test("a poisoned delta (null value) fails the batch loudly; nothing commits") {
     val base = newBase(); val view = newView()
     import spark.implicits._
