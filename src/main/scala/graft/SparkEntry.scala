@@ -5,7 +5,7 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * The battery (123 queries as of round 10) is assembled from four modules:
+  * The battery (124 queries as of round 10) is assembled from four modules:
   *   - [[graft.queries.CoreOps]]    q01-q05, q73, q76-q77, q92, q101-q103,
   *     q106, q108-q109, q111, q115, q117-q118, q120-q121, q123: the
   *     engine's own
@@ -19,7 +19,7 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
   *   - [[graft.queries.Relational]] q06-q39, q54, q58-q60, q74: full
   *     relational checklist incl. pivot/unpivot and both top-k UDAF tiers.
   *   - [[graft.queries.Pipeline]]   q40-q53, q55-q57, q75, q78, q83-q84,
-  *     q88, q90, q93-q100, q104-q105, q107, q110, q112-q113, q116:
+  *     q88, q90, q93-q100, q104-q105, q107, q110, q112-q113, q116, q124:
   *     LLM-data-pipeline operators (text analysis, dedup family,
   *     similarity search incl. IVF-PQ and hard-negative mining, multimodal
   *     pHash, Gopher rules, BPE, SemDeDup batch + streaming, media

@@ -1577,6 +1577,42 @@ object Pipeline {
         e.select(col("vec_id"), embD(col("embedding")).as("ce")),
         k = 10, lo = 0.15, hi = 0.30)
         .orderBy(col("qid"), col("rn"))
+    },
+
+    // ---- UNBOUNDED-anchor hard negatives (round 10) ---------------------
+    // q116's mining without broadcasting the anchors: both sides bucket on
+    // a centroid set and pair through a shuffle join
+    // (HardNegatives.mineUnbounded). Probed in FULL here (nprobe = #
+    // centroids), where the output is provably centroid-independent and
+    // EXACT — so the oracle is the same relational band-rank replay, and
+    // the gate pins that the no-broadcast composition loses nothing. The
+    // centroids are the first three corpus vectors (deterministic; any set
+    // works under full probing).
+    Entry("q124_hard_negatives_unbounded", Some(
+      s"""WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings
+         |           WHERE vec_id >= 5 AND vec_id < 17),
+         |c AS (SELECT vec_id, embedding ce FROM embeddings),
+         |scored AS (
+         |  SELECT qid, vec_id,
+         |         ${dotSql("qe", "ce")} /
+         |         sqrt(${dotSql("qe", "qe")} * ${dotSql("ce", "ce")}) AS score
+         |  FROM q CROSS JOIN c WHERE vec_id != qid),
+         |banded AS (SELECT * FROM scored WHERE score >= 0.15 AND score < 0.30)
+         |SELECT qid, vec_id, score, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn
+         |      FROM banded) t
+         |WHERE rn <= 8 ORDER BY qid, rn""".stripMargin)) { (s, d) =>
+      val e = table(s, d, "embeddings")
+      val centroids = e.where(col("vec_id") < 3).orderBy(col("vec_id"))
+        .select(embD(col("embedding"))).collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+      graft.operators.HardNegatives.mineUnbounded(
+        e.where(col("vec_id") >= 5 && col("vec_id") < 17)
+          .select(col("vec_id").as("qid"), embD(col("embedding")).as("qe")),
+        e.select(col("vec_id"), embD(col("embedding")).as("ce")),
+        k = 8, lo = 0.15, hi = 0.30,
+        centroids = centroids, nprobe = centroids.size)
+        .orderBy(col("qid"), col("rn"))
     }
   )
 
