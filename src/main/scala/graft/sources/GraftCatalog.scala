@@ -144,9 +144,37 @@ class GraftCatalog extends TableCatalog {
     load(ident, Some(txn))
   }
 
+  /** The commit-history METADATA TABLE of `<table>` — reachable as
+    * `<cat>.<table>.history` (Iceberg-style; only when no real table
+    * shadows the name) or `` <cat>.`<table>$history` ``. One row per
+    * committed segment: (txn_id, seg_num, path, commit_ts) — the SQL face
+    * of [[MatDb.history]], built from the read-only listing (no recovery
+    * sweep) and served as a driver-side LocalScan (history is metadata,
+    * O(#segments)). `VERSION AS OF n` on the history table shows the
+    * history as it stood at txn n. */
+  private def historyTableFor(ident: Identifier, asOf: Option[Long]): Option[Table] = {
+    val baseIdent: Option[Identifier] =
+      if (ident.name() == "history" && ident.namespace().nonEmpty)
+        Some(Identifier.of(ident.namespace().init, ident.namespace().last))
+      else if (ident.name().endsWith("$history"))
+        Some(Identifier.of(ident.namespace(), ident.name().stripSuffix("$history")))
+      else None
+    baseIdent.filter(b => MatDb.exists(tableDir(b).toString)).map { b =>
+      val dir = tableDir(b)
+      val proto = Storage.detect(dir)
+      val segs = proto.listCommitted(dir)
+        .filter(s => asOf.forall(s.txnId <= _)).sorted
+      val ts = Storage.commitTimestamps(dir, proto, segs).toMap
+      new GraftHistoryTable(s"$catalogName.${b.toString}.history",
+        segs.map(s => (s.txnId, s.segNum, proto.readPath(dir, s).toString,
+          ts(s.txnId))))
+    }
+  }
+
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
     val dir = tableDir(ident)
-    if (!MatDb.exists(dir.toString)) throw new NoSuchTableException(ident)
+    if (!MatDb.exists(dir.toString))
+      return historyTableFor(ident, asOf).getOrElse(throw new NoSuchTableException(ident))
     val schema = Storage.readSchema(dir)
     // read-only listing: no recovery sweep (MatDb.open would delete another
     // writer's in-flight .tmp segments — a catalog read must not mutate)
@@ -456,6 +484,43 @@ final class GraftV2Table(tableName: String, val matSchema: MatSchema,
       FileStatusCache.getOrCreate(spark), Some(partitionSpec(spark)), None)
     ParquetScanBuilder(spark, index, StructType(dataSchema ++ partSchema), dataSchema, options)
   }
+}
+
+/** Driver-side commit-history metadata table (see
+  * [[GraftCatalog.historyTableFor]]): rows are already resolved at load
+  * time; the scan is a [[org.apache.spark.sql.connector.read.LocalScan]]
+  * Spark plans as a local table scan — no jobs, no files. */
+final class GraftHistoryTable(tableName: String,
+    rows: Seq[(Long, Int, String, Long)]) extends Table with SupportsRead {
+
+  private val historySchema = StructType(Seq(
+    StructField("txn_id", LongType, nullable = false),
+    StructField("seg_num", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("path", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("commit_ts", org.apache.spark.sql.types.TimestampType, nullable = false)))
+
+  override def name(): String = tableName
+  override def schema(): StructType = historySchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Collections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = historySchema
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            rowsArray
+        }
+    }
+
+  private lazy val rowsArray: Array[org.apache.spark.sql.catalyst.InternalRow] =
+    rows.map { case (txn, seg, path, tsMillis) =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        txn, seg,
+        org.apache.spark.unsafe.types.UTF8String.fromString(path),
+        tsMillis * 1000L) // TimestampType is epoch micros
+    }.toArray
 }
 
 private final case class GraftMetaCol(colName: String, colType: DataType)

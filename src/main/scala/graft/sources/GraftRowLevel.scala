@@ -161,7 +161,9 @@ final class GraftDeltaBatchWrite(dir: String, matSchema: MatSchema, info: Logica
     val (segId, segPath) = claimed.getOrElse(
       throw new IllegalStateException("delta commit without a claimed segment"))
     val hPath = new Path(segPath.toString)
-    val fs = hPath.getFileSystem(new Configuration())
+    // the session's hadoop conf, not a bare default — the claimed segment
+    // may live on any Hadoop-compatible store the session is configured for
+    val fs = hPath.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
     var rows = 0L
     messages.foreach {
       case GraftDeltaCommitMessage(renames, n) =>

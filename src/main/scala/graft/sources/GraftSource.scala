@@ -14,6 +14,10 @@ import graft.core.{MatDb, Scan}
   *   - `path` — table directory
   *   - `asOf` — optional transaction id for time travel (snapshot isolation
   *     of the reference, database.rs:68-72, exposed VERSION-AS-OF style)
+  *   - `timestampAsOf` — optional epoch-millis point-in-time read, resolved
+  *     to the newest commit at-or-before it ([[MatDb.resolveTimestamp]] —
+  *     the catalog's TIMESTAMP AS OF for the path-based source); mutually
+  *     exclusive with `asOf`
   *
   * Write modes: Append = one atomic graft transaction; Overwrite = an atomic
   * replace commit ([[MatDb.overwrite]] — keys absent from the new data are
@@ -63,7 +67,13 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val db = MatDb.open(sqlContext.sparkSession, pathOf(parameters))
+    require(!(parameters.contains("asOf") && parameters.contains("timestampAsOf")),
+      "graft read options asOf and timestampAsOf are mutually exclusive")
+    // timestampAsOf: epoch millis, resolved against the per-commit
+    // wall-clock stamps exactly like the catalog's TIMESTAMP AS OF
     val asOf = parameters.get("asOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf")
+        .map(t => db.resolveTimestamp(t.toLong).getOrElse(0L)))
     new GraftRelation(sqlContext, db, asOf)
   }
 

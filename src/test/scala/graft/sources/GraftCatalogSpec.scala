@@ -121,6 +121,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("history metadata table: SQL face of MatDb.history, version-filtered, no shadowing") {
+    val db = mkTable("ht") // txns 1..3
+    // Iceberg-style spelling
+    val h = spark.sql("SELECT txn_id, seg_num, path, commit_ts FROM gcat.ht.history ORDER BY txn_id, seg_num")
+      .collect()
+    assert(h.map(_.getLong(0)).distinct.toSeq === Seq(1L, 2L, 3L))
+    assert(h.forall(_.getString(2).nonEmpty))
+    val ts = h.map(r => r.getLong(0) -> r.getTimestamp(3).getTime).toMap
+    assert(ts(1L) <= ts(2L) && ts(2L) <= ts(3L), "commit stamps must be monotone")
+    assert(ts === db.history().collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(3).getTime).toMap)
+    // dollar spelling, and VERSION AS OF shows history as of that txn
+    assert(spark.sql("SELECT count(*) FROM gcat.`ht$history`").head().getLong(0) === h.length.toLong)
+    val asOf2 = spark.sql("SELECT DISTINCT txn_id FROM gcat.ht.history VERSION AS OF 2")
+      .collect().map(_.getLong(0)).sorted
+    assert(asOf2.toSeq === Seq(1L, 2L))
+    // a REAL table named history under a namespace dir shadows the metadata
+    val miss = intercept[Exception](spark.sql("SELECT * FROM gcat.nosuch.history").collect())
+    assert(miss.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("format(\"graft\") timestampAsOf reads the same snapshot as the catalog's TIMESTAMP AS OF") {
+    val db = mkTable("tsrd")
+    val ts2 = db.history().where("txn_id = 2").head().getTimestamp(3).getTime
+    val viaOption = spark.read.format("graft").option("timestampAsOf", ts2.toString)
+      .load(root.resolve("tsrd").toString)
+    assert(viaOption.collect().toSet === db.asOfTimestamp(ts2).collect().toSet)
+    intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("asOf", "1").option("timestampAsOf", ts2.toString)
+      .load(root.resolve("tsrd").toString).collect())
+  }
+
   test("SQL INSERT INTO commits one transaction; upserts resolve; time travel sees each") {
     val db = mkTable("ins") // txns 1..3 via the Scala API
     // txn 4 via SQL: overwrite keys 0..4, add keys 200..204
