@@ -723,6 +723,45 @@ object CoreOps {
       s.sql("SELECT user_id, v, n FROM g120.td ORDER BY user_id")
     },
 
+    // ---- MERGE WITH SCHEMA EVOLUTION (round 10) -------------------------
+    // The source carries a column the target lacks; the evolution clause
+    // turns it into a metadata-only ADD COLUMNS (same tombstone-guarded
+    // ALTER path as q109/q111) and the merge lands values for its rows
+    // while every pre-evolution row reads null. The oracle replays the
+    // widened state relationally.
+    Entry("q125_merge_evolution", Some(
+      """WITH seed AS (SELECT user_id, arg_max(value, event_id) AS v
+        |              FROM events GROUP BY user_id),
+        |src AS (SELECT user_id, min(value) AS nv, count(*) AS n
+        |        FROM events WHERE user_id < 60 GROUP BY user_id),
+        |fin AS (SELECT t.user_id,
+        |               CASE WHEN s.user_id IS NOT NULL THEN s.nv ELSE t.v END AS v,
+        |               s.n AS n
+        |        FROM seed t LEFT JOIN src s USING (user_id))
+        |SELECT user_id, v, n FROM fin ORDER BY user_id""".stripMargin)) { (s, d) =>
+      val root = Q.fixture("q125-evo")
+      val tableDir = root.resolve("td")
+      graft.core.Storage.deleteRecursively(tableDir)
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g125").isEmpty) {
+        s.conf.set("spark.sql.catalog.g125", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g125.root", root.toString)
+      }
+      s.sql("CREATE TABLE g125.td (user_id BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:1000')")
+      table(s, d, "events").createOrReplaceTempView("events")
+      s.sql("""INSERT INTO g125.td
+              |SELECT user_id, max_by(value, event_id)
+              |FROM events GROUP BY user_id""".stripMargin)
+      s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO g125.td t
+          |USING (SELECT user_id, min(value) AS nv, count(*) AS n FROM events
+          |       WHERE user_id < 60 GROUP BY user_id) s
+          |ON t.user_id = s.user_id
+          |WHEN MATCHED THEN UPDATE SET v = s.nv, n = s.n""".stripMargin)
+      s.sql("SELECT user_id, v, n FROM g125.td ORDER BY user_id")
+    },
+
     // ---- TIMESTAMP AS OF time travel (round 10) -------------------------
     // Commit wall-clock stamps (_commit_ts, monotone by txn order) make
     // point-in-time reads first-class: the gate reads the SAME mid-history

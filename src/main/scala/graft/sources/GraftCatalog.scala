@@ -382,7 +382,13 @@ final class GraftV2Table(tableName: String, val matSchema: MatSchema,
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability]()
     caps.add(TableCapability.BATCH_READ)
-    if (writeDir.isDefined) caps.add(TableCapability.V1_BATCH_WRITE)
+    if (writeDir.isDefined) {
+      caps.add(TableCapability.V1_BATCH_WRITE)
+      // MERGE WITH SCHEMA EVOLUTION: Spark turns the source's extra
+      // columns into ADD COLUMNS TableChanges through alterTable — exactly
+      // the metadata-only nullable-value evolution this format supports
+      caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+    }
     Collections.unmodifiableSet(caps)
   }
 

@@ -91,6 +91,32 @@ class GraftRowLevelSpec extends AnyFunSuite {
       (0L, 0L, "r0"), (1L, 10L, "r1"), (2L, -2L, "x"), (3L, -3L, "x"), (4L, -4L, "x")))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns; plain MERGE does not") {
+    fresh("e1", 4)
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO grl.e1
+        |USING (SELECT id AS k, -id AS v, 'm' AS w,
+        |              CAST(id * 1.5 AS DOUBLE) AS extra FROM range(2, 6)) s
+        |ON grl.e1.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql("SELECT k, v, w, extra FROM grl.e1 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      (0L, 0L, "r0", null), (1L, 10L, "r1", null), // pre-evolution rows read null
+      (2L, -2L, "m", 3.0), (3L, -3L, "m", 4.5),
+      (4L, -4L, "m", 6.0), (5L, -5L, "m", 7.5)))
+    // WITHOUT the clause, an extra source column does not widen the table
+    fresh("e2", 3)
+    spark.sql(
+      """MERGE INTO grl.e2
+        |USING (SELECT id AS k, -id AS v, 'm' AS w, id AS sneaky FROM range(0, 3)) s
+        |ON grl.e2.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(spark.sql("SELECT * FROM grl.e2").columns.toSeq === Seq("k", "v", "w"))
+  }
+
   test("SQL cardinality check: a target row matching two source rows errors") {
     fresh("c1", 3)
     val err = intercept[Exception](spark.sql(
