@@ -33,6 +33,12 @@ import graft.core.{SegmentId, Storage}
   *   - Txn-aligned: option `maxTxnsPerBatch` (via admission control) bounds
   *     how many transactions one micro-batch covers; `1` = the reference's
   *     atomic-visibility unit becomes the micro-batch unit.
+  *   - Starting point: options `startingTxn` (txn id to start strictly
+  *     after, or `"latest"` to tail only new commits) and
+  *     `startingTimestamp` (epoch millis; include commits stamped
+  *     at-or-after) position a FRESH stream — the Delta
+  *     startingVersion/startingTimestamp idiom; checkpointed streams
+  *     resume from their own offsets.
   *   - Read-only: segment discovery uses [[graft.core.Protocol.listCommitted]]
   *     — never the recovery sweep, which would delete a live writer's
   *     in-flight segments.
@@ -91,10 +97,16 @@ final class GraftStreamTable(path: String, tableSchema: StructType)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          require(!(options.containsKey("startingTxn") &&
+              options.containsKey("startingTimestamp")),
+            "graft-stream options startingTxn and startingTimestamp are mutually exclusive")
           new GraftMicroBatchStream(path, tableSchema,
             Option(options.get("maxTxnsPerBatch")).map(_.toLong),
-            Option(options.get("maxBytesPerBatch")).map(_.toLong))
+            Option(options.get("maxBytesPerBatch")).map(_.toLong),
+            Option(options.get("startingTxn")),
+            Option(options.get("startingTimestamp")).map(_.toLong))
+        }
       }
     }
 }
@@ -108,7 +120,10 @@ final class GraftMicroBatchStream(
     path: String,
     schema: StructType,
     maxTxnsPerBatch: Option[Long],
-    maxBytesPerBatch: Option[Long]) extends MicroBatchStream with SupportsAdmissionControl {
+    maxBytesPerBatch: Option[Long],
+    startingTxn: Option[String] = None,
+    startingTimestamp: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val root: JPath = Storage.rootPath(path)
   private def protocol = Storage.detect(root)
@@ -116,7 +131,25 @@ final class GraftMicroBatchStream(
   private def latestTxn(): Long =
     (protocol.listCommitted(root).map(_.txnId) :+ 0L).max
 
-  override def initialOffset(): Offset = TxnOffset(0L)
+  /** Where a FRESH stream starts (a checkpointed stream resumes from its
+    * own offsets and never consults this): by default all history
+    * (txn 0 = everything); `startingTxn` = a txn id to start strictly
+    * AFTER, or `"latest"` to tail only new commits — at 100 TB "re-read
+    * the whole table through the row-at-a-time stream reader" is almost
+    * never what a new consumer wants; `startingTimestamp` (epoch millis)
+    * = include every commit whose wall-clock stamp is at-or-after it. */
+  override def initialOffset(): Offset = TxnOffset {
+    startingTxn match {
+      case Some("latest") => latestTxn()
+      case Some(n) => n.toLong
+      case None => startingTimestamp match {
+        case None => 0L
+        case Some(t) =>
+          (Storage.commitTimestamps(root, protocol, protocol.listCommitted(root))
+            .filter(_._2 < t).map(_._1) :+ 0L).max
+      }
+    }
+  }
 
   override def latestOffset(): Offset = TxnOffset(latestTxn())
 

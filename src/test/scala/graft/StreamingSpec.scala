@@ -182,6 +182,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.map(_._3).distinct.sorted.size === 3)
   }
 
+  test("graft-stream starting point: startingTxn, latest, and startingTimestamp") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-stream-start").toString
+    val schema = MatSchema(Seq(Dimension("k", 10)), Seq(ValueCol("v")))
+    val db = MatDb.create(spark, schema, path)
+    def write(rows: (Long, Long)*): Unit = {
+      val t = db.newTransaction(); t.addRows(rows.toSeq.toDF("k", "v")); t.commit()
+    }
+    write((1L, 10L)); Thread.sleep(10) // txn 1
+    write((2L, 20L)); Thread.sleep(10) // txn 2
+    write((3L, 30L))                   // txn 3
+    def collectFrom(opts: (String, String)*): Set[Long] = {
+      val ckpt = Files.createTempDirectory("graft-stream-start-ckpt").toString
+      val seen = scala.collection.concurrent.TrieMap[Long, Boolean]()
+      val reader = opts.foldLeft(spark.readStream.format("graft-stream")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val q = reader.load(path).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("_txn_id").collect().foreach(r => seen(r.getLong(0)) = true)
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+      seen.keySet.toSet
+    }
+    assert(collectFrom() === Set(1L, 2L, 3L), "default = all history")
+    assert(collectFrom("startingTxn" -> "1") === Set(2L, 3L),
+      "startingTxn starts strictly after the given txn")
+    assert(collectFrom("startingTxn" -> "latest") === Set.empty,
+      "latest tails only commits after stream start")
+    val ts2 = db.history().where("txn_id = 2").head().getTimestamp(3).getTime
+    if (db.history().where("txn_id = 1").head().getTimestamp(3).getTime < ts2)
+      assert(collectFrom("startingTimestamp" -> ts2.toString) === Set(2L, 3L),
+        "startingTimestamp includes commits stamped at-or-after it")
+    intercept[Exception](collectFrom(
+      "startingTxn" -> "1", "startingTimestamp" -> ts2.toString))
+  }
+
   test("graft-stream byte-based admission control keeps whole txns per batch") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-stream-bytes").toString
