@@ -379,6 +379,18 @@ final class GraftV2Table(tableName: String, val matSchema: MatSchema,
 
   override def schema(): StructType = matSchema.toStructType
 
+  /** Surfaced by `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`: the
+    * CREATE-time contract (dims + protocol) a user needs to re-create or
+    * reason about the table. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put(GraftCatalog.DimsProp,
+      matSchema.dimensions.map(d => s"${d.name}:${d.chunkSize}").mkString(","))
+    writeDir.foreach(d => m.put(GraftCatalog.ProtocolProp,
+      Storage.detect(Storage.rootPath(d)).name))
+    Collections.unmodifiableMap(m)
+  }
+
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability]()
     caps.add(TableCapability.BATCH_READ)

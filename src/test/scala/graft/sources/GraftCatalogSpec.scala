@@ -121,6 +121,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("DESCRIBE surfaces the dims/protocol contract as table properties") {
+    mkTable("props")
+    val show = spark.sql("SHOW TBLPROPERTIES gcat.props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(show.get("graft.dims").contains("t:50,sensor:10"))
+    assert(show.get("graft.protocol").contains("rename")) // mkTable default
+  }
+
   test("history metadata table: SQL face of MatDb.history, version-filtered, no shadowing") {
     val db = mkTable("ht") // txns 1..3
     // Iceberg-style spelling
