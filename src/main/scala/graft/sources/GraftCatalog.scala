@@ -87,7 +87,8 @@ import graft.core.{MatDb, MatSchema, Scan, Storage}
   * OF` resolves against per-commit wall-clock stamps
   * ([[graft.core.Storage.commitTimestamps]], round 10).
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
   private var catalogName: String = _
   private var root: java.nio.file.Path = _
 
@@ -114,6 +115,74 @@ class GraftCatalog extends TableCatalog {
         .map(p => Identifier.of(namespace, p.getFileName.toString))
         .toArray
       finally s.close()
+    }
+  }
+
+  // ---- namespaces = directories under the root --------------------------
+  // A namespace is any directory that is not itself a graft table; tables
+  // nest under it (`tableDir` already resolves multi-part identifiers).
+  // CREATE NAMESPACE = mkdir, DROP = rmdir (cascade deletes tables too),
+  // metadata = the location. The same shape as a path-organized lakehouse.
+
+  private def nsDir(namespace: Array[String]): java.nio.file.Path =
+    namespace.foldLeft(root)(_.resolve(_))
+
+  private def isNamespaceDir(p: java.nio.file.Path): Boolean =
+    java.nio.file.Files.isDirectory(p) && !MatDb.exists(p.toString)
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = nsDir(namespace)
+    if (!isNamespaceDir(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        catalogName +: namespace)
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => isNamespaceDir(p) && !p.getFileName.toString.startsWith("_"))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+    finally s.close()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || isNamespaceDir(nsDir(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        catalogName +: namespace)
+    Collections.singletonMap("location", nsDir(namespace).toString)
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    val dir = nsDir(namespace)
+    if (java.nio.file.Files.exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(
+        catalogName +: namespace)
+    java.nio.file.Files.createDirectories(dir)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces are plain directories; there is nothing to alter")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (namespace.isEmpty || !isNamespaceDir(dir)) false
+    else {
+      if (!cascade) {
+        val s = java.nio.file.Files.list(dir)
+        val empty = try !s.iterator().hasNext finally s.close()
+        require(empty,
+          s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      }
+      Storage.deleteRecursively(dir)
+      true
     }
   }
 

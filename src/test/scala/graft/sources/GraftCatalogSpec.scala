@@ -121,6 +121,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("namespaces are directories: CREATE/SHOW/USE/DROP NAMESPACE round-trip") {
+    root
+    spark.sql("CREATE NAMESPACE gcat.teamx")
+    val ns = spark.sql("SHOW NAMESPACES IN gcat").collect().map(_.getString(0)).toSet
+    assert(ns.contains("teamx"))
+    intercept[Exception](spark.sql("CREATE NAMESPACE gcat.teamx")) // already exists
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.teamx")          // tolerated
+    spark.sql("CREATE TABLE gcat.teamx.t1 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 'k:100')")
+    spark.sql("INSERT INTO gcat.teamx.t1 VALUES (1, 10)")
+    assert(spark.sql("SELECT v FROM gcat.teamx.t1").head().getLong(0) === 10L)
+    val tbls = spark.sql("SHOW TABLES IN gcat.teamx").collect().map(_.getString(1)).toSet
+    assert(tbls === Set("t1"))
+    // a table is NOT a namespace; a non-empty namespace refuses non-cascade drop
+    assert(!spark.sql("SHOW NAMESPACES IN gcat").collect()
+      .map(_.getString(0)).contains("teamx.t1"))
+    intercept[Exception](spark.sql("DROP NAMESPACE gcat.teamx"))
+    spark.sql("DROP NAMESPACE gcat.teamx CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN gcat").collect()
+      .map(_.getString(0)).toSet.contains("teamx"))
+  }
+
   test("DESCRIBE surfaces the dims/protocol contract as table properties") {
     mkTable("props")
     val show = spark.sql("SHOW TBLPROPERTIES gcat.props").collect()
