@@ -243,6 +243,29 @@ object Storage {
       decode(p.getFileName.toString).map { case (id, tmp) => (p, id, tmp) }
     }
 
+  // ---- GC grace for possibly-live claims ---------------------------------
+  //
+  // A segment directory that was NEVER referenced by any manifest is either
+  // a crashed writer's orphan or a LIVE concurrent writer's in-flight claim
+  // (GraftInsert / the delta write / a mid-flush transaction of another
+  // process) — indistinguishable by name. GC paths therefore give such
+  // directories a grace window (mtime within `graft.recovery.grace.ms`,
+  // default 15 min — same shape as every table format's retention guard
+  // against vacuuming a live writer) before sweeping. Directories that WERE
+  // referenced by some manifest version are provably superseded commits,
+  // never claims, and sweep immediately. Visibility is unaffected either
+  // way (it comes from the manifest / the segment-0 rule, never the sweep),
+  // and a skipped orphan still burns its txn id. Single-writer tooling
+  // (crash harnesses, offline GC) can set the property to 0 for the
+  // sweep-everything behavior.
+  private[core] def recoveryGraceMs: Long =
+    sys.props.get("graft.recovery.grace.ms").map(_.toLong).getOrElse(15L * 60L * 1000L)
+
+  private def withinGrace(p: Path): Boolean =
+    try System.currentTimeMillis() -
+      Files.getLastModifiedTime(p).toMillis < recoveryGraceMs
+    catch { case _: java.io.IOException => true } // unreadable: assume live
+
   def segmentPath(root: Path, id: SegmentId, tmp: Boolean): Path =
     root.resolve(segmentDirName(id, tmp))
 
@@ -301,7 +324,11 @@ object Storage {
       * lands last, so its absence proves the commit never completed). */
     def recover(root: Path): (Seq[SegmentId], Long) = {
       val entries = listEntries(root)
-      entries.filter(_._3).foreach(e => deleteRecursively(e._1))
+      // .tmp flushes and seg-0-less partials may belong to a LIVE writer
+      // mid-commit — grace-guard their deletion (visibility is unaffected:
+      // both are excluded from the committed set below regardless)
+      entries.filter(_._3).filterNot(e => withinGrace(e._1))
+        .foreach(e => deleteRecursively(e._1))
       val committed = entries.filterNot(_._3).map(_._2)
       val complete = committed.groupBy(_.txnId).filter(_._2.exists(_.segNum == 0))
       // crashed and incomplete txns still burn their id (count .tmp too)
@@ -388,8 +415,14 @@ object Storage {
       val committed = latestManifest(root).map(readManifest).getOrElse(Seq.empty)
       val onDisk = listEntries(root)
       val live = committed.toSet
+      val refEver = everReferenced(root)
       val maxTxn = ((onDisk.map(_._2.txnId) ++ committed.map(_.txnId)) :+ 0L).max
-      onDisk.filterNot(e => live.contains(e._2)).foreach(e => deleteRecursively(e._1))
+      // superseded commits (referenced by SOME manifest version) sweep
+      // immediately; never-referenced dirs may be a live writer's claim —
+      // grace-guarded (see Storage.recoveryGraceMs)
+      onDisk.filterNot(e => live.contains(e._2))
+        .filter(e => refEver.contains(e._2) || !withinGrace(e._1))
+        .foreach(e => deleteRecursively(e._1))
       (committed.sorted, maxTxn + 1)
     }
 
@@ -401,10 +434,19 @@ object Storage {
 
     override def sweepUnreferenced(root: Path, keep: Seq[SegmentId]): Int = {
       val keepSet = keep.toSet
+      val refEver = everReferenced(root)
       val stale = listEntries(root).filter(e => !e._3 && !keepSet.contains(e._2))
+        .filter(e => refEver.contains(e._2) || !withinGrace(e._1))
       stale.foreach(e => deleteRecursively(e._1))
       stale.size
     }
+
+    /** Every segment id any manifest version has EVER referenced — the
+      * provably-not-a-live-claim set (O(manifest versions), metadata). */
+    private def everReferenced(root: Path): Set[SegmentId] =
+      listDir(logDir(root))
+        .filter(p => ManifestName.matches(p.getFileName.toString))
+        .flatMap(readManifest).toSet
 
     private def latestManifest(root: Path): Option[Path] =
       listDir(logDir(root))

@@ -364,10 +364,28 @@ class CoreManifestSpec extends CoreProtocolBehaviors("manifest") {
     val orphan = Storage.segmentPath(Storage.rootPath(path), SegmentId(t2.id.get, 0), tmp = false)
     assert(Files.isDirectory(orphan)) // written at its FINAL name already
     assert(db.snapshot().count() === 1) // ...but not visible
-    // reopen: the orphan is swept
+    // reopen: a YOUNG never-referenced dir is indistinguishable from a
+    // LIVE concurrent writer's in-flight claim — recovery leaves it alone
+    // (grace window) but it stays invisible, and its txn id is burned
     val db2 = MatDb.open(spark, path)
     assert(db2.snapshot().count() === 1)
-    assert(!Files.exists(orphan))
+    assert(Files.exists(orphan), "recovery must not sweep a possibly-live claim")
+    val t3 = db2.newTransaction(); t3.addRowsSeq(Seq(Seq(3L, 3L, 3L))); t3.commit()
+    assert(t3.id.get > t2.id.get, "a skipped orphan still burns its txn id")
+    // once the dir AGES past the grace it is provably crashed: swept
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - Storage.recoveryGraceMs - 60000L))
+    val db3 = MatDb.open(spark, path)
+    assert(!Files.exists(orphan), "an aged orphan is a crashed claim — swept")
+    assert(db3.snapshot().count() === 2)
+    // superseded COMMITS (referenced by an older manifest) are never
+    // mistaken for claims: compact + vacuum removes them immediately
+    val preCompact = db3.committedSegments
+      .map(s => Storage.segmentPath(Storage.rootPath(path), s, tmp = false))
+    db3.compact()
+    assert(db3.vacuum() === preCompact.size)
+    assert(preCompact.forall(!Files.exists(_)))
   }
 
   test("optimistic multi-writer: append commits merge, replace and id collisions abort") {

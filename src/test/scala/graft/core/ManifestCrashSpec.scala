@@ -22,8 +22,24 @@ import org.scalatest.funsuite.AnyFunSuite
   * (orphan segments + stray temp manifest), after 3 (committed). Replace
   * commits (compact/overwrite) share the same publish path and kill
   * points. No Spark involved — recovery reads only names and manifests. */
-class ManifestCrashSpec extends AnyFunSuite {
+class ManifestCrashSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   private val proto = Storage.ManifestProtocol
+
+  // this harness models a SINGLE-writer crash/recover cycle, where a full
+  // sweep is correct — disable the multi-writer claim grace so the
+  // "disk == committed" invariant below stays exact (the grace behavior
+  // itself is pinned in CoreSpec's live-claim test)
+  private var savedGrace: Option[String] = None
+  override def beforeAll(): Unit = {
+    savedGrace = sys.props.get("graft.recovery.grace.ms")
+    sys.props("graft.recovery.grace.ms") = "0"
+  }
+  override def afterAll(): Unit =
+    savedGrace match {
+      case Some(v) => sys.props("graft.recovery.grace.ms") = v
+      case None => sys.props -= "graft.recovery.grace.ms"; ()
+    }
 
   private sealed trait Op
   private case class Append(nSegs: Int, kill: Int) extends Op   // kill ∈ 0..3
