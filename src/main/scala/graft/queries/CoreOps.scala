@@ -762,6 +762,62 @@ object CoreOps {
       s.sql("SELECT user_id, v, n FROM g125.td ORDER BY user_id")
     },
 
+    // ---- SQL CALL maintenance procedures (sources.GraftProcedures) ------
+    // Spark 4 ProcedureCatalog: CALL <cat>.system.checkpoint / vacuum
+    // drive the same fold machinery as q115, from PURE SQL — the last
+    // Scala-only surface (table maintenance) made SQL-first. Four SQL
+    // write txns, CALL checkpoint('td', 2) folds txns 1-2 into a baseline
+    // (the CALL's one-row result is the baseline txn id), CALL vacuum
+    // sweeps exactly the two superseded segment dirs, and the gate then
+    // reads the horizon snapshot and the current snapshot exactly like
+    // q115 — fold + sweep must not change a single value.
+    Entry("q126_sql_call_maintenance", Some(
+      """WITH base AS (SELECT user_id, arg_max(value, event_id) AS v
+        |              FROM events GROUP BY user_id),
+        |h AS (SELECT user_id,
+        |             CASE WHEN user_id < 30 THEN v + 1.0 ELSE v END AS v
+        |      FROM base),
+        |cur AS (SELECT user_id,
+        |               CASE WHEN user_id < 10 THEN CAST(-5.0 AS DOUBLE)
+        |                    WHEN user_id < 30 THEN v + 1.0 ELSE v END AS v
+        |        FROM base WHERE user_id NOT BETWEEN 40 AND 49)
+        |SELECT 'at_horizon' AS gen, user_id, v FROM h
+        |UNION ALL SELECT 'current' AS gen, user_id, v FROM cur
+        |ORDER BY gen, user_id""".stripMargin)) { (s, d) =>
+      val root = Q.fixture("q126-call")
+      graft.core.Storage.deleteRecursively(root.resolve("td"))
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g126").isEmpty) {
+        s.conf.set("spark.sql.catalog.g126", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g126.root", root.toString)
+      }
+      s.sql("CREATE TABLE g126.td (user_id BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:1000')")
+      table(s, d, "events").createOrReplaceTempView("events")
+      s.sql("""INSERT INTO g126.td
+              |SELECT user_id, max_by(value, event_id)
+              |FROM events GROUP BY user_id""".stripMargin)
+      s.sql("""INSERT INTO g126.td
+              |SELECT user_id, max_by(value, event_id) + 1.0
+              |FROM events WHERE user_id < 30 GROUP BY user_id""".stripMargin)
+      s.sql("DELETE FROM g126.td WHERE user_id BETWEEN 40 AND 49")
+      s.sql("""INSERT INTO g126.td
+              |SELECT DISTINCT user_id, CAST(-5.0 AS DOUBLE)
+              |FROM events WHERE user_id < 10""".stripMargin)
+      require(s.sql("CALL g126.system.checkpoint('td', 2)").head().getLong(0) == 2L,
+        "checkpoint must fold txns 1-2 and report the horizon id")
+      require(s.sql("CALL g126.system.vacuum('td')").head().getInt(0) == 2,
+        "vacuum must sweep exactly the two superseded segment dirs")
+      require(s.sql("CALL g126.system.vacuum('td')").head().getInt(0) == 0,
+        "a second vacuum has nothing left to sweep")
+      s.sql(
+        """SELECT gen, user_id, v FROM (
+          |  SELECT 'at_horizon' AS gen, user_id, v FROM g126.td VERSION AS OF 2
+          |  UNION ALL
+          |  SELECT 'current' AS gen, user_id, v FROM g126.td)
+          |ORDER BY gen, user_id""".stripMargin)
+    },
+
     // ---- TIMESTAMP AS OF time travel (round 10) -------------------------
     // Commit wall-clock stamps (_commit_ts, monotone by txn order) make
     // point-in-time reads first-class: the gate reads the SAME mid-history

@@ -88,7 +88,8 @@ import graft.core.{MatDb, MatSchema, Scan, Storage}
   * ([[graft.core.Storage.commitTimestamps]], round 10).
   */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var root: java.nio.file.Path = _
 
@@ -185,6 +186,26 @@ class GraftCatalog extends TableCatalog
       true
     }
   }
+
+  // ---- SQL CALL maintenance procedures ([[GraftProcedures]]) ------------
+  // `CALL <cat>.system.checkpoint/checkpoint_if_needed/compact/vacuum` —
+  // the table-maintenance counterparts of the DML surface, driving the
+  // same MatDb machinery the Scala API exposes.
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(GraftProcedures.Namespace))
+      throw new UnsupportedOperationException(
+        s"no such procedure ${ident.namespace().mkString(".")}.${ident.name()}: " +
+          s"graft procedures live in the 'system' namespace " +
+          s"(CALL $catalogName.system.<proc>(...))")
+    GraftProcedures.load(catalogName, root, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.names.map(n => Identifier.of(GraftProcedures.Namespace, n)).toArray
+    else Array.empty
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
 

@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.core.MatDb
+
+/** Maintenance as SQL: `CALL <cat>.system.<proc>(...)` stored procedures
+  * for the graft catalog (Spark 4's `ProcedureCatalog` — the same surface
+  * shape Iceberg exposes its table maintenance through). Until now
+  * checkpoint/compact/vacuum were Scala-API-only ([[graft.core.MatDb]]),
+  * which left a SQL-first user able to write (INSERT/UPDATE/MERGE/DELETE,
+  * round 8-10) but not to MAINTAIN a long-lived table. Each procedure is
+  * one driver-side call into the existing commit-protocol machinery — no
+  * new semantics here, and the concurrency story (conflict-checked
+  * replace, GC grace window) is exactly the API's.
+  *
+  * Procedures (namespace `system`):
+  *  - `checkpoint(table, horizon)` → `baseline_txn` — fold txns <= horizon
+  *    into one baseline, retaining newer time travel (MatDb.checkpoint).
+  *  - `checkpoint_if_needed(table, max_segments, retain_txns)` →
+  *    `baseline_txn` (null when below threshold) — the policy form.
+  *  - `compact(table)` → `txn_id` — full flatten (MatDb.compact).
+  *  - `vacuum(table)` → `removed` — sweep unreferenced segment dirs.
+  *
+  * `table` is the identifier under the catalog root, dotted for
+  * namespaces (`'ns.tbl'`). Spark supplies named-argument rearrangement,
+  * coercion and DEFAULT filling; results surface as one-row relations via
+  * [[org.apache.spark.sql.connector.read.LocalScan]] (driver-side, no
+  * jobs — the same shape as the `.history` metadata table). */
+object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  /** Declared procedure names, for `listProcedures` / error messages. */
+  val names: Seq[String] =
+    Seq("checkpoint", "checkpoint_if_needed", "compact", "vacuum")
+
+  def load(catalogName: String, root: java.nio.file.Path,
+      name: String): UnboundProcedure = {
+    def tableDir(row: InternalRow): java.nio.file.Path = {
+      val table = row.getUTF8String(0).toString
+      val dir = table.split('.').foldLeft(root)(_.resolve(_))
+      if (!MatDb.exists(dir.toString))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          Identifier.of(Array.empty, table))
+      dir
+    }
+    def db(row: InternalRow): MatDb =
+      MatDb.open(SparkSession.active, tableDir(row).toString)
+    name match {
+      case "checkpoint" => proc("checkpoint",
+        "fold transactions <= horizon into one baseline segment set; " +
+          "time travel above the horizon is preserved",
+        params = Seq(in("table", StringType), in("horizon", LongType)),
+        out = StructType(Seq(StructField("baseline_txn", LongType, nullable = false)))) {
+        row => new GenericInternalRow(Array[Any](db(row).checkpoint(row.getLong(1))))
+      }
+      case "checkpoint_if_needed" => proc("checkpoint_if_needed",
+        "checkpoint once the table exceeds max_segments committed segment " +
+          "sets, keeping the newest retain_txns transactions time-travelable; " +
+          "no-op (null) below the threshold",
+        params = Seq(in("table", StringType),
+          in("max_segments", IntegerType, default = Some("8")),
+          in("retain_txns", IntegerType, default = Some("4"))),
+        out = StructType(Seq(StructField("baseline_txn", LongType, nullable = true)))) {
+        row => new GenericInternalRow(Array[Any](
+          db(row).checkpointIfNeeded(row.getInt(1), row.getInt(2)).orNull))
+      }
+      case "compact" => proc("compact",
+        "rewrite the resolved snapshot as one transaction replacing all " +
+          "history (time travel is gone afterwards)",
+        params = Seq(in("table", StringType)),
+        out = StructType(Seq(StructField("txn_id", LongType, nullable = false)))) {
+        row => new GenericInternalRow(Array[Any](db(row).compact()))
+      }
+      case "vacuum" => proc("vacuum",
+        "physically delete segment directories no longer referenced by the " +
+          "manifest (superseded by checkpoint/compact, or crashed writers " +
+          "past the GC grace window)",
+        params = Seq(in("table", StringType)),
+        out = StructType(Seq(StructField("removed", IntegerType, nullable = false)))) {
+        // Storage-level sweep off the committed LISTING, not MatDb.open:
+        // open's recovery would itself sweep superseded dirs first and the
+        // procedure would always report 0 — and a SQL-driven vacuum should
+        // not run recovery side effects on a table other processes may
+        // hold open. The GC grace window still protects live claims.
+        row =>
+          val dir = tableDir(row)
+          val proto = graft.core.Storage.detect(dir)
+          new GenericInternalRow(Array[Any](
+            proto.sweepUnreferenced(dir, proto.listCommitted(dir))))
+      }
+      case other =>
+        throw new UnsupportedOperationException(
+          s"no such procedure $catalogName.system.$other " +
+            s"(available: ${names.mkString(", ")})")
+    }
+  }
+
+  private def in(name: String, dt: DataType,
+      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  /** One-row driver-side result procedure: bind is identity (Spark's own
+    * analyzer rules rearrange named args against `parameters` and coerce
+    * to the declared types before `call` sees the row). */
+  private def proc(procName: String, desc: String,
+      params: Seq[ProcedureParameter], out: StructType)(
+      run: InternalRow => InternalRow): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = params.toArray
+      override def isDeterministic: Boolean = false // side-effecting
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val resultRow = run(input)
+        val scan: Scan = new LocalScan {
+          override def readSchema(): StructType = out
+          override def rows(): Array[InternalRow] = Array(resultRow)
+          override def description(): String = s"graft procedure $procName"
+        }
+        java.util.Collections.singletonList(scan).iterator()
+      }
+    }
+}

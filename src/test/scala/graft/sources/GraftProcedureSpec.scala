@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Dimension, MatDb, MatSchema, TestSpark, ValueCol}
+
+/** SQL `CALL` maintenance procedures ([[GraftProcedures]]): checkpoint /
+  * checkpoint_if_needed / compact / vacuum drive the existing MatDb
+  * machinery from pure SQL, with named arguments, DEFAULT parameters and
+  * one-row LocalScan results. */
+class GraftProcedureSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = MatSchema(
+    Seq(Dimension("k", 100)), Seq(ValueCol("v")))
+
+  private lazy val root = {
+    val dir = Files.createTempDirectory("graft-proc-spec")
+    spark.conf.set("spark.sql.catalog.gproc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gproc.root", dir.toString)
+    dir
+  }
+
+  /** Four txns: base 0..199=1, then 0..49=2, then 100..119=3, then 10..19=4. */
+  private def mkTable(name: String): MatDb = {
+    import org.apache.spark.sql.functions._
+    val db = MatDb.create(spark, schema, root.resolve(name).toString, "manifest")
+    Seq((0L, 200L, 1L), (0L, 50L, 2L), (100L, 120L, 3L), (10L, 20L, 4L)).foreach {
+      case (lo, hi, v) =>
+        val txn = db.newTransaction()
+        txn.addRows(spark.range(lo, hi).select(col("id").as("k"), lit(v).as("v")))
+        txn.commit()
+    }
+    db
+  }
+
+  private def call(sqlText: String): Row = spark.sql(sqlText).collect().head
+
+  test("CALL checkpoint folds txns <= horizon; data and retained travel unchanged") {
+    mkTable("ck")
+    val before = spark.sql("SELECT k, v FROM gproc.ck ORDER BY k").collect()
+    val asOf3 = spark.sql("SELECT k, v FROM gproc.ck VERSION AS OF 3 ORDER BY k").collect()
+    val out = call("CALL gproc.system.checkpoint('ck', 2)")
+    assert(out === Row(2L))
+    val reopened = MatDb.open(spark, root.resolve("ck").toString)
+    assert(reopened.committedSegments.count(_.txnId <= 2L) === 1,
+      "txns 1 and 2 must fold into one baseline segment set")
+    assert(spark.sql("SELECT k, v FROM gproc.ck ORDER BY k").collect() === before)
+    assert(spark.sql("SELECT k, v FROM gproc.ck VERSION AS OF 3 ORDER BY k").collect()
+      === asOf3, "time travel above the horizon must survive the fold")
+  }
+
+  test("CALL with named arguments (any order) and nothing-to-fold result") {
+    mkTable("ck2")
+    val out = call("CALL gproc.system.checkpoint(horizon => 3, table => 'ck2')")
+    assert(out === Row(3L))
+    // below the already-folded horizon there is nothing left to fold
+    assert(call("CALL gproc.system.checkpoint('ck2', 2)") === Row(-1L))
+  }
+
+  test("CALL checkpoint_if_needed: DEFAULT params no-op below threshold, fold above") {
+    mkTable("ck3")
+    // defaults (max_segments=8, retain_txns=4): 4 segment sets -> no-op
+    assert(call("CALL gproc.system.checkpoint_if_needed('ck3')") === Row(null))
+    val out = call("CALL gproc.system.checkpoint_if_needed('ck3', 2, 1)")
+    assert(out === Row(3L), "fold everything but the newest retained txn")
+    val reopened = MatDb.open(spark, root.resolve("ck3").toString)
+    assert(reopened.committedSegments.count(_.txnId <= 3L) === 1)
+  }
+
+  test("CALL vacuum sweeps superseded dirs once, then reports zero") {
+    mkTable("vc")
+    call("CALL gproc.system.checkpoint('vc', 4)")
+    val removed = call("CALL gproc.system.vacuum('vc')").getInt(0)
+    assert(removed === 4, s"four superseded segment dirs expected, got $removed")
+    assert(call("CALL gproc.system.vacuum('vc')") === Row(0))
+    assert(spark.sql("SELECT count(*) FROM gproc.vc").collect().head.getLong(0) === 200L)
+  }
+
+  test("CALL compact flattens all history") {
+    mkTable("cp")
+    val before = spark.sql("SELECT k, v FROM gproc.cp ORDER BY k").collect()
+    val tid = call("CALL gproc.system.compact('cp')").getLong(0)
+    assert(tid > 0)
+    assert(spark.sql("SELECT k, v FROM gproc.cp ORDER BY k").collect() === before)
+    val reopened = MatDb.open(spark, root.resolve("cp").toString)
+    assert(reopened.committedSegments.map(_.txnId).distinct.size === 1,
+      "one surviving transaction after compact")
+  }
+
+  test("unknown procedure and missing table fail loudly") {
+    root // force catalog registration
+    val e1 = intercept[Exception](spark.sql("CALL gproc.system.frobnicate('x')"))
+    assert(e1.getMessage.contains("frobnicate"))
+    val e2 = intercept[Exception](call("CALL gproc.system.vacuum('no_such_table')"))
+    assert(e2.getMessage.toLowerCase.contains("no_such_table"))
+  }
+
+  test("listProcedures surfaces the system namespace") {
+    root
+    val cat = spark.sessionState.catalogManager.catalog("gproc")
+      .asInstanceOf[GraftCatalog]
+    val listed = cat.listProcedures(GraftProcedures.Namespace).map(_.name()).toSet
+    assert(listed === GraftProcedures.names.toSet)
+  }
+}
