@@ -25,6 +25,7 @@ object Pipeline {
   private val BandSize = 4    // rows per LSH band -> 4 bands
   private val SimBits = 56    // simhash width (fits the 56-bit hash)
   private val KmvK = 128      // KMV sketch size (q113)
+  private val DsirBuckets = 512 // hashed-unigram feature buckets (q127)
 
   /** 56-bit md5-based hash — Spark side. */
   private def h56(c: Column): Column =
@@ -1613,6 +1614,50 @@ object Pipeline {
         k = 8, lo = 0.15, hi = 0.30,
         centroids = centroids, nprobe = centroids.size)
         .orderBy(col("qid"), col("rn"))
+    },
+
+    // ---- DSIR importance selection (operators.Dsir) ---------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023): hashed
+    // unigram bag-of-words models of a TARGET corpus (doc_id % 7 = 0 — the
+    // "curated" slice) and the RAW pool; every raw doc scored by its
+    // log-likelihood ratio sum_b c_b * (log p_t(b) - log p_r(b)); top-200
+    // kept. The log is an EXACT integer fixed-point log2 (shift-and-square,
+    // 16 frac bits, Dsir.withLog2fp) over +1-smoothed counts, so the score
+    // is an int64 computed with integer ops only and the oracle replays it
+    // bit-exactly — the no-libm discipline q105's BM25 established, now
+    // for a genuinely logarithmic statistic. The oracle's `it` CTE is the
+    // same chain as RECURSIVE SQL (a lateral-alias chain would expand
+    // exponentially in the binder).
+    Entry("q127_dsir_selection", Some(
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |             FROM documents),
+         |tb AS (SELECT doc_id, ${h56Sql("w")} % $DsirBuckets AS bucket FROM tok),
+         |tgt AS (SELECT bucket, count(*) AS c FROM tb WHERE doc_id % 7 = 0 GROUP BY bucket),
+         |rw AS (SELECT bucket, count(*) AS c FROM tb WHERE doc_id % 7 <> 0 GROUP BY bucket),
+         |st AS (SELECT bk.bucket, COALESCE(t.c, 0) + 1 AS np, COALESCE(r.c, 0) + 1 AS nq
+         |       FROM (SELECT range AS bucket FROM range($DsirBuckets)) bk
+         |       LEFT JOIN tgt t USING (bucket) LEFT JOIN rw r USING (bucket)),
+         |vals AS (SELECT bucket, 0 AS kind, np AS n FROM st
+         |         UNION ALL SELECT bucket, 1, nq FROM st
+         |         UNION ALL SELECT -1, 2, CAST(sum(np) AS BIGINT) FROM st
+         |         UNION ALL SELECT -1, 3, CAST(sum(nq) AS BIGINT) FROM st),
+         |${graft.operators.Dsir.log2fpSqlCtes("bucket", "kind")},
+         |sc AS (SELECT p.bucket, p.l - dp.l - q.l + dq.l AS score
+         |       FROM (SELECT bucket, l FROM lg WHERE kind = 0) p
+         |       JOIN (SELECT bucket, l FROM lg WHERE kind = 1) q USING (bucket),
+         |       (SELECT l FROM lg WHERE kind = 2) dp,
+         |       (SELECT l FROM lg WHERE kind = 3) dq),
+         |feat AS (SELECT doc_id, bucket, count(*) AS c FROM tb WHERE doc_id % 7 <> 0 GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c * score) AS BIGINT) AS dsir_score
+         |FROM feat JOIN sc USING (bucket)
+         |GROUP BY doc_id ORDER BY dsir_score DESC, doc_id LIMIT 200""".stripMargin)) { (s, d) =>
+      import graft.operators.Dsir
+      val docs = table(s, d, "documents")
+      val target = docs.where(col("doc_id") % 7 === 0)
+      val rawPool = docs.where(col("doc_id") % 7 =!= 0)
+      val sc = Dsir.bucketScores(target, rawPool, "text", DsirBuckets)
+      Dsir.select(Dsir.scoreDocs(rawPool, sc, "doc_id", "text", DsirBuckets),
+        "doc_id", 200)
     }
   )
 
