@@ -116,6 +116,24 @@ final class MatDb private (
 
   def asOf(txnId: Long): DataFrame = snapshot(Some(txnId))
 
+  /** Total on-disk bytes of the segments visible at `asOfTxn` (driver-side
+    * listing, no data IO). [[graft.sources.GraftRelation]] reports this as
+    * `sizeInBytes`, so Catalyst's join planning sees real table sizes —
+    * without it a small graft dimension table inherits
+    * `spark.sql.defaultSizeInBytes` (effectively infinite) and is NEVER
+    * auto-broadcast, forcing a sort-merge shuffle of the big side that AQE
+    * can only partially claw back at runtime. Raw parquet bytes
+    * (compressed, pre-dedup) are the same basis Spark's own file sources
+    * report, and an over-estimate of the post-resolve size — the safe
+    * direction for broadcast decisions. */
+  def visibleBytes(asOfTxn: Option[Long] = None): Long = {
+    val visible = synchronized(committed).filter(s => asOfTxn.forall(s.txnId <= _))
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+      else f.length()
+    segmentReadPaths(visible).map(p => walk(new java.io.File(p))).sum
+  }
+
   /** `TIMESTAMP AS OF`: the snapshot of the newest transaction whose
     * commit wall-clock is <= `tsMillis` (timestamps made monotone by txn
     * order — see [[Storage.commitTimestamps]]). A timestamp before the

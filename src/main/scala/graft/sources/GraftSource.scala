@@ -132,6 +132,11 @@ class GraftRelation(
 
   override def schema: StructType = db.schema.toStructType
 
+  /** Real table size for join planning ([[graft.core.MatDb.visibleBytes]]):
+    * without this override every graft relation reports
+    * `spark.sql.defaultSizeInBytes` and can never be auto-broadcast. */
+  override lazy val sizeInBytes: Long = db.visibleBytes(asOf)
+
   /** Pushable ⇔ every referenced column is a dimension. Dimension values are
     * immutable per key point (they ARE the key), so filtering before version
     * resolution cannot change which version wins; a value predicate applied

@@ -95,4 +95,29 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(!p.contains("v2"), p)
     assert(inner.collect().length === 40)
   }
+
+  test("sizeInBytes reports real on-disk size, so small graft tables auto-broadcast") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("graft-src-stats").toString
+    (0L until 50L).map(k => (k, k, k * 10)).toDF("time", "sensor_id", "value")
+      .write.format("graft").option("dimensions", "time:50,sensor_id:10").save(path)
+
+    val dim = spark.read.format("graft").load(path)
+    val stats = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stats > 0 && stats < 10L * 1024 * 1024,
+      s"a KB-scale graft table must report KB-scale stats, got $stats")
+    assert(stats === BigInt(MatDb.open(spark, path).visibleBytes()))
+
+    // join against a big side WITHOUT a broadcast hint: the STATIC plan
+    // (pre-AQE — what a 100 TB run commits to before any shuffle lands)
+    // must already pick a broadcast join off those statistics
+    val big = spark.range(100000).select(col("id").as("time"),
+      (col("id") * 2).as("payload"))
+    val joined = big.join(dim, "time")
+    val initial = joined.queryExecution.sparkPlan.toString
+    assert(initial.contains("BroadcastHashJoin") && !initial.contains("SortMergeJoin"),
+      s"small graft side must broadcast in the initial plan:\n$initial")
+    assert(joined.count() === 50L)
+  }
 }
