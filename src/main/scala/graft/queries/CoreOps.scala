@@ -818,6 +818,55 @@ object CoreOps {
           |ORDER BY gen, user_id""".stripMargin)
     },
 
+    // ---- SQL TRUNCATE TABLE (MVCC tombstone-all, round 10) --------------
+    // Spark routes TRUNCATE TABLE through SupportsDelete's default
+    // truncateTable() = deleteWhere(no filters), which graft implements as
+    // ONE dim-only tombstone-all transaction — so unlike a replace-style
+    // truncate, time travel to pre-truncate transactions KEEPS WORKING and
+    // txn ids stay monotone (stream offsets never rewind). The gate reads
+    // the pre-truncate state via VERSION AS OF and the post-truncate
+    // reseed; the oracle replays both.
+    Entry("q128_sql_truncate", Some(
+      """WITH base AS (SELECT user_id, arg_max(value, event_id) AS v
+        |              FROM events GROUP BY user_id),
+        |pre AS (SELECT user_id,
+        |              CASE WHEN user_id < 30 THEN v + 1.0 ELSE v END AS v
+        |        FROM base),
+        |post AS (SELECT DISTINCT user_id, CAST(2.5 AS DOUBLE) AS v
+        |         FROM events WHERE user_id < 40)
+        |SELECT 'pre' AS gen, user_id, v FROM pre
+        |UNION ALL SELECT 'post' AS gen, user_id, v FROM post
+        |ORDER BY gen, user_id""".stripMargin)) { (s, d) =>
+      val root = Q.fixture("q128-trunc")
+      graft.core.Storage.deleteRecursively(root.resolve("td"))
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g128").isEmpty) {
+        s.conf.set("spark.sql.catalog.g128", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g128.root", root.toString)
+      }
+      s.sql("CREATE TABLE g128.td (user_id BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:1000')")
+      table(s, d, "events").createOrReplaceTempView("events")
+      s.sql("""INSERT INTO g128.td
+              |SELECT user_id, max_by(value, event_id)
+              |FROM events GROUP BY user_id""".stripMargin)
+      s.sql("""INSERT INTO g128.td
+              |SELECT user_id, max_by(value, event_id) + 1.0
+              |FROM events WHERE user_id < 30 GROUP BY user_id""".stripMargin)
+      s.sql("TRUNCATE TABLE g128.td")
+      require(s.sql("SELECT count(*) FROM g128.td").head().getLong(0) == 0L,
+        "truncate must empty the current snapshot")
+      s.sql("""INSERT INTO g128.td
+              |SELECT DISTINCT user_id, CAST(2.5 AS DOUBLE)
+              |FROM events WHERE user_id < 40""".stripMargin)
+      s.sql(
+        """SELECT gen, user_id, v FROM (
+          |  SELECT 'pre' AS gen, user_id, v FROM g128.td VERSION AS OF 2
+          |  UNION ALL
+          |  SELECT 'post' AS gen, user_id, v FROM g128.td)
+          |ORDER BY gen, user_id""".stripMargin)
+    },
+
     // ---- TIMESTAMP AS OF time travel (round 10) -------------------------
     // Commit wall-clock stamps (_commit_ts, monotone by txn order) make
     // point-in-time reads first-class: the gate reads the SAME mid-history

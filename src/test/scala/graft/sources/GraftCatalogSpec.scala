@@ -512,4 +512,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gcat.emptyins VERSION AS OF 1").count() === 5)
     spark.sql("DROP TABLE gcat.emptyins")
   }
+
+  test("TRUNCATE TABLE is an MVCC tombstone-all: time travel survives, ids stay monotone") {
+    spark.sql("DROP TABLE IF EXISTS gcat.trunc")
+    spark.sql(
+      """CREATE TABLE gcat.trunc (t BIGINT, sensor BIGINT, v BIGINT)
+        |TBLPROPERTIES('graft.dims' = 't:50,sensor:10')""".stripMargin)
+    spark.sql("INSERT INTO gcat.trunc SELECT id, id % 10, id FROM range(0, 20)")      // txn 1
+    spark.sql("INSERT INTO gcat.trunc SELECT id, id % 10, id + 100 FROM range(0, 5)") // txn 2
+    spark.sql("TRUNCATE TABLE gcat.trunc")                                            // txn 3
+    assert(spark.sql("SELECT * FROM gcat.trunc").count() === 0,
+      "current snapshot must be empty after TRUNCATE")
+    // time travel below the truncate keeps working (tombstones, not a replace)
+    assert(spark.sql("SELECT * FROM gcat.trunc VERSION AS OF 2").count() === 20)
+    assert(spark.sql(
+      "SELECT v FROM gcat.trunc VERSION AS OF 2 WHERE t = 0").head().getLong(0) === 100L)
+    // ids stay monotone: the reseed lands ABOVE the truncate txn, so a
+    // stream offset taken before the truncate can never rewind onto it
+    spark.sql("INSERT INTO gcat.trunc SELECT id, id % 10, id + 7 FROM range(0, 3)")   // txn 4
+    assert(spark.sql("SELECT * FROM gcat.trunc").count() === 3)
+    assert(spark.sql("SELECT * FROM gcat.trunc VERSION AS OF 3").count() === 0,
+      "the truncate transaction itself must be addressable and empty")
+    spark.sql("DROP TABLE gcat.trunc")
+  }
 }
