@@ -867,6 +867,67 @@ object CoreOps {
           |ORDER BY gen, user_id""".stripMargin)
     },
 
+    // ---- catalog change stream (round 10) --------------------------------
+    // `spark.readStream.table("<cat>.<t>.stream")` — the catalog face of
+    // format("graft-stream"): tail a table's committed transactions with
+    // no path plumbing (the `.stream` sub-table, like `.history`). The
+    // gate streams three txns (seed, upsert, tombstone-delete) through a
+    // complete-mode per-txn aggregation and the oracle replays the same
+    // order-free statistics per transaction (counts, key min/max,
+    // tombstone count) — off by one txn or a missed/duplicated batch and
+    // any row mismatches.
+    Entry("q129_catalog_stream", Some(
+      """WITH seed AS (SELECT user_id, arg_max(value, event_id) AS v
+        |              FROM events GROUP BY user_id)
+        |SELECT CAST(1 AS BIGINT) AS txn_id, count(*) AS n,
+        |       min(user_id) AS min_u, max(user_id) AS max_u,
+        |       CAST(0 AS BIGINT) AS dels
+        |FROM seed
+        |UNION ALL
+        |SELECT 2, count(*), min(user_id), max(user_id), CAST(0 AS BIGINT)
+        |FROM seed WHERE user_id < 30
+        |UNION ALL
+        |SELECT 3, count(*), min(user_id), max(user_id), count(*)
+        |FROM seed WHERE user_id < 5
+        |ORDER BY txn_id""".stripMargin)) { (s, d) =>
+      import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+      val root = Q.fixture("q129-catstream")
+      graft.core.Storage.deleteRecursively(root.resolve("td"))
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g129").isEmpty) {
+        s.conf.set("spark.sql.catalog.g129", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g129.root", root.toString)
+      }
+      val sch = MatSchema(Seq(Dimension("user_id", 1000)),
+        Seq(ValueCol("v", org.apache.spark.sql.types.DoubleType)))
+      val db = MatDb.create(s, sch, root.resolve("td").toString, "manifest")
+      val seed = table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      val t1 = db.newTransaction(); t1.addRows(seed); t1.commit()
+      val t2 = db.newTransaction()
+      t2.addRows(seed.where(col("user_id") < 30).withColumn("v", col("v") + lit(1.0)))
+      t2.commit()
+      val t3 = db.newTransaction()
+      t3.deleteRows(seed.where(col("user_id") < 5).select(col("user_id")))
+      t3.commit()
+      val q = s.readStream
+        .option("maxTxnsPerBatch", "1")
+        .table("g129.td.stream")
+        .groupBy(col(graft.core.Scan.TxnCol))
+        .agg(count(lit(1)).as("n"),
+          min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+          sum(when(coalesce(col(graft.core.Scan.DelCol), lit(false)), 1L)
+            .otherwise(0L)).as("dels"))
+        .writeStream.format("memory").queryName("q129_catalog_stream_sink")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q129_catalog_stream_sink")
+        .select(col(graft.core.Scan.TxnCol).as("txn_id"), col("n"),
+          col("min_u"), col("max_u"), col("dels"))
+        .orderBy(col("txn_id"))
+    },
+
     // ---- TIMESTAMP AS OF time travel (round 10) -------------------------
     // Commit wall-clock stamps (_commit_ts, monotone by txn order) make
     // point-in-time reads first-class: the gate reads the SAME mid-history

@@ -261,10 +261,35 @@ class GraftCatalog extends TableCatalog
     }
   }
 
+  /** The CHANGE-STREAM sub-table of `<table>` — reachable as
+    * `<cat>.<table>.stream` (or `` <cat>.`<table>$stream` ``), so
+    * `spark.readStream.table("<cat>.<t>.stream")` tails the table's
+    * committed transactions with NO path plumbing — the catalog face of
+    * `format("graft-stream")`. Rows are RAW segment rows (logical schema +
+    * `_del`/`_txn_id`/`_seq` — a CDC delta, deliberately NOT the resolved
+    * snapshot), and per-read options (`startingTxn`, `startingTimestamp`,
+    * `maxTxnsPerBatch`, `maxBytesPerBatch`) flow through the scan-builder
+    * options exactly like the path-based source. */
+  private def streamTableFor(ident: Identifier): Option[Table] = {
+    val baseIdent: Option[Identifier] =
+      if (ident.name() == "stream" && ident.namespace().nonEmpty)
+        Some(Identifier.of(ident.namespace().init, ident.namespace().last))
+      else if (ident.name().endsWith("$stream"))
+        Some(Identifier.of(ident.namespace(), ident.name().stripSuffix("$stream")))
+      else None
+    baseIdent.filter(b => MatDb.exists(tableDir(b).toString)).map { b =>
+      val dir = tableDir(b)
+      new graft.streaming.GraftStreamTable(dir.toString,
+        graft.streaming.GraftStreamTable.schemaFor(dir.toString))
+    }
+  }
+
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
     val dir = tableDir(ident)
     if (!MatDb.exists(dir.toString))
-      return historyTableFor(ident, asOf).getOrElse(throw new NoSuchTableException(ident))
+      return historyTableFor(ident, asOf)
+        .orElse(if (asOf.isEmpty) streamTableFor(ident) else None)
+        .getOrElse(throw new NoSuchTableException(ident))
     val schema = Storage.readSchema(dir)
     // read-only listing: no recovery sweep (MatDb.open would delete another
     // writer's in-flight .tmp segments — a catalog read must not mutate)

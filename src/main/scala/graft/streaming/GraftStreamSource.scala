@@ -62,20 +62,8 @@ import graft.core.{SegmentId, Storage}
 class GraftStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-stream"
 
-  private def streamSchema(path: String): StructType = {
-    val s = Storage.readSchema(Storage.rootPath(path))
-    // _del rides along so a downstream consumer sees DELETES as deletes
-    // (a tombstone row otherwise looks like an upsert to all-null values);
-    // files from pre-delete segments surface it as null ≡ live, the same
-    // read-compat contract as Scan.provenanceStruct
-    StructType(s.toStructType.fields ++ Seq(
-      StructField(graft.core.Scan.DelCol, org.apache.spark.sql.types.BooleanType),
-      StructField(graft.core.Scan.TxnCol, LongType),
-      StructField(graft.core.Scan.SeqCol, LongType)))
-  }
-
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    streamSchema(Option(options.get("path")).getOrElse(
+    GraftStreamTable.schemaFor(Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-stream requires a path")))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -84,6 +72,23 @@ class GraftStreamSource extends TableProvider with DataSourceRegister {
       Option(properties.get("path")).getOrElse(
         throw new IllegalArgumentException("graft-stream requires a path")),
       schema)
+}
+
+object GraftStreamTable {
+  /** The stream's row shape: logical schema ++ (`_del`, `_txn_id`, `_seq`).
+    * `_del` rides along so a downstream consumer sees DELETES as deletes
+    * (a tombstone row otherwise looks like an upsert to all-null values);
+    * files from pre-delete segments surface it as null ≡ live, the same
+    * read-compat contract as Scan.provenanceStruct. Shared by the
+    * path-based `format("graft-stream")` source and the catalog's
+    * `<cat>.<table>.stream` sub-table. */
+  def schemaFor(path: String): StructType = {
+    val s = Storage.readSchema(Storage.rootPath(path))
+    StructType(s.toStructType.fields ++ Seq(
+      StructField(graft.core.Scan.DelCol, org.apache.spark.sql.types.BooleanType),
+      StructField(graft.core.Scan.TxnCol, LongType),
+      StructField(graft.core.Scan.SeqCol, LongType)))
+  }
 }
 
 final class GraftStreamTable(path: String, tableSchema: StructType)

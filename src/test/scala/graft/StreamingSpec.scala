@@ -1075,4 +1075,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     BucketedGraft.drop(spark, table)
   }
+
+  test("catalog change stream: readStream.table(<cat>.<t>.stream) tails commits, options flow") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cat-stream")
+    spark.conf.set("spark.sql.catalog.gstr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gstr.root", root.toString)
+    val schema = MatSchema(Seq(Dimension("k", 10)), Seq(ValueCol("v")))
+    val db = MatDb.create(spark, schema, root.resolve("t").toString, "manifest")
+    def write(rows: (Long, Long)*): Unit = {
+      val t = db.newTransaction(); t.addRows(rows.toSeq.toDF("k", "v")); t.commit()
+    }
+    write((1L, 10L), (2L, 20L)) // txn 1
+    write((1L, 11L))            // txn 2
+    write((3L, 30L))            // txn 3
+
+    val batches = scala.collection.concurrent.TrieMap[Long, Seq[(Long, Long, Long)]]()
+    val q = spark.readStream
+      .option("startingTxn", "1")      // skip txn 1 — option must reach the source
+      .option("maxTxnsPerBatch", "1")  // one txn per micro-batch
+      .table("gstr.t.stream")
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cat-stream-ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        batches(bid) = df.select("k", "v", "_txn_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val all = batches.values.flatten.toSeq
+    assert(all.map(t => (t._1, t._2)).sorted === Seq((1L, 11L), (3L, 30L)),
+      s"must tail txns 2 and 3 only, got $all")
+    assert(batches.values.filter(_.nonEmpty).forall(_.map(_._3).distinct.size == 1),
+      "maxTxnsPerBatch=1 must align batches to single transactions")
+
+    // the sub-table is streaming-only and does not shadow the base table
+    assert(spark.sql("SELECT k, v FROM gstr.t ORDER BY k").collect().map(_.getLong(1)).toSeq
+      === Seq(11L, 20L, 30L))
+    val e = intercept[Exception](spark.sql("SELECT * FROM gstr.t.stream").collect())
+    assert(e.getMessage.toLowerCase.matches("(?s).*(batch|read|support).*"),
+      s"batch reads of the stream sub-table must fail loudly: ${e.getMessage}")
+  }
 }
