@@ -130,16 +130,20 @@ object Dsir {
   }
 
   /** Score documents against a fitted bucket-score table: one token
-    * explosion, per-(doc, bucket) counts, broadcast join of the constant
-    * score table, one sum. Returns `(idCol, dsir_score)`. */
+    * explosion, broadcast join of the constant score table, ONE per-doc
+    * sum. `sum_b c_b * s_b` is summed per TOKEN directly (integer algebra
+    * — identical result), not via an intermediate per-(doc, bucket) count:
+    * that shape would hash-exchange on (doc, bucket) and then AGAIN on
+    * doc, two shuffles of the same token-scale data where one suffices
+    * (and the per-doc partial aggregation is map-side either way).
+    * Returns `(idCol, dsir_score)`. */
   def scoreDocs(docs: DataFrame, scores: DataFrame, idCol: String,
       textCol: String, buckets: Int): DataFrame =
     docs.select(col(idCol), tokens(col(textCol)).as("w"))
       .select(col(idCol), (h56(col("w")) % buckets).as("bucket"))
-      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
       .join(broadcast(scores), "bucket")
       .groupBy(col(idCol))
-      .agg(sum(col("c") * col("score")).as("dsir_score"))
+      .agg(sum(col("score")).as("dsir_score"))
 
   /** Deterministic importance selection: top-k by score, id tiebreak. */
   def select(scored: DataFrame, idCol: String, k: Int): DataFrame =

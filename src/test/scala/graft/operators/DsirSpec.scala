@@ -69,6 +69,14 @@ class DsirSpec extends AnyFunSuite {
     val plan = TestSpark.finalPlan(scored)
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
       s"the 128-row score table must broadcast:\n$plan")
+    // token-scale side: exactly ONE shuffle (the per-doc sum, map-side
+    // partial first) — the per-(doc, bucket) pre-count shape would show a
+    // second doc-keyed exchange. The remaining exchanges in the plan
+    // belong to the CONSTANT-size score-table build (`buckets` rows).
+    val docShuffles = plan.split("\n").count(_.contains("hashpartitioning(doc_id"))
+    assert(docShuffles === 1,
+      s"scoring is one token-side shuffle (the per-doc sum), got $docShuffles:\n$plan")
+    assert(plan.contains("partial_sum"), "the per-doc sum must combine map-side")
   }
 
   test("log2fp SQL fragment mirrors the column chain (structural pin)") {
