@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** DSIR-style data selection via hashed n-gram importance weights
   * (Xie et al., "Data Selection for Language Models via Importance
-  * Resampling", 2023): fit bucketed unigram bag-of-hashed-words models of
-  * a TARGET corpus (the distribution you want more of) and the RAW pool,
+  * Resampling", 2023): fit bucketed bag-of-hashed-features models
+  * (unigrams, optionally + bigrams — `ngrams = 2`, the paper's feature
+  * set) of a TARGET corpus (the distribution you want more of) and the
+  * RAW pool,
   * score every raw document by its log likelihood ratio
   * sum_b c_b * (log p_target(b) - log p_raw(b)), and keep the top-k.
   *
@@ -33,9 +35,19 @@ object Dsir {
   private def h56(c: Column): Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast("long")
 
-  /** Lower-cased alphabetic tokens, exploded one row per token. */
-  private def tokens(textCol: Column): Column =
-    explode(regexp_extract_all(lower(textCol), lit("[a-z]+"), lit(0)))
+  /** Lower-cased alphabetic word features, exploded one row per feature:
+    * unigrams, plus space-joined bigrams when `ngrams = 2` (the paper's
+    * feature set). Bigrams come from one `zip_with` of the word array
+    * against its own tail — no second explosion pass; the null the
+    * padding produces at the end is filtered out. */
+  private def tokens(textCol: Column, ngrams: Int): Column = {
+    require(ngrams == 1 || ngrams == 2, s"ngrams must be 1 or 2, got $ngrams")
+    val words = regexp_extract_all(lower(textCol), lit("[a-z]+"), lit(0))
+    if (ngrams == 1) explode(words)
+    else explode(concat(words, filter(
+      zip_with(words, slice(words, lit(2), size(words)), (x, y) => concat(x, lit(" "), y)),
+      _.isNotNull)))
+  }
 
   /** Adds `outCol` = L(`nCol`) where L(n) is the exact integer fixed-point
     * log2 of a POSITIVE int64: normalize n's mantissa to [2^30, 2^31),
@@ -96,10 +108,10 @@ object Dsir {
     * — the fixed-point log2 likelihood ratio with add-one smoothing.
     * Returns `(bucket, score)`, exactly `buckets` rows. */
   def bucketScores(target: DataFrame, raw: DataFrame, textCol: String,
-      buckets: Int): DataFrame = {
+      buckets: Int, ngrams: Int = 1): DataFrame = {
     val spark = target.sparkSession
     def counts(df: DataFrame) = df
-      .select(tokens(col(textCol)).as("w"))
+      .select(tokens(col(textCol), ngrams).as("w"))
       .select((h56(col("w")) % buckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))
     val all = spark.range(buckets).select(col("id").as("bucket"))
@@ -138,8 +150,8 @@ object Dsir {
     * (and the per-doc partial aggregation is map-side either way).
     * Returns `(idCol, dsir_score)`. */
   def scoreDocs(docs: DataFrame, scores: DataFrame, idCol: String,
-      textCol: String, buckets: Int): DataFrame =
-    docs.select(col(idCol), tokens(col(textCol)).as("w"))
+      textCol: String, buckets: Int, ngrams: Int = 1): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol), ngrams).as("w"))
       .select(col(idCol), (h56(col("w")) % buckets).as("bucket"))
       .join(broadcast(scores), "bucket")
       .groupBy(col(idCol))

@@ -79,6 +79,26 @@ class DsirSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), "the per-doc sum must combine map-side")
   }
 
+  test("bigram features separate phrase order that unigrams cannot see") {
+    val target = (1 to 40).map(i => (i.toLong, "alpha bravo charlie delta"))
+      .toDF("doc_id", "text")
+    // A keeps the target's phrases; B has the SAME unigram multiset with
+    // every adjacency broken — unigram scores must tie, bigram scores must
+    // separate them
+    val raw = Seq((101L, "alpha bravo charlie delta"),
+      (201L, "alpha charlie bravo delta")).toDF("doc_id", "text")
+    def scoreMap(n: Int): Map[Long, Long] = {
+      val sc = Dsir.bucketScores(target, raw, "text", 256, ngrams = n)
+      Dsir.scoreDocs(raw, sc, "doc_id", "text", 256, ngrams = n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val uni = scoreMap(1)
+    assert(uni(101L) === uni(201L), s"unigrams cannot rank word order: $uni")
+    val bi = scoreMap(2)
+    assert(bi(101L) > bi(201L),
+      s"bigrams must prefer the target's phrase order: $bi")
+  }
+
   test("log2fp SQL fragment mirrors the column chain (structural pin)") {
     val sql = Dsir.log2fpSqlCtes("bucket", "kind")
     assert(sql.contains("CAST(length(bin(n)) - 1 AS BIGINT) AS acc"))
