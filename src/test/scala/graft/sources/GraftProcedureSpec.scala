@@ -97,6 +97,23 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(e2.getMessage.toLowerCase.contains("no_such_table"))
   }
 
+  test("rename-protocol tables: compact works, checkpoint refuses cleanly, vacuum is 0") {
+    import org.apache.spark.sql.functions._
+    val db = MatDb.create(spark, schema, root.resolve("rn").toString, "rename")
+    Seq((0L, 100L, 1L), (0L, 50L, 2L)).foreach { case (lo, hi, v) =>
+      val txn = db.newTransaction()
+      txn.addRows(spark.range(lo, hi).select(col("id").as("k"), lit(v).as("v")))
+      txn.commit()
+    }
+    val e = intercept[Exception](call("CALL gproc.system.checkpoint('rn', 1)"))
+    assert(e.getMessage.contains("manifest"),
+      s"checkpoint must name the protocol requirement: ${e.getMessage}")
+    // under renames, unreferenced-and-committed cannot exist — vacuum is a no-op
+    assert(call("CALL gproc.system.vacuum('rn')") === Row(0))
+    assert(call("CALL gproc.system.compact('rn')").getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM gproc.rn").head().getLong(0) === 100L)
+  }
+
   test("listProcedures surfaces the system namespace") {
     root
     val cat = spark.sessionState.catalogManager.catalog("gproc")
