@@ -867,6 +867,52 @@ object CoreOps {
           |ORDER BY gen, user_id""".stripMargin)
     },
 
+    // ---- SQL INSERT OVERWRITE (one-txn MVCC replace, round 10) ----------
+    // OverwriteByExpression(true) → the write builder's SupportsTruncate →
+    // GraftInsert.overwrite: tombstones for every live key (_seq 0) + the
+    // new rows (_seq 1) in ONE claimed transaction — readers flip
+    // atomically, VERSION AS OF below the overwrite keeps reading, txn
+    // ids stay monotone. Keys 10.. overlap live keys, so the gate also
+    // exercises the within-txn seq rule (the new row outranks its own
+    // txn's tombstone). Oracle replays the pre state and the post state.
+    Entry("q130_sql_insert_overwrite", Some(
+      """WITH base AS (SELECT user_id, arg_max(value, event_id) AS v
+        |              FROM events GROUP BY user_id),
+        |pre AS (SELECT user_id,
+        |              CASE WHEN user_id < 30 THEN v + 1.0 ELSE v END AS v
+        |        FROM base),
+        |post AS (SELECT DISTINCT user_id, CAST(3.5 AS DOUBLE) AS v
+        |         FROM events WHERE user_id BETWEEN 10 AND 59)
+        |SELECT 'pre' AS gen, user_id, v FROM pre
+        |UNION ALL SELECT 'post' AS gen, user_id, v FROM post
+        |ORDER BY gen, user_id""".stripMargin)) { (s, d) =>
+      val root = Q.fixture("q130-ovw")
+      graft.core.Storage.deleteRecursively(root.resolve("td"))
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g130").isEmpty) {
+        s.conf.set("spark.sql.catalog.g130", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g130.root", root.toString)
+      }
+      s.sql("CREATE TABLE g130.td (user_id BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:1000')")
+      table(s, d, "events").createOrReplaceTempView("events")
+      s.sql("""INSERT INTO g130.td
+              |SELECT user_id, max_by(value, event_id)
+              |FROM events GROUP BY user_id""".stripMargin)
+      s.sql("""INSERT INTO g130.td
+              |SELECT user_id, max_by(value, event_id) + 1.0
+              |FROM events WHERE user_id < 30 GROUP BY user_id""".stripMargin)
+      s.sql("""INSERT OVERWRITE g130.td
+              |SELECT DISTINCT user_id, CAST(3.5 AS DOUBLE)
+              |FROM events WHERE user_id BETWEEN 10 AND 59""".stripMargin)
+      s.sql(
+        """SELECT gen, user_id, v FROM (
+          |  SELECT 'pre' AS gen, user_id, v FROM g130.td VERSION AS OF 2
+          |  UNION ALL
+          |  SELECT 'post' AS gen, user_id, v FROM g130.td)
+          |ORDER BY gen, user_id""".stripMargin)
+    },
+
     // ---- catalog change stream (round 10) --------------------------------
     // `spark.readStream.table("<cat>.<t>.stream")` — the catalog face of
     // format("graft-stream"): tail a table's committed transactions with

@@ -79,13 +79,16 @@ import graft.core.{MatDb, MatSchema, Scan, Storage}
   * `TBLPROPERTIES('graft.dims' = 'dim:chunkSize[,dim:chunkSize...]')`
   * (and optional `'graft.protocol' = 'manifest'|'rename'`, default
   * manifest — the multi-writer protocol, since SQL endpoints must assume
-  * concurrent INSERTs). `INSERT OVERWRITE` is rejected (no truncate
-  * capability); overwrite/compact stay Scala-API operations. Writing to a
-  * `VERSION AS OF` / `TIMESTAMP AS OF` relation is rejected.
-  * `UPDATE` / `MERGE INTO` / subquery-`DELETE` commit through the delta
-  * row-level path ([[GraftRowLevelOperation]], round 10). `TIMESTAMP AS
-  * OF` resolves against per-commit wall-clock stamps
-  * ([[graft.core.Storage.commitTimestamps]], round 10).
+  * concurrent INSERTs). `INSERT OVERWRITE` and `TRUNCATE TABLE` are ONE
+  * atomic MVCC replace transaction each ([[GraftInsert.overwrite]] /
+  * tombstone-all — time travel below them keeps reading, txn ids stay
+  * monotone). Writing to a `VERSION AS OF` / `TIMESTAMP AS OF` relation
+  * is rejected. `UPDATE` / `MERGE INTO` / subquery-`DELETE` commit
+  * through the delta row-level path ([[GraftRowLevelOperation]], round
+  * 10). `TIMESTAMP AS OF` resolves against per-commit wall-clock stamps
+  * ([[graft.core.Storage.commitTimestamps]], round 10). Maintenance is
+  * SQL-first too: `CALL <cat>.system.checkpoint/checkpoint_if_needed/
+  * compact/vacuum` ([[GraftProcedures]]).
   */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces
@@ -511,6 +514,10 @@ final class GraftV2Table(tableName: String, val matSchema: MatSchema,
     caps.add(TableCapability.BATCH_READ)
     if (writeDir.isDefined) {
       caps.add(TableCapability.V1_BATCH_WRITE)
+      // INSERT OVERWRITE (full-table): planned as OverwriteByExpression
+      // with a true predicate, served by the write builder's
+      // SupportsTruncate as ONE atomic MVCC replace transaction
+      caps.add(TableCapability.TRUNCATE)
       // MERGE WITH SCHEMA EVOLUTION: Spark turns the source's extra
       // columns into ADD COLUMNS TableChanges through alterTable — exactly
       // the metadata-only nullable-value evolution this format supports
@@ -528,16 +535,22 @@ final class GraftV2Table(tableName: String, val matSchema: MatSchema,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val dir = writeDir.getOrElse(throw new UnsupportedOperationException(
       s"$tableName is a VERSION AS OF snapshot — historical versions are read-only"))
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replaceAll = false
+      /** `INSERT OVERWRITE` arrives as OverwriteByExpression(true) and the
+        * planner asks the builder to truncate: the whole statement becomes
+        * ONE replace transaction ([[GraftInsert.overwrite]] — tombstone-all
+        * + new rows), so readers flip atomically and time travel below the
+        * overwrite keeps working. */
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                 overwrite: Boolean): Unit = {
-              // no truncate capability is declared, so Spark rejects
-              // INSERT OVERWRITE before reaching here; belt and braces
-              require(!overwrite, "graft catalog INSERT OVERWRITE is not supported")
-              GraftInsert.append(data.sparkSession, dir, data)
+              if (replaceAll || overwrite)
+                GraftInsert.overwrite(data.sparkSession, dir, data)
+              else GraftInsert.append(data.sparkSession, dir, data)
               ()
             }
           }

@@ -57,6 +57,27 @@ object GraftInsert {
   def tombstone(spark: SparkSession, dir: String, keys: DataFrame): Option[Long] =
     commitBatch(spark, dir, keys, tombstone = true)
 
+  /** `INSERT OVERWRITE`: replace the table contents in ONE transaction —
+    * tombstones for every currently-live key (`_seq` 0) UNIONed with the
+    * new rows (`_seq` 1, outranking their own transaction's tombstone on
+    * overlapping keys), claimed/written/published exactly like [[append]].
+    * MVCC all the way down: readers see the old state until the publish
+    * flips, `VERSION AS OF` below the overwrite keeps reading, and txn ids
+    * stay monotone — the same contract as SQL TRUNCATE (which is the
+    * degenerate empty-source case). */
+  def overwrite(spark: SparkSession, dir: String, df: DataFrame): Option[Long] = {
+    val root = Storage.rootPath(dir)
+    val schema = Storage.readSchema(root)
+    val proto = Storage.detect(root)
+    val paths = proto.listCommitted(root).sorted
+      .map(s => proto.readPath(root, s).toString)
+    val doomed = Scan.resolve(spark, schema, paths, Nil, None)
+      .select(schema.dimNames.map(col): _*)
+    commitFrame(root, proto,
+      decorate(schema, doomed, tombstone = true, seq = 0L)
+        .unionByName(decorate(schema, df, tombstone = false, seq = 1L)))
+  }
+
   /** CLAIM a fresh transaction's segment-0 directory put-if-absent — the
     * cross-process id allocation shared by the SQL INSERT/DELETE path and
     * the row-level delta write ([[GraftDeltaBatchWrite]]). The candidate id
@@ -87,10 +108,15 @@ object GraftInsert {
     val root = Storage.rootPath(dir)
     val schema = Storage.readSchema(root)
     val proto = Storage.detect(root)
-    val (segId, segPath) = claimSegment(root, proto)
-    // decorate exactly as Transaction.flush: dims carry their chunk size in
-    // field metadata (ChunkPruneRule reads it), rows route to their chunk
-    // partition with one shuffle, sorted by dims for row-group stats
+    commitFrame(root, proto, decorate(schema, df, tombstone, seq = 0L))
+  }
+
+  /** Decorate exactly as Transaction.flush: dims carry their chunk size in
+    * field metadata (ChunkPruneRule reads it), chunk columns derived, and
+    * the `_del`/`_seq` provenance set per frame — `_txn_id` is stamped by
+    * [[commitFrame]] once the id is claimed. */
+  private def decorate(schema: MatSchema, df: DataFrame,
+      tombstone: Boolean, seq: Long): DataFrame = {
     val dimCols = schema.dimensions.map { dim =>
       val md = new org.apache.spark.sql.types.MetadataBuilder()
         .putLong(MatSchema.ChunkKey, dim.chunkSize).build()
@@ -109,8 +135,19 @@ object GraftInsert {
     }
     withChunks
       .withColumn(Scan.DelCol, lit(tombstone))
+      .withColumn(Scan.SeqCol, lit(seq))
+  }
+
+  /** Claim a txn id, write the decorated frame chunk-routed into the
+    * claimed directory, publish through the table's protocol — one
+    * transaction (rows route with one shuffle keyed on the chunk columns,
+    * sorted by dims for row-group stats). */
+  private def commitFrame(root: Path, proto: graft.core.Protocol,
+      frame: DataFrame): Option[Long] = {
+    val schema = Storage.readSchema(root)
+    val (segId, segPath) = claimSegment(root, proto)
+    frame
       .withColumn(Scan.TxnCol, lit(segId.txnId))
-      .withColumn(Scan.SeqCol, lit(0L))
       .repartition(schema.chunkColNames.map(col): _*)
       .sortWithinPartitions(schema.dimNames.map(col): _*)
       .write.mode("append")

@@ -220,7 +220,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(after.values.forall(_ === 13L), s"expected 3+10 everywhere, got $after")
   }
 
-  test("CTAS with graft.dims creates a chunked table; INSERT OVERWRITE and versioned writes are rejected") {
+  test("CTAS with graft.dims creates a chunked table; versioned writes are rejected") {
     spark.sql("DROP TABLE IF EXISTS gcat.ctas")
     spark.sql(
       """CREATE TABLE gcat.ctas TBLPROPERTIES('graft.dims' = 't:50,sensor:10')
@@ -235,11 +235,6 @@ class GraftCatalogSpec extends AnyFunSuite {
     val noDims = intercept[Exception](spark.sql(
       "CREATE TABLE gcat.nodims AS SELECT id AS t, id AS v FROM range(0, 3)"))
     assert(noDims.getMessage.contains("graft.dims"))
-    // INSERT OVERWRITE: no truncate capability → rejected at analysis
-    val ovw = intercept[Exception](spark.sql(
-      "INSERT OVERWRITE gcat.ctas SELECT id, id % 10, id FROM range(0, 3)"))
-    assert(ovw.getMessage.toLowerCase.contains("overwrite") ||
-      ovw.getMessage.toLowerCase.contains("truncate"))
     // writing to a historical snapshot is rejected
     val hist = intercept[Exception](spark.sql(
       "INSERT INTO gcat.ctas VERSION AS OF 1 SELECT id, id % 10, id FROM range(0, 3)"))
@@ -511,6 +506,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     // the real insert took txn 1 — the empty one burned nothing
     assert(spark.sql("SELECT * FROM gcat.emptyins VERSION AS OF 1").count() === 5)
     spark.sql("DROP TABLE gcat.emptyins")
+  }
+
+  test("INSERT OVERWRITE is ONE atomic MVCC replace txn; time travel survives") {
+    spark.sql("DROP TABLE IF EXISTS gcat.ovw")
+    spark.sql(
+      """CREATE TABLE gcat.ovw (t BIGINT, sensor BIGINT, v BIGINT)
+        |TBLPROPERTIES('graft.dims' = 't:50,sensor:10')""".stripMargin)
+    spark.sql("INSERT INTO gcat.ovw SELECT id, id % 10, id FROM range(0, 20)")       // txn 1
+    spark.sql("INSERT INTO gcat.ovw SELECT id, id % 10, id + 100 FROM range(0, 5)")  // txn 2
+    // overwrite: keys 3..7 — 3,4 overlap live keys, 5..7 too, 3..7 all live
+    spark.sql("INSERT OVERWRITE gcat.ovw SELECT id, id % 10, id + 500 FROM range(3, 8)") // txn 3
+    val cur = spark.sql("SELECT t, v FROM gcat.ovw ORDER BY t").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cur.toSeq === (3L to 7L).map(t => (t, t + 500)),
+      s"current state must be exactly the overwrite source, got ${cur.toSeq}")
+    // one transaction: the overwrite is txn 3, addressable, and below it
+    // the pre-overwrite state keeps reading
+    assert(spark.sql("SELECT * FROM gcat.ovw VERSION AS OF 2").count() === 20)
+    assert(spark.sql(
+      "SELECT v FROM gcat.ovw VERSION AS OF 2 WHERE t = 3").head().getLong(0) === 103L)
+    assert(spark.sql("SELECT * FROM gcat.ovw VERSION AS OF 3").count() === 5)
+    // ids stay monotone past the overwrite
+    spark.sql("INSERT INTO gcat.ovw SELECT 90, 0, 9 FROM range(1)") // txn 4
+    assert(spark.sql("SELECT * FROM gcat.ovw").count() === 6)
+    spark.sql("DROP TABLE gcat.ovw")
   }
 
   test("TRUNCATE TABLE is an MVCC tombstone-all: time travel survives, ids stay monotone") {
