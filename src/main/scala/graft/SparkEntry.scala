@@ -5,13 +5,14 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * The battery (129 queries as of round 10) is assembled from four modules:
+  * The battery (130 queries as of round 10) is assembled from four modules:
   *   - [[graft.queries.CoreOps]]    q01-q05, q73, q76-q77, q92, q101-q103,
   *     q106, q108-q109, q111, q115, q117-q118, q120-q121, q123, q125-q126,
-  *     q128-q129: the engine's own
+  *     q128-q130: the engine's own
   *     operator semantics — scan order, MVCC upsert/delete, snapshot
   *     horizon, range pruning, the bucketed/ranged/z-order layouts, SQL
-  *     DML (INSERT/DELETE/UPDATE/MERGE INTO/TRUNCATE) + VERSION AS OF
+  *     DML (INSERT/INSERT OVERWRITE/DELETE/UPDATE/MERGE INTO/TRUNCATE)
+  *     + VERSION AS OF
   *     through the DSv2 GraftCatalog, SQL CALL maintenance procedures
   *     (checkpoint/vacuum/compact), schema evolution with dropped-name
   *     tombstones, CDC, checkpoint compaction, and incremental/streaming
