@@ -64,7 +64,14 @@ object GraftInsert {
     * MVCC all the way down: readers see the old state until the publish
     * flips, `VERSION AS OF` below the overwrite keeps reading, and txn ids
     * stay monotone — the same contract as SQL TRUNCATE (which is the
-    * degenerate empty-source case). */
+    * degenerate empty-source case).
+    *
+    * Concurrency: the tombstone set covers the keys committed when the
+    * overwrite RESOLVED them; a concurrent insert that claims a later txn
+    * id outranks those tombstones per key — newest-txn-wins, the same
+    * last-writer-wins answer every write path here gives (the overwrite
+    * does not serialize against concurrent writers, exactly like the
+    * delta row-level path). */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame): Option[Long] = {
     val root = Storage.rootPath(dir)
     val schema = Storage.readSchema(root)
