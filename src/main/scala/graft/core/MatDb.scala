@@ -55,13 +55,15 @@ final class MatDb private (
     * ABORTS with `ConcurrentModificationException` rather than silently
     * dropping the interleaved transaction; the caller re-derives and
     * retries. Only the superseded `expectedBase` directories are deleted. */
-  private[core] def commitReplace(ids: Seq[SegmentId], expectedBase: Seq[SegmentId]): Unit = {
+  private[core] def commitReplace(ids: Seq[SegmentId], expectedBase: Seq[SegmentId],
+      prodTxn: Long): Unit = {
     val old = synchronized {
       if (committed != expectedBase.toVector.sorted)
         throw new java.util.ConcurrentModificationException(
           "table changed since the replace commit's snapshot (overwrite/compact); retry")
       val stale = committed
-      committed = protocol.replace(root, ids, ids.sorted, expectedBase).toVector.sorted
+      committed = protocol.replace(root, ids, ids.sorted, expectedBase, prodTxn)
+        .toVector.sorted
       stale
     }
     // Rename protocol: superseded dirs must go NOW — visibility IS the
@@ -99,6 +101,21 @@ final class MatDb private (
     new Transaction(this, committed, nextTxnId.get())
   }
 
+  /** Re-pin this handle's committed-segment snapshot to the table's CURRENT
+    * on-disk state — the read-only listing, NO recovery sweep (safe while
+    * other processes are mid-write, unlike a fresh [[MatDb.open]], which
+    * also re-reads the schema and grace-sweeps orphans). A long-lived
+    * handle chasing other writers' commits (streaming view maintenance —
+    * [[graft.streaming.Streams.viewMaintSink]]) refreshes once per batch:
+    * one manifest read under the `_last` pointer, O(1). The txn-id floor
+    * advances past everything observed so later allocations stay unique. */
+  def refresh(): Unit = synchronized {
+    committed = protocol.listCommitted(root).toVector.sorted
+    val floor = protocol.txnWatermark(root) + 1L
+    var cur = nextTxnId.get()
+    while (cur < floor && !nextTxnId.compareAndSet(cur, floor)) cur = nextTxnId.get()
+  }
+
   private[core] def segmentReadPaths(segments: Seq[SegmentId]): Seq[String] =
     segments.map(s => protocol.readPath(root, s).toString)
 
@@ -110,8 +127,17 @@ final class MatDb private (
     * what lets partition pruning + parquet pushdown skip IO before dedup. */
   def snapshot(asOfTxn: Option[Long] = None,
       pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val visible = synchronized(committed).filter(s => asOfTxn.forall(s.txnId <= _))
-    Scan.resolve(spark, schema, segmentReadPaths(visible), extra = Nil, pred)
+    Scan.resolve(spark, schema, segmentReadPaths(visibleAt(asOfTxn)), extra = Nil, pred)
+  }
+
+  /** Segment set visible at `asOfTxn`. Time travel resolves through the
+    * protocol ([[Protocol.listCommittedAsOf]]) so that, under the manifest
+    * protocol, states replaced away by overwrite/truncate/compact stay
+    * readable from their ORIGINAL manifest version until vacuumed; the
+    * current snapshot stays on the in-memory committed set (no listing). */
+  private def visibleAt(asOfTxn: Option[Long]): Seq[SegmentId] = asOfTxn match {
+    case None    => synchronized(committed)
+    case Some(t) => protocol.listCommittedAsOf(root, t)
   }
 
   def asOf(txnId: Long): DataFrame = snapshot(Some(txnId))
@@ -127,11 +153,16 @@ final class MatDb private (
     * report, and an over-estimate of the post-resolve size — the safe
     * direction for broadcast decisions. */
   def visibleBytes(asOfTxn: Option[Long] = None): Long = {
-    val visible = synchronized(committed).filter(s => asOfTxn.forall(s.txnId <= _))
+    val visible = visibleAt(asOfTxn)
     def walk(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
       else f.length()
-    segmentReadPaths(visible).map(p => walk(new java.io.File(p))).sum
+    val bytes = segmentReadPaths(visible).map(p => walk(new java.io.File(p))).sum
+    // a NON-EMPTY visible set whose walk found zero bytes means the listing
+    // raced a vacuum (or the store is not walkable) — report "unknown" (-1)
+    // so the caller falls back to defaultSizeInBytes rather than advertising
+    // a huge table as broadcastable (driver-OOM direction)
+    if (visible.nonEmpty && bytes == 0L) -1L else bytes
   }
 
   /** `TIMESTAMP AS OF`: the snapshot of the newest transaction whose
@@ -141,10 +172,21 @@ final class MatDb private (
   def asOfTimestamp(tsMillis: Long): DataFrame =
     asOf(resolveTimestamp(tsMillis).getOrElse(0L))
 
-  /** Newest committed txn id with commit wall-clock <= `tsMillis`. */
+  /** Newest committed txn id with commit wall-clock <= `tsMillis`. Resolved
+    * over the manifest LINEAGE (directories still on disk) so timestamps
+    * below a replace commit keep resolving until vacuum. */
   def resolveTimestamp(tsMillis: Long): Option[Long] =
-    Storage.commitTimestamps(root, protocol, synchronized(committed))
+    Storage.commitTimestamps(root, protocol, historySegments)
       .filter(_._2 <= tsMillis).lastOption.map(_._1)
+
+  /** Every segment discoverable for history/timestamp purposes: the live
+    * set plus, under the manifest protocol, replaced-away segments whose
+    * directories survive (time-travel history awaiting vacuum). */
+  private def historySegments: Seq[SegmentId] =
+    if (protocol == Storage.ManifestProtocol)
+      (Storage.ManifestProtocol.lineageSegments(root) ++ synchronized(committed))
+        .distinct.sorted
+    else synchronized(committed)
 
   /** Key-ordered full scan — the reference's one query operator
     * (scan.rs:183-238): newest version per key, ordered by dimensions.
@@ -160,8 +202,7 @@ final class MatDb private (
   def orderedScan(asOfTxn: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val dims = schema.dimNames.map(col)
-    val visible = synchronized(committed).filter(s => asOfTxn.forall(s.txnId <= _))
-    val base = Scan.raw(spark, schema, segmentReadPaths(visible), extra = Nil)
+    val base = Scan.raw(spark, schema, segmentReadPaths(visibleAt(asOfTxn)), extra = Nil)
     Scan.dedup(base.repartitionByRange(dims: _*), schema).orderBy(dims: _*)
   }
 
@@ -229,7 +270,7 @@ final class MatDb private (
     * `asOfTimestamp(millis)`). Driver-side metadata, like the listing. */
   def history(): DataFrame = {
     import spark.implicits._
-    val segs = synchronized(committed)
+    val segs = historySegments
     val ts = Storage.commitTimestamps(root, protocol, segs).toMap
     segs
       .map(s => (s.txnId, s.segNum, protocol.readPath(root, s).toString,
@@ -331,12 +372,17 @@ final class MatDb private (
       .withColumn(Scan.DelCol, lit(false))
       .withColumn(Scan.TxnCol, lit(tid))
       .withColumn(Scan.SeqCol, lit((1L << 22) - 1))
-    registerInFlight(bid) // shield from vacuum while writing
+    registerInFlight(bid) // shield from THIS process's vacuum while writing
+    // bid is deterministic, so a CRASHED earlier checkpoint may have left a
+    // half-written dir here — clear it before appending (a concurrent live
+    // checkpoint with the same bid loses either here or at the CAS below)
+    protocol.discardInFlight(root, bid)
+    Storage.stampClaim(protocol.writePath(root, bid)) // shield from other processes' GC grace
     try {
       decorated
         .repartition(schema.chunkColNames.map(col): _*)
         .sortWithinPartitions(schema.dimNames.map(col): _*)
-        .write
+        .write.mode("append")
         .option("compression", "zstd")
         .partitionBy(schema.chunkColNames: _*)
         .parquet(protocol.writePath(root, bid).toString)
@@ -357,7 +403,8 @@ final class MatDb private (
             "table changed since the checkpoint's snapshot; retry")
         }
         committed = protocol
-          .replace(root, Seq(bid), (Seq(bid) ++ retained).sorted, base)
+          .replace(root, Seq(bid), (Seq(bid) ++ retained).sorted, base,
+            prodTxn = (Seq(bid) ++ retained).map(_.txnId).max)
           .toVector.sorted
       }
     } finally resolveInFlight(Seq(bid))
@@ -447,4 +494,56 @@ object MatDb {
   /** Does a graft table exist at `path`? */
   def exists(path: String): Boolean =
     java.nio.file.Files.exists(Storage.schemaPath(Storage.rootPath(path)))
+
+  /** SHALLOW CLONE: fork the table at `srcPath` into a new independent
+    * table at `dstPath` without copying data — a 100 TB curation
+    * experiment forks in O(metadata). Mechanism: every metadata document
+    * (schema versions, `_log` manifests incl. the lineage below replace
+    * commits, props) and every segment data file is HARD-LINKED into the
+    * new root (same inode, zero bytes moved; cross-device falls back to a
+    * copy). Hard links make cross-root GC safety a FILESYSTEM invariant
+    * rather than a reference-counting protocol: writes, compaction, or
+    * vacuum on either side only ever unlink their OWN directory entries —
+    * the shared bytes live until both sides drop them, so neither table
+    * can break the other (GraftCatalogSpec pins all three directions).
+    * Parquet segments are immutable by construction, so shared inodes are
+    * never written in place. Txn ids in the clone continue from the
+    * source's watermark (the cloned manifests carry it), and time travel
+    * in the clone sees the source's full history as of the fork. This is
+    * the POSIX analog of a manifest-reference clone (Delta/Iceberg
+    * `SHALLOW CLONE`); an object-store port would swap the links for
+    * absolute-path manifest entries. Manifest-protocol tables only.
+    * Returns the opened clone. */
+  def shallowClone(spark: SparkSession, srcPath: String, dstPath: String): MatDb = {
+    import java.nio.file.Files
+    val src = Storage.rootPath(srcPath)
+    val dst = Storage.rootPath(dstPath)
+    require(exists(srcPath), s"no graft table at $srcPath")
+    require(!Files.exists(dst) || Storage.listDirPublic(dst).isEmpty,
+      s"clone target $dstPath already exists and is not empty")
+    require(Storage.detect(src) == Storage.ManifestProtocol,
+      "shallow clone requires the 'manifest' commit protocol " +
+        "(rename-protocol visibility is the directory listing — nothing to fork)")
+    Files.createDirectories(dst)
+    // metadata: schema mirror + versioned docs + props + the FULL manifest
+    // log (lineage included, so VERSION AS OF parity carries over)
+    Storage.linkOrCopyTree(src.resolve("_schema"), dst.resolve("_schema"))
+    Storage.linkOrCopyTree(src.resolve("_log"), dst.resolve("_log"))
+    Seq("schema.json", "_props.json").foreach { f =>
+      val p = src.resolve(f)
+      if (Files.exists(p)) Storage.linkOrCopyFile(p, dst.resolve(f))
+    }
+    // data: every segment directory still on disk — committed, plus
+    // lineage history awaiting vacuum (claim stamps are NOT carried: the
+    // clone's copies are committed data, not an in-flight claim)
+    val proto = Storage.ManifestProtocol
+    val segs = (proto.lineageSegments(src) ++ proto.listCommitted(src)).distinct
+    segs.foreach { id =>
+      val from = proto.readPath(src, id)
+      if (Files.isDirectory(from))
+        Storage.linkOrCopyTree(from, proto.readPath(dst, id),
+          skip = Set(Storage.ClaimFile))
+    }
+    open(spark, dstPath)
+  }
 }

@@ -64,9 +64,32 @@ sealed trait Protocol {
     * the superseded directories, old and new are both visible (MVCC still
     * resolves overlapping keys to the new rows; keys absent from the new
     * data resurface only in that window — documented rename-protocol
-    * caveat, the reason the manifest protocol exists). */
+    * caveat, the reason the manifest protocol exists).
+    *
+    * `prodTxn` is the transaction id that PRODUCED this state change (the
+    * overwriting/compacting txn) — the manifest protocol records it so time
+    * travel can resolve `asOf(t)` for `t < prodTxn` against an OLDER
+    * manifest version ([[listCommittedAsOf]]). It matters precisely when no
+    * segment carries the id (a TRUNCATE publishes an empty set, yet its txn
+    * must stay burned and its state boundary findable). */
   def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId],
-      expectedBase: Seq[SegmentId]): Seq[SegmentId]
+      expectedBase: Seq[SegmentId], prodTxn: Long): Seq[SegmentId]
+
+  /** The visible segment set AS OF transaction `txn` — time travel. The
+    * rename protocol (append-only visibility: the listing) filters the
+    * committed set; the manifest protocol resolves against the manifest
+    * LINEAGE so states replaced away by overwrite/truncate/compact stay
+    * readable until their directories are vacuumed. */
+  def listCommittedAsOf(root: Path, txn: Long): Seq[SegmentId] =
+    listCommitted(root).filter(_.txnId <= txn).sorted
+
+  /** Highest transaction id this table has ever committed — the floor for
+    * new id claims and stream offsets. Derived from the listing by default;
+    * the manifest protocol also consults the recorded producing txn, so a
+    * TRUNCATE (which leaves no segments) still advances the watermark and
+    * offsets/ids never rewind. */
+  def txnWatermark(root: Path): Long =
+    (listCommitted(root).map(_.txnId) :+ 0L).max
 
   /** Delete a flushed-but-uncommitted segment (rollback). */
   def discardInFlight(root: Path, id: SegmentId): Unit
@@ -200,6 +223,17 @@ object Storage {
       }
     }.sortBy(_._2).lastOption
 
+  /** The immutable schema document published as version `v` (>= 1; version
+    * 0 is the CREATE-time schema.json, which the mirror may have
+    * overwritten). Versions are retained forever, so a commit-time guard
+    * can WALK the versions published since its transaction opened. */
+  def schemaAt(root: Path, v: Long): Option[MatSchema] = {
+    val p = schemaVerDir(root).resolve(f"$v%08x.json")
+    if (Files.exists(p))
+      Some(MatSchema.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+    else None
+  }
+
   /** Current schema + its version (version 0 = the CREATE-time schema.json;
     * the first ALTER publishes version 1). */
   def readSchemaVersioned(root: Path): (MatSchema, Long) =
@@ -227,6 +261,76 @@ object Storage {
     if (won) writeSchema(root, next)
     won
   }
+
+  // ---- table properties ---------------------------------------------------
+  //
+  // Free-form `TBLPROPERTIES` beyond the structural ones (dims live in the
+  // schema, the protocol is `_log/`-self-describing): a `_props.json`
+  // key/value document in the table root, written with the same
+  // write-then-atomic-move as the schema mirror. Currently carries
+  // `graft.isolation` (newest-wins | serializable — the row-level DML
+  // conflict policy). Last-writer-wins on concurrent SET TBLPROPERTIES —
+  // properties are operational knobs, not data.
+
+  private def propsPath(root: Path): Path = root.resolve("_props.json")
+
+  def readProps(root: Path): Map[String, String] = {
+    val p = propsPath(root)
+    if (!Files.exists(p)) Map.empty
+    else {
+      val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(text)
+        .map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
+    }
+  }
+
+  def writeProps(root: Path, props: Map[String, String]): Unit = {
+    val body = props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""  "${escape(k)}": "${escape(v)}"""" }
+      .mkString("{\n", ",\n", "\n}\n")
+    val tmp = Files.createTempFile(root, ".props-", ".tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, propsPath(root),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private def escape(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  // ---- zero-copy clone plumbing (MatDb.shallowClone) ----------------------
+
+  /** Hard-link `from` to `to` (same inode, no data copied); falls back to a
+    * real copy across devices / on filesystems without links. */
+  private[core] def linkOrCopyFile(from: Path, to: Path): Unit = {
+    Files.createDirectories(to.getParent)
+    try { Files.createLink(to, from); () }
+    catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING); ()
+    }
+  }
+
+  /** Recursively link (or copy) a tree; file names in `skip` are omitted.
+    * No-op when `from` does not exist. */
+  private[core] def linkOrCopyTree(from: Path, to: Path,
+      skip: Set[String] = Set.empty): Unit =
+    if (Files.isDirectory(from)) {
+      Files.createDirectories(to)
+      listDir(from).foreach { p =>
+        val name = p.getFileName.toString
+        if (!skip.contains(name)) {
+          if (Files.isDirectory(p)) linkOrCopyTree(p, to.resolve(name), skip)
+          else linkOrCopyFile(p, to.resolve(name))
+        }
+      }
+    }
+
+  /** Public listing face of [[listDir]] (clone target-emptiness check). */
+  def listDirPublic(dir: Path): Seq[Path] = listDir(dir)
 
   /** List a directory, CLOSING the stream (Files.list holds an fd until
     * closed — leaking it on hot paths like commit/stream-planning
@@ -261,10 +365,47 @@ object Storage {
   private[core] def recoveryGraceMs: Long =
     sys.props.get("graft.recovery.grace.ms").map(_.toLong).getOrElse(15L * 60L * 1000L)
 
+  // ---- explicit claim stamps --------------------------------------------
+  //
+  // The mtime grace alone is not enough for LONG writes: a directory's
+  // mtime only advances when its DIRECT children change, and a parquet job
+  // writing nested chunk/_temporary subdirs can leave the claim dir's mtime
+  // untouched for longer than the grace — a concurrent open/vacuum would
+  // then sweep a live writer's segment mid-write. Claim paths therefore
+  // drop a `_claim` file stamping the claim wall-clock, honored for a much
+  // longer retention (`graft.recovery.claim.retention.ms`, default 24 h —
+  // the "don't vacuum while jobs may be writing" retention contract every
+  // table format documents; Delta's is VACUUM's 7-day default). Crash
+  // orphans carrying a stamp linger until the retention expires — bounded
+  // disk, reclaimed by any later recovery/vacuum. A grace of 0 (the
+  // single-writer crash-harness setting) means "sweep everything now" and
+  // zeroes the claim retention too, unless the retention property is set
+  // explicitly.
+
+  val ClaimFile = "_claim"
+
+  private[graft] def claimRetentionMs: Long =
+    sys.props.get("graft.recovery.claim.retention.ms").map(_.toLong)
+      .getOrElse(if (recoveryGraceMs == 0L) 0L else 24L * 60L * 60L * 1000L)
+
+  /** Stamp the claim wall-clock into a freshly-claimed segment directory
+    * (creating it if the claim protocol did not already). */
+  private[graft] def stampClaim(dir: Path): Unit = {
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(ClaimFile),
+      String.valueOf(System.currentTimeMillis()).getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
   private def withinGrace(p: Path): Boolean =
-    try System.currentTimeMillis() -
-      Files.getLastModifiedTime(p).toMillis < recoveryGraceMs
-    catch { case _: java.io.IOException => true } // unreadable: assume live
+    try {
+      val claim = p.resolve(ClaimFile)
+      if (Files.exists(claim))
+        System.currentTimeMillis() - new String(Files.readAllBytes(claim),
+          StandardCharsets.UTF_8).trim.toLong < claimRetentionMs
+      else System.currentTimeMillis() -
+        Files.getLastModifiedTime(p).toMillis < recoveryGraceMs
+    } catch { case _: Exception => true } // unreadable: assume live
 
   def segmentPath(root: Path, id: SegmentId, tmp: Boolean): Path =
     root.resolve(segmentDirName(id, tmp))
@@ -310,9 +451,10 @@ object Storage {
     /** Not atomic under renames (see [[Protocol.replace]]): commit the new
       * segments; the caller deletes the superseded directories right after.
       * The base check happens under the caller's in-process lock (the
-      * rename protocol is single-process by design). */
+      * rename protocol is single-process by design). `prodTxn` is unused —
+      * visibility is the listing, which carries the ids itself. */
     def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId],
-        expectedBase: Seq[SegmentId]): Seq[SegmentId] =
+        expectedBase: Seq[SegmentId], prodTxn: Long): Seq[SegmentId] =
       commit(root, newIds, visibleAfter)
 
     def discardInFlight(root: Path, id: SegmentId): Unit =
@@ -375,11 +517,12 @@ object Storage {
       * manifest content before publishing or as a lost publish race (see
       * [[Protocol.replace]]). */
     def replace(root: Path, newIds: Seq[SegmentId], visibleAfter: Seq[SegmentId],
-        expectedBase: Seq[SegmentId]): Seq[SegmentId] =
-      publish(root, newIds, replaceAll = true, visibleAfter, expectedBase)
+        expectedBase: Seq[SegmentId], prodTxn: Long): Seq[SegmentId] =
+      publish(root, newIds, replaceAll = true, visibleAfter, expectedBase, prodTxn)
 
     private def publish(root: Path, newIds: Seq[SegmentId], replaceAll: Boolean,
-        intended: Seq[SegmentId], expectedBase: Seq[SegmentId] = Seq.empty): Seq[SegmentId] = {
+        intended: Seq[SegmentId], expectedBase: Seq[SegmentId] = Seq.empty,
+        prodTxn: Long = 0L): Seq[SegmentId] = {
       stampCommitTs(root, this, newIds) // dirs are final-named, still invisible
       var tries = 0
       while (tries < 16) {
@@ -394,7 +537,15 @@ object Storage {
               s"expected ${expectedBase.sorted.mkString(",")}, found ${current.sorted.mkString(",")}")
         val version = latest.map(manifestVersion).getOrElse(-1L) + 1L
         val target = if (replaceAll) intended.sorted else (current ++ newIds).sorted
-        if (tryWriteManifest(root, version, target)) return target
+        // the producing txn is MONOTONE across versions: a new append's id,
+        // an explicit replace's id, or carried forward — never backward
+        // (listCommittedAsOf depends on it to pick "newest state <= t")
+        val prod = (Seq(prodTxn) ++ latest.map(readProdTxn) ++
+          newIds.map(_.txnId) ++ target.map(_.txnId)).max
+        if (tryWriteManifest(root, version, target, prod)) {
+          writeLastPointer(root, version) // best-effort O(1)-open hint
+          return target
+        }
         // lost the publish race: someone committed between read and write
         if (replaceAll) throw new java.util.ConcurrentModificationException(
           "table changed under a replace commit (overwrite/compact); recompute and retry")
@@ -406,22 +557,28 @@ object Storage {
     def discardInFlight(root: Path, id: SegmentId): Unit =
       deleteRecursively(segmentPath(root, id, tmp = false))
 
-    /** Visible set = latest manifest. Segment directories not referenced by
-      * it are leftovers of crashed or rolled-back transactions — swept here.
-      * Next txn id must outrank every id ever seen on disk (committed or
-      * orphaned), so crashed transactions still burn their id. */
+    /** Visible set = latest manifest. Never-referenced segment directories
+      * past the claim grace are leftovers of crashed or rolled-back
+      * transactions — swept here. Directories REFERENCED by some older
+      * manifest version are retained: they are time-travel history below a
+      * replace commit (overwrite/truncate/compact/checkpoint), readable via
+      * `VERSION AS OF` until an explicit vacuum reclaims them — the
+      * lakehouse open-never-deletes-data rule (round 11; before that,
+      * superseded commits were swept on every open, which made replace
+      * commits destroy history immediately). Next txn id must outrank every
+      * id ever seen on disk or recorded as a producing txn (a TRUNCATE
+      * leaves no segments but its id stays burned), so ids never rewind. */
     def recover(root: Path): (Seq[SegmentId], Long) = {
       Files.createDirectories(logDir(root))
       val committed = latestManifest(root).map(readManifest).getOrElse(Seq.empty)
       val onDisk = listEntries(root)
-      val live = committed.toSet
       val refEver = everReferenced(root)
-      val maxTxn = ((onDisk.map(_._2.txnId) ++ committed.map(_.txnId)) :+ 0L).max
-      // superseded commits (referenced by SOME manifest version) sweep
-      // immediately; never-referenced dirs may be a live writer's claim —
-      // grace-guarded (see Storage.recoveryGraceMs)
-      onDisk.filterNot(e => live.contains(e._2))
-        .filter(e => refEver.contains(e._2) || !withinGrace(e._1))
+      val maxTxn = ((onDisk.map(_._2.txnId) ++ committed.map(_.txnId)) :+
+        latestManifest(root).map(readProdTxn).getOrElse(0L)).max
+      // never-referenced dirs may be a live writer's claim — grace-guarded
+      // (see Storage.recoveryGraceMs); ever-referenced dirs are history
+      onDisk.filterNot(e => refEver.contains(e._2))
+        .filterNot(e => withinGrace(e._1))
         .foreach(e => deleteRecursively(e._1))
       (committed.sorted, maxTxn + 1)
     }
@@ -431,6 +588,42 @@ object Storage {
 
     def listCommitted(root: Path): Seq[SegmentId] =
       latestManifest(root).map(readManifest).getOrElse(Seq.empty).sorted
+
+    /** Time travel through the manifest LINEAGE: the newest manifest whose
+      * producing txn is <= `t` captures the table state as of `t` (producing
+      * txns are monotone across versions), filtered by segment txn for the
+      * within-manifest append case. States replaced away by
+      * overwrite/truncate/compact resolve to their ORIGINAL manifest, whose
+      * directories survive until vacuum — so `VERSION AS OF` below a replace
+      * keeps reading. If any directory of the resolved state was already
+      * vacuumed, falls back to filtering the LATEST manifest (the pre-round-11
+      * behavior: typically the empty table below a replace — never a torn
+      * read of half-vacuumed history). */
+    override def listCommittedAsOf(root: Path, txn: Long): Seq[SegmentId] = {
+      val state = manifestLineage(root).filter(_._1 <= txn).lastOption
+        .map(_._2).getOrElse(Seq.empty)
+      val visible = state.filter(_.txnId <= txn).sorted
+      if (visible.forall(id => Files.isDirectory(readPath(root, id)))) visible
+      else listCommitted(root).filter(_.txnId <= txn).sorted
+    }
+
+    override def txnWatermark(root: Path): Long =
+      ((listCommitted(root).map(_.txnId) :+ 0L) ++
+        latestManifest(root).map(readProdTxn)).max
+
+    /** Every segment id any manifest version ever referenced, EXCLUDING ids
+      * whose directories are gone (vacuumed) — the discovery set for
+      * history/timestamp resolution across replace commits. */
+    private[graft] def lineageSegments(root: Path): Seq[SegmentId] =
+      everReferenced(root).toSeq.sorted
+        .filter(id => Files.isDirectory(readPath(root, id)))
+
+    /** (producing txn, segment set) per manifest version, version order. */
+    private def manifestLineage(root: Path): Seq[(Long, Seq[SegmentId])] =
+      listDir(logDir(root))
+        .filter(p => ManifestName.matches(p.getFileName.toString))
+        .sortBy(_.getFileName.toString)
+        .map(p => (readProdTxn(p), readManifest(p)))
 
     override def sweepUnreferenced(root: Path, keep: Seq[SegmentId]): Int = {
       val keepSet = keep.toSet
@@ -448,10 +641,54 @@ object Storage {
         .filter(p => ManifestName.matches(p.getFileName.toString))
         .flatMap(readManifest).toSet
 
-    private def latestManifest(root: Path): Option[Path] =
-      listDir(logDir(root))
-        .filter(p => ManifestName.matches(p.getFileName.toString))
-        .sortBy(_.getFileName.toString).lastOption
+    // ---- O(1) open: the _log/_last pointer --------------------------------
+    //
+    // latestManifest used to LIST _log/ — O(commit count) names per open,
+    // snapshot read, or stream-progress poll; a 1M-commit table paid a
+    // large listing to read one manifest (the Delta `_last_checkpoint`
+    // problem). `_last` holds the latest version number, written
+    // BEST-EFFORT after each successful publish (atomic replace, never
+    // part of the commit itself — the conditional-put manifest IS the
+    // commit). Readers take the pointer, verify the version exists, and
+    // probe FORWARD to absorb staleness (a crash between manifest and
+    // pointer write, or a concurrent writer's fresher publish); anything
+    // unreadable falls back to the listing. ManifestCrashSpec pins the
+    // crash points.
+
+    private def lastPointer(root: Path): Path = logDir(root).resolve("_last")
+    private def manifestPath(root: Path, version: Long): Path =
+      logDir(root).resolve(f"$version%08x.json")
+
+    private def writeLastPointer(root: Path, version: Long): Unit =
+      try {
+        val tmp = Files.createTempFile(logDir(root), "._last-", ".tmp")
+        Files.write(tmp, String.valueOf(version).getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, lastPointer(root),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      } catch { case _: Exception => () } // best-effort: readers self-heal
+
+    private def latestManifest(root: Path): Option[Path] = {
+      val hinted =
+        try {
+          val p = lastPointer(root)
+          if (!Files.exists(p)) None
+          else {
+            val v = new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+            if (!Files.exists(manifestPath(root, v))) None // corrupt/ahead: fall back
+            else {
+              var cur = v // stale-by-k pointer: probe forward to the true latest
+              while (Files.exists(manifestPath(root, cur + 1))) cur += 1
+              Some(manifestPath(root, cur))
+            }
+          }
+        } catch { case _: Exception => None }
+      hinted.orElse(
+        listDir(logDir(root))
+          .filter(p => ManifestName.matches(p.getFileName.toString))
+          .sortBy(_.getFileName.toString).lastOption)
+    }
 
     private def manifestVersion(p: Path): Long = p.getFileName.toString match {
       case ManifestName(v) => java.lang.Long.parseLong(v, 16)
@@ -466,6 +703,15 @@ object Storage {
         .map(m => SegmentId(m.group(1).toLong, m.group(2).toInt)).toSeq
     }
 
+    /** The manifest's recorded producing txn; manifests written before the
+      * field existed (round <= 10) derive it as the max referenced txn —
+      * exact for their append-only histories. */
+    private def readProdTxn(p: Path): Long = {
+      val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      """"txn"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+        .getOrElse((readManifest(p).map(_.txnId) :+ 0L).max)
+    }
+
     /** Single-file atomic PUT-IF-ABSENT of manifest `<version>.json`:
       * write a temp file, then `Files.createLink` it into place — hard-link
       * creation fails atomically if the target exists, which is the
@@ -475,11 +721,12 @@ object Storage {
       * On an object store the equivalent is a conditional put.) Returns
       * false when the version was already taken. */
     private[core] def tryWriteManifest(root: Path, version: Long,
-        visible: Seq[SegmentId]): Boolean = {
+        visible: Seq[SegmentId], prodTxn: Long = 0L): Boolean = {
       val dir = logDir(root)
       Files.createDirectories(dir)
+      val prod = (prodTxn +: visible.map(_.txnId)).max
       val body = visible.sorted.map(s => s"  [${s.txnId}, ${s.segNum}]").mkString(
-        "{\"segments\": [\n", ",\n", "\n]}\n")
+        s"""{"txn": $prod, "segments": [\n""", ",\n", "\n]}\n")
       val tmp = Files.createTempFile(dir, ".manifest-", ".tmp")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
       try {

@@ -52,6 +52,11 @@ final class Transaction private[core] (
 
   private var txnId: Option[Long] = None // allocated lazily at first flush (transaction.rs:93)
 
+  // schema version at txn open: the commit-time drift guard walks every
+  // version published after this one, so a DROP + re-ADD of the same name
+  // cannot slip past a name-existence check (see commit())
+  private val schemaVersionAtOpen: Long = Storage.readSchemaVersioned(db.root)._2
+
   /** The transaction id, once allocated by the first flush. */
   def id: Option[Long] = txnId
   private var nextSegNum: Int = 0
@@ -217,13 +222,29 @@ final class Transaction private[core] (
         // persist the txn id for real — MaxValue is only the in-memory rank
         .withColumn(Scan.TxnCol, lit(id.txnId))
       val chunkCols = schema.chunkColNames.map(col)
+      val target = db.protocol.writePath(db.root, id)
+      // ATOMIC claim of the target directory: under the manifest protocol
+      // segments write at their FINAL names, so a taken name means another
+      // process committed (or is writing) this txn id — abort rather than
+      // append into someone else's segment. Then stamp the claim
+      // wall-clock so a concurrent open/vacuum never mistakes the
+      // in-flight segment for an expired orphan during a write that
+      // outlasts the mtime grace (Storage.stampClaim scaladoc).
+      try java.nio.file.Files.createDirectory(target)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"transaction id ${id.txnId} already exists on disk — a concurrent " +
+              "writer claimed or committed it; reopen the table and retry")
+      }
+      Storage.stampClaim(target)
       all
         .repartition(chunkCols: _*)
         .sortWithinPartitions(schema.dimNames.map(col): _*)
-        .write
+        .write.mode("append")
         .option("compression", "zstd")
         .partitionBy(schema.chunkColNames: _*)
-        .parquet(db.protocol.writePath(db.root, id).toString)
+        .parquet(target.toString)
       flushed = flushed :+ id
       db.registerInFlight(id) // shields it from vacuum() until commit/rollback
       buffered = Vector.empty
@@ -257,16 +278,35 @@ final class Transaction private[core] (
     requireOpen()
     flush()
     if (flushed.nonEmpty) {
-      val cur = Storage.readSchema(db.root)
+      val (cur, curVer) = Storage.readSchemaVersioned(db.root)
       val gone = schema.valueNames.filterNot(cur.valueNames.contains)
-      if (gone.nonEmpty) {
+      // name existence alone is check-then-act: a DROP + re-ADD of the same
+      // name completed between open and commit would pass it and land the
+      // stale pre-DROP bytes under the re-added column. Schema versions are
+      // immutable and retained, so walk every version published since this
+      // transaction opened: a written column that was dropped (or absent)
+      // at ANY intermediate version has changed identity — abort. A
+      // version that only ADDED unrelated columns walks clean (no false
+      // abort). A DROP landing after this read but before the publish
+      // below is the residual window; the ALTER side's CAS retention means
+      // the next reader of the dropped column still sees the tombstone, so
+      // the re-ADD (which this guard protects) remains blocked until a
+      // compact that would itself conflict-check.
+      val reborn =
+        if (gone.nonEmpty || curVer == schemaVersionAtOpen) Nil
+        else (schemaVersionAtOpen + 1L to curVer).flatMap(v =>
+          Storage.schemaAt(db.root, v).toSeq.flatMap(s =>
+            schema.valueNames.filter(n =>
+              s.dropped.contains(n) || !s.valueNames.contains(n)))).distinct
+      val bad = (gone ++ reborn).distinct
+      if (bad.nonEmpty) {
         flushed.foreach(id => db.protocol.discardInFlight(db.root, id))
         db.resolveInFlight(flushed)
         closed = true
         throw new java.util.ConcurrentModificationException(
-          s"columns ${gone.mkString(", ")} were dropped or renamed since this " +
-            "transaction opened; committing its segments would resurrect stale " +
-            "bytes on a future re-ADD — reopen against the current schema and retry")
+          s"columns ${bad.mkString(", ")} were dropped, renamed, or re-added " +
+            "since this transaction opened; committing its segments would " +
+            "resurrect stale bytes — reopen against the current schema and retry")
       }
       db.commitTransaction(flushed)
     }
@@ -282,7 +322,10 @@ final class Transaction private[core] (
   def commitReplacing(): Unit = {
     requireOpen()
     flush()
-    db.commitReplace(flushed, expectedBase = visibleAtOpen)
+    // an empty replacement (truncate) still claims and burns an id — the
+    // manifest records it as the producing txn so the state boundary is
+    // time-travelable and stream offsets/ids never rewind
+    db.commitReplace(flushed, expectedBase = visibleAtOpen, prodTxn = ensureTxnId())
     db.resolveInFlight(flushed)
     closed = true
   }

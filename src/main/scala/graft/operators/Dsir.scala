@@ -85,22 +85,29 @@ object Dsir {
     * chain of lateral column aliases would expand exponentially in the
     * binder) and `lg(extraCols..., l)`. Splice into a `WITH RECURSIVE`
     * list. */
-  def log2fpSqlCtes(extraCols: String*): String = {
+  def log2fpSqlCtes(extraCols: String*): String =
+    log2fpSqlCtesNamed("vals", "it", "lg", extraCols: _*)
+
+  /** [[log2fpSqlCtes]] with caller-chosen CTE names, so several log chains
+    * can coexist in one oracle (the Gumbel variant needs two more chains
+    * AFTER the score chain — each reads the previous chain's output). */
+  def log2fpSqlCtesNamed(valsName: String, itName: String, lgName: String,
+      extraCols: String*): String = {
     val keep = extraCols.map(c => s"$c, ").mkString
-    s"""it AS (
+    s"""$itName AS (
        |  SELECT ${keep}0 AS j,
        |         CASE WHEN length(bin(n)) - 1 <= 30
        |              THEN n << (30 - (length(bin(n)) - 1))
        |              ELSE n >> ((length(bin(n)) - 1) - 30) END AS m,
        |         CAST(length(bin(n)) - 1 AS BIGINT) AS acc
-       |  FROM vals
+       |  FROM $valsName
        |  UNION ALL
        |  SELECT $keep j + 1,
        |         CASE WHEN t >= 2147483648 THEN t >> 1 ELSE t END,
        |         acc * 2 + CASE WHEN t >= 2147483648 THEN 1 ELSE 0 END
-       |  FROM (SELECT $keep j, (m * m) >> 30 AS t, acc FROM it WHERE j < $FracBits)
+       |  FROM (SELECT $keep j, (m * m) >> 30 AS t, acc FROM $itName WHERE j < $FracBits)
        |),
-       |lg AS (SELECT $keep acc AS l FROM it WHERE j = $FracBits)""".stripMargin
+       |$lgName AS (SELECT $keep acc AS l FROM $itName WHERE j = $FracBits)""".stripMargin
   }
 
   /** Fit the per-bucket importance scores from a target corpus and the raw
@@ -160,4 +167,35 @@ object Dsir {
   /** Deterministic importance selection: top-k by score, id tiebreak. */
   def select(scored: DataFrame, idCol: String, k: Int): DataFrame =
     scored.orderBy(col("dsir_score").desc, col(idCol)).limit(k)
+
+  /** Gumbel-top-k importance SAMPLING — the paper's actual selection rule
+    * (Xie et al. §2: sample without replacement ∝ importance weight),
+    * kept deterministic and oracle-replayable: drawing k items with
+    * probability ∝ 2^score is EXACTLY top-k of `score + G` where
+    * `G = -log2(-log2 U)` is base-2 Gumbel noise (the classic Gumbel-max
+    * trick, in the same base as the fixed-point log2 scores — no scale
+    * mismatch, no libm). U comes from a seeded 40-bit integer hash of the
+    * doc id, and both logs reuse the exact shift-and-square chain, so the
+    * perturbed score is an int64 computed with integer ops only and a
+    * relational oracle replays the draw bit-exactly (q131). A different
+    * `seed` is a fresh draw; the same seed is reproducible across runs,
+    * engines, and cluster sizes. Cost: two more per-row constant-size
+    * `aggregate` lambdas on top of [[select]] — still one TakeOrdered. */
+  def selectGumbel(scored: DataFrame, idCol: String, k: Int, seed: Long): DataFrame = {
+    val m = (1L << 40) - 1L // r in [1, 2^40-1] => 0 < U < 1 strictly
+    val withR = scored.withColumn("_r",
+      h56(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))) % m + 1L)
+    // -log2(U) = 40 - log2(r) (U = r / 2^40), fixed point
+    val withV = withLog2fp(withR, "_r", "_lr")
+      .withColumn("_v", lit(40L << FracBits) - col("_lr"))
+    // G = -log2(-log2 U); the inner value carries FracBits, so its log2
+    // reads FracBits too high — subtract them back
+    val withG = withLog2fp(withV, "_v", "_lv")
+      .withColumn("_g", lit(16L << FracBits) - col("_lv"))
+    withG
+      .withColumn("dsir_gumbel", col("dsir_score") + col("_g"))
+      .orderBy(col("dsir_gumbel").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("dsir_score"), col("dsir_gumbel"))
+  }
 }

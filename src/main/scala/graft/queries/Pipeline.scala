@@ -26,6 +26,7 @@ object Pipeline {
   private val SimBits = 56    // simhash width (fits the 56-bit hash)
   private val KmvK = 128      // KMV sketch size (q113)
   private val DsirBuckets = 512 // hashed-unigram feature buckets (q127)
+  private val DsirSeed = 7L // Gumbel draw seed (q131) — same seed, same sample
 
   /** 56-bit md5-based hash — Spark side. */
   private def h56(c: Column): Column =
@@ -1658,6 +1659,56 @@ object Pipeline {
       val sc = Dsir.bucketScores(target, rawPool, "text", DsirBuckets)
       Dsir.select(Dsir.scoreDocs(rawPool, sc, "doc_id", "text", DsirBuckets),
         "doc_id", 200)
+    },
+
+    // ---- DSIR Gumbel-top-k sampling (round 11) ---------------------------
+    // Xie et al.'s ACTUAL selection rule is sampling ∝ importance weight,
+    // not deterministic top-k: q131 draws 200 docs with probability
+    // ∝ 2^score via the Gumbel-max trick — top-k of score + G with
+    // G = -log2(-log2 U) in the SAME base-2 fixed point as the scores
+    // (Dsir.selectGumbel). U is a seeded 40-bit integer hash of the doc
+    // id and both logs reuse the exact shift-and-square chain, so the
+    // DRAW ITSELF is bit-replayable: the oracle re-derives the identical
+    // perturbed scores with two more recursive-CTE log chains on top of
+    // q127's. Same seed ⇒ same sample on any engine or cluster size.
+    Entry("q131_dsir_gumbel", Some(
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |             FROM documents),
+         |tb AS (SELECT doc_id, ${h56Sql("w")} % $DsirBuckets AS bucket FROM tok),
+         |tgt AS (SELECT bucket, count(*) AS c FROM tb WHERE doc_id % 7 = 0 GROUP BY bucket),
+         |rw AS (SELECT bucket, count(*) AS c FROM tb WHERE doc_id % 7 <> 0 GROUP BY bucket),
+         |st AS (SELECT bk.bucket, COALESCE(t.c, 0) + 1 AS np, COALESCE(r.c, 0) + 1 AS nq
+         |       FROM (SELECT range AS bucket FROM range($DsirBuckets)) bk
+         |       LEFT JOIN tgt t USING (bucket) LEFT JOIN rw r USING (bucket)),
+         |vals AS (SELECT bucket, 0 AS kind, np AS n FROM st
+         |         UNION ALL SELECT bucket, 1, nq FROM st
+         |         UNION ALL SELECT -1, 2, CAST(sum(np) AS BIGINT) FROM st
+         |         UNION ALL SELECT -1, 3, CAST(sum(nq) AS BIGINT) FROM st),
+         |${graft.operators.Dsir.log2fpSqlCtes("bucket", "kind")},
+         |sc AS (SELECT p.bucket, p.l - dp.l - q.l + dq.l AS score
+         |       FROM (SELECT bucket, l FROM lg WHERE kind = 0) p
+         |       JOIN (SELECT bucket, l FROM lg WHERE kind = 1) q USING (bucket),
+         |       (SELECT l FROM lg WHERE kind = 2) dp,
+         |       (SELECT l FROM lg WHERE kind = 3) dq),
+         |feat AS (SELECT doc_id, bucket, count(*) AS c FROM tb WHERE doc_id % 7 <> 0 GROUP BY 1, 2),
+         |scored AS (SELECT doc_id, CAST(sum(c * score) AS BIGINT) AS dsir_score
+         |           FROM feat JOIN sc USING (bucket) GROUP BY doc_id),
+         |rv AS (SELECT doc_id, ${h56Sql(s"'$DsirSeed:' || doc_id")} % 1099511627775 + 1 AS n
+         |       FROM scored),
+         |${graft.operators.Dsir.log2fpSqlCtesNamed("rv", "it2", "lg2", "doc_id")},
+         |vv AS (SELECT doc_id, 2621440 - l AS n FROM lg2),
+         |${graft.operators.Dsir.log2fpSqlCtesNamed("vv", "it3", "lg3", "doc_id")},
+         |gn AS (SELECT doc_id, 1048576 - l AS g FROM lg3)
+         |SELECT s.doc_id, s.dsir_score, s.dsir_score + gn.g AS dsir_gumbel
+         |FROM scored s JOIN gn USING (doc_id)
+         |ORDER BY dsir_gumbel DESC, doc_id LIMIT 200""".stripMargin)) { (s, d) =>
+      import graft.operators.Dsir
+      val docs = table(s, d, "documents")
+      val target = docs.where(col("doc_id") % 7 === 0)
+      val rawPool = docs.where(col("doc_id") % 7 =!= 0)
+      val sc = Dsir.bucketScores(target, rawPool, "text", DsirBuckets)
+      Dsir.selectGumbel(Dsir.scoreDocs(rawPool, sc, "doc_id", "text", DsirBuckets),
+        "doc_id", 200, seed = DsirSeed)
     }
   )
 

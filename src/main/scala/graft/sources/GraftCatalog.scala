@@ -231,7 +231,7 @@ class GraftCatalog extends TableCatalog
     val dir = tableDir(ident)
     if (!MatDb.exists(dir.toString)) throw new NoSuchTableException(ident)
     val proto = Storage.detect(dir)
-    val txn = Storage.commitTimestamps(dir, proto, proto.listCommitted(dir))
+    val txn = Storage.commitTimestamps(dir, proto, lineageSegs(dir, proto))
       .filter(_._2 <= timestamp / 1000L) // micros -> millis
       .lastOption.map(_._1).getOrElse(0L)
     load(ident, Some(txn))
@@ -255,7 +255,10 @@ class GraftCatalog extends TableCatalog
     baseIdent.filter(b => MatDb.exists(tableDir(b).toString)).map { b =>
       val dir = tableDir(b)
       val proto = Storage.detect(dir)
-      val segs = proto.listCommitted(dir)
+      // history spans the manifest lineage (replaced-away states stay
+      // discoverable until vacuum), so a user can find the txn id to
+      // VERSION AS OF below an overwrite/truncate
+      val segs = lineageSegs(dir, proto)
         .filter(s => asOf.forall(s.txnId <= _)).sorted
       val ts = Storage.commitTimestamps(dir, proto, segs).toMap
       new GraftHistoryTable(s"$catalogName.${b.toString}.history",
@@ -287,6 +290,17 @@ class GraftCatalog extends TableCatalog
     }
   }
 
+  /** Segments discoverable for history/timestamp resolution: the live set
+    * plus, under the manifest protocol, replaced-away segments whose
+    * directories survive (awaiting vacuum). */
+  private def lineageSegs(dir: java.nio.file.Path,
+      proto: graft.core.Protocol): Seq[graft.core.SegmentId] = proto match {
+    case m if m == Storage.ManifestProtocol =>
+      (Storage.ManifestProtocol.lineageSegments(dir) ++ m.listCommitted(dir))
+        .distinct.sorted
+    case p => p.listCommitted(dir).sorted
+  }
+
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
     val dir = tableDir(ident)
     if (!MatDb.exists(dir.toString))
@@ -297,12 +311,21 @@ class GraftCatalog extends TableCatalog
     // read-only listing: no recovery sweep (MatDb.open would delete another
     // writer's in-flight .tmp segments — a catalog read must not mutate)
     val proto = Storage.detect(dir)
-    val visible = proto.listCommitted(dir)
-      .filter(s => asOf.forall(s.txnId <= _)).sorted
+    // time travel resolves through the protocol (manifest lineage under
+    // replace commits — Protocol.listCommittedAsOf); the current snapshot
+    // is the plain listing
+    val visible = asOf match {
+      case None    => proto.listCommitted(dir).sorted
+      case Some(t) => proto.listCommittedAsOf(dir, t)
+    }
     val paths = visible.map(s => proto.readPath(dir, s).toString)
     new GraftV2Table(s"$catalogName.${ident.toString}", schema, paths,
       // a VERSION AS OF relation is a historical snapshot — not writable
-      writeDir = if (asOf.isEmpty) Some(dir.toString) else None)
+      writeDir = if (asOf.isEmpty) Some(dir.toString) else None,
+      tableProps = Storage.readProps(dir),
+      // the snapshot horizon this relation READS: serializable row-level
+      // DML conflict-checks its publish against txns committed above it
+      readHorizon = proto.txnWatermark(dir))
   }
 
   /** `CREATE TABLE`/CTAS: chunked dimensions come from
@@ -342,6 +365,17 @@ class GraftCatalog extends TableCatalog
     java.nio.file.Files.createDirectories(dir.getParent)
     MatDb.create(SparkSession.active, mat, dir.toString,
       Option(properties.get(GraftCatalog.ProtocolProp)).getOrElse("manifest"))
+    // persist operational graft.* properties (isolation policy, …) — dims
+    // live in the schema and the protocol is _log/-self-describing, so
+    // those two are excluded; Spark-reserved props (owner/provider/…) are
+    // session metadata, not table state
+    val extra = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.filter { case (k, _) =>
+        k.startsWith("graft.") && k != GraftCatalog.DimsProp && k != GraftCatalog.ProtocolProp
+      }.toMap
+    }
+    if (extra.nonEmpty) Storage.writeProps(dir, extra)
     load(ident, None)
   }
 
@@ -370,10 +404,32 @@ class GraftCatalog extends TableCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!MatDb.exists(dir.toString)) throw new NoSuchTableException(ident)
+    // `SET/UNSET TBLPROPERTIES` of operational graft.* knobs (e.g.
+    // `graft.isolation`) go to the _props document, not the schema; the
+    // structural props (dims, protocol) are immutable table identity
+    val (propChanges, schemaChanges) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    if (propChanges.nonEmpty) {
+      val next = propChanges.foldLeft(Storage.readProps(dir)) {
+        case (m, set: TableChange.SetProperty) =>
+          require(set.property.startsWith("graft."),
+            s"only graft.* table properties are settable, got '${set.property}'")
+          require(set.property != GraftCatalog.DimsProp &&
+            set.property != GraftCatalog.ProtocolProp,
+            s"'${set.property}' is structural table identity and cannot be altered")
+          m + (set.property -> set.value)
+        case (m, rm: TableChange.RemoveProperty) => m - rm.property
+        case (m, _) => m
+      }
+      Storage.writeProps(dir, next)
+    }
+    if (schemaChanges.isEmpty) return load(ident, None)
     var tries = 0
     while (tries < 16) {
       val (cur, version) = Storage.readSchemaVersioned(dir)
-      val next = changes.foldLeft(cur) { (sch, change) =>
+      val next = schemaChanges.foldLeft(cur) { (sch, change) =>
         change match {
           case add: TableChange.AddColumn =>
             require(add.fieldNames.length == 1,
@@ -450,6 +506,14 @@ object GraftCatalog {
   /** Table property selecting the commit protocol at CREATE/CTAS:
     * "manifest" (default — multi-writer publish) or "rename". */
   val ProtocolProp = "graft.protocol"
+
+  /** Table property selecting the row-level-DML conflict policy:
+    * "newest-wins" (default — concurrent UPDATE/MERGE/DELETE all land,
+    * highest txn id wins per key) or "serializable" (a delta commit aborts
+    * with `ConcurrentModificationException` when a transaction committed
+    * after its read snapshot touched the same chunks — no lost updates).
+    * Settable at CREATE or via ALTER TABLE SET TBLPROPERTIES. */
+  val IsolationProp = "graft.isolation"
 }
 
 /** One graft table snapshot as a DSv2 table: logical schema = dimensions +
@@ -468,7 +532,9 @@ object GraftCatalog {
   * enumerated driver-side at scan-build time — the same metadata listing
   * any file source performs, O(chunk dirs in visible segments). */
 final class GraftV2Table(tableName: String, val matSchema: MatSchema,
-    val segmentPaths: Seq[String], val writeDir: Option[String] = None)
+    val segmentPaths: Seq[String], val writeDir: Option[String] = None,
+    val tableProps: Map[String, String] = Map.empty,
+    val readHorizon: Long = 0L)
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -502,6 +568,7 @@ final class GraftV2Table(tableName: String, val matSchema: MatSchema,
     * reason about the table. */
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
+    tableProps.foreach { case (k, v) => m.put(k, v) }
     m.put(GraftCatalog.DimsProp,
       matSchema.dimensions.map(d => s"${d.name}:${d.chunkSize}").mkString(","))
     writeDir.foreach(d => m.put(GraftCatalog.ProtocolProp,
@@ -575,6 +642,24 @@ final class GraftV2Table(tableName: String, val matSchema: MatSchema,
     * a clear analysis error instead of a wrong answer). */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     writeDir.isDefined && GraftFilters.toColumn(filters).isDefined
+
+  /** `TRUNCATE TABLE` — NOT the `SupportsDelete` default (deleteWhere with
+    * no filters = resolve the whole live table + one tombstone per key,
+    * O(live keys)): routed through [[GraftInsert.overwrite]] with an empty
+    * source, which on manifest tables is a pure manifest replace publish —
+    * O(1) regardless of table size, time travel below it intact until
+    * vacuum, the truncating txn id burned so stream offsets stay monotone.
+    * Rename-protocol tables fall back to the tombstone-all shape inside
+    * the same call (no atomic swap exists there). */
+  override def truncateTable(): Boolean = {
+    val dir = writeDir.getOrElse(throw new UnsupportedOperationException(
+      s"$tableName is a VERSION AS OF snapshot — historical versions are read-only"))
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], matSchema.toStructType)
+    GraftInsert.overwrite(spark, dir, empty)
+    true
+  }
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val dir = writeDir.getOrElse(throw new UnsupportedOperationException(

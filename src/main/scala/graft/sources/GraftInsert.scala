@@ -57,32 +57,88 @@ object GraftInsert {
   def tombstone(spark: SparkSession, dir: String, keys: DataFrame): Option[Long] =
     commitBatch(spark, dir, keys, tombstone = true)
 
-  /** `INSERT OVERWRITE`: replace the table contents in ONE transaction —
-    * tombstones for every currently-live key (`_seq` 0) UNIONed with the
-    * new rows (`_seq` 1, outranking their own transaction's tombstone on
-    * overlapping keys), claimed/written/published exactly like [[append]].
-    * MVCC all the way down: readers see the old state until the publish
-    * flips, `VERSION AS OF` below the overwrite keeps reading, and txn ids
-    * stay monotone — the same contract as SQL TRUNCATE (which is the
-    * degenerate empty-source case).
+  /** `INSERT OVERWRITE` / `TRUNCATE`: replace the table contents in ONE
+    * transaction. Cost is O(new data), not O(old table):
     *
-    * Concurrency: the tombstone set covers the keys committed when the
-    * overwrite RESOLVED them; a concurrent insert that claims a later txn
-    * id outranks those tombstones per key — newest-txn-wins, the same
-    * last-writer-wins answer every write path here gives (the overwrite
-    * does not serialize against concurrent writers, exactly like the
-    * delta row-level path). */
+    *   - **Manifest protocol** — a replace publish: the new rows are written
+    *     to one claimed segment and the manifest flips to exactly that set
+    *     (`visibleAfter = [new segment]`), the same atomic mechanism
+    *     [[graft.core.MatDb.overwrite]] and `checkpoint()` use. The old
+    *     state is never read and never tombstoned — a daily 100 TB refresh
+    *     costs the new day's write, not a full-table scan. Old manifests
+    *     keep the replaced state readable for `VERSION AS OF` until vacuum.
+    *     The publish is conflict-checked (expectedBase CAS): if any commit
+    *     lands between claim and publish it retries, RETAINING segments
+    *     with a txn id above the overwrite's own — newest-txn-wins, now
+    *     enforced at publish time rather than assumed from a pre-claim
+    *     resolve (the round-10 race: an append committing between resolve
+    *     and publish kept its keys alive despite the overwrite being
+    *     newer).
+    *   - **Rename protocol** (no atomic swap) — the tombstone-all shape:
+    *     tombstones for every currently-live key (`_seq` 0) UNIONed with
+    *     the new rows (`_seq` 1, outranking their own transaction's
+    *     tombstone on overlapping keys). The txn id is claimed BEFORE the
+    *     live set is resolved, narrowing the same race to the
+    *     single-writer window the rename protocol already assumes.
+    *
+    * Either way: readers see the old state until the publish flips,
+    * `VERSION AS OF` below the overwrite keeps reading, and txn ids stay
+    * monotone (a TRUNCATE's id is recorded as the manifest's producing txn
+    * even though no segment carries it) — so stream offsets never rewind.
+    * TRUNCATE is the degenerate empty-source case. */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame): Option[Long] = {
     val root = Storage.rootPath(dir)
     val schema = Storage.readSchema(root)
-    val proto = Storage.detect(root)
-    val paths = proto.listCommitted(root).sorted
-      .map(s => proto.readPath(root, s).toString)
-    val doomed = Scan.resolve(spark, schema, paths, Nil, None)
-      .select(schema.dimNames.map(col): _*)
-    commitFrame(root, proto,
-      decorate(schema, doomed, tombstone = true, seq = 0L)
-        .unionByName(decorate(schema, df, tombstone = false, seq = 1L)))
+    Storage.detect(root) match {
+      case m if m == Storage.ManifestProtocol =>
+        overwriteReplace(root, m, schema, df)
+      case proto =>
+        val (segId, segPath) = claimSegment(root, proto)
+        val paths = proto.listCommitted(root).sorted
+          .map(s => proto.readPath(root, s).toString)
+        val doomed = Scan.resolve(spark, schema, paths, Nil, None)
+          .select(schema.dimNames.map(col): _*)
+        writeClaimed(root, proto, schema, segId, segPath,
+          decorate(schema, doomed, tombstone = true, seq = 0L)
+            .unionByName(decorate(schema, df, tombstone = false, seq = 1L)))
+    }
+  }
+
+  /** Manifest-table overwrite: claim, write the new rows, replace-publish.
+    * Always returns the claimed txn id — an overwrite commits even when
+    * `df` is empty (that IS the truncate). */
+  private def overwriteReplace(root: Path, proto: graft.core.Protocol,
+      schema: MatSchema, df: DataFrame): Option[Long] = {
+    val (segId, segPath) = claimSegment(root, proto)
+    decorate(schema, df, tombstone = false, seq = 0L)
+      .withColumn(Scan.TxnCol, lit(segId.txnId))
+      .repartition(schema.chunkColNames.map(col): _*)
+      .sortWithinPartitions(schema.dimNames.map(col): _*)
+      .write.mode("append")
+      .option("compression", "zstd")
+      .partitionBy(schema.chunkColNames: _*)
+      .parquet(segPath.toString)
+    val newIds = if (hasDataFiles(segPath)) Seq(segId) else Seq.empty[SegmentId]
+    var tries = 0
+    while (tries < 16) {
+      val base = proto.listCommitted(root)
+      // newest-txn-wins across writers: a commit that claimed a LATER txn
+      // id than this overwrite survives it (same answer the tombstone path
+      // gives per-key); everything older is replaced away
+      val keep = base.filter(_.txnId > segId.txnId)
+      try {
+        proto.replace(root, newIds, (newIds ++ keep).sorted, base,
+          prodTxn = segId.txnId)
+        // an empty claim dir (TRUNCATE) is not referenced by the manifest —
+        // drop it now that the producing txn is durably recorded
+        if (newIds.isEmpty) Storage.deleteRecursively(segPath)
+        return Some(segId.txnId)
+      } catch {
+        case _: java.util.ConcurrentModificationException => tries += 1
+      }
+    }
+    throw new IllegalStateException(
+      "INSERT OVERWRITE: too many concurrent commits; giving up after 16 retries")
   }
 
   /** CLAIM a fresh transaction's segment-0 directory put-if-absent — the
@@ -93,15 +149,19 @@ object GraftInsert {
     * atomic at the filesystem, so concurrent claimants get distinct ids. */
   private[sources] def claimSegment(root: Path,
       proto: graft.core.Protocol): (SegmentId, Path) = {
-    val committed = proto.listCommitted(root)
+    // the watermark covers the committed set AND the manifest's producing
+    // txn — a replace-truncate leaves no segments, yet its id stays burned
     val onDisk = list(root).flatMap(p => Storage.decode(p.getFileName.toString))
       .map(_._1.txnId)
-    var txn = ((committed.map(_.txnId) ++ onDisk) :+ 0L).max + 1L
+    var txn = (onDisk :+ proto.txnWatermark(root)).max + 1L
     while (true) {
       val id = SegmentId(txn, 0)
       val p = proto.writePath(root, id)
       try {
         Files.createDirectory(p)
+        // claim wall-clock stamp: keeps GC's grace honest for writes that
+        // outlast the mtime grace (Storage.stampClaim scaladoc)
+        Storage.stampClaim(p)
         return (id, p)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => txn += 1L
@@ -153,6 +213,12 @@ object GraftInsert {
       frame: DataFrame): Option[Long] = {
     val schema = Storage.readSchema(root)
     val (segId, segPath) = claimSegment(root, proto)
+    writeClaimed(root, proto, schema, segId, segPath, frame)
+  }
+
+  private def writeClaimed(root: Path, proto: graft.core.Protocol,
+      schema: MatSchema, segId: SegmentId, segPath: Path,
+      frame: DataFrame): Option[Long] = {
     frame
       .withColumn(Scan.TxnCol, lit(segId.txnId))
       .repartition(schema.chunkColNames.map(col): _*)

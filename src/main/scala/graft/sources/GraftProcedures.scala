@@ -39,7 +39,7 @@ object GraftProcedures {
 
   /** Declared procedure names, for `listProcedures` / error messages. */
   val names: Seq[String] =
-    Seq("checkpoint", "checkpoint_if_needed", "compact", "vacuum")
+    Seq("checkpoint", "checkpoint_if_needed", "compact", "vacuum", "clone")
 
   def load(catalogName: String, root: java.nio.file.Path,
       name: String): UnboundProcedure = {
@@ -85,16 +85,33 @@ object GraftProcedures {
           "past the GC grace window)",
         params = Seq(in("table", StringType)),
         out = StructType(Seq(StructField("removed", IntegerType, nullable = false)))) {
-        // Storage-level sweep off the committed LISTING, not MatDb.open:
-        // open's recovery would itself sweep superseded dirs first and the
-        // procedure would always report 0 — and a SQL-driven vacuum should
-        // not run recovery side effects on a table other processes may
-        // hold open. The GC grace window still protects live claims.
+        // Storage-level sweep off the committed LISTING, not MatDb.open —
+        // a SQL-driven vacuum must not run recovery side effects on a
+        // table other processes may hold open. This is THE call that
+        // reclaims replaced-away history (round 11: recovery retains it
+        // for time travel) and ends VERSION AS OF below replace commits.
+        // The GC grace window still protects live claims.
         row =>
           val dir = tableDir(row)
           val proto = graft.core.Storage.detect(dir)
           new GenericInternalRow(Array[Any](
             proto.sweepUnreferenced(dir, proto.listCommitted(dir))))
+      }
+      case "clone" => proc("clone",
+        "zero-copy SHALLOW CLONE of a table into a new name under this " +
+          "catalog: metadata and data files hard-linked, no bytes moved — " +
+          "writes/compaction/vacuum on either side never affect the other " +
+          "(MatDb.shallowClone)",
+        params = Seq(in("table", StringType), in("target", StringType)),
+        out = StructType(Seq(StructField("segments", IntegerType, nullable = false),
+          StructField("txn_watermark", LongType, nullable = false)))) {
+        row =>
+          val target = row.getUTF8String(1).toString
+          val dstDir = target.split('.').foldLeft(root)(_.resolve(_))
+          val clone = MatDb.shallowClone(SparkSession.active,
+            tableDir(row).toString, dstDir.toString)
+          new GenericInternalRow(Array[Any](clone.committedSegments.size,
+            clone.protocol.txnWatermark(clone.root)))
       }
       case other =>
         throw new UnsupportedOperationException(

@@ -116,7 +116,10 @@ final class GraftDeltaWrite(table: GraftV2Table, info: LogicalWriteInfo)
   override def toBatch: DeltaBatchWrite = {
     val dir = table.writeDir.getOrElse(throw new UnsupportedOperationException(
       s"${table.name()} is a VERSION AS OF snapshot — historical versions are read-only"))
-    new GraftDeltaBatchWrite(dir, table.matSchema, info)
+    new GraftDeltaBatchWrite(dir, table.matSchema, info,
+      serializable = table.tableProps.getOrElse(
+        GraftCatalog.IsolationProp, "newest-wins") == "serializable",
+      readHorizon = table.readHorizon)
   }
 
   override def description(): String = s"GraftDeltaWrite(${table.name()})"
@@ -127,7 +130,8 @@ final class GraftDeltaWrite(table: GraftV2Table, info: LogicalWriteInfo)
 private final case class GraftDeltaCommitMessage(
     renames: Seq[(String, String)], rows: Long) extends WriterCommitMessage
 
-final class GraftDeltaBatchWrite(dir: String, matSchema: MatSchema, info: LogicalWriteInfo)
+final class GraftDeltaBatchWrite(dir: String, matSchema: MatSchema, info: LogicalWriteInfo,
+    serializable: Boolean = false, readHorizon: Long = 0L)
     extends DeltaBatchWrite {
 
   private val root = Storage.rootPath(dir)
@@ -176,16 +180,86 @@ final class GraftDeltaBatchWrite(dir: String, matSchema: MatSchema, info: Logica
       case other => throw new IllegalStateException(s"unexpected commit message $other")
     }
     sweepTmp(fs, hPath) // loser attempts' leftovers — never named in a message
-    if (rows > 0) {
-      // publish against the CURRENT committed set (concurrent writers may
-      // have committed since this statement planned) — same optimistic
-      // shape as GraftInsert
+    if (rows > 0) publish(segId, segPath)
+    else Storage.deleteRecursively(segPath) // empty delta: drop the claim, no txn
+    ()
+  }
+
+  /** Publish the delta. Default (`newest-wins`): optimistic append against
+    * the current committed set — two concurrent `UPDATE v = v + 1` both
+    * land and the newer txn's version wins per key, silently losing the
+    * other increment (the documented MVCC answer, shared with every write
+    * path here).
+    *
+    * `TBLPROPERTIES('graft.isolation' = 'serializable')`: before
+    * publishing, any transaction committed AFTER this statement's read
+    * snapshot (`readHorizon`) whose segment touches the same CHUNK keys
+    * aborts the commit with `ConcurrentModificationException` — the same
+    * abort-on-race contract as `compact()`/`checkpoint()`, at chunk
+    * granularity (conservative: a same-chunk different-key writer also
+    * aborts; Delta's file-level conflict detection has the same shape).
+    * On manifest tables the publish itself is the conflict check's
+    * linearization point (a CAS `replace` on the exact base the check
+    * read, re-checked on every lost race), so no window remains between
+    * check and publish; rename tables get the check plus the protocol's
+    * single-writer assumption. The loser's claim directory is deleted and
+    * the statement can simply be retried — its re-read sees the winner. */
+  private def publish(segId: SegmentId, segPath: java.nio.file.Path): Unit = {
+    if (!serializable) {
       val committed = proto.listCommitted(root)
       proto.commit(root, Seq(segId), (committed :+ segId).sorted)
-    } else {
-      Storage.deleteRecursively(segPath) // empty delta: drop the claim, no txn
+      return
     }
-    ()
+    var tries = 0
+    while (true) {
+      val base = proto.listCommitted(root)
+      val later = base.filter(_.txnId > readHorizon)
+      if (later.nonEmpty) {
+        val ours = chunkKeys(segPath)
+        val conflicts = later.filter(s =>
+          chunkKeys(proto.readPath(root, s)).exists(ours.contains))
+        if (conflicts.nonEmpty) {
+          Storage.deleteRecursively(segPath)
+          throw new java.util.ConcurrentModificationException(
+            s"serializable row-level conflict: transaction(s) " +
+              s"${conflicts.map(_.txnId).distinct.sorted.mkString(", ")} committed " +
+              s"after this statement's snapshot (txn $readHorizon) and touched the " +
+              "same chunks; re-run the statement against the current state")
+        }
+      }
+      if (proto != Storage.ManifestProtocol) {
+        proto.commit(root, Seq(segId), (base :+ segId).sorted)
+        return
+      }
+      try {
+        proto.replace(root, Seq(segId), (base :+ segId).sorted, base, segId.txnId)
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // lost the CAS: something committed between check and publish —
+          // loop to re-run the conflict check against the new base
+          tries += 1
+          if (tries >= 16) { Storage.deleteRecursively(segPath); throw e }
+      }
+    }
+  }
+
+  /** Chunk-key directories (relative paths like `_ck_t=3/_ck_s=1`) holding
+    * data files under a segment — the conflict-detection granularity. */
+  private def chunkKeys(segDir: java.nio.file.Path): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(segDir)) Set.empty
+    else {
+      val walk = java.nio.file.Files.walk(segDir)
+      try walk.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map(p => segDir.relativize(p.getParent).toString)
+        .toSet
+      finally walk.close()
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

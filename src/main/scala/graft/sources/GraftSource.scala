@@ -134,8 +134,14 @@ class GraftRelation(
 
   /** Real table size for join planning ([[graft.core.MatDb.visibleBytes]]):
     * without this override every graft relation reports
-    * `spark.sql.defaultSizeInBytes` and can never be auto-broadcast. */
-  override lazy val sizeInBytes: Long = db.visibleBytes(asOf)
+    * `spark.sql.defaultSizeInBytes` and can never be auto-broadcast.
+    * `visibleBytes` returns -1 when the walk raced a vacuum (non-empty
+    * visible set, zero readable bytes) — fall back to the default rather
+    * than advertise a large table as broadcastable (driver-OOM direction). */
+  override lazy val sizeInBytes: Long = db.visibleBytes(asOf) match {
+    case -1L => sqlContext.sparkSession.sessionState.conf.defaultSizeInBytes
+    case b   => b
+  }
 
   /** Pushable ⇔ every referenced column is a dimension. Dimension values are
     * immutable per key point (they ARE the key), so filtering before version

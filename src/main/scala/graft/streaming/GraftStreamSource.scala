@@ -133,8 +133,14 @@ final class GraftMicroBatchStream(
   private val root: JPath = Storage.rootPath(path)
   private def protocol = Storage.detect(root)
 
-  private def latestTxn(): Long =
-    (protocol.listCommitted(root).map(_.txnId) :+ 0L).max
+  /** Watermark, not just the listing max: a replace-TRUNCATE leaves no
+    * segments but records its producing txn in the manifest — the offset
+    * must advance past it, never rewind. A lagging stream crossing a
+    * replace commit (overwrite/truncate/compact) sees the replacing txn's
+    * NEW rows as one batch and skips the replaced-away intermediates —
+    * replace is a table-level swap, not row-level CDC (same contract as
+    * Delta's overwrite commits without skipChangeCommits failing/skip). */
+  private def latestTxn(): Long = protocol.txnWatermark(root)
 
   /** Where a FRESH stream starts (a checkpointed stream resumes from its
     * own offsets and never consults this): by default all history
@@ -168,7 +174,7 @@ final class GraftMicroBatchStream(
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val start = startOffset.asInstanceOf[TxnOffset].txn
     val segs = protocol.listCommitted(root) // ONE listing per admission call
-    val latest = (segs.map(_.txnId) :+ 0L).max
+    val latest = latestTxn()
     val txnCapped = maxTxnsPerBatch.fold(latest)(m => math.min(latest, start + m))
     val end = maxBytesPerBatch match {
       case None => txnCapped
@@ -181,7 +187,10 @@ final class GraftMicroBatchStream(
           bytes += ids.flatMap(dataFiles).map(f => Files.size(Paths.get(f))).sum
           if (last == start || bytes <= cap) last = t
         }
-        last
+        // segment-less txns past the last data txn (a replace-TRUNCATE's
+        // recorded producing txn) cost no bytes — admit them, or the
+        // byte-capped stream would stall below the truncate forever
+        if (byTxn.isEmpty || byTxn.last._1 == last) txnCapped else last
     }
     TxnOffset(end.max(start))
   }

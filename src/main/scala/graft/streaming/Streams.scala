@@ -288,15 +288,19 @@ object Streams {
     * advance in lockstep with the base (a crash replays the tail range
     * into every view, and each absorbs it byte-identically).
     *
-    * The base handle is intentionally REOPENED per micro-batch: a MatDb
-    * pins its committed-segment snapshot at open, and this sink exists to
-    * chase OTHER writers' commits — a cached handle would read an empty
-    * delta forever. The per-batch cost is one directory/manifest listing,
-    * the same metadata read any snapshot query performs. */
+    * The base handle is opened ONCE (first batch) and [[MatDb.refresh]]ed
+    * per micro-batch: a MatDb pins its committed-segment snapshot at open
+    * and this sink exists to chase OTHER writers' commits, so the snapshot
+    * must re-pin every batch — but a refresh is one read-only manifest
+    * read (O(1) under the `_log/_last` pointer), where the round-10
+    * re-open paid a schema read plus a recovery sweep per batch (and the
+    * sweep MUTATES — wrong thing to run against a table other processes
+    * are actively writing). */
   def viewMaintSink(stream: DataFrame, basePath: String,
       views: Seq[(MatDb, String)], checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(views.nonEmpty, "viewMaintSink: need at least one view")
+    var base: MatDb = null // driver-side foreachBatch state, one per stream
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
@@ -304,7 +308,8 @@ object Streams {
         val range = batch.agg(min(col("_txn_id")).as("lo"), max(col("_txn_id")).as("hi"))
           .collect()(0)
         if (!range.isNullAt(0)) {
-          val base = MatDb.open(batch.sparkSession, basePath)
+          if (base == null) base = MatDb.open(batch.sparkSession, basePath)
+          else base.refresh()
           views.foreach { case (viewDb, groupCol) =>
             graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, viewDb,
               range.getLong(0) - 1L, range.getLong(1), groupCol)

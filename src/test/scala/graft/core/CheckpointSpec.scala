@@ -39,6 +39,7 @@ class CheckpointSpec extends AnyFunSuite {
   test("nothing observable at or above the horizon changes; below it folds") {
     val db = freshDb(); build(db)
     val preSnap = state(db.snapshot())
+    val preAsOf1 = state(db.asOf(1L))
     val preAsOf2 = state(db.asOf(2L))
     val preAsOf3 = state(db.asOf(3L))
     val preSegs = db.committedSegments.size
@@ -54,12 +55,19 @@ class CheckpointSpec extends AnyFunSuite {
     // retained tombstone still deletes; retained upsert still wins
     assert(!state(db.snapshot()).contains(7L))
     assert(state(db.snapshot())(3L) === 999L)
-    // below the horizon the history is gone
-    assert(db.asOf(1L).count() === 0L)
+    // below the horizon, history resolves through the manifest LINEAGE —
+    // the folded-away directories are retained until vacuum (round 11), so
+    // time travel below the checkpoint keeps reading its original state
+    assert(state(db.asOf(1L)) === preAsOf1,
+      "below-horizon time travel reads the original manifest until vacuum")
 
     // vacuum reclaims the superseded directories and changes nothing
+    // current; below-horizon history is now gone (falls back to the
+    // latest-manifest filter — empty below the baseline's txn id)
     assert(db.vacuum() > 0)
     assert(state(db.snapshot()) === preSnap)
+    assert(db.asOf(1L).count() === 0L,
+      "after vacuum the below-horizon history is reclaimed")
 
     // a fresh open (recovery path) sees the same table
     val reopened = MatDb.open(spark, db.root.toString)
@@ -101,7 +109,7 @@ class CheckpointSpec extends AnyFunSuite {
     val racer = db.newTransaction()
     racer.addRows(Seq((50L, 50L)).toDF("k", "v")); racer.commit()
     val ex = intercept[java.util.ConcurrentModificationException] {
-      db.commitReplace(Seq(SegmentId(99L, 0)), expectedBase = Seq.empty)
+      db.commitReplace(Seq(SegmentId(99L, 0)), expectedBase = Seq.empty, prodTxn = 99L)
     }
     assert(ex.getMessage.contains("changed"))
     assert(state(db.snapshot())(50L) === 50L)

@@ -372,7 +372,14 @@ class CoreManifestSpec extends CoreProtocolBehaviors("manifest") {
     assert(Files.exists(orphan), "recovery must not sweep a possibly-live claim")
     val t3 = db2.newTransaction(); t3.addRowsSeq(Seq(Seq(3L, 3L, 3L))); t3.commit()
     assert(t3.id.get > t2.id.get, "a skipped orphan still burns its txn id")
-    // once the dir AGES past the grace it is provably crashed: swept
+    // once the claim AGES past the retention it is provably crashed: swept.
+    // The segment carries a `_claim` wall-clock stamp (round 11 — so a
+    // long-running write can't be mistaken for an expired orphan just
+    // because its directory mtime went stale); aging means rewriting the
+    // stamp, not the mtime.
+    Files.write(orphan.resolve(Storage.ClaimFile),
+      String.valueOf(System.currentTimeMillis() - Storage.claimRetentionMs - 60000L)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.setLastModifiedTime(orphan,
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - Storage.recoveryGraceMs - 60000L))

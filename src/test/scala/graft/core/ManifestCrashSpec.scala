@@ -114,8 +114,9 @@ class ManifestCrashSpec extends AnyFunSuite
             if (kill >= 1) mkSegDirs(root, ids)
             if (kill >= 2) mkStrayTempManifest(root)
             if (kill >= 3) {
-              proto.replace(root, ids, ids, expectedBase = committed)
-              // superseded dirs become unreferenced; recovery must sweep them
+              proto.replace(root, ids, ids, expectedBase = committed, prodTxn = txn)
+              // superseded dirs stay on disk as time-travel history
+              // (round 11); the explicit vacuum below reclaims them
               committed = ids.toVector
             }
         }
@@ -124,8 +125,11 @@ class ManifestCrashSpec extends AnyFunSuite
         val (recovered, next) = proto.recover(root)
         assert(recovered.sorted === committed.sorted,
           s"seed=$seed op=$op: recovered set must equal the committed prefix")
-        // orphan segment directories (kill 1/2, superseded replace inputs)
-        // are swept — what's on disk is what's committed
+        // orphan segment directories (kill 1/2 — never referenced by any
+        // manifest) are swept by recovery; superseded replace inputs are
+        // HISTORY and survive until the explicit vacuum converges disk to
+        // exactly the committed set
+        proto.sweepUnreferenced(root, recovered)
         assert(onDiskSegments(root) === committed.toSet,
           s"seed=$seed op=$op: no orphan or missing segment directories")
         // the recovery that saw this txn's trace burns its id; and next
@@ -145,6 +149,48 @@ class ManifestCrashSpec extends AnyFunSuite
     }
   }
 
+  test("_last pointer: stale (crash before pointer), missing, corrupt, and ahead all self-heal") {
+    val root = Files.createTempDirectory("graft-manifest-last")
+    Files.createDirectories(root.resolve("_log"))
+    val last = root.resolve("_log").resolve("_last")
+
+    // two published commits: versions 0 and 1; pointer tracks the latest
+    mkSegDirs(root, Seq(SegmentId(1, 0)))
+    proto.commit(root, Seq(SegmentId(1, 0)), Seq(SegmentId(1, 0)))
+    mkSegDirs(root, Seq(SegmentId(2, 0)))
+    proto.commit(root, Seq(SegmentId(2, 0)), Seq(SegmentId(1, 0), SegmentId(2, 0)))
+    assert(new String(Files.readAllBytes(last)).trim === "1")
+
+    // CRASH between manifest write and pointer write: publish version 2
+    // through the raw conditional put only — the pointer stays at 1
+    mkSegDirs(root, Seq(SegmentId(3, 0)))
+    assert(proto.tryWriteManifest(root, 2L,
+      Seq(SegmentId(1, 0), SegmentId(2, 0), SegmentId(3, 0)), prodTxn = 3L))
+    assert(new String(Files.readAllBytes(last)).trim === "1", "pointer is stale by one")
+    // readers probe FORWARD from the stale pointer and see version 2
+    assert(proto.listCommitted(root).map(_.txnId).sorted === Seq(1L, 2L, 3L))
+    assert(proto.txnWatermark(root) === 3L)
+
+    // missing pointer: fall back to the listing
+    Files.delete(last)
+    assert(proto.listCommitted(root).map(_.txnId).sorted === Seq(1L, 2L, 3L))
+
+    // corrupt pointer: fall back to the listing
+    Files.write(last, "not-a-number".getBytes(StandardCharsets.UTF_8))
+    assert(proto.listCommitted(root).map(_.txnId).sorted === Seq(1L, 2L, 3L))
+
+    // pointer AHEAD of reality (names a version that does not exist): fall back
+    Files.write(last, "7".getBytes(StandardCharsets.UTF_8))
+    assert(proto.listCommitted(root).map(_.txnId).sorted === Seq(1L, 2L, 3L))
+
+    // the next publish repairs the pointer
+    mkSegDirs(root, Seq(SegmentId(4, 0)))
+    proto.commit(root, Seq(SegmentId(4, 0)),
+      Seq(SegmentId(1, 0), SegmentId(2, 0), SegmentId(3, 0), SegmentId(4, 0)))
+    assert(new String(Files.readAllBytes(last)).trim === "3")
+    assert(proto.listCommitted(root).map(_.txnId).sorted === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("a crashed replace never destroys the previous committed state") {
     val root = Files.createTempDirectory("graft-manifest-replace-crash")
     Files.createDirectories(root.resolve("_log"))
@@ -162,9 +208,20 @@ class ManifestCrashSpec extends AnyFunSuite
 
     // the retried compaction (new id) succeeds and supersedes the base
     mkSegDirs(root, Seq(SegmentId(next, 0)))
-    proto.replace(root, Seq(SegmentId(next, 0)), Seq(SegmentId(next, 0)), expectedBase = base)
+    proto.replace(root, Seq(SegmentId(next, 0)), Seq(SegmentId(next, 0)),
+      expectedBase = base, prodTxn = next)
     val (after, _) = proto.recover(root)
     assert(after === Seq(SegmentId(next, 0)))
-    assert(onDiskSegments(root) === Set(SegmentId(next, 0)), "superseded base dirs swept")
+    // superseded base dirs are retained as time-travel history across
+    // reopen (round 11) — VERSION AS OF below the replace keeps reading —
+    // and the explicit vacuum is what reclaims them
+    assert(onDiskSegments(root) === base.toSet + SegmentId(next, 0),
+      "superseded base dirs retained until vacuum")
+    assert(proto.listCommittedAsOf(root, 2L).sorted === base.sorted,
+      "time travel below the replace resolves the original manifest")
+    proto.sweepUnreferenced(root, after)
+    assert(onDiskSegments(root) === Set(SegmentId(next, 0)), "vacuum reclaims history")
+    assert(proto.listCommittedAsOf(root, 2L) === Seq.empty,
+      "vacuumed history falls back to the latest-manifest filter (empty here)")
   }
 }

@@ -527,13 +527,19 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT v FROM gcat.ovw VERSION AS OF 2 WHERE t = 3").head().getLong(0) === 103L)
     assert(spark.sql("SELECT * FROM gcat.ovw VERSION AS OF 3").count() === 5)
+    // O(new data), not O(old table): the live manifest references ONLY the
+    // overwrite's own segment — the old state was never read or tombstoned
+    // (round 11's manifest replace publish), it just fell out of visibility
+    val live = graft.core.Storage.ManifestProtocol.listCommitted(root.resolve("ovw"))
+    assert(live.map(_.txnId).distinct === Seq(3L),
+      s"live manifest must hold only the overwrite txn's segments, got $live")
     // ids stay monotone past the overwrite
     spark.sql("INSERT INTO gcat.ovw SELECT 90, 0, 9 FROM range(1)") // txn 4
     assert(spark.sql("SELECT * FROM gcat.ovw").count() === 6)
     spark.sql("DROP TABLE gcat.ovw")
   }
 
-  test("TRUNCATE TABLE is an MVCC tombstone-all: time travel survives, ids stay monotone") {
+  test("TRUNCATE TABLE is an O(1) manifest replace: time travel survives, ids stay monotone") {
     spark.sql("DROP TABLE IF EXISTS gcat.trunc")
     spark.sql(
       """CREATE TABLE gcat.trunc (t BIGINT, sensor BIGINT, v BIGINT)
@@ -543,7 +549,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("TRUNCATE TABLE gcat.trunc")                                            // txn 3
     assert(spark.sql("SELECT * FROM gcat.trunc").count() === 0,
       "current snapshot must be empty after TRUNCATE")
-    // time travel below the truncate keeps working (tombstones, not a replace)
+    // O(1), not O(live keys): the truncate is a manifest replace publish —
+    // the live manifest is EMPTY (no tombstone-per-key segment was written,
+    // the old table was never even read)
+    assert(graft.core.Storage.ManifestProtocol
+      .listCommitted(root.resolve("trunc")).isEmpty,
+      "TRUNCATE must publish an empty manifest, not a tombstone segment")
+    // time travel below the truncate keeps working (manifest lineage: the
+    // replaced-away state stays readable until vacuum)
     assert(spark.sql("SELECT * FROM gcat.trunc VERSION AS OF 2").count() === 20)
     assert(spark.sql(
       "SELECT v FROM gcat.trunc VERSION AS OF 2 WHERE t = 0").head().getLong(0) === 100L)

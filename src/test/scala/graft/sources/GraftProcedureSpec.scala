@@ -114,6 +114,50 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gproc.rn").head().getLong(0) === 100L)
   }
 
+  test("CALL clone: zero-copy fork — identical reads, independent writes, independent GC") {
+    mkTable("cl_src")
+    val srcRows = spark.sql("SELECT k, v FROM gproc.cl_src ORDER BY k").collect()
+    val out = call("CALL gproc.system.clone('cl_src', 'cl_dst')")
+    assert(out.getLong(1) === 4L, "clone carries the source's txn watermark")
+
+    // identical reads — current snapshot AND time travel parity
+    assert(spark.sql("SELECT k, v FROM gproc.cl_dst ORDER BY k").collect() === srcRows)
+    assert(
+      spark.sql("SELECT k, v FROM gproc.cl_dst VERSION AS OF 2 ORDER BY k").collect() ===
+      spark.sql("SELECT k, v FROM gproc.cl_src VERSION AS OF 2 ORDER BY k").collect())
+
+    // zero-copy: the shared parquet files are the SAME inode (hard link)
+    val srcSeg = MatDb.open(spark, root.resolve("cl_src").toString).committedSegments.head
+    val segDir = graft.core.Storage.segmentPath(root.resolve("cl_src"), srcSeg, tmp = false)
+    val aFile = Files.walk(segDir).filter(p =>
+      p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    assert(Files.getAttribute(aFile, "unix:nlink").asInstanceOf[Integer] >= 2,
+      "clone must hard-link data files, not copy them")
+
+    // independent writes: the clone's txn ids continue past the watermark,
+    // the source never sees them
+    spark.sql("INSERT INTO gproc.cl_dst SELECT id, 99 FROM range(500, 510)")
+    assert(spark.sql("SELECT count(*) FROM gproc.cl_dst WHERE v = 99").head().getLong(0) === 10L)
+    assert(spark.sql("SELECT count(*) FROM gproc.cl_src WHERE v = 99").head().getLong(0) === 0L)
+    assert(spark.sql("SELECT k, v FROM gproc.cl_src ORDER BY k").collect() === srcRows)
+
+    // independent GC: compact + vacuum the SOURCE (drops its own links to
+    // every pre-compact segment) — the clone keeps reading its shared bytes
+    call("CALL gproc.system.compact('cl_src')")
+    call("CALL gproc.system.vacuum('cl_src')")
+    assert(spark.sql("SELECT k, v FROM gproc.cl_dst WHERE v != 99 ORDER BY k").collect()
+      === srcRows, "source GC must never invalidate the clone's data")
+    // ...and the other direction
+    call("CALL gproc.system.compact('cl_dst')")
+    call("CALL gproc.system.vacuum('cl_dst')")
+    assert(spark.sql("SELECT k, v FROM gproc.cl_src ORDER BY k").collect() === srcRows,
+      "clone GC must never invalidate the source's data")
+
+    // cloning onto an existing table refuses
+    val e = intercept[Exception](call("CALL gproc.system.clone('cl_src', 'cl_dst')"))
+    assert(e.getMessage.contains("exists"))
+  }
+
   test("listProcedures surfaces the system namespace") {
     root
     val cat = spark.sessionState.catalogManager.catalog("gproc")

@@ -199,4 +199,97 @@ class GraftRowLevelSpec extends AnyFunSuite {
     assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) === ((60L, 10L, 10L)))
     spark.sql("DROP TABLE grl.md")
   }
+
+  // ---- graft.isolation = serializable (round 11) --------------------------
+
+  test("serializable: racing UPDATE v = v + 1 never loses an increment; the loser aborts loudly") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    root
+    var sawAbort = false
+    var attempts = 0
+    while (!sawAbort && attempts < 3) {
+      attempts += 1
+      spark.sql("DROP TABLE IF EXISTS grl.ser")
+      spark.sql("CREATE TABLE grl.ser (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES('graft.dims' = 'k:100', 'graft.isolation' = 'serializable')")
+      spark.sql("INSERT INTO grl.ser SELECT id, 0 FROM range(0, 10)")
+      def inc(): Future[Boolean] = Future {
+        try { spark.sql("UPDATE grl.ser SET v = v + 1"); true }
+        catch {
+          case e: Throwable =>
+            assert(hasConflictCause(e),
+              s"an aborted serializable update must surface the conflict, " +
+                s"got ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+      }
+      val (a, b) = (inc(), inc())
+      val ok = Seq(Await.result(a, 180.seconds), Await.result(b, 180.seconds))
+      val successes = ok.count(identity)
+      assert(successes >= 1, "at least one update must win")
+      // THE invariant: observed increments == successful statements — a
+      // newest-wins table would show v = 1 with both statements "succeeding"
+      val vs = spark.sql("SELECT DISTINCT v FROM grl.ser").collect().map(_.getLong(0)).toSeq
+      assert(vs === Seq(successes.toLong),
+        s"no lost update: $successes successful increments must all be visible, got $vs")
+      sawAbort = successes == 1
+    }
+    assert(sawAbort,
+      "in 3 racing attempts at least one run must produce a serializable abort")
+    spark.sql("DROP TABLE grl.ser")
+  }
+
+  test("serializable: disjoint-chunk concurrent updates both commit (no false abort)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    root
+    spark.sql("DROP TABLE IF EXISTS grl.serd")
+    spark.sql("CREATE TABLE grl.serd (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 'k:10', 'graft.isolation' = 'serializable')")
+    spark.sql("INSERT INTO grl.serd SELECT id, 0 FROM range(0, 40)")
+    // chunk 0 (k 0..9) vs chunk 3 (k 30..39): no shared chunk => no conflict
+    val f1 = Future(spark.sql("UPDATE grl.serd SET v = 1 WHERE k < 10"))
+    val f2 = Future(spark.sql("UPDATE grl.serd SET v = 2 WHERE k >= 30"))
+    Await.result(f1, 180.seconds); Await.result(f2, 180.seconds)
+    val got = spark.sql("SELECT k, v FROM grl.serd ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall { case (k, v) =>
+      if (k < 10) v == 1L else if (k >= 30) v == 2L else v == 0L })
+  }
+
+  test("graft.isolation is persisted, alterable, and surfaced in properties") {
+    root
+    spark.sql("DROP TABLE IF EXISTS grl.iso")
+    spark.sql("CREATE TABLE grl.iso (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 'k:100')")
+    def isolation(): Option[String] =
+      spark.sql("SHOW TBLPROPERTIES grl.iso").collect()
+        .find(_.getString(0) == "graft.isolation").map(_.getString(1))
+    assert(isolation() === None, "default: no isolation property (newest-wins)")
+    spark.sql("ALTER TABLE grl.iso SET TBLPROPERTIES('graft.isolation' = 'serializable')")
+    assert(isolation() === Some("serializable"))
+    spark.sql("ALTER TABLE grl.iso UNSET TBLPROPERTIES('graft.isolation')")
+    assert(isolation() === None)
+    // structural properties stay immutable
+    val err = intercept[Exception](
+      spark.sql("ALTER TABLE grl.iso SET TBLPROPERTIES('graft.dims' = 'k:5')"))
+    assert(err.getMessage.contains("structural"))
+    spark.sql("DROP TABLE grl.iso")
+  }
+
+  /** The serializable abort may surface wrapped by Spark's command
+    * execution — accept it anywhere on the cause chain. */
+  private def hasConflictCause(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      if (t.isInstanceOf[java.util.ConcurrentModificationException]) return true
+      t = t.getCause
+    }
+    false
+  }
 }
