@@ -61,12 +61,15 @@ object OverwriteProbe {
     }
 
     /** (min wall sec of 3 fresh table+overwrite cycles, bytes read during
-      * the LAST overwrite statement alone). */
-    def measure(name: String, rows: Long, sql: String): (Double, Long) = {
+      * the LAST overwrite statement alone, pre-overwrite table bytes). */
+    def measure(name: String, rows: Long, sql: String): (Double, Long, Long) = {
       var best = Double.MaxValue
       var bytes = 0L
+      var preBytes = 0L
       (1 to 3).foreach { _ =>
         build(name, rows)
+        preBytes = graft.core.MatDb.open(spark, root.resolve(name).toString)
+          .visibleBytes()
         Thread.sleep(500) // let the listener bus drain the build's events
         val b0 = bytesRead.get()
         val t0 = System.nanoTime()
@@ -75,18 +78,14 @@ object OverwriteProbe {
         Thread.sleep(500) // drain the overwrite's own task-end events
         bytes = bytesRead.get() - b0
       }
-      (best, bytes)
+      (best, bytes, preBytes)
     }
 
     val ovwSql = (n: String) =>
       s"INSERT OVERWRITE govw.$n SELECT id, id * 7 FROM range(0, $newRows)"
-    val (smallSec, smallBytes) = measure("t_small", smallRows, ovwSql("t_small"))
-    val (bigSec, bigBytes) = measure("t_big", bigRows, ovwSql("t_big"))
-    val (truncSec, truncBytes) = measure("t_trunc", bigRows, "TRUNCATE TABLE govw.t_trunc")
-
-    // table bytes at the big size, for scale (what the tombstone path read)
-    val tableBytes = graft.core.MatDb.open(spark, root.resolve("t_big").toString)
-      .visibleBytes()
+    val (smallSec, smallBytes, _) = measure("t_small", smallRows, ovwSql("t_small"))
+    val (bigSec, bigBytes, tableBytes) = measure("t_big", bigRows, ovwSql("t_big"))
+    val (truncSec, truncBytes, _) = measure("t_trunc", bigRows, "TRUNCATE TABLE govw.t_trunc")
 
     // time travel below the last overwrite still reads (manifest lineage)
     val preOvw = spark.sql("SELECT count(*) FROM govw.t_big VERSION AS OF 1")
