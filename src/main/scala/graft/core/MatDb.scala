@@ -278,6 +278,55 @@ final class MatDb private (
       .toDF("txn_id", "seg_num", "path", "commit_ts")
   }
 
+  /** `ANALYZE TABLE ... COMPUTE STATISTICS`: compute RESOLVED-snapshot
+    * statistics — post-MVCC row count, estimated logical size, per-
+    * dimension min/max — and persist them as `graft.stats.*` table
+    * properties, stamped with the txn watermark they describe.
+    *
+    * Why this matters at 100 TB: raw on-disk bytes (what `sizeInBytes`
+    * reports without stats) count EVERY VERSION of every key — a
+    * hot-update dimension table with 20 versions per key looks 20× its
+    * resolved size, so Catalyst refuses to broadcast it and the fact side
+    * eats a sort-merge shuffle. The analyzed row count prices the
+    * post-resolve relation instead ([[graft.sources.GraftRelation]] uses
+    * it while the watermark still matches; any later commit invalidates —
+    * stale statistics must never UNDER-estimate a grown table into a
+    * driver-OOM broadcast). One resolve + one tiny aggregate; run it like
+    * any other maintenance (`CALL <cat>.system.analyze('t')`). Returns
+    * (rowCount, sizeBytes). */
+  def analyze(): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val snap = snapshot()
+    val aggs = count(lit(1)).as("_n") +:
+      schema.dimNames.flatMap(d => Seq(min(col(d)).as(s"_min_$d"), max(col(d)).as(s"_max_$d")))
+    val row = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getLong(0)
+    val bytes = n * schema.toStructType.defaultSize
+    val watermark = protocol.txnWatermark(root)
+    val dimStats = schema.dimNames.zipWithIndex.flatMap { case (d, i) =>
+      if (row.isNullAt(1 + 2 * i)) Nil // empty table: no min/max
+      else Seq(s"graft.stats.dim.$d.min" -> row.getLong(1 + 2 * i).toString,
+        s"graft.stats.dim.$d.max" -> row.getLong(2 + 2 * i).toString)
+    }
+    Storage.writeProps(root, Storage.readProps(root) ++ dimStats ++ Map(
+      "graft.stats.rowcount" -> n.toString,
+      "graft.stats.bytes" -> bytes.toString,
+      "graft.stats.txn" -> watermark.toString))
+    (n, bytes)
+  }
+
+  /** Analyzed resolved size (`graft.stats.bytes`) if statistics exist AND
+    * still describe the current watermark; None otherwise (caller falls
+    * back to raw on-disk bytes — the safe over-estimate). */
+  private[graft] def analyzedSizeBytes: Option[Long] = {
+    val props = Storage.readProps(root)
+    for {
+      txn <- props.get("graft.stats.txn")
+      if txn.toLong == protocol.txnWatermark(root)
+      bytes <- props.get("graft.stats.bytes")
+    } yield bytes.toLong
+  }
+
   /** Expose the resolved snapshot to Spark SQL as a temp view — the §7.1
     * "sql" module: the entire SQL surface (joins, windows, CTEs, …) then
     * applies to graft tables for free. */

@@ -39,7 +39,7 @@ object GraftProcedures {
 
   /** Declared procedure names, for `listProcedures` / error messages. */
   val names: Seq[String] =
-    Seq("checkpoint", "checkpoint_if_needed", "compact", "vacuum", "clone")
+    Seq("checkpoint", "checkpoint_if_needed", "compact", "vacuum", "clone", "analyze")
 
   def load(catalogName: String, root: java.nio.file.Path,
       name: String): UnboundProcedure = {
@@ -112,6 +112,19 @@ object GraftProcedures {
             tableDir(row).toString, dstDir.toString)
           new GenericInternalRow(Array[Any](clone.committedSegments.size,
             clone.protocol.txnWatermark(clone.root)))
+      }
+      case "analyze" => proc("analyze",
+        "compute resolved-snapshot statistics (post-MVCC row count, " +
+          "estimated logical size, per-dimension min/max) and persist them " +
+          "as graft.stats.* table properties — join planning prices the " +
+          "resolved relation instead of raw multi-version bytes " +
+          "(MatDb.analyze); stale stats auto-invalidate on the next commit",
+        params = Seq(in("table", StringType)),
+        out = StructType(Seq(StructField("row_count", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false)))) {
+        row =>
+          val (n, bytes) = db(row).analyze()
+          new GenericInternalRow(Array[Any](n, bytes))
       }
       case other =>
         throw new UnsupportedOperationException(

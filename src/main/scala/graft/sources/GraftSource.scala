@@ -132,16 +132,23 @@ class GraftRelation(
 
   override def schema: StructType = db.schema.toStructType
 
-  /** Real table size for join planning ([[graft.core.MatDb.visibleBytes]]):
-    * without this override every graft relation reports
-    * `spark.sql.defaultSizeInBytes` and can never be auto-broadcast.
-    * `visibleBytes` returns -1 when the walk raced a vacuum (non-empty
-    * visible set, zero readable bytes) — fall back to the default rather
-    * than advertise a large table as broadcastable (driver-OOM direction). */
-  override lazy val sizeInBytes: Long = db.visibleBytes(asOf) match {
-    case -1L => sqlContext.sparkSession.sessionState.conf.defaultSizeInBytes
-    case b   => b
-  }
+  /** Real table size for join planning: ANALYZEd resolved size when fresh
+    * ([[graft.core.MatDb.analyze]] — prices the post-MVCC relation, so a
+    * hot-update table with many versions per key can still broadcast),
+    * else raw on-disk bytes ([[graft.core.MatDb.visibleBytes]] — counts
+    * every version, the safe over-estimate). Without either override a
+    * graft relation reports `spark.sql.defaultSizeInBytes` and can never
+    * be auto-broadcast. `visibleBytes` returns -1 when the walk raced a
+    * vacuum (non-empty visible set, zero readable bytes) — fall back to
+    * the default rather than advertise a large table as broadcastable
+    * (driver-OOM direction). Analyzed stats only serve the CURRENT
+    * snapshot: a time-travel relation prices its own file list. */
+  override lazy val sizeInBytes: Long =
+    (if (asOf.isEmpty) db.analyzedSizeBytes else None).getOrElse(
+      db.visibleBytes(asOf) match {
+        case -1L => sqlContext.sparkSession.sessionState.conf.defaultSizeInBytes
+        case b   => b
+      })
 
   /** Pushable ⇔ every referenced column is a dimension. Dimension values are
     * immutable per key point (they ARE the key), so filtering before version

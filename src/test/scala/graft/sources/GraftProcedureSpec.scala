@@ -158,6 +158,17 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exists"))
   }
 
+  test("CALL analyze persists resolved-snapshot stats as graft.stats.* properties") {
+    mkTable("an") // 200 keys, several versions each — resolved count is 200
+    val out = call("CALL gproc.system.analyze('an')")
+    assert(out.getLong(0) === 200L, s"resolved row count, got $out")
+    val shown = spark.sql("SHOW TBLPROPERTIES gproc.an").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown("graft.stats.rowcount") === "200")
+    assert(shown("graft.stats.dim.k.min") === "0" && shown("graft.stats.dim.k.max") === "199")
+    assert(shown("graft.stats.txn") === "4")
+  }
+
   test("listProcedures surfaces the system namespace") {
     root
     val cat = spark.sessionState.catalogManager.catalog("gproc")

@@ -120,4 +120,57 @@ class GraftSourceSpec extends AnyFunSuite {
       s"small graft side must broadcast in the initial plan:\n$initial")
     assert(joined.count() === 50L)
   }
+
+  test("ANALYZE prices the resolved relation: a multi-version dim broadcasts only with fresh stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("graft-src-analyze").toString
+    val db = MatDb.create(spark,
+      MatSchema(Seq(Dimension("time", 100000), Dimension("sensor_id", 100000)),
+        Seq(ValueCol("value"))), path)
+    // 2000 keys × 25 versions: raw on-disk bytes price EVERY version
+    (0 until 25).foreach { i =>
+      val t = db.newTransaction()
+      t.addRows((0L until 2000L).map(k => (k, k, k * 31 + i)).toDF("time", "sensor_id", "value"))
+      t.commit()
+    }
+    val raw = db.visibleBytes()
+    val (n, analyzed) = db.analyze()
+    assert(n === 2000L)
+    assert(analyzed < raw / 2,
+      s"resolved estimate ($analyzed) must undercut the 25-version raw bytes ($raw)")
+    // per-dimension min/max persisted alongside
+    val props = Storage.readProps(Storage.rootPath(path))
+    assert(props("graft.stats.dim.time.min") === "0" &&
+      props("graft.stats.dim.time.max") === "1999")
+
+    def dim() = spark.read.format("graft").load(path)
+    assert(dim().queryExecution.optimizedPlan.stats.sizeInBytes === BigInt(analyzed))
+
+    val big = spark.range(100000).select(col("id").as("time"), col("id").as("sensor_id"),
+      (col("id") * 2).as("payload"))
+    val threshold = (analyzed + raw) / 2 // between resolved and raw pricing
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+      val withStats = big.join(dim(), Seq("time", "sensor_id"))
+        .queryExecution.sparkPlan.toString
+      assert(withStats.contains("BroadcastHashJoin"),
+        s"fresh ANALYZE stats must unlock the broadcast:\n$withStats")
+
+      // any later commit invalidates: pricing falls back to raw bytes (the
+      // safe over-estimate), which sits above the threshold again
+      val t = db.newTransaction()
+      t.addRows(Seq((5000L, 5000L, 1L)).toDF("time", "sensor_id", "value")); t.commit()
+      val stale = big.join(dim(), Seq("time", "sensor_id"))
+        .queryExecution.sparkPlan.toString
+      assert(!stale.contains("BroadcastHashJoin"),
+        s"stale stats must not under-price a changed table:\n$stale")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
