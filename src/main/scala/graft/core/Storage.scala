@@ -572,14 +572,23 @@ object Storage {
       Files.createDirectories(logDir(root))
       val committed = latestManifest(root).map(readManifest).getOrElse(Seq.empty)
       val onDisk = listEntries(root)
-      val refEver = everReferenced(root)
       val maxTxn = ((onDisk.map(_._2.txnId) ++ committed.map(_.txnId)) :+
         latestManifest(root).map(readProdTxn).getOrElse(0L)).max
-      // never-referenced dirs may be a live writer's claim — grace-guarded
-      // (see Storage.recoveryGraceMs); ever-referenced dirs are history
-      onDisk.filterNot(e => refEver.contains(e._2))
+      // sweep candidates: not in the live set AND past every grace window.
+      // Never-referenced candidates are crashed claims (swept);
+      // ever-referenced ones are time-travel history (kept until vacuum).
+      // everReferenced reads EVERY manifest version — O(commit count) — so
+      // it is only computed when candidates actually exist; a healthy
+      // table's open stays O(1) manifest reads (the _last pointer) plus
+      // one directory listing.
+      val live = committed.toSet
+      val candidates = onDisk.filterNot(e => live.contains(e._2))
         .filterNot(e => withinGrace(e._1))
-        .foreach(e => deleteRecursively(e._1))
+      if (candidates.nonEmpty) {
+        val refEver = everReferenced(root)
+        candidates.filterNot(e => refEver.contains(e._2))
+          .foreach(e => deleteRecursively(e._1))
+      }
       (committed.sorted, maxTxn + 1)
     }
 
@@ -627,8 +636,10 @@ object Storage {
 
     override def sweepUnreferenced(root: Path, keep: Seq[SegmentId]): Int = {
       val keepSet = keep.toSet
+      val candidates = listEntries(root).filter(e => !e._3 && !keepSet.contains(e._2))
+      if (candidates.isEmpty) return 0 // skip the O(commit-count) manifest scan
       val refEver = everReferenced(root)
-      val stale = listEntries(root).filter(e => !e._3 && !keepSet.contains(e._2))
+      val stale = candidates
         .filter(e => refEver.contains(e._2) || !withinGrace(e._1))
       stale.foreach(e => deleteRecursively(e._1))
       stale.size
