@@ -245,6 +245,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches.values.filter(_.nonEmpty).forall(_.distinct.size == 1)) // 1 txn/batch
   }
 
+  test("graft-stream offsets never rewind across a replace-TRUNCATE; byte cap doesn't stall on it") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-stream-trunc").toString
+    val checkpoint = Files.createTempDirectory("graft-stream-trunc-ckpt").toString
+    val db = MatDb.create(spark,
+      MatSchema(Seq(Dimension("k", 10)), Seq(ValueCol("v"))), path, "manifest")
+    for (i <- 1 to 2) {
+      val t = db.newTransaction(); t.addRows(Seq((i.toLong, i * 10L)).toDF("k", "v")); t.commit()
+    }
+    val seen = scala.collection.concurrent.TrieMap[Long, Seq[Long]]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-stream")
+        .option("maxBytesPerBatch", "1") // the stall-prone admission path
+        .load(path)
+        .writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          seen(bid) = df.select("_txn_id").collect().map(_.getLong(0)).toSeq
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    drain()
+    assert(seen.values.flatten.toSeq.sorted === Seq(1L, 2L))
+
+    // replace-TRUNCATE: txn 3 leaves NO segments, only the manifest's
+    // recorded producing txn — the offset must advance past it, and the
+    // byte-capped admission must not stall below a segment-less txn
+    graft.sources.GraftInsert.overwrite(spark, path,
+      spark.emptyDataFrame.select(lit(0L).as("k"), lit(0L).as("v")).limit(0))
+    // a lagging reseed after the truncate claims txn 4 (never a reused id)
+    graft.sources.GraftInsert.append(spark, path, Seq((9L, 90L)).toDF("k", "v"))
+    drain()
+    val all = seen.values.flatten.toSeq.sorted
+    assert(all === Seq(1L, 2L, 4L),
+      s"post-truncate append must arrive exactly once as txn 4 (ids monotone), got $all")
+  }
+
   test("segment stream + matdb foreachBatch sink: stream micro-batches become transactions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
