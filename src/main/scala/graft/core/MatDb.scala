@@ -295,18 +295,21 @@ final class MatDb private (
     * any other maintenance (`CALL <cat>.system.analyze('t')`). Returns
     * (rowCount, sizeBytes). */
   def analyze(): (Long, Long) = {
-    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit, max, min}
     val snap = snapshot()
     val aggs = count(lit(1)).as("_n") +:
-      schema.dimNames.flatMap(d => Seq(min(col(d)).as(s"_min_$d"), max(col(d)).as(s"_max_$d")))
+      schema.dimNames.flatMap(d => Seq(min(col(d)).as(s"_min_$d"),
+        max(col(d)).as(s"_max_$d"),
+        approx_count_distinct(col(d)).as(s"_ndv_$d")))
     val row = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
     val n = row.getLong(0)
     val bytes = n * schema.toStructType.defaultSize
     val watermark = protocol.txnWatermark(root)
     val dimStats = schema.dimNames.zipWithIndex.flatMap { case (d, i) =>
-      if (row.isNullAt(1 + 2 * i)) Nil // empty table: no min/max
-      else Seq(s"graft.stats.dim.$d.min" -> row.getLong(1 + 2 * i).toString,
-        s"graft.stats.dim.$d.max" -> row.getLong(2 + 2 * i).toString)
+      if (row.isNullAt(1 + 3 * i)) Nil // empty table: no min/max/ndv
+      else Seq(s"graft.stats.dim.$d.min" -> row.getLong(1 + 3 * i).toString,
+        s"graft.stats.dim.$d.max" -> row.getLong(2 + 3 * i).toString,
+        s"graft.stats.dim.$d.ndv" -> row.getLong(3 + 3 * i).toString)
     }
     Storage.writeProps(root, Storage.readProps(root) ++ dimStats ++ Map(
       "graft.stats.rowcount" -> n.toString,

@@ -672,11 +672,19 @@ final class GraftV2Table(tableName: String, val matSchema: MatSchema,
     // stale if other writers committed since load — re-list, same as INSERT)
     val root = Storage.rootPath(dir)
     val proto = Storage.detect(root)
+    // serializable tables conflict-check the tombstone publish against
+    // txns committed above THIS listing's watermark — captured before the
+    // resolve so the filter-DELETE path gives the same no-lost-update
+    // guarantee as UPDATE/MERGE (GraftInsert.publishConflictChecked)
+    val since =
+      if (tableProps.getOrElse(GraftCatalog.IsolationProp, "") == "serializable")
+        Some(proto.txnWatermark(root))
+      else None
     val paths = proto.listCommitted(root).sorted.map(s => proto.readPath(root, s).toString)
     val doomed = Scan.resolve(spark, matSchema, paths, Nil)
       .filter(pred)
       .select(matSchema.dimNames.map(org.apache.spark.sql.functions.col): _*)
-    GraftInsert.tombstone(spark, dir, doomed)
+    GraftInsert.tombstone(spark, dir, doomed, since)
     ()
   }
 
@@ -713,8 +721,64 @@ final class GraftV2Table(tableName: String, val matSchema: MatSchema,
     val index = new InMemoryFileIndex(spark, roots, Map.empty[String, String],
       Some(StructType(dataSchema ++ partSchema)),
       FileStatusCache.getOrCreate(spark), Some(partitionSpec(spark)), None)
-    ParquetScanBuilder(spark, index, StructType(dataSchema ++ partSchema), dataSchema, options)
+    analyzedStats match {
+      case Some((bytes, rows)) => new GraftStatsScanBuilder(spark, index,
+        StructType(dataSchema ++ partSchema), dataSchema, options, bytes, rows)
+      case None =>
+        ParquetScanBuilder(spark, index, StructType(dataSchema ++ partSchema),
+          dataSchema, options)
+    }
   }
+
+  /** Fresh ANALYZEd statistics (resolved bytes, resolved row count), only
+    * for the CURRENT snapshot of a writable table (a VERSION AS OF
+    * relation prices its own historical file list) and only while the
+    * stats' watermark matches the load-time watermark — a later commit
+    * falls back to the stock file-bytes estimate (the safe
+    * over-estimate; raw bytes count every MVCC version). */
+  private def analyzedStats: Option[(Long, Long)] =
+    if (writeDir.isEmpty) None
+    else for {
+      txn <- tableProps.get("graft.stats.txn")
+      if txn.toLong == readHorizon
+      bytes <- tableProps.get("graft.stats.bytes")
+      rows <- tableProps.get("graft.stats.rowcount")
+    } yield (bytes.toLong, rows.toLong)
+}
+
+/** [[ParquetScanBuilder]] whose built scan reports ANALYZEd resolved-
+  * snapshot statistics instead of raw multi-version file bytes — the DSv2
+  * face of the same fix `GraftRelation.sizeInBytes` applies on the v1
+  * path: a hot-update dimension table with N versions per key otherwise
+  * looks N× its joinable size and loses its broadcast. Everything else
+  * (pushdown, pruning, vectorized read) is stock ParquetScanBuilder. */
+private final class GraftStatsScanBuilder(
+    spark: SparkSession,
+    index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
+    fullSchema: StructType, dataSchema: StructType,
+    options: CaseInsensitiveStringMap, bytes: Long, rows: Long)
+    extends ParquetScanBuilder(spark, index, fullSchema, dataSchema, options) {
+  override def build(): org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
+    new GraftStatsScan(super.build(), bytes, rows)
+}
+
+/** A [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]]
+  * overriding ONLY `estimateStatistics` (sizeInBytes + rowCount from
+  * ANALYZE); reads, pushdown metadata, and partition planning are
+  * inherited unchanged. */
+private final class GraftStatsScan(
+    base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    bytes: Long, rows: Long)
+    extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+      base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
+      base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
+      base.options, base.pushedAggregate, base.partitionFilters,
+      base.dataFilters, base.pushedVariantExtractions) {
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
 }
 
 /** Driver-side commit-history metadata table (see

@@ -53,9 +53,17 @@ object GraftInsert {
     * cross-process `DELETE FROM` write path ([[GraftCatalog]]'s
     * `SupportsDelete`). Same claim + chunk-routed write + protocol publish
     * as [[append]]; the rows just carry null values and `_del = true`, so
-    * the MVCC resolve retires the keys ([[graft.core.Scan.dedup]]). */
-  def tombstone(spark: SparkSession, dir: String, keys: DataFrame): Option[Long] =
-    commitBatch(spark, dir, keys, tombstone = true)
+    * the MVCC resolve retires the keys ([[graft.core.Scan.dedup]]).
+    *
+    * `serializableSince`: when the table runs
+    * `graft.isolation = serializable`, the snapshot watermark the doomed
+    * keys were RESOLVED against — the publish then conflict-checks
+    * against transactions committed above it ([[publishConflictChecked]])
+    * so a filter-DELETE gets the same no-lost-update guarantee as the
+    * row-level paths. None = newest-wins (default). */
+  def tombstone(spark: SparkSession, dir: String, keys: DataFrame,
+      serializableSince: Option[Long] = None): Option[Long] =
+    commitBatch(spark, dir, keys, tombstone = true, serializableSince)
 
   /** `INSERT OVERWRITE` / `TRUNCATE`: replace the table contents in ONE
     * transaction. Cost is O(new data), not O(old table):
@@ -171,11 +179,12 @@ object GraftInsert {
   }
 
   private def commitBatch(spark: SparkSession, dir: String, df: DataFrame,
-      tombstone: Boolean): Option[Long] = {
+      tombstone: Boolean, serializableSince: Option[Long] = None): Option[Long] = {
     val root = Storage.rootPath(dir)
     val schema = Storage.readSchema(root)
     val proto = Storage.detect(root)
-    commitFrame(root, proto, decorate(schema, df, tombstone, seq = 0L))
+    commitFrame(root, proto, decorate(schema, df, tombstone, seq = 0L),
+      serializableSince)
   }
 
   /** Decorate exactly as Transaction.flush: dims carry their chunk size in
@@ -210,15 +219,15 @@ object GraftInsert {
     * transaction (rows route with one shuffle keyed on the chunk columns,
     * sorted by dims for row-group stats). */
   private def commitFrame(root: Path, proto: graft.core.Protocol,
-      frame: DataFrame): Option[Long] = {
+      frame: DataFrame, serializableSince: Option[Long] = None): Option[Long] = {
     val schema = Storage.readSchema(root)
     val (segId, segPath) = claimSegment(root, proto)
-    writeClaimed(root, proto, schema, segId, segPath, frame)
+    writeClaimed(root, proto, schema, segId, segPath, frame, serializableSince)
   }
 
   private def writeClaimed(root: Path, proto: graft.core.Protocol,
       schema: MatSchema, segId: SegmentId, segPath: Path,
-      frame: DataFrame): Option[Long] = {
+      frame: DataFrame, serializableSince: Option[Long] = None): Option[Long] = {
     frame
       .withColumn(Scan.TxnCol, lit(segId.txnId))
       .repartition(schema.chunkColNames.map(col): _*)
@@ -228,15 +237,85 @@ object GraftInsert {
       .partitionBy(schema.chunkColNames: _*)
       .parquet(segPath.toString)
     if (hasDataFiles(segPath)) {
-      // publish against the CURRENT committed set — concurrent writers may
-      // have committed while this batch was writing
-      proto.commit(root, Seq(segId), (proto.listCommitted(root) :+ segId).sorted)
+      serializableSince match {
+        case Some(h) => publishConflictChecked(root, proto, segId, segPath, h)
+        case None =>
+          // publish against the CURRENT committed set — concurrent writers
+          // may have committed while this batch was writing (newest-wins)
+          proto.commit(root, Seq(segId), (proto.listCommitted(root) :+ segId).sorted)
+      }
       Some(segId.txnId)
     } else {
       Storage.deleteRecursively(segPath)
       None
     }
   }
+
+  /** Publish a claimed, fully-written segment under SERIALIZABLE conflict
+    * detection: any transaction committed after `readHorizon` whose
+    * segment touches the same CHUNK keys aborts this commit with
+    * `ConcurrentModificationException` (the claim directory is deleted —
+    * the statement can simply be retried against the current state). On
+    * manifest tables the publish is a CAS `replace` on the exact base the
+    * check inspected, re-checked on every lost race, so no window remains
+    * between check and publish; rename tables get the check plus the
+    * protocol's single-writer assumption. Chunk granularity is
+    * conservative (a same-chunk different-key writer also aborts) — the
+    * same shape as Delta's file-level conflict detection, one level
+    * coarser. Shared by the row-level delta write
+    * ([[GraftDeltaBatchWrite]]) and the serializable filter-DELETE. */
+  private[sources] def publishConflictChecked(root: Path, proto: graft.core.Protocol,
+      segId: SegmentId, segPath: Path, readHorizon: Long): Unit = {
+    var tries = 0
+    while (true) {
+      val base = proto.listCommitted(root)
+      val later = base.filter(_.txnId > readHorizon)
+      if (later.nonEmpty) {
+        val ours = chunkKeys(segPath)
+        val conflicts = later.filter(s =>
+          chunkKeys(proto.readPath(root, s)).exists(ours.contains))
+        if (conflicts.nonEmpty) {
+          Storage.deleteRecursively(segPath)
+          throw new java.util.ConcurrentModificationException(
+            s"serializable row-level conflict: transaction(s) " +
+              s"${conflicts.map(_.txnId).distinct.sorted.mkString(", ")} committed " +
+              s"after this statement's snapshot (txn $readHorizon) and touched the " +
+              "same chunks; re-run the statement against the current state")
+        }
+      }
+      if (proto != Storage.ManifestProtocol) {
+        proto.commit(root, Seq(segId), (base :+ segId).sorted)
+        return
+      }
+      try {
+        proto.replace(root, Seq(segId), (base :+ segId).sorted, base, segId.txnId)
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // lost the CAS: something committed between check and publish —
+          // loop to re-run the conflict check against the new base
+          tries += 1
+          if (tries >= 16) { Storage.deleteRecursively(segPath); throw e }
+      }
+    }
+  }
+
+  /** Chunk-key directories (relative paths like `_ck_t=3/_ck_s=1`) holding
+    * data files under a segment — the conflict-detection granularity. */
+  private[sources] def chunkKeys(segDir: Path): Set[String] =
+    if (!Files.isDirectory(segDir)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(segDir)
+      try walk.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map(p => segDir.relativize(p.getParent).toString)
+        .toSet
+      finally walk.close()
+    }
 
   private def list(dir: Path): Seq[Path] =
     if (!Files.isDirectory(dir)) Seq.empty

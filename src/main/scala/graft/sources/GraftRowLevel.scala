@@ -204,63 +204,14 @@ final class GraftDeltaBatchWrite(dir: String, matSchema: MatSchema, info: Logica
     * check and publish; rename tables get the check plus the protocol's
     * single-writer assumption. The loser's claim directory is deleted and
     * the statement can simply be retried — its re-read sees the winner. */
-  private def publish(segId: SegmentId, segPath: java.nio.file.Path): Unit = {
-    if (!serializable) {
+  private def publish(segId: SegmentId, segPath: java.nio.file.Path): Unit =
+    if (serializable)
+      GraftInsert.publishConflictChecked(root, proto, segId, segPath, readHorizon)
+    else {
       val committed = proto.listCommitted(root)
       proto.commit(root, Seq(segId), (committed :+ segId).sorted)
-      return
+      ()
     }
-    var tries = 0
-    while (true) {
-      val base = proto.listCommitted(root)
-      val later = base.filter(_.txnId > readHorizon)
-      if (later.nonEmpty) {
-        val ours = chunkKeys(segPath)
-        val conflicts = later.filter(s =>
-          chunkKeys(proto.readPath(root, s)).exists(ours.contains))
-        if (conflicts.nonEmpty) {
-          Storage.deleteRecursively(segPath)
-          throw new java.util.ConcurrentModificationException(
-            s"serializable row-level conflict: transaction(s) " +
-              s"${conflicts.map(_.txnId).distinct.sorted.mkString(", ")} committed " +
-              s"after this statement's snapshot (txn $readHorizon) and touched the " +
-              "same chunks; re-run the statement against the current state")
-        }
-      }
-      if (proto != Storage.ManifestProtocol) {
-        proto.commit(root, Seq(segId), (base :+ segId).sorted)
-        return
-      }
-      try {
-        proto.replace(root, Seq(segId), (base :+ segId).sorted, base, segId.txnId)
-        return
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          // lost the CAS: something committed between check and publish —
-          // loop to re-run the conflict check against the new base
-          tries += 1
-          if (tries >= 16) { Storage.deleteRecursively(segPath); throw e }
-      }
-    }
-  }
-
-  /** Chunk-key directories (relative paths like `_ck_t=3/_ck_s=1`) holding
-    * data files under a segment — the conflict-detection granularity. */
-  private def chunkKeys(segDir: java.nio.file.Path): Set[String] = {
-    import scala.jdk.CollectionConverters._
-    if (!java.nio.file.Files.isDirectory(segDir)) Set.empty
-    else {
-      val walk = java.nio.file.Files.walk(segDir)
-      try walk.iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
-        }
-        .map(p => segDir.relativize(p.getParent).toString)
-        .toSet
-      finally walk.close()
-    }
-  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     claimed.foreach(c => Storage.deleteRecursively(c._2))

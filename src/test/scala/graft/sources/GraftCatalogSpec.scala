@@ -539,6 +539,56 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcat.ovw")
   }
 
+  test("catalog scans report ANALYZEd stats: a multi-version dim broadcasts only while fresh") {
+    import org.apache.spark.sql.functions._
+    root // force catalog registration (filtered runs skip the earlier tests)
+    spark.sql("DROP TABLE IF EXISTS gcat.vstats")
+    spark.sql("CREATE TABLE gcat.vstats (t BIGINT, sensor BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 't:100000,sensor:100000')")
+    // 2000 keys × 15 versions — raw file bytes price every version
+    (0 until 15).foreach { i =>
+      spark.sql(s"INSERT INTO gcat.vstats SELECT id, id, id * 31 + $i FROM range(0, 2000)")
+    }
+    val db = MatDb.open(spark, root.resolve("vstats").toString)
+    val raw = db.visibleBytes()
+    val (n, analyzed) = db.analyze()
+    assert(n === 2000L && analyzed < raw / 2)
+
+    // the DSv2 scan now reports the resolved estimate (rowCount included)
+    val rel = spark.sql("SELECT * FROM gcat.vstats")
+    val stats = rel.queryExecution.optimizedPlan.collectLeaves().head.stats
+    assert(stats.sizeInBytes === BigInt(analyzed),
+      s"scan must report the analyzed resolved size, got ${stats.sizeInBytes} (raw $raw)")
+
+    val big = spark.range(100000).select(col("id").as("t"), col("id").as("sensor"),
+      (col("id") * 2).as("payload"))
+    // threshold above the resolved estimate (and the dedup aggregate's
+    // width-scaled derivative) but below the raw multi-version bytes
+    val threshold = math.min(analyzed * 3, (analyzed + raw) / 2)
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+      val fresh = big.join(spark.sql("SELECT * FROM gcat.vstats"), Seq("t", "sensor"))
+        .queryExecution.sparkPlan.toString
+      assert(fresh.contains("BroadcastHashJoin"),
+        s"fresh ANALYZE stats must unlock the broadcast on the catalog path:\n$fresh")
+      // any later commit invalidates back to raw file-bytes pricing (the
+      // safe over-estimate) — asserted on the LEAF stats; the join above
+      // sizes on the dedup aggregate's width-scaled derivative of it
+      spark.sql("INSERT INTO gcat.vstats SELECT 5000, 5000, 1 FROM range(1)")
+      val staleStats = spark.sql("SELECT * FROM gcat.vstats")
+        .queryExecution.optimizedPlan.collectLeaves().head.stats
+      assert(staleStats.sizeInBytes > BigInt(analyzed),
+        s"stale stats must fall back to raw pricing, got ${staleStats.sizeInBytes}")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    spark.sql("DROP TABLE gcat.vstats")
+  }
+
   test("TRUNCATE TABLE is an O(1) manifest replace: time travel survives, ids stay monotone") {
     spark.sql("DROP TABLE IF EXISTS gcat.trunc")
     spark.sql(

@@ -166,6 +166,8 @@ class GraftProcedureSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(shown("graft.stats.rowcount") === "200")
     assert(shown("graft.stats.dim.k.min") === "0" && shown("graft.stats.dim.k.max") === "199")
+    val ndv = shown("graft.stats.dim.k.ndv").toLong
+    assert(ndv > 180 && ndv < 220, s"approx NDV of 200 distinct keys, got $ndv")
     assert(shown("graft.stats.txn") === "4")
   }
 

@@ -262,6 +262,39 @@ class GraftRowLevelSpec extends AnyFunSuite {
       if (k < 10) v == 1L else if (k >= 30) v == 2L else v == 0L })
   }
 
+  test("serializable: the filter-DELETE path conflict-checks its tombstone publish too") {
+    root
+    spark.sql("DROP TABLE IF EXISTS grl.serdel")
+    spark.sql("CREATE TABLE grl.serdel (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 'k:10', 'graft.isolation' = 'serializable')")
+    spark.sql("INSERT INTO grl.serdel SELECT id, 0 FROM range(0, 20)") // txn 1
+    val dir = root.resolve("serdel").toString
+    import spark.implicits._
+
+    // DETERMINISTIC conflict: a tombstone whose read snapshot (horizon 1)
+    // predates txn 2's commit on the same chunk must abort at publish —
+    // this is exactly the state a DELETE racing an UPDATE lands in
+    spark.sql("UPDATE grl.serdel SET v = 7 WHERE k < 10") // txn 2, chunk 0
+    val doomed = Seq((0L, 0L)).toDF("k", "v")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      GraftInsert.tombstone(spark, dir, doomed, serializableSince = Some(1L))
+    }
+    assert(e.getMessage.contains("serializable"))
+    assert(spark.sql("SELECT count(*) FROM grl.serdel").head().getLong(0) === 20L,
+      "the aborted delete must leave nothing behind")
+
+    // a FRESH delete (snapshot at the current watermark) commits fine
+    spark.sql("DELETE FROM grl.serdel WHERE k = 0")
+    assert(spark.sql("SELECT count(*) FROM grl.serdel").head().getLong(0) === 19L)
+
+    // disjoint chunks never false-abort: txn on chunk 1 vs delete of chunk 0
+    GraftInsert.append(spark, dir, Seq((15L, 1L)).toDF("k", "v")) // chunk 1
+    GraftInsert.tombstone(spark, dir, Seq((1L, 0L)).toDF("k", "v"),
+      serializableSince = Some(3L)) // stale horizon, but only chunk 1 moved...
+    assert(spark.sql("SELECT count(*) FROM grl.serdel WHERE k = 1").head().getLong(0) === 0L)
+    spark.sql("DROP TABLE grl.serdel")
+  }
+
   test("graft.isolation is persisted, alterable, and surfaced in properties") {
     root
     spark.sql("DROP TABLE IF EXISTS grl.iso")
