@@ -1052,6 +1052,107 @@ object CoreOps {
         .select(col("l_orderkey"), col("l_linenumber").cast("long"),
           col("l_partkey"), col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- zero-copy SHALLOW CLONE (round 11) ------------------------------
+    // CALL system.clone hard-links a table into a new independent root
+    // (MatDb.shallowClone): the gate forks a 2-txn table, MODIFIES the
+    // fork (delete + insert), then compact+vacuum's the SOURCE — which
+    // unlinks every pre-compact segment the two tables SHARED. The gate
+    // reads: the source (must still be the pre-fork state), the modified
+    // fork, and the fork VERSION AS OF 2 (time-travel parity carried by
+    // the cloned manifest log — and physically backed by hard links the
+    // source's vacuum must not be able to destroy). The oracle replays
+    // all three states relationally; any cross-contamination — a fork
+    // write visible in the source, or source GC corrupting the fork's
+    // shared bytes — breaks a row.
+    Entry("q132_shallow_clone", Some(
+      """WITH base AS (SELECT user_id, arg_max(value, event_id) AS v
+        |              FROM events GROUP BY user_id),
+        |pre AS (SELECT user_id,
+        |               CASE WHEN user_id < 30 THEN v + 1.0 ELSE v END AS v
+        |        FROM base),
+        |fork AS (SELECT user_id, v FROM pre WHERE user_id >= 10
+        |         UNION ALL
+        |         SELECT 900000 + r.range AS user_id, CAST(5.5 AS DOUBLE)
+        |         FROM range(0, 5) r)
+        |SELECT side, user_id, v FROM (
+        |  SELECT 'src' AS side, user_id, v FROM pre
+        |  UNION ALL SELECT 'fork' AS side, user_id, v FROM fork
+        |  UNION ALL SELECT 'fork@2' AS side, user_id, v FROM pre)
+        |ORDER BY side, user_id""".stripMargin)) { (s, d) =>
+      val root = Q.fixture("q132-clone")
+      graft.core.Storage.deleteRecursively(root.resolve("src"))
+      graft.core.Storage.deleteRecursively(root.resolve("fork"))
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g132").isEmpty) {
+        s.conf.set("spark.sql.catalog.g132", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g132.root", root.toString)
+      }
+      s.sql("CREATE TABLE g132.src (user_id BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:1000')")
+      table(s, d, "events").createOrReplaceTempView("events")
+      s.sql("""INSERT INTO g132.src
+              |SELECT user_id, max_by(value, event_id)
+              |FROM events GROUP BY user_id""".stripMargin) // txn 1
+      s.sql("""INSERT INTO g132.src
+              |SELECT user_id, max_by(value, event_id) + 1.0
+              |FROM events WHERE user_id < 30 GROUP BY user_id""".stripMargin) // txn 2
+      s.sql("CALL g132.system.clone('src', 'fork')")
+      s.sql("DELETE FROM g132.fork WHERE user_id < 10")                     // fork txn 3
+      s.sql("""INSERT INTO g132.fork
+              |SELECT 900000 + id, CAST(5.5 AS DOUBLE) FROM range(0, 5)""".stripMargin)
+      // source-side GC: compact rewrites + vacuum UNLINKS every shared
+      // pre-compact segment — the fork's hard links must keep its bytes
+      s.sql("CALL g132.system.compact('src')")
+      s.sql("CALL g132.system.vacuum('src')")
+      s.sql(
+        """SELECT side, user_id, v FROM (
+          |  SELECT 'src' AS side, user_id, v FROM g132.src
+          |  UNION ALL SELECT 'fork' AS side, user_id, v FROM g132.fork
+          |  UNION ALL SELECT 'fork@2' AS side, user_id, v
+          |  FROM g132.fork VERSION AS OF 2)
+          |ORDER BY side, user_id""".stripMargin)
+    },
+
+    // ---- ANALYZE statistics (round 11) -----------------------------------
+    // CALL system.analyze computes RESOLVED-snapshot statistics — the gate
+    // pins that the row count / size / dim min-max describe the post-MVCC
+    // state (the table holds 2 versions for half its keys; raw-row
+    // counting would double them), by replaying the resolved aggregate
+    // relationally. size_bytes = rowCount × 16 (one BIGINT dim + one
+    // DOUBLE value — Spark's defaultSize row width).
+    Entry("q133_analyze_stats", Some(
+      """WITH resolved AS (SELECT user_id, arg_max(value, event_id) AS v
+        |                  FROM events GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS row_count,
+        |       CAST(count(*) * 16 AS BIGINT) AS size_bytes,
+        |       min(user_id) AS user_min, max(user_id) AS user_max
+        |FROM resolved""".stripMargin)) { (s, d) =>
+      val root = Q.fixture("q133-analyze")
+      graft.core.Storage.deleteRecursively(root.resolve("td"))
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g133").isEmpty) {
+        s.conf.set("spark.sql.catalog.g133", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g133.root", root.toString)
+      }
+      s.sql("CREATE TABLE g133.td (user_id BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:1000')")
+      table(s, d, "events").createOrReplaceTempView("events")
+      s.sql("""INSERT INTO g133.td
+              |SELECT user_id, max_by(value, event_id)
+              |FROM events GROUP BY user_id""".stripMargin)
+      s.sql("""INSERT INTO g133.td
+              |SELECT user_id, max_by(value, event_id) + 1.0
+              |FROM events WHERE user_id % 2 = 0 GROUP BY user_id""".stripMargin)
+      val a = s.sql("CALL g133.system.analyze('td')").collect()(0)
+      val props = s.sql("SHOW TBLPROPERTIES g133.td").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      import s.implicits._
+      Seq((a.getLong(0), a.getLong(1),
+        props("graft.stats.dim.user_id.min").toLong,
+        props("graft.stats.dim.user_id.max").toLong))
+        .toDF("row_count", "size_bytes", "user_min", "user_max")
     }
   )
 }
