@@ -5,29 +5,32 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * The battery (130 queries as of round 10) is assembled from four modules:
+  * The battery (133 queries as of round 11) is assembled from four modules:
   *   - [[graft.queries.CoreOps]]    q01-q05, q73, q76-q77, q92, q101-q103,
   *     q106, q108-q109, q111, q115, q117-q118, q120-q121, q123, q125-q126,
-  *     q128-q130: the engine's own
+  *     q128-q130, q132-q133: the engine's own
   *     operator semantics — scan order, MVCC upsert/delete, snapshot
   *     horizon, range pruning, the bucketed/ranged/z-order layouts, SQL
-  *     DML (INSERT/INSERT OVERWRITE/DELETE/UPDATE/MERGE INTO/TRUNCATE)
-  *     + VERSION AS OF
+  *     DML (INSERT/INSERT OVERWRITE/DELETE/UPDATE/MERGE INTO/TRUNCATE —
+  *     overwrite/truncate as O(new-data) manifest replace publishes)
+  *     + VERSION AS OF (manifest-lineage time travel below replaces)
   *     through the DSv2 GraftCatalog, SQL CALL maintenance procedures
-  *     (checkpoint/vacuum/compact), schema evolution with dropped-name
-  *     tombstones, CDC, checkpoint compaction, and incremental/streaming
-  *     aggregate views, and catalog change streams (.stream sub-tables)
-  *     ([[graft.core]] / [[graft.sources]] /
+  *     (checkpoint/vacuum/compact/analyze/clone — zero-copy shallow clone
+  *     q132, resolved-snapshot statistics q133), schema evolution with
+  *     dropped-name tombstones, CDC, checkpoint compaction, and
+  *     incremental/streaming aggregate views, and catalog change streams
+  *     (.stream sub-tables) ([[graft.core]] / [[graft.sources]] /
   *     [[graft.operators.IncrementalAgg]]).
   *   - [[graft.queries.Relational]] q06-q39, q54, q58-q60, q74: full
   *     relational checklist incl. pivot/unpivot and both top-k UDAF tiers.
   *   - [[graft.queries.Pipeline]]   q40-q53, q55-q57, q75, q78, q83-q84,
   *     q88, q90, q93-q100, q104-q105, q107, q110, q112-q113, q116, q124,
-  *     q127: LLM-data-pipeline operators (text analysis, dedup family,
-  *     similarity search incl. IVF-PQ and hard-negative mining, multimodal
-  *     pHash, Gopher rules, BPE, SemDeDup batch + streaming, media
-  *     near-dup, the replayable sketches, BM25, PII scan, KMV set algebra,
-  *     DSIR importance selection).
+  *     q127, q131: LLM-data-pipeline operators (text analysis, dedup
+  *     family, similarity search incl. IVF-PQ and hard-negative mining,
+  *     multimodal pHash, Gopher rules, BPE, SemDeDup batch + streaming,
+  *     media near-dup, the replayable sketches, BM25, PII scan, KMV set
+  *     algebra, DSIR importance selection + bit-replayable Gumbel-top-k
+  *     sampling).
   *   - [[graft.queries.Curation]]   q61-q72, q79-q82, q85-q87, q89, q91,
   *     q97, q114, q119, q122: curation/batch prep (sampling, sessions,
   *     scrubbing, repetition, caps, stats, TF-IDF, decontamination,

@@ -539,6 +539,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcat.ovw")
   }
 
+  test("CREATE OR REPLACE TABLE AS SELECT: drop+recreate semantics, fresh txn ids") {
+    root
+    spark.sql("DROP TABLE IF EXISTS gcat.cor")
+    spark.sql("CREATE TABLE gcat.cor (t BIGINT, sensor BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 't:50,sensor:10')")
+    spark.sql("INSERT INTO gcat.cor SELECT id, id % 10, id FROM range(0, 20)")
+    spark.sql(
+      """CREATE OR REPLACE TABLE gcat.cor
+        |TBLPROPERTIES('graft.dims' = 't:50,sensor:10')
+        |AS SELECT id AS t, id % 10 AS sensor, id * 5 AS v FROM range(0, 7)""".stripMargin)
+    val got = spark.sql("SELECT t, v FROM gcat.cor ORDER BY t").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === (0L until 7L).map(t => (t, t * 5)))
+    // a REPLACEd table is a NEW table: history restarts at txn 1 (unlike
+    // INSERT OVERWRITE, which keeps ids monotone and history travelable —
+    // the atomic in-place alternative); non-atomic drop+create is Spark's
+    // documented fallback for non-staging catalogs
+    assert(spark.sql("SELECT count(*) FROM gcat.cor VERSION AS OF 1").head().getLong(0) === 7L)
+    spark.sql("DROP TABLE gcat.cor")
+  }
+
   test("catalog scans report ANALYZEd stats: a multi-version dim broadcasts only while fresh") {
     import org.apache.spark.sql.functions._
     root // force catalog registration (filtered runs skip the earlier tests)
