@@ -295,26 +295,61 @@ final class MatDb private (
     * any other maintenance (`CALL <cat>.system.analyze('t')`). Returns
     * (rowCount, sizeBytes). */
   def analyze(): (Long, Long) = {
-    import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit, max, min}
+    import org.apache.spark.sql.functions.{approx_count_distinct, coalesce, col, count, lit, max, min, octet_length, size => asize, sum}
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, StringType}
+    // watermark BEFORE the snapshot: a commit landing while the aggregate
+    // runs then advances the watermark PAST this stamp, so the stats read
+    // as stale (txn mismatch) rather than silently covering rows they
+    // never counted — staleness must never point in the under-estimate /
+    // driver-OOM-broadcast direction
+    val watermark = protocol.txnWatermark(root)
     val snap = snapshot()
-    val aggs = count(lit(1)).as("_n") +:
+    // actual logical size, not n * defaultSize: StructType.defaultSize
+    // prices every string at 20 bytes, so a document-text table would be
+    // under-priced by orders of magnitude and auto-broadcast itself.
+    // Variable-width columns (string/binary/array) are measured in the
+    // same aggregate; fixed-width columns cost n * their width.
+    val struct = schema.toStructType
+    val (varCols, fixedCols) = struct.fields.partition(f => f.dataType match {
+      case StringType | BinaryType | _: ArrayType => true
+      case _ => false
+    })
+    val fixedRowBytes = fixedCols.map(_.dataType.defaultSize.toLong).sum
+    val varAggs = varCols.toSeq.map { f =>
+      val measured = f.dataType match {
+        case _: ArrayType =>
+          // element payload; defaultSize of the element prices fixed-width
+          // elements exactly and nested variable-width conservatively
+          asize(col(f.name)).cast("long") *
+            lit(f.dataType.asInstanceOf[ArrayType].elementType.defaultSize.toLong)
+        case _ => octet_length(col(f.name)).cast("long")
+      }
+      sum(coalesce(measured, lit(0L))).as(s"_sz_${f.name}")
+    }
+    val aggs = (count(lit(1)).as("_n") +:
       schema.dimNames.flatMap(d => Seq(min(col(d)).as(s"_min_$d"),
         max(col(d)).as(s"_max_$d"),
-        approx_count_distinct(col(d)).as(s"_ndv_$d")))
+        approx_count_distinct(col(d)).as(s"_ndv_$d")))) ++ varAggs
     val row = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
     val n = row.getLong(0)
-    val bytes = n * schema.toStructType.defaultSize
-    val watermark = protocol.txnWatermark(root)
+    val varBase = 1 + 3 * schema.dimNames.size
+    val varBytes = varCols.indices.map(i =>
+      if (row.isNullAt(varBase + i)) 0L else row.getLong(varBase + i)).sum
+    val bytes = n * fixedRowBytes + varBytes
     val dimStats = schema.dimNames.zipWithIndex.flatMap { case (d, i) =>
       if (row.isNullAt(1 + 3 * i)) Nil // empty table: no min/max/ndv
       else Seq(s"graft.stats.dim.$d.min" -> row.getLong(1 + 3 * i).toString,
         s"graft.stats.dim.$d.max" -> row.getLong(2 + 3 * i).toString,
         s"graft.stats.dim.$d.ndv" -> row.getLong(3 + 3 * i).toString)
     }
-    Storage.writeProps(root, Storage.readProps(root) ++ dimStats ++ Map(
-      "graft.stats.rowcount" -> n.toString,
-      "graft.stats.bytes" -> bytes.toString,
-      "graft.stats.txn" -> watermark.toString))
+    // re-read after the aggregate: any commit that landed mid-aggregate
+    // makes these numbers unverifiable — skip the persist (the next
+    // ANALYZE recomputes) instead of stamping stale stats as fresh
+    if (protocol.txnWatermark(root) == watermark)
+      Storage.writeProps(root, Storage.readProps(root) ++ dimStats ++ Map(
+        "graft.stats.rowcount" -> n.toString,
+        "graft.stats.bytes" -> bytes.toString,
+        "graft.stats.txn" -> watermark.toString))
     (n, bytes)
   }
 

@@ -311,6 +311,12 @@ class GraftCatalog extends TableCatalog
     // read-only listing: no recovery sweep (MatDb.open would delete another
     // writer's in-flight .tmp segments — a catalog read must not mutate)
     val proto = Storage.detect(dir)
+    // snapshot horizon BEFORE the listing: a commit racing between the two
+    // reads then has txnId > readHorizon and the serializable conflict
+    // check aborts it (spurious-but-safe), instead of the reverse order
+    // where the racer is inside the horizon yet absent from the snapshot —
+    // an exempted lost update (deleteWhere already orders it this way)
+    val horizon = proto.txnWatermark(dir)
     // time travel resolves through the protocol (manifest lineage under
     // replace commits — Protocol.listCommittedAsOf); the current snapshot
     // is the plain listing
@@ -325,7 +331,7 @@ class GraftCatalog extends TableCatalog
       tableProps = Storage.readProps(dir),
       // the snapshot horizon this relation READS: serializable row-level
       // DML conflict-checks its publish against txns committed above it
-      readHorizon = proto.txnWatermark(dir))
+      readHorizon = horizon)
   }
 
   /** `CREATE TABLE`/CTAS: chunked dimensions come from

@@ -145,6 +145,9 @@ object GraftInsert {
         case _: java.util.ConcurrentModificationException => tries += 1
       }
     }
+    // never-published claim: reclaim it now (matching publishConflictChecked)
+    // instead of leaving an orphan until the 24h claim retention expires
+    Storage.deleteRecursively(segPath)
     throw new IllegalStateException(
       "INSERT OVERWRITE: too many concurrent commits; giving up after 16 retries")
   }

@@ -107,7 +107,19 @@ object GraftProcedures {
           StructField("txn_watermark", LongType, nullable = false)))) {
         row =>
           val target = row.getUTF8String(1).toString
-          val dstDir = target.split('.').foldLeft(root)(_.resolve(_))
+          // the target is a catalog name, not a path: reject separators,
+          // '..', and empty segments, then belt-and-braces confirm the
+          // resolved dir stays under the catalog root (Path.resolve with
+          // an absolute component would otherwise ESCAPE the catalog and
+          // hard-link table data anywhere on the filesystem)
+          val parts = target.split('.')
+          require(parts.nonEmpty && parts.forall(p =>
+            p.nonEmpty && p != ".." && p != "." &&
+              !p.contains('/') && !p.contains('\\')),
+            s"clone target '$target' is not a valid dotted table name")
+          val dstDir = parts.foldLeft(root)(_.resolve(_))
+          require(dstDir.normalize().startsWith(root.normalize()),
+            s"clone target '$target' escapes the catalog root")
           val clone = MatDb.shallowClone(SparkSession.active,
             tableDir(row).toString, dstDir.toString)
           new GenericInternalRow(Array[Any](clone.committedSegments.size,

@@ -158,6 +158,37 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exists"))
   }
 
+  test("CALL clone rejects targets that escape the catalog root") {
+    mkTable("cl_esc")
+    for (bad <- Seq("/tmp/evil", "../escape", "a/../../b", "", "a..b/c")) {
+      val e = intercept[Exception](call(s"CALL gproc.system.clone('cl_esc', '$bad')"))
+      assert(e.getMessage.contains("clone target") || e.getMessage.contains("not a valid"),
+        s"'$bad' must be rejected, got: ${e.getMessage}")
+    }
+    // a legitimate dotted name still works
+    call("CALL gproc.system.clone('cl_esc', 'ns1.cl_esc_ok')")
+    assert(Files.isDirectory(root.resolve("ns1").resolve("cl_esc_ok")))
+  }
+
+  test("CALL analyze measures actual string bytes, not defaultSize") {
+    import org.apache.spark.sql.functions._
+    val sch = MatSchema(Seq(Dimension("k", 100)),
+      Seq(ValueCol("doc", org.apache.spark.sql.types.StringType)))
+    val db = MatDb.create(spark, sch, root.resolve("an_str").toString, "manifest")
+    val txn = db.newTransaction()
+    // 100 rows × 5000-char docs: logical payload 500_000 bytes; the old
+    // n * defaultSize formula would claim 100 × 28 = 2800 bytes and
+    // auto-broadcast a table 178× its claimed size
+    txn.addRows(spark.range(100).select(col("id").as("k"),
+      concat_ws("", array_repeat(lit("x"), 5000)).as("doc")))
+    txn.commit()
+    val out = call("CALL gproc.system.analyze('an_str')")
+    assert(out.getLong(0) === 100L)
+    val bytes = out.getLong(1)
+    assert(bytes >= 500000L, s"analyzed bytes must cover the 500k string payload, got $bytes")
+    assert(bytes < 600000L, s"analyzed bytes should be near the payload, got $bytes")
+  }
+
   test("CALL analyze persists resolved-snapshot stats as graft.stats.* properties") {
     mkTable("an") // 200 keys, several versions each — resolved count is 200
     val out = call("CALL gproc.system.analyze('an')")
