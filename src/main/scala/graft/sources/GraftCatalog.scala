@@ -729,7 +729,8 @@ final class GraftV2Table(tableName: String, val matSchema: MatSchema,
       FileStatusCache.getOrCreate(spark), Some(partitionSpec(spark)), None)
     analyzedStats match {
       case Some((bytes, rows)) => new GraftStatsScanBuilder(spark, index,
-        StructType(dataSchema ++ partSchema), dataSchema, options, bytes, rows)
+        StructType(dataSchema ++ partSchema), dataSchema, options, bytes, rows,
+        analyzedDimStats)
       case None =>
         ParquetScanBuilder(spark, index, StructType(dataSchema ++ partSchema),
           dataSchema, options)
@@ -750,7 +751,26 @@ final class GraftV2Table(tableName: String, val matSchema: MatSchema,
       bytes <- tableProps.get("graft.stats.bytes")
       rows <- tableProps.get("graft.stats.rowcount")
     } yield (bytes.toLong, rows.toLong)
+
+  /** Per-dimension min/max/NDV persisted by ANALYZE, surfaced as DSv2
+    * `columnStats` so CBO join REORDER and filter-selectivity estimation
+    * see more than bytes (dimensions are the join/filter keys; NDV is
+    * exactly what JoinEstimation's cardinality formula needs). Only
+    * meaningful when [[analyzedStats]] is fresh — callers gate on it. */
+  private def analyzedDimStats: Seq[GraftDimStats] =
+    matSchema.dimNames.flatMap { d =>
+      for {
+        mn <- tableProps.get(s"graft.stats.dim.$d.min")
+        mx <- tableProps.get(s"graft.stats.dim.$d.max")
+        ndv <- tableProps.get(s"graft.stats.dim.$d.ndv")
+      } yield GraftDimStats(d, mn.toLong, mx.toLong, ndv.toLong)
+    }
 }
+
+/** ANALYZEd per-dimension statistics (dimensions are integral by
+  * construction, so min/max are Longs; dims are non-null, so
+  * nullCount = 0 and avgLen = maxLen = 8). */
+private final case class GraftDimStats(name: String, min: Long, max: Long, ndv: Long)
 
 /** [[ParquetScanBuilder]] whose built scan reports ANALYZEd resolved-
   * snapshot statistics instead of raw multi-version file bytes — the DSv2
@@ -762,19 +782,27 @@ private final class GraftStatsScanBuilder(
     spark: SparkSession,
     index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
     fullSchema: StructType, dataSchema: StructType,
-    options: CaseInsensitiveStringMap, bytes: Long, rows: Long)
+    options: CaseInsensitiveStringMap, bytes: Long, rows: Long,
+    dimStats: Seq[GraftDimStats])
     extends ParquetScanBuilder(spark, index, fullSchema, dataSchema, options) {
   override def build(): org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
-    new GraftStatsScan(super.build(), bytes, rows)
+    new GraftStatsScan(super.build(), bytes, rows, dimStats)
 }
 
 /** A [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]]
-  * overriding ONLY `estimateStatistics` (sizeInBytes + rowCount from
-  * ANALYZE); reads, pushdown metadata, and partition planning are
-  * inherited unchanged. */
+  * overriding ONLY `estimateStatistics` (sizeInBytes + rowCount +
+  * per-dimension columnStats from ANALYZE); reads, pushdown metadata, and
+  * partition planning are inherited unchanged.
+  *
+  * The columnStats reach Catalyst through
+  * `DataSourceV2Relation.transformV2Stats` → `attributeStats`, so with
+  * `spark.sql.cbo.enabled` the optimizer's FilterEstimation prices
+  * dimension predicates by real min/max range overlap and JoinEstimation
+  * prices join cardinality by NDV — CBO join REORDER on graft tables
+  * stops running blind on bytes. */
 private final class GraftStatsScan(
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
-    bytes: Long, rows: Long)
+    bytes: Long, rows: Long, dimStats: Seq[GraftDimStats])
     extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
       base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
       base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
@@ -784,6 +812,29 @@ private final class GraftStatsScan(
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        dimStats.foreach { s =>
+          m.put(org.apache.spark.sql.connector.expressions.Expressions.column(s.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(s.ndv)
+              override def min(): java.util.Optional[Object] =
+                java.util.Optional.of(java.lang.Long.valueOf(s.min))
+              override def max(): java.util.Optional[Object] =
+                java.util.Optional.of(java.lang.Long.valueOf(s.max))
+              override def nullCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(0L) // dims are non-null by construction
+              override def avgLen(): java.util.OptionalLong = java.util.OptionalLong.of(8L)
+              override def maxLen(): java.util.OptionalLong = java.util.OptionalLong.of(8L)
+            })
+        }
+        m
+      }
     }
 }
 

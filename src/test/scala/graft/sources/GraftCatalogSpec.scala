@@ -639,4 +639,77 @@ class GraftCatalogSpec extends AnyFunSuite {
       "the truncate transaction itself must be addressable and empty")
     spark.sql("DROP TABLE gcat.trunc")
   }
+
+  test("ANALYZEd dim stats surface as columnStats; CBO join reorder uses them") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    root
+    Seq("cbo_fact", "cbo_d1", "cbo_d2").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS gcat.$t"))
+    // fact: 50k rows; d1: 10k rows but only 1k distinct k1 (EXPANDING join);
+    // d2: 50 rows, 50 distinct k2 (selective join). The written order joins
+    // d1 first — 500k intermediate; cost-based order joins d2 first — 50k.
+    // Only the ANALYZEd NDV can tell the optimizer which is which.
+    spark.sql("CREATE TABLE gcat.cbo_fact (k1 BIGINT, k2 BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 'k1:100000,k2:100000')")
+    // (id%1000, id/1000) is a UNIQUE pairing — MVCC dedup keeps all 50k rows
+    spark.sql("INSERT INTO gcat.cbo_fact " +
+      "SELECT id % 1000, CAST(id / 1000 AS BIGINT) % 50, id FROM range(0, 50000)")
+    spark.sql("CREATE TABLE gcat.cbo_d1 (k1 BIGINT, seq BIGINT, a BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 'k1:100000,seq:100000')")
+    spark.sql("INSERT INTO gcat.cbo_d1 SELECT id % 1000, CAST(id / 1000 AS BIGINT), id " +
+      "FROM range(0, 10000)")
+    spark.sql("CREATE TABLE gcat.cbo_d2 (k2 BIGINT, b BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 'k2:100000')")
+    spark.sql("INSERT INTO gcat.cbo_d2 SELECT id, id * 7 FROM range(0, 50)")
+    Seq("cbo_fact", "cbo_d1", "cbo_d2").foreach(t =>
+      spark.sql(s"CALL gcat.system.analyze('$t')"))
+
+    // 1) columnStats reach Catalyst attributeStats with the ANALYZEd values
+    val leaf = spark.sql("SELECT * FROM gcat.cbo_fact")
+      .queryExecution.optimizedPlan.collectLeaves().head
+    val attrStats = leaf.stats.attributeStats
+    assert(attrStats.nonEmpty, "ANALYZEd dims must surface as attributeStats")
+    val k1Stat = attrStats.find(_._1.name == "k1").map(_._2)
+      .getOrElse(fail(s"no attributeStats for k1: $attrStats"))
+    assert(k1Stat.min.contains(0L) && k1Stat.max.contains(999L),
+      s"k1 min/max from ANALYZE, got $k1Stat")
+    val ndv = k1Stat.distinctCount.map(_.toLong).getOrElse(0L)
+    assert(ndv > 900 && ndv < 1100, s"k1 NDV ~1000 from ANALYZE, got $ndv")
+    assert(k1Stat.nullCount.contains(BigInt(0)))
+
+    // 2) with CBO + join reorder on, the innermost join pairs the fact with
+    // the SELECTIVE d2, not the written-order expanding d1
+    val q = """SELECT count(*) FROM gcat.cbo_fact f
+              |JOIN gcat.cbo_d1 d1 ON f.k1 = d1.k1
+              |JOIN gcat.cbo_d2 d2 ON f.k2 = d2.k2""".stripMargin
+    def innermostTables(sql: String): Set[String] = {
+      val joins = spark.sql(sql).queryExecution.optimizedPlan.collect {
+        case j: Join => j }
+      joins.filter(j => j.children.forall(c =>
+          c.collect { case jj: Join => jj }.isEmpty))
+        .flatMap(_.collectLeaves().collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.relation.table.name()
+        }).toSet
+    }
+    val savedCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+    val savedReorder = spark.conf.getOption("spark.sql.cbo.joinReorder.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val inner = innermostTables(q)
+      assert(inner.exists(_.contains("cbo_d2")) && !inner.exists(_.contains("cbo_d1")),
+        s"CBO must reorder the selective d2 join innermost, got $inner")
+    } finally {
+      savedCbo.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+        spark.conf.set("spark.sql.cbo.enabled", _))
+      savedReorder.fold(spark.conf.unset("spark.sql.cbo.joinReorder.enabled"))(
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", _))
+    }
+    // without CBO the written order stands — the reorder above was the stats
+    val innerOff = innermostTables(q)
+    assert(innerOff.exists(_.contains("cbo_d1")),
+      s"without CBO the written join order must stand, got $innerOff")
+    Seq("cbo_fact", "cbo_d1", "cbo_d2").foreach(t => spark.sql(s"DROP TABLE gcat.$t"))
+  }
 }
