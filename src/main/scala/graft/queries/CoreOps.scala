@@ -1153,6 +1153,55 @@ object CoreOps {
         props("graft.stats.dim.user_id.min").toLong,
         props("graft.stats.dim.user_id.max").toLong))
         .toDF("row_count", "size_bytes", "user_min", "user_max")
+    },
+
+    // ---- Storage-partitioned join (round 12) -----------------------------
+    // Two chunk-aligned graft tables join under
+    // spark.sql.sources.v2.bucketing.enabled with ZERO exchanges: GraftScan
+    // reports KeyGroupedPartitioning(chunk_<size>(dim)) resolved through the
+    // catalog's ChunkFunction, and each chunk's files (across ALL segments)
+    // form one keyed input partition — Catalyst proves co-location, so
+    // neither the MVCC dedup aggregates nor the join shuffle. The CTAS runs
+    // while the confs are pinned (broadcast disabled to force the
+    // co-located path); the gate replays the join relationally.
+    // GraftCatalogSpec pins the zero-Exchange plan shape itself.
+    Entry("q134_spj_join", Some(
+      """WITH a AS (SELECT user_id, arg_max(value, event_id) AS v
+        |           FROM events GROUP BY user_id),
+        |b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM events GROUP BY user_id)
+        |SELECT a.user_id, a.v, b.cnt FROM a JOIN b USING (user_id)
+        |ORDER BY user_id""".stripMargin)) { (s, d) =>
+      val root = Q.fixture("q134-spj")
+      Seq("a", "b", "out").foreach(t =>
+        graft.core.Storage.deleteRecursively(root.resolve(t)))
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g134").isEmpty) {
+        s.conf.set("spark.sql.catalog.g134", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g134.root", root.toString)
+      }
+      table(s, d, "events").createOrReplaceTempView("events")
+      s.sql("CREATE TABLE g134.a (user_id BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:1000')")
+      s.sql("""INSERT INTO g134.a
+              |SELECT user_id, max_by(value, event_id)
+              |FROM events GROUP BY user_id""".stripMargin)
+      s.sql("CREATE TABLE g134.b (user_id BIGINT, cnt BIGINT) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:1000')")
+      s.sql("""INSERT INTO g134.b
+              |SELECT user_id, CAST(count(*) AS BIGINT)
+              |FROM events GROUP BY user_id""".stripMargin)
+      val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.sql("""CREATE TABLE g134.out TBLPROPERTIES('graft.dims' = 'user_id:1000') AS
+                |SELECT a.user_id, a.v, b.cnt
+                |FROM g134.a a JOIN g134.b b ON a.user_id = b.user_id""".stripMargin)
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      s.sql("SELECT user_id, v, cnt FROM g134.out ORDER BY user_id")
     }
   )
 }

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types.{DataType, DataTypes, LongType, StructType}
+
+/** The graft chunk-key layout transform as a family of catalog functions:
+  * `chunk_<size>(dim) = floor(dim / size)` — the function every graft
+  * write path applies to route rows into `_ck_<dim>=<v>` directories
+  * (GraftInsert.decorate, Transaction.flush).
+  *
+  * Why it exists: storage-partitioned joins. [[GraftScan]] reports
+  * `KeyGroupedPartitioning(chunk_<size>(dim)...)`, and Spark resolves the
+  * transform through the table's [[GraftCatalog]] (a `FunctionCatalog`)
+  * into a `TransformExpression` — two chunk-aligned graft tables then
+  * join/aggregate with ZERO exchanges because Catalyst can prove rows
+  * with equal dims are co-located.
+  *
+  * The chunk size is part of the function NAME (one function per size)
+  * rather than a literal argument: Catalyst's
+  * `KeyGroupedPartitioning.supportsExpressions` only accepts transforms
+  * with a single reference child (the bucket-count special case is
+  * reserved for the name "bucket"). Compatibility between two scans is by
+  * `canonicalName`, so differently-chunked tables correctly fall back to
+  * a shuffle.
+  *
+  * `Math.floorDiv` matches the write path's `floor(col / lit(size))`
+  * (double floor-div) across the layout's supported dim range, and is the
+  * same function ChunkPruneRule uses for predicate-to-chunk mapping
+  * (core/Scan.scala:155). */
+object ChunkFunction {
+  private val Prefix = "chunk_"
+
+  def name(chunkSize: Long): String = s"$Prefix$chunkSize"
+
+  /** Parse `chunk_<size>` → an UnboundFunction; None for any other name. */
+  def forName(name: String): Option[UnboundFunction] =
+    if (!name.startsWith(Prefix)) None
+    else name.stripPrefix(Prefix).toLongOption.filter(_ > 0).map(Unbound(_))
+
+  private final case class Unbound(chunkSize: Long) extends UnboundFunction {
+    override def name(): String = ChunkFunction.name(chunkSize)
+    override def description(): String =
+      s"${name()}(dim): floor(dim / $chunkSize) — graft chunk-key layout transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1 &&
+        (inputType.fields(0).dataType == LongType ||
+          inputType.fields(0).dataType == DataTypes.IntegerType),
+        s"${name()}(dim) takes one integral argument, got $inputType")
+      Bound(chunkSize)
+    }
+  }
+
+  final case class Bound(chunkSize: Long) extends ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(LongType)
+    override def resultType(): DataType = LongType
+    override def name(): String = ChunkFunction.name(chunkSize)
+    override def canonicalName(): String = s"graft.${name()}"
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Long =
+      Math.floorDiv(input.getLong(0), chunkSize)
+
+    /** "Magic" overload — Spark's ScalarFunction codegen path binds
+      * `invoke` by reflection to skip row boxing. */
+    def invoke(dim: Long): Long = Math.floorDiv(dim, chunkSize)
+  }
+}

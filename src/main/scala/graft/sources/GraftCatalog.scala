@@ -92,9 +92,23 @@ import graft.core.{MatDb, MatSchema, Scan, Storage}
   */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var root: java.nio.file.Path = _
+
+  /** The [[ChunkFunction]] family (`chunk_<size>`) are the only catalog
+    * functions — they exist so Spark's V2ScanPartitioningAndOrdering can
+    * resolve the `KeyGroupedPartitioning` transform [[GraftScan]] reports
+    * (the storage-partitioned-join path; relation.funCatalog is populated
+    * from this interface automatically). */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ChunkFunction.forName(ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array.empty // chunk_<size> is an open family — resolved by name only
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -727,14 +741,8 @@ final class GraftV2Table(tableName: String, val matSchema: MatSchema,
     val index = new InMemoryFileIndex(spark, roots, Map.empty[String, String],
       Some(StructType(dataSchema ++ partSchema)),
       FileStatusCache.getOrCreate(spark), Some(partitionSpec(spark)), None)
-    analyzedStats match {
-      case Some((bytes, rows)) => new GraftStatsScanBuilder(spark, index,
-        StructType(dataSchema ++ partSchema), dataSchema, options, bytes, rows,
-        analyzedDimStats)
-      case None =>
-        ParquetScanBuilder(spark, index, StructType(dataSchema ++ partSchema),
-          dataSchema, options)
-    }
+    new GraftScanBuilder(spark, index, StructType(dataSchema ++ partSchema),
+      dataSchema, options, analyzedStats, analyzedDimStats, matSchema)
   }
 
   /** Fresh ANALYZEd statistics (resolved bytes, resolved row count), only
@@ -778,64 +786,153 @@ private final case class GraftDimStats(name: String, min: Long, max: Long, ndv: 
   * path: a hot-update dimension table with N versions per key otherwise
   * looks N× its joinable size and loses its broadcast. Everything else
   * (pushdown, pruning, vectorized read) is stock ParquetScanBuilder. */
-private final class GraftStatsScanBuilder(
+private final class GraftScanBuilder(
     spark: SparkSession,
     index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
     fullSchema: StructType, dataSchema: StructType,
-    options: CaseInsensitiveStringMap, bytes: Long, rows: Long,
-    dimStats: Seq[GraftDimStats])
+    options: CaseInsensitiveStringMap, stats: Option[(Long, Long)],
+    dimStats: Seq[GraftDimStats], matSchema: MatSchema)
     extends ParquetScanBuilder(spark, index, fullSchema, dataSchema, options) {
   override def build(): org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
-    new GraftStatsScan(super.build(), bytes, rows, dimStats)
+    new GraftScan(super.build(), stats, dimStats, matSchema)
 }
 
 /** A [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]]
-  * overriding ONLY `estimateStatistics` (sizeInBytes + rowCount +
-  * per-dimension columnStats from ANALYZE); reads, pushdown metadata, and
-  * partition planning are inherited unchanged.
+  * with two graft-specific additions; reads, pushdown metadata, and file
+  * listing are inherited unchanged.
   *
-  * The columnStats reach Catalyst through
-  * `DataSourceV2Relation.transformV2Stats` → `attributeStats`, so with
-  * `spark.sql.cbo.enabled` the optimizer's FilterEstimation prices
-  * dimension predicates by real min/max range overlap and JoinEstimation
-  * prices join cardinality by NDV — CBO join REORDER on graft tables
-  * stops running blind on bytes. */
-private final class GraftStatsScan(
+  * 1. ANALYZEd statistics (`estimateStatistics`): resolved sizeInBytes +
+  *    rowCount + per-dimension columnStats, when fresh. The columnStats
+  *    reach Catalyst through `DataSourceV2Relation.transformV2Stats` →
+  *    `attributeStats`, so with `spark.sql.cbo.enabled` FilterEstimation
+  *    prices dimension predicates by real min/max range overlap and
+  *    JoinEstimation prices join cardinality by NDV — CBO join REORDER on
+  *    graft tables stops running blind on bytes.
+  *
+  * 2. Storage-partitioned joins (`outputPartitioning` +
+  *    key-grouped `planInputPartitions`): with
+  *    `spark.sql.sources.v2.bucketing.enabled`, the scan reports
+  *    `KeyGroupedPartitioning(chunk(size, dim)...)` over the table's
+  *    chunk-key layout (resolved through [[ChunkFunction]] on the
+  *    catalog) and emits one `HasPartitionKey` input partition per chunk
+  *    tuple, grouping that chunk's files across ALL segments. Catalyst
+  *    can then prove co-location: the MVCC dedup aggregate and any
+  *    join/aggregate keyed on the dims of two chunk-aligned graft tables
+  *    run with ZERO exchanges — at 100 TB this removes the all-data
+  *    shuffle that dominates a fact-fact join. Differently-chunked
+  *    tables are incompatible by transform equality and correctly fall
+  *    back to a shuffle; when the conf is off, partitioning is
+  *    size-packed exactly as stock ParquetScan. */
+private final class GraftScan(
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
-    bytes: Long, rows: Long, dimStats: Seq[GraftDimStats])
+    stats: Option[(Long, Long)], dimStats: Seq[GraftDimStats], matSchema: MatSchema)
     extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
       base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
       base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
       base.options, base.pushedAggregate, base.partitionFilters,
-      base.dataFilters, base.pushedVariantExtractions) {
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
-      override def columnStats(): java.util.Map[
-          org.apache.spark.sql.connector.expressions.NamedReference,
-          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
-        val m = new java.util.HashMap[
-          org.apache.spark.sql.connector.expressions.NamedReference,
-          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-        dimStats.foreach { s =>
-          m.put(org.apache.spark.sql.connector.expressions.Expressions.column(s.name),
-            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-              override def distinctCount(): java.util.OptionalLong =
-                java.util.OptionalLong.of(s.ndv)
-              override def min(): java.util.Optional[Object] =
-                java.util.Optional.of(java.lang.Long.valueOf(s.min))
-              override def max(): java.util.Optional[Object] =
-                java.util.Optional.of(java.lang.Long.valueOf(s.max))
-              override def nullCount(): java.util.OptionalLong =
-                java.util.OptionalLong.of(0L) // dims are non-null by construction
-              override def avgLen(): java.util.OptionalLong = java.util.OptionalLong.of(8L)
-              override def maxLen(): java.util.OptionalLong = java.util.OptionalLong.of(8L)
-            })
-        }
-        m
-      }
+      base.dataFilters, base.pushedVariantExtractions)
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  // read once so the planning-time claim (outputPartitioning) and the
+  // execution-time partition layout (planInputPartitions) cannot diverge
+  // on a mid-query conf change
+  private val spjEnabled = base.sparkSession.sessionState.conf.getConf(
+    org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED)
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedPartitions match {
+      case Some(parts) =>
+        val transforms: Array[org.apache.spark.sql.connector.expressions.Expression] =
+          matSchema.dimensions.map { d =>
+            org.apache.spark.sql.connector.expressions.Expressions.apply(
+              ChunkFunction.name(d.chunkSize),
+              org.apache.spark.sql.connector.expressions.Expressions.column(d.name))
+          }.toArray
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          transforms, parts.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    keyedPartitions.map(_.toArray[org.apache.spark.sql.connector.read.InputPartition])
+      .getOrElse(super.planInputPartitions())
+
+  /** One [[KeyedFilePartition]] per chunk tuple (across segments), keyed
+    * for Spark's key-grouped execution; None when SPJ is off or any file
+    * sits outside the `_ck_*` layout (never on the standard write paths —
+    * defensive fallback to stock planning). */
+  private lazy val keyedPartitions: Option[Seq[KeyedFilePartition]] =
+    if (!spjEnabled) None
+    else {
+      val ckNames = matSchema.chunkColNames
+      def keyOf(f: org.apache.spark.sql.execution.datasources.PartitionedFile)
+          : Option[Seq[Long]] = {
+        val segs = f.filePath.toPath.toUri.getPath.split('/')
+        val kv = segs.iterator.flatMap { s =>
+          val i = s.indexOf('=')
+          if (i > 0) Some(s.substring(0, i) -> s.substring(i + 1)) else None
+        }.toMap
+        val vals = ckNames.map(n => kv.get(n).flatMap(_.toLongOption))
+        if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+      }
+      val files = partitions.flatMap(_.files)
+      val keyed = files.map(f => keyOf(f) -> f)
+      if (keyed.isEmpty || keyed.exists(_._1.isEmpty)) None
+      else Some(
+        keyed.groupBy(_._1.get).toSeq.sortBy(_._1.mkString(","))
+          .zipWithIndex.map { case ((key, fs), idx) =>
+            new KeyedFilePartition(idx, fs.map(_._2).toArray,
+              org.apache.spark.sql.catalyst.InternalRow.fromSeq(key))
+          })
+    }
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    stats match {
+      case None => super.estimateStatistics()
+      case Some((bytes, rows)) =>
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+          override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+          override def columnStats(): java.util.Map[
+              org.apache.spark.sql.connector.expressions.NamedReference,
+              org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+            val m = new java.util.HashMap[
+              org.apache.spark.sql.connector.expressions.NamedReference,
+              org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+            dimStats.foreach { s =>
+              m.put(org.apache.spark.sql.connector.expressions.Expressions.column(s.name),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(s.ndv)
+                  override def min(): java.util.Optional[Object] =
+                    java.util.Optional.of(java.lang.Long.valueOf(s.min))
+                  override def max(): java.util.Optional[Object] =
+                    java.util.Optional.of(java.lang.Long.valueOf(s.max))
+                  override def nullCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(0L) // dims are non-null by construction
+                  override def avgLen(): java.util.OptionalLong = java.util.OptionalLong.of(8L)
+                  override def maxLen(): java.util.OptionalLong = java.util.OptionalLong.of(8L)
+                })
+            }
+            m
+          }
+        }
+    }
+}
+
+/** A [[org.apache.spark.sql.execution.datasources.FilePartition]] that
+  * knows which chunk tuple it holds — Spark's storage-partitioned-join
+  * machinery groups and aligns partitions by this key. */
+private final class KeyedFilePartition(
+    idx: Int,
+    fs: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.execution.datasources.FilePartition(idx, fs)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
 }
 
 /** Driver-side commit-history metadata table (see
