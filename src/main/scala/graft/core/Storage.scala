@@ -524,6 +524,12 @@ object Storage {
         intended: Seq[SegmentId], expectedBase: Seq[SegmentId] = Seq.empty,
         prodTxn: Long = 0L): Seq[SegmentId] = {
       stampCommitTs(root, this, newIds) // dirs are final-named, still invisible
+      // this commit's touched chunk keys, recorded in the manifest so
+      // serializable conflict detection is a METADATA read (walk the new
+      // manifests, not the new segments' file trees). One walk of our OWN
+      // just-written directories, outside the retry loop.
+      val newChunks = newIds.flatMap(id =>
+        chunkDirsOf(segmentPath(root, id, tmp = false))).distinct.sorted
       var tries = 0
       while (tries < 16) {
         val latest = latestManifest(root)
@@ -542,7 +548,15 @@ object Storage {
         // (listCommittedAsOf depends on it to pick "newest state <= t")
         val prod = (Seq(prodTxn) ++ latest.map(readProdTxn) ++
           newIds.map(_.txnId) ++ target.map(_.txnId)).max
-        if (tryWriteManifest(root, version, target, prod)) {
+        // the recorded `replace` flag means rows may have been REMOVED
+        // (truncate/overwrite/compact drop segments from the visible set) —
+        // NOT that the publish used the CAS-replace primitive: a row-level
+        // delta publishes via `replace` on its exact base purely for
+        // linearization, and is a semantic APPEND (conflict detection by
+        // its chunks, not conflict-with-everything)
+        val semanticReplace = replaceAll && target != (current ++ newIds).sorted
+        if (tryWriteManifest(root, version, target, prod,
+            newIds, newChunks, semanticReplace)) {
           writeLastPointer(root, version) // best-effort O(1)-open hint
           return target
         }
@@ -707,10 +721,14 @@ object Storage {
     }
 
     /** One JSON line per segment keeps parsing dependency-free (the schema
-      * document already uses the same hand-rolled style). */
+      * document already uses the same hand-rolled style). Pairs are parsed
+      * from the `"segments"` array ONWARD — `"new_txns": [1, 2]` (round 12
+      * commit metadata) would otherwise read as a phantom SegmentId(1, 2). */
     private def readManifest(p: Path): Seq[SegmentId] = {
       val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      """\[\s*(\d+)\s*,\s*(\d+)\s*\]""".r.findAllMatchIn(text)
+      val from = text.indexOf("\"segments\"")
+      val body = if (from >= 0) text.substring(from) else text
+      """\[\s*(\d+)\s*,\s*(\d+)\s*\]""".r.findAllMatchIn(body)
         .map(m => SegmentId(m.group(1).toLong, m.group(2).toInt)).toSeq
     }
 
@@ -732,12 +750,21 @@ object Storage {
       * On an object store the equivalent is a conditional put.) Returns
       * false when the version was already taken. */
     private[core] def tryWriteManifest(root: Path, version: Long,
-        visible: Seq[SegmentId], prodTxn: Long = 0L): Boolean = {
+        visible: Seq[SegmentId], prodTxn: Long = 0L,
+        newIds: Seq[SegmentId] = Seq.empty, newChunks: Seq[String] = Seq.empty,
+        isReplace: Boolean = false): Boolean = {
       val dir = logDir(root)
       Files.createDirectories(dir)
       val prod = (prodTxn +: visible.map(_.txnId)).max
+      // commit-scoped fields first ("new_txns"/"chunks"/"replace" — what
+      // THIS version added, for metadata-only conflict detection), then the
+      // full visible set. Chunk dir names are [-_=a-zA-Z0-9/] only — no
+      // JSON escaping needed.
+      val newTxns = newIds.map(_.txnId).distinct.sorted.mkString(", ")
+      val chunks = newChunks.map(c => s""""$c"""").mkString(", ")
       val body = visible.sorted.map(s => s"  [${s.txnId}, ${s.segNum}]").mkString(
-        s"""{"txn": $prod, "segments": [\n""", ",\n", "\n]}\n")
+        s"""{"txn": $prod, "replace": $isReplace, "new_txns": [$newTxns], """ +
+          s""""chunks": [$chunks], "segments": [\n""", ",\n", "\n]}\n")
       val tmp = Files.createTempFile(dir, ".manifest-", ".tmp")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
       try {
@@ -747,5 +774,71 @@ object Storage {
         case _: java.nio.file.FileAlreadyExistsException => false
       } finally Files.delete(tmp)
     }
+
+    /** One committed manifest version's commit-scoped metadata: the txns it
+      * added, the chunk dirs they touched (None when written before chunk
+      * recording — round <= 11), and whether it was a replace
+      * (overwrite/truncate/compact — removes rows in arbitrary chunks, so
+      * conflict detection must treat it as touching EVERYTHING). */
+    private[graft] final case class CommitMeta(version: Long, prodTxn: Long,
+        newTxns: Seq[Long], chunks: Option[Set[String]], isReplace: Boolean)
+
+    /** Commit metadata for every manifest version whose producing txn is
+      * above `horizon`, newest first — the serializable conflict check's
+      * metadata-only read path. Walks BACKWARD from the latest version
+      * (O(commits since horizon) single-file reads; no directory listing,
+      * no segment file-tree walks). Returns None when any covered version
+      * predates chunk recording — the caller falls back to walking segment
+      * directories. */
+    private[graft] def commitsAfter(root: Path, horizon: Long): Option[Seq[CommitMeta]] = {
+      val latest = latestManifest(root).getOrElse(return Some(Seq.empty))
+      var v = manifestVersion(latest)
+      val out = Seq.newBuilder[CommitMeta]
+      var complete = true
+      while (v >= 0 && complete) {
+        val p = manifestPath(root, v)
+        if (!Files.exists(p)) complete = false // hole: be conservative
+        else {
+          val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          val prod = """"txn"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
+            .map(_.group(1).toLong)
+            .getOrElse((readManifest(p).map(_.txnId) :+ 0L).max)
+          if (prod <= horizon) return if (complete) Some(out.result()) else None
+          val isReplace = """"replace"\s*:\s*(true|false)""".r
+            .findFirstMatchIn(text).map(_.group(1) == "true")
+          val newTxns = """"new_txns"\s*:\s*\[([^\]]*)\]""".r
+            .findFirstMatchIn(text)
+            .map(m => """\d+""".r.findAllIn(m.group(1)).map(_.toLong).toSeq)
+          val chunks = """"chunks"\s*:\s*\[([^\]]*)\]""".r
+            .findFirstMatchIn(text)
+            .map(m => """"([^"]*)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSet)
+          (isReplace, newTxns) match {
+            case (Some(r), Some(ts)) =>
+              out += CommitMeta(v, prod, ts, chunks, r)
+            case _ => complete = false // pre-round-12 manifest in range
+          }
+          v -= 1
+        }
+      }
+      if (complete) Some(out.result()) else None
+    }
   }
+
+  /** Relative `_ck_*` chunk-key directories (like `_ck_t=3/_ck_s=1`)
+    * holding data files under a segment directory — the granularity
+    * recorded in manifests and used for serializable conflict detection. */
+  private[graft] def chunkDirsOf(segDir: Path): Seq[String] =
+    if (!Files.isDirectory(segDir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(segDir)
+      try walk.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map(p => segDir.relativize(p.getParent).toString)
+        .toSeq.distinct
+      finally walk.close()
+    }
 }

@@ -269,19 +269,44 @@ object GraftInsert {
     * ([[GraftDeltaBatchWrite]]) and the serializable filter-DELETE. */
   private[sources] def publishConflictChecked(root: Path, proto: graft.core.Protocol,
       segId: SegmentId, segPath: Path, readHorizon: Long): Unit = {
+    lazy val ours = chunkKeys(segPath) // our OWN just-written delta — one walk
+    // conflicting txn ids committed above the horizon, or empty
+    def conflictTxns(base: Seq[SegmentId]): Seq[Long] = {
+      // metadata path (manifest tables, round 12+): each manifest version
+      // records its commit's txns + touched chunks + replace flag, so the
+      // check is O(commits since horizon) single-file reads — no segment
+      // file-tree walks, flat in table file count. A replace
+      // (overwrite/TRUNCATE/compact) removes rows in arbitrary chunks, so
+      // it conflicts with EVERY row-level write — the dir-walk fallback
+      // cannot see a truncate (it leaves no segments) and silently missed
+      // this case before chunk recording existed.
+      val meta = proto match {
+        case m if m == Storage.ManifestProtocol =>
+          Storage.ManifestProtocol.commitsAfter(root, readHorizon).map(_.flatMap { c =>
+            val overlap = c.isReplace || c.chunks.forall(_.exists(ours.contains))
+            if (overlap && (c.newTxns.nonEmpty || c.isReplace))
+              if (c.newTxns.nonEmpty) c.newTxns else Seq(c.prodTxn)
+            else Seq.empty
+          })
+        case _ => None
+      }
+      meta.getOrElse {
+        // fallback (rename protocol, or manifests predating chunk
+        // recording): walk each later segment's directory tree
+        base.filter(_.txnId > readHorizon).filter(s =>
+          chunkKeys(proto.readPath(root, s)).exists(ours.contains)).map(_.txnId)
+      }
+    }
     var tries = 0
     while (true) {
       val base = proto.listCommitted(root)
-      val later = base.filter(_.txnId > readHorizon)
-      if (later.nonEmpty) {
-        val ours = chunkKeys(segPath)
-        val conflicts = later.filter(s =>
-          chunkKeys(proto.readPath(root, s)).exists(ours.contains))
+      if (proto.txnWatermark(root) > readHorizon) {
+        val conflicts = conflictTxns(base)
         if (conflicts.nonEmpty) {
           Storage.deleteRecursively(segPath)
           throw new java.util.ConcurrentModificationException(
             s"serializable row-level conflict: transaction(s) " +
-              s"${conflicts.map(_.txnId).distinct.sorted.mkString(", ")} committed " +
+              s"${conflicts.distinct.sorted.mkString(", ")} committed " +
               s"after this statement's snapshot (txn $readHorizon) and touched the " +
               "same chunks; re-run the statement against the current state")
         }
@@ -304,21 +329,11 @@ object GraftInsert {
   }
 
   /** Chunk-key directories (relative paths like `_ck_t=3/_ck_s=1`) holding
-    * data files under a segment — the conflict-detection granularity. */
+    * data files under a segment — the conflict-detection granularity
+    * ([[graft.core.Storage.chunkDirsOf]], the same walk the manifest
+    * publisher records). */
   private[sources] def chunkKeys(segDir: Path): Set[String] =
-    if (!Files.isDirectory(segDir)) Set.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(segDir)
-      try walk.iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
-        }
-        .map(p => segDir.relativize(p.getParent).toString)
-        .toSet
-      finally walk.close()
-    }
+    Storage.chunkDirsOf(segDir).toSet
 
   private def list(dir: Path): Seq[Path] =
     if (!Files.isDirectory(dir)) Seq.empty

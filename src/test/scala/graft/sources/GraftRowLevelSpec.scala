@@ -295,6 +295,55 @@ class GraftRowLevelSpec extends AnyFunSuite {
     spark.sql("DROP TABLE grl.serdel")
   }
 
+  test("serializable: a racing TRUNCATE aborts a stale row-level publish") {
+    // a replace commit (TRUNCATE/overwrite/compact) removes rows in
+    // arbitrary chunks, so it must conflict with every row-level write
+    // whose snapshot predates it. The pre-round-12 dir-walk check could
+    // not see a truncate at all (it leaves no segments above the horizon)
+    // and silently published the stale delta on top of the empty table.
+    root
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS grl.sertr")
+    spark.sql("CREATE TABLE grl.sertr (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 'k:10', 'graft.isolation' = 'serializable')")
+    spark.sql("INSERT INTO grl.sertr SELECT id, 0 FROM range(0, 20)") // txn 1
+    spark.sql("TRUNCATE TABLE grl.sertr")                             // txn 2, replace
+    val dir = root.resolve("sertr").toString
+    val e = intercept[java.util.ConcurrentModificationException] {
+      GraftInsert.tombstone(spark, dir, Seq((0L, 0L)).toDF("k", "v"),
+        serializableSince = Some(1L))
+    }
+    assert(e.getMessage.contains("serializable"))
+    assert(spark.sql("SELECT count(*) FROM grl.sertr").head().getLong(0) === 0L)
+    spark.sql("DROP TABLE grl.sertr")
+  }
+
+  test("manifests record commit-scoped txns + chunks; commitsAfter reads them back") {
+    root
+    spark.sql("DROP TABLE IF EXISTS grl.meta")
+    spark.sql("CREATE TABLE grl.meta (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 'k:10')")
+    spark.sql("INSERT INTO grl.meta SELECT id, 0 FROM range(0, 20)")  // txn 1: chunks 0,1
+    spark.sql("UPDATE grl.meta SET v = 1 WHERE k < 10")               // txn 2: chunk 0
+    spark.sql("TRUNCATE TABLE grl.meta")                              // txn 3: replace
+    val dir = root.resolve("meta")
+    val all = graft.core.Storage.ManifestProtocol.commitsAfter(dir, 0L)
+      .getOrElse(fail("round-12 manifests must support the metadata conflict path"))
+    assert(all.exists(c => c.isReplace && c.chunks.exists(_.isEmpty)),
+      s"the truncate must be recorded as an empty replace, got $all")
+    assert(all.exists(c => c.newTxns == Seq(2L) && c.chunks.exists(_ == Set("_ck_k=0"))),
+      s"the update must record txn 2 touching only chunk 0, got $all")
+    assert(all.exists(c => c.newTxns == Seq(1L) &&
+        c.chunks.exists(_ == Set("_ck_k=0", "_ck_k=1"))),
+      s"the insert must record txn 1 touching chunks 0 and 1, got $all")
+    // horizon filtering: only commits above the horizon are returned
+    val recent = graft.core.Storage.ManifestProtocol.commitsAfter(dir, 2L)
+      .getOrElse(fail("metadata path expected"))
+    assert(recent.forall(_.prodTxn > 2L) && recent.exists(_.isReplace))
+    assert(!recent.exists(_.newTxns.contains(1L)))
+    spark.sql("DROP TABLE grl.meta")
+  }
+
   test("graft.isolation is persisted, alterable, and surfaced in properties") {
     root
     spark.sql("DROP TABLE IF EXISTS grl.iso")
