@@ -776,12 +776,14 @@ object Storage {
     }
 
     /** One committed manifest version's commit-scoped metadata: the txns it
-      * added, the chunk dirs they touched (None when written before chunk
-      * recording — round <= 11), and whether it was a replace
-      * (overwrite/truncate/compact — removes rows in arbitrary chunks, so
-      * conflict detection must treat it as touching EVERYTHING). */
+      * added (with their segment ids, for key-digest lookup), the chunk
+      * dirs they touched (None when written before chunk recording —
+      * round <= 11), and whether it was a replace (overwrite/truncate/
+      * compact — removes rows in arbitrary chunks, so conflict detection
+      * must treat it as touching EVERYTHING). */
     private[graft] final case class CommitMeta(version: Long, prodTxn: Long,
-        newTxns: Seq[Long], chunks: Option[Set[String]], isReplace: Boolean)
+        newTxns: Seq[Long], newSegs: Seq[SegmentId],
+        chunks: Option[Set[String]], isReplace: Boolean)
 
     /** Commit metadata for every manifest version whose producing txn is
       * above `horizon`, newest first — the serializable conflict check's
@@ -814,7 +816,8 @@ object Storage {
             .map(m => """"([^"]*)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSet)
           (isReplace, newTxns) match {
             case (Some(r), Some(ts)) =>
-              out += CommitMeta(v, prod, ts, chunks, r)
+              val segs = readManifest(p).filter(s => ts.contains(s.txnId))
+              out += CommitMeta(v, prod, ts, segs, chunks, r)
             case _ => complete = false // pre-round-12 manifest in range
           }
           v -= 1
@@ -822,6 +825,37 @@ object Storage {
       }
       if (complete) Some(out.result()) else None
     }
+  }
+
+  // ---- key-granular serializable digests ----------------------------------
+  //
+  // `graft.isolation.granularity = 'key'` refines chunk-granular conflict
+  // detection: each row-level commit persists the EXACT set of touched
+  // keys as `<segdir>/_keys` (one xxhash64 of the dim tuple per line,
+  // sorted) and the checker exonerates a same-chunk commit whose key set
+  // is provably disjoint. Exact, not probabilistic: equal keys always
+  // hash equal, and a 64-bit hash collision only produces a spurious —
+  // safe — abort. Bounded: deltas touching more than KeyDigestCap keys
+  // record no digest and stay chunk-granular (the digest is for the hot
+  // OLTP-ish case, not bulk rewrites).
+
+  private[graft] val KeyDigestCap = 4096
+
+  /** Persist `keys` as the segment's key digest. Must happen BEFORE the
+    * segment becomes visible (checkers read it as soon as the manifest
+    * lists the commit). */
+  private[graft] def writeKeyDigest(segDir: Path, keys: Set[Long]): Unit =
+    Files.write(segDir.resolve("_keys"),
+      keys.toSeq.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+  /** The segment's recorded key digest; None when the commit recorded none
+    * (pre-key-granularity, over-cap, or non-row-level) — the checker must
+    * then stay chunk-granular for that commit. */
+  private[graft] def readKeyDigest(segDir: Path): Option[Set[Long]] = {
+    val p = segDir.resolve("_keys")
+    if (!Files.isRegularFile(p)) None
+    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map(_.toLong).toSet)
   }
 
   /** Relative `_ck_*` chunk-key directories (like `_ck_t=3/_ck_s=1`)

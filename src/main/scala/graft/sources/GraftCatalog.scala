@@ -534,6 +534,15 @@ object GraftCatalog {
     * after its read snapshot touched the same chunks — no lost updates).
     * Settable at CREATE or via ALTER TABLE SET TBLPROPERTIES. */
   val IsolationProp = "graft.isolation"
+
+  /** Table property refining serializable conflict detection:
+    * "chunk" (default — a same-chunk commit above the snapshot aborts the
+    * statement) or "key" (row-level commits persist their exact touched-key
+    * digest, so a same-chunk commit with provably DISJOINT keys no longer
+    * false-aborts; bounded by [[graft.core.Storage.KeyDigestCap]] — larger
+    * deltas stay chunk-granular). Only meaningful with
+    * `graft.isolation = 'serializable'`. */
+  val GranularityProp = "graft.isolation.granularity"
 }
 
 /** One graft table snapshot as a DSv2 table: logical schema = dimensions +

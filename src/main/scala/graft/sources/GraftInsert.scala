@@ -241,7 +241,9 @@ object GraftInsert {
       .parquet(segPath.toString)
     if (hasDataFiles(segPath)) {
       serializableSince match {
-        case Some(h) => publishConflictChecked(root, proto, segId, segPath, h)
+        case Some(h) =>
+          val ours = maybeWriteKeyDigest(frame.sparkSession, schema, root, segPath)
+          publishConflictChecked(root, proto, segId, segPath, h, ours)
         case None =>
           // publish against the CURRENT committed set — concurrent writers
           // may have committed while this batch was writing (newest-wins)
@@ -253,6 +255,28 @@ object GraftInsert {
       None
     }
   }
+
+  /** Under `graft.isolation.granularity = 'key'`: compute the delta's exact
+    * touched-key digest (xxhash64 of the dim tuple, read back from the
+    * just-written segment — one scan of our OWN small delta) and persist it
+    * as `<segdir>/_keys` BEFORE publish, so concurrent checkers can
+    * exonerate us. Returns the keys for OUR side of the check. None when
+    * the granularity is chunk, or the delta exceeds
+    * [[graft.core.Storage.KeyDigestCap]] keys (stays chunk-granular). */
+  private[sources] def maybeWriteKeyDigest(spark: SparkSession, schema: MatSchema,
+      root: Path, segPath: Path): Option[Set[Long]] =
+    if (!Storage.readProps(root).get(GraftCatalog.GranularityProp).contains("key")) None
+    else {
+      val rows = spark.read.parquet(segPath.toString)
+        .select(xxhash64(schema.dimNames.map(col): _*).as("h"))
+        .distinct().limit(Storage.KeyDigestCap + 1).collect()
+      if (rows.length > Storage.KeyDigestCap) None
+      else {
+        val keys = rows.map(_.getLong(0)).toSet
+        Storage.writeKeyDigest(segPath, keys)
+        Some(keys)
+      }
+    }
 
   /** Publish a claimed, fully-written segment under SERIALIZABLE conflict
     * detection: any transaction committed after `readHorizon` whose
@@ -268,7 +292,8 @@ object GraftInsert {
     * coarser. Shared by the row-level delta write
     * ([[GraftDeltaBatchWrite]]) and the serializable filter-DELETE. */
   private[sources] def publishConflictChecked(root: Path, proto: graft.core.Protocol,
-      segId: SegmentId, segPath: Path, readHorizon: Long): Unit = {
+      segId: SegmentId, segPath: Path, readHorizon: Long,
+      ourKeys: Option[Set[Long]] = None): Unit = {
     lazy val ours = chunkKeys(segPath) // our OWN just-written delta — one walk
     // conflicting txn ids committed above the horizon, or empty
     def conflictTxns(base: Seq[SegmentId]): Seq[Long] = {
@@ -283,7 +308,21 @@ object GraftInsert {
       val meta = proto match {
         case m if m == Storage.ManifestProtocol =>
           Storage.ManifestProtocol.commitsAfter(root, readHorizon).map(_.flatMap { c =>
-            val overlap = c.isReplace || c.chunks.forall(_.exists(ours.contains))
+            val chunkOverlap = c.chunks.forall(_.exists(ours.contains))
+            // key exoneration (granularity = 'key'): a same-chunk commit
+            // whose recorded key digest is provably disjoint from ours is
+            // serializable after all — no abort. Any side without a digest
+            // (over-cap, bulk append, pre-key-granularity) stays
+            // chunk-granular, the conservative direction.
+            val keyDisjoint = !c.isReplace && chunkOverlap && (ourKeys match {
+              case Some(mine) if c.newSegs.nonEmpty =>
+                val theirs = c.newSegs.map(id =>
+                  Storage.readKeyDigest(proto.readPath(root, id)))
+                theirs.forall(_.isDefined) &&
+                  !theirs.flatten.exists(_.exists(mine.contains))
+              case _ => false
+            })
+            val overlap = c.isReplace || (chunkOverlap && !keyDisjoint)
             if (overlap && (c.newTxns.nonEmpty || c.isReplace))
               if (c.newTxns.nonEmpty) c.newTxns else Seq(c.prodTxn)
             else Seq.empty

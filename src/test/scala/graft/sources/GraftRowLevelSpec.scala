@@ -344,6 +344,48 @@ class GraftRowLevelSpec extends AnyFunSuite {
     spark.sql("DROP TABLE grl.meta")
   }
 
+  test("serializable granularity=key: disjoint-key same-chunk commits both land") {
+    root
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS grl.serkey")
+    spark.sql("CREATE TABLE grl.serkey (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 'k:100', 'graft.isolation' = 'serializable', " +
+      "'graft.isolation.granularity' = 'key')")
+    spark.sql("INSERT INTO grl.serkey SELECT id, 0 FROM range(0, 20)") // txn 1, chunk 0
+    val dir = root.resolve("serkey").toString
+
+    // same chunk (k:100 => all keys in chunk 0), DIFFERENT key: txn 2
+    // updates k=1, then a tombstone of k=2 with a STALE horizon (1) —
+    // chunk-granular detection would abort; the key digests prove
+    // disjointness, so it commits
+    spark.sql("UPDATE grl.serkey SET v = 7 WHERE k = 1") // txn 2
+    GraftInsert.tombstone(spark, dir, Seq((2L, 0L)).toDF("k", "v"),
+      serializableSince = Some(1L))
+    assert(spark.sql("SELECT count(*) FROM grl.serkey").head().getLong(0) === 19L,
+      "the disjoint-key tombstone must commit under granularity=key")
+    assert(spark.sql("SELECT v FROM grl.serkey WHERE k = 1").head().getLong(0) === 7L)
+
+    // SAME key still aborts: tombstone k=1 with a horizon below txn 2
+    val e = intercept[java.util.ConcurrentModificationException] {
+      GraftInsert.tombstone(spark, dir, Seq((1L, 0L)).toDF("k", "v"),
+        serializableSince = Some(1L))
+    }
+    assert(e.getMessage.contains("serializable"))
+
+    // and the DEFAULT chunk granularity still aborts the disjoint-key case
+    spark.sql("DROP TABLE IF EXISTS grl.serchunk")
+    spark.sql("CREATE TABLE grl.serchunk (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 'k:100', 'graft.isolation' = 'serializable')")
+    spark.sql("INSERT INTO grl.serchunk SELECT id, 0 FROM range(0, 20)")
+    spark.sql("UPDATE grl.serchunk SET v = 7 WHERE k = 1")
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      GraftInsert.tombstone(spark, root.resolve("serchunk").toString,
+        Seq((2L, 0L)).toDF("k", "v"), serializableSince = Some(1L))
+    }
+    assert(e2.getMessage.contains("serializable"))
+    Seq("serkey", "serchunk").foreach(t => spark.sql(s"DROP TABLE grl.$t"))
+  }
+
   test("graft.isolation is persisted, alterable, and surfaced in properties") {
     root
     spark.sql("DROP TABLE IF EXISTS grl.iso")
