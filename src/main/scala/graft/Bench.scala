@@ -40,7 +40,13 @@ object Bench {
     // warm-up: touch the scan path, a shuffle, and codegen once, untimed
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=q123,q117 times just those
+    // queries (prefix match) and SKIPS the artifact write — partial runs
+    // must never masquerade as full-battery artifacts
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     val samples: Seq[Map[String, Double]] = (1 to math.max(1, passes)).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
@@ -66,6 +72,7 @@ object Bench {
     // truncated stdout tail, which has already cost two rounds their
     // q01–q36 timing history. Every pass's samples are kept alongside the
     // min so steal-noise episodes are visible after the fact.
+    if (only.isDefined) { spark.stop(); return } // partial run: no artifact
     try {
       val sfName = new java.io.File(sfDir).getName
       // resolve the bench dir from an explicit root, not the process CWD —

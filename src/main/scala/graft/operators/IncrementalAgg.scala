@@ -144,7 +144,8 @@ object IncrementalAgg {
     * be non-null (guarded per batch); `min_`/`max_` skip nulls natively
     * and `cnt` counts rows, so they need no guard. */
   def maintainAbsoluteMulti(base: MatDb, viewDb: MatDb, fromTxn: Long, toTxn: Long,
-      groupCol: String): Long = {
+      groupCol: String,
+      precomputedDelta: Option[org.apache.spark.sql.DataFrame] = None): Long = {
     require(viewDb.schema.dimNames == Seq(groupCol),
       s"view must be keyed by ($groupCol); got dims=${viewDb.schema.dimNames}")
     val aggs: Seq[org.apache.spark.sql.Column] = viewDb.schema.values.map { v =>
@@ -164,23 +165,35 @@ object IncrementalAgg {
             "(expected sum_<col>, min_<col>, max_<col>, or cnt)")
       }
     }
-    val delta = base.changesBetween(fromTxn, toTxn, includeOld = true)
-    viewDb.schema.valueNames.filter(_.startsWith("sum_")).map(_.stripPrefix("sum_"))
-      .distinct.foreach(requireNoNullValues(delta, _))
-    val isDim = base.schema.dimNames.contains(groupCol)
-    val oldG = if (isDim) col(groupCol) else col(s"_old_$groupCol")
-    val touched = delta.select(col(groupCol)).where(col(groupCol).isNotNull)
-      .union(delta.select(oldG.as(groupCol)).where(oldG.isNotNull))
-      .distinct()
-    val newAgg = base.asOf(toTxn)
-      .join(broadcast(touched), Seq(groupCol), "left_semi")
-      .groupBy(col(groupCol))
-      .agg(aggs.head, aggs.tail: _*)
-    val emptied = touched.join(newAgg.select(col(groupCol)), Seq(groupCol), "left_anti")
-    val txn = viewDb.newTransaction()
-    txn.deleteRows(emptied)
-    txn.addRows(newAgg)
-    txn.commit()
-    txn.id.getOrElse(-1L)
+    // the change scan is the expensive leg (two restricted dedups + a
+    // full-outer join) and every downstream reference would re-run it:
+    // null guards, the touched-group union, the anti-join. Persist it for
+    // the duration of the maintenance — O(batch) rows, never O(base). A
+    // caller maintaining SEVERAL views of one batch precomputes it once
+    // and passes it in (viewMaintSink), halving-or-better the per-batch
+    // fixed cost; we only own (and release) what we created.
+    val delta = precomputedDelta.getOrElse(
+      base.changesBetween(fromTxn, toTxn, includeOld = true))
+    val owned = precomputedDelta.isEmpty
+    if (owned) delta.persist()
+    try {
+      viewDb.schema.valueNames.filter(_.startsWith("sum_")).map(_.stripPrefix("sum_"))
+        .distinct.foreach(requireNoNullValues(delta, _))
+      val isDim = base.schema.dimNames.contains(groupCol)
+      val oldG = if (isDim) col(groupCol) else col(s"_old_$groupCol")
+      val touched = delta.select(col(groupCol)).where(col(groupCol).isNotNull)
+        .union(delta.select(oldG.as(groupCol)).where(oldG.isNotNull))
+        .distinct()
+      val newAgg = base.asOf(toTxn)
+        .join(broadcast(touched), Seq(groupCol), "left_semi")
+        .groupBy(col(groupCol))
+        .agg(aggs.head, aggs.tail: _*)
+      val emptied = touched.join(newAgg.select(col(groupCol)), Seq(groupCol), "left_anti")
+      val txn = viewDb.newTransaction()
+      txn.deleteRows(emptied)
+      txn.addRows(newAgg)
+      txn.commit()
+      txn.id.getOrElse(-1L)
+    } finally { if (owned) { delta.unpersist(); () } }
   }
 }

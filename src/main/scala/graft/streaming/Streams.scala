@@ -310,10 +310,16 @@ object Streams {
         if (!range.isNullAt(0)) {
           if (base == null) base = MatDb.open(batch.sparkSession, basePath)
           else base.refresh()
-          views.foreach { case (viewDb, groupCol) =>
+          // ONE change scan per batch, shared by every view: the delta is
+          // view-independent (two restricted dedups + a full-outer join —
+          // the dominant fixed cost), persisted for the batch and released
+          // after the last view committed. O(batch) rows, never O(base).
+          val delta = base.changesBetween(
+            range.getLong(0) - 1L, range.getLong(1), includeOld = true).persist()
+          try views.foreach { case (viewDb, groupCol) =>
             graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, viewDb,
-              range.getLong(0) - 1L, range.getLong(1), groupCol)
-          }
+              range.getLong(0) - 1L, range.getLong(1), groupCol, Some(delta))
+          } finally { delta.unpersist(); () }
         }
         ()
       }
