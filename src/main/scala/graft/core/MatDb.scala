@@ -427,7 +427,10 @@ final class MatDb private (
     * enough to fold. Scale shape: one resolve (the flagship aggregate)
     * over the folded prefix + one chunk-partitioned write; retained
     * segments are not read at all. */
-  def checkpoint(horizon: Long): Long = {
+  def checkpoint(horizon: Long): Long = checkpoint(horizon, None, Nil)
+
+  private[graft] def checkpoint(horizon: Long, maxRecordsPerFile: Option[Long],
+      zorderDims: Seq[String]): Long = {
     // manifest protocol only: under renames, recovery's completeness rule
     // (a txn missing its segment 0 never finished committing) would drop a
     // baseline that replaces its own txn's segment 0 — and the rename swap
@@ -466,11 +469,27 @@ final class MatDb private (
     protocol.discardInFlight(root, bid)
     Storage.stampClaim(protocol.writePath(root, bid)) // shield from other processes' GC grace
     try {
-      decorated
-        .repartition(schema.chunkColNames.map(col): _*)
-        .sortWithinPartitions(schema.dimNames.map(col): _*)
-        .write.mode("append")
-        .option("compression", "zstd")
+      // layout knobs (OPTIMIZE path): within-chunk row order is a pure
+      // clustering optimization — MVCC resolution never depends on file
+      // order — so z-ordering two dims here tightens parquet row-group
+      // min/max bounds for multi-dim range scans without touching
+      // semantics; maxRecordsPerFile bounds output file size.
+      val sorted = zorderDims match {
+        case Seq(a, b) =>
+          graft.functions.ZOrder2.register(spark)
+          decorated.repartition(schema.chunkColNames.map(col): _*)
+            .sortWithinPartitions(graft.functions.ZOrder2.zorder2(
+              col(a).cast("long"), col(b).cast("long")))
+        case Seq() =>
+          decorated.repartition(schema.chunkColNames.map(col): _*)
+            .sortWithinPartitions(schema.dimNames.map(col): _*)
+        case other => throw new IllegalArgumentException(
+          s"zorder takes exactly two dimensions, got ${other.mkString(",")}")
+      }
+      val writer = maxRecordsPerFile.foldLeft(
+        sorted.write.mode("append").option("compression", "zstd"))(
+        (w, n) => w.option("maxRecordsPerFile", n))
+      writer
         .partitionBy(schema.chunkColNames: _*)
         .parquet(protocol.writePath(root, bid).toString)
       // preserve the horizon txn's ORIGINAL commit wall-clock on the folded
@@ -498,6 +517,52 @@ final class MatDb private (
     // manifest protocol (required at entry): superseded dirs are already
     // invisible; vacuum()/recovery sweeps them.
     tid
+  }
+
+  /** `OPTIMIZE`-style file maintenance: rewrite the ENTIRE table into one
+    * freshly-laid-out baseline — compaction (many small commits' files
+    * merge to one file per chunk), optional file-size bounding, optional
+    * two-dimension z-order clustering — in one atomic replace commit
+    * ([[checkpoint]] at the current watermark, which this wraps).
+    *
+    *   - `targetFileBytes`: approximate LOGICAL bytes per output file,
+    *     converted to a `maxRecordsPerFile` bound via the ANALYZEd
+    *     resolved row width when statistics are fresh, else the schema's
+    *     fixed-width estimate. Parquet compression lands files below the
+    *     target — it bounds, not pads.
+    *   - `zorderDims`: exactly two dimension names; rows within each chunk
+    *     are clustered by bit-interleaved z-value instead of plain dim
+    *     order, tightening parquet row-group min/max for multi-dim range
+    *     scans (the intra-file counterpart of [[graft.sources.ZOrderLayout]]).
+    *
+    * Returns (baselineTxn, filesBefore, filesAfter). Same crash/concurrency
+    * contract as checkpoint: conflict-checked replace, time travel below
+    * the fold is reclaimed. Scale shape: one resolve + one
+    * chunk-partitioned write — O(live data), no driver materialization. */
+  def optimize(targetFileBytes: Option[Long] = None,
+      zorderDims: Seq[String] = Nil): (Long, Long, Long) = {
+    zorderDims.foreach(d => require(schema.dimNames.contains(d),
+      s"zorder names '$d' which is not a dimension (${schema.dimNames.mkString(",")})"))
+    val before = synchronized(committed)
+    if (before.isEmpty) return (-1L, 0L, 0L)
+    val filesBefore = before.map(s => Storage.countDataFiles(
+      protocol.readPath(root, s))).sum
+    val maxRecords = targetFileBytes.map { bytes =>
+      require(bytes > 0, s"target_file_size must be positive, got $bytes")
+      val props = Storage.readProps(root)
+      val rowBytes = (for {
+        txn <- props.get("graft.stats.txn") if txn.toLong == protocol.txnWatermark(root)
+        b <- props.get("graft.stats.bytes")
+        n <- props.get("graft.stats.rowcount") if n.toLong > 0
+      } yield math.max(1L, b.toLong / n.toLong))
+        .getOrElse(schema.toStructType.defaultSize.toLong)
+      math.max(1L, bytes / rowBytes)
+    }
+    val horizon = before.map(_.txnId).max
+    val tid = checkpoint(horizon, maxRecords, zorderDims)
+    val filesAfter = synchronized(committed).map(s => Storage.countDataFiles(
+      protocol.readPath(root, s))).sum
+    (tid, filesBefore, filesAfter)
   }
 
   /** Policy convenience over [[checkpoint]]: fold history once the table

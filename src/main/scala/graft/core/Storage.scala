@@ -858,6 +858,27 @@ object Storage {
       .linesIterator.filter(_.nonEmpty).map(_.toLong).toSet)
   }
 
+  /** (data file count, data bytes) under a segment directory — the
+    * small-file diagnostics `.history` and `optimize` report. */
+  private[graft] def dataFileStats(segDir: Path): (Long, Long) =
+    if (!Files.isDirectory(segDir)) (0L, 0L)
+    else {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(segDir)
+      try {
+        var n = 0L; var b = 0L
+        walk.iterator().asScala.foreach { p =>
+          val name = p.getFileName.toString
+          if (Files.isRegularFile(p) && !name.startsWith("_") && !name.startsWith(".")) {
+            n += 1; b += Files.size(p)
+          }
+        }
+        (n, b)
+      } finally walk.close()
+    }
+
+  private[graft] def countDataFiles(segDir: Path): Long = dataFileStats(segDir)._1
+
   /** Relative `_ck_*` chunk-key directories (like `_ck_t=3/_ck_s=1`)
     * holding data files under a segment directory — the granularity
     * recorded in manifests and used for serializable conflict detection. */

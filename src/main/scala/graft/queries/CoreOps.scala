@@ -1202,6 +1202,47 @@ object CoreOps {
       } finally saved.foreach { case (k, v) =>
         v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
       s.sql("SELECT user_id, v, cnt FROM g134.out ORDER BY user_id")
+    },
+
+    // ---- OPTIMIZE file maintenance (round 12) ----------------------------
+    // CALL system.optimize rewrites the whole table into one freshly-laid-
+    // out baseline: small commits' files compact to one per chunk, rows
+    // z-order-clustered within chunks (MatDb.optimize -> checkpoint at the
+    // watermark). The gate: content is EXACTLY the pre-optimize resolved
+    // state (the oracle replays the three commits relationally), and the
+    // in-code assertion pins that files actually went down.
+    // GraftProcedureSpec pins file-size bounding and .history diagnostics.
+    Entry("q135_optimize", Some(
+      """WITH base AS (SELECT user_id, arg_max(value, event_id) AS v
+        |              FROM events GROUP BY user_id),
+        |upd AS (SELECT user_id, user_id % 7 AS slot,
+        |               CASE WHEN user_id % 3 = 0 THEN v * 2.0 ELSE v END AS v
+        |        FROM base)
+        |SELECT user_id, slot, v FROM upd WHERE user_id >= 3
+        |ORDER BY user_id""".stripMargin)) { (s, d) =>
+      val root = Q.fixture("q135-optimize")
+      graft.core.Storage.deleteRecursively(root.resolve("t"))
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g135").isEmpty) {
+        s.conf.set("spark.sql.catalog.g135", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g135.root", root.toString)
+      }
+      table(s, d, "events").createOrReplaceTempView("events")
+      s.sql("CREATE TABLE g135.t (user_id BIGINT, slot BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:1000,slot:1000')")
+      s.sql("""INSERT INTO g135.t
+              |SELECT user_id, user_id % 7, max_by(value, event_id)
+              |FROM events GROUP BY user_id""".stripMargin)              // txn 1
+      s.sql("""INSERT INTO g135.t
+              |SELECT user_id, user_id % 7, max_by(value, event_id) * 2.0
+              |FROM events WHERE user_id % 3 = 0 GROUP BY user_id""".stripMargin) // txn 2
+      s.sql("DELETE FROM g135.t WHERE user_id < 3")                      // txn 3
+      val o = s.sql(
+        "CALL g135.system.optimize('t', target_file_size => 1048576, " +
+          "zorder => 'user_id,slot')").collect()(0)
+      require(o.getLong(2) <= o.getLong(1),
+        s"optimize must not grow the file count: $o")
+      s.sql("SELECT user_id, slot, v FROM g135.t ORDER BY user_id")
     }
   )
 }

@@ -276,8 +276,15 @@ class GraftCatalog extends TableCatalog
         .filter(s => asOf.forall(s.txnId <= _)).sorted
       val ts = Storage.commitTimestamps(dir, proto, segs).toMap
       new GraftHistoryTable(s"$catalogName.${b.toString}.history",
-        segs.map(s => (s.txnId, s.segNum, proto.readPath(dir, s).toString,
-          ts(s.txnId))))
+        segs.map { s =>
+          // small-file diagnostics per segment (data file count + bytes):
+          // the signal `CALL system.optimize` exists to fix — surfaced
+          // where a user looks for it. One directory walk per segment,
+          // driver-side, at metadata-table load.
+          val (files, bytes) = Storage.dataFileStats(proto.readPath(dir, s))
+          (s.txnId, s.segNum, proto.readPath(dir, s).toString,
+            ts(s.txnId), files, bytes)
+        })
     }
   }
 
@@ -949,13 +956,17 @@ private final class KeyedFilePartition(
   * time; the scan is a [[org.apache.spark.sql.connector.read.LocalScan]]
   * Spark plans as a local table scan — no jobs, no files. */
 final class GraftHistoryTable(tableName: String,
-    rows: Seq[(Long, Int, String, Long)]) extends Table with SupportsRead {
+    rows: Seq[(Long, Int, String, Long, Long, Long)]) extends Table with SupportsRead {
 
   private val historySchema = StructType(Seq(
     StructField("txn_id", LongType, nullable = false),
     StructField("seg_num", org.apache.spark.sql.types.IntegerType, nullable = false),
     StructField("path", org.apache.spark.sql.types.StringType, nullable = false),
-    StructField("commit_ts", org.apache.spark.sql.types.TimestampType, nullable = false)))
+    StructField("commit_ts", org.apache.spark.sql.types.TimestampType, nullable = false),
+    // small-file diagnostics: data file count + bytes per segment — the
+    // SELECT a user runs to decide whether CALL system.optimize is due
+    StructField("files", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
 
   override def name(): String = tableName
   override def schema(): StructType = historySchema
@@ -973,11 +984,12 @@ final class GraftHistoryTable(tableName: String,
     }
 
   private lazy val rowsArray: Array[org.apache.spark.sql.catalyst.InternalRow] =
-    rows.map { case (txn, seg, path, tsMillis) =>
+    rows.map { case (txn, seg, path, tsMillis, files, bytes) =>
       org.apache.spark.sql.catalyst.InternalRow(
         txn, seg,
         org.apache.spark.unsafe.types.UTF8String.fromString(path),
-        tsMillis * 1000L) // TimestampType is epoch micros
+        tsMillis * 1000L, // TimestampType is epoch micros
+        files, bytes)
     }.toArray
 }
 

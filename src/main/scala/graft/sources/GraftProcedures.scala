@@ -39,7 +39,8 @@ object GraftProcedures {
 
   /** Declared procedure names, for `listProcedures` / error messages. */
   val names: Seq[String] =
-    Seq("checkpoint", "checkpoint_if_needed", "compact", "vacuum", "clone", "analyze")
+    Seq("checkpoint", "checkpoint_if_needed", "compact", "vacuum", "clone",
+      "analyze", "optimize")
 
   def load(catalogName: String, root: java.nio.file.Path,
       name: String): UnboundProcedure = {
@@ -137,6 +138,27 @@ object GraftProcedures {
         row =>
           val (n, bytes) = db(row).analyze()
           new GenericInternalRow(Array[Any](n, bytes))
+      }
+      case "optimize" => proc("optimize",
+        "rewrite the whole table into one freshly-laid-out baseline: " +
+          "small files compact to one per chunk, target_file_size bounds " +
+          "output file size (logical bytes; 0 = unbounded), zorder => " +
+          "'d1,d2' clusters rows within each chunk by bit-interleaved " +
+          "z-value for multi-dim range scans (MatDb.optimize). " +
+          "Before/after file counts are returned; per-segment file counts " +
+          "live in the .history table",
+        params = Seq(in("table", StringType),
+          in("target_file_size", LongType, default = Some("0")),
+          in("zorder", StringType, default = Some("''"))),
+        out = StructType(Seq(StructField("txn_id", LongType, nullable = false),
+          StructField("files_before", LongType, nullable = false),
+          StructField("files_after", LongType, nullable = false)))) {
+        row =>
+          val target = Some(row.getLong(1)).filter(_ > 0)
+          val zdims = Option(row.getUTF8String(2)).map(_.toString).getOrElse("")
+            .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val (txn, before, after) = db(row).optimize(target, zdims)
+          new GenericInternalRow(Array[Any](txn, before, after))
       }
       case other =>
         throw new UnsupportedOperationException(

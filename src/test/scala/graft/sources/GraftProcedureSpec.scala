@@ -202,6 +202,38 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(shown("graft.stats.txn") === "4")
   }
 
+  test("CALL optimize compacts small files, honors zorder, preserves content") {
+    import org.apache.spark.sql.functions._
+    root
+    spark.sql("DROP TABLE IF EXISTS gproc.opt")
+    spark.sql("CREATE TABLE gproc.opt (a BIGINT, b BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 'a:100,b:100')")
+    // 12 small commits over 4 chunk tuples -> ~48 small files
+    (0 until 12).foreach { i =>
+      // (a, b) = (id, (id%2)*100): 200 UNIQUE keys per commit spanning
+      // 2x2 chunk tuples; later commits upsert the same keys
+      spark.sql("INSERT INTO gproc.opt " +
+        s"SELECT id, (id % 2) * 100, id + $i FROM range(0, 200)")
+    }
+    val before = spark.sql("SELECT a, b, v FROM gproc.opt ORDER BY a, b").collect()
+    val histBefore = spark.sql("SELECT sum(files) FROM gproc.opt.history").head().getLong(0)
+    assert(histBefore >= 12L, s".history files diagnostics, got $histBefore")
+    val out = call("CALL gproc.system.optimize('opt', zorder => 'a,b')")
+    assert(out.getLong(1) === histBefore, "files_before matches .history")
+    assert(out.getLong(2) <= 4L,
+      s"optimize must land one file per chunk, got ${out.getLong(2)}")
+    val after = spark.sql("SELECT a, b, v FROM gproc.opt ORDER BY a, b").collect()
+    assert(after.toSeq === before.toSeq, "optimize must not change content")
+    // file-size bounding: re-fragment with a tiny target (24-byte rows,
+    // 480-byte target = ~20 rows per file)
+    val bounded = call("CALL gproc.system.optimize('opt', target_file_size => 480)")
+    assert(bounded.getLong(2) > 4L,
+      s"a small target_file_size must split files, got ${bounded.getLong(2)}")
+    assert(spark.sql("SELECT a, b, v FROM gproc.opt ORDER BY a, b").collect().toSeq
+      === before.toSeq)
+    spark.sql("DROP TABLE gproc.opt")
+  }
+
   test("listProcedures surfaces the system namespace") {
     root
     val cat = spark.sessionState.catalogManager.catalog("gproc")
