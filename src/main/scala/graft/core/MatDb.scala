@@ -612,9 +612,12 @@ object MatDb {
   /** Create a new table directory (reference: database.rs:35-50).
     * `protocol` = "rename" (reference-parity default) or "manifest". */
   def create(spark: SparkSession, schema: MatSchema, path: String,
-      protocol: String = "rename"): MatDb = {
+      protocol: String = "rename", store: String = PosixCasStore.name): MatDb = {
     graft.plans.GraftPlans.enable(spark)
     val root = Storage.rootPath(path)
+    // store marker FIRST: every subsequent write (schema, manifests,
+    // claims) must already route through the chosen CasStore
+    Storage.writeStoreMarker(root, CasStore.forName(store))
     Storage.writeSchema(root, schema)
     val proto = Storage.forName(protocol)
     // manifest tables are self-describing via _log/ — recover() creates it
@@ -637,10 +640,10 @@ object MatDb {
   }
 
   def createOrOpen(spark: SparkSession, schema: MatSchema, path: String,
-      protocol: String = "rename"): MatDb = {
+      protocol: String = "rename", store: String = PosixCasStore.name): MatDb = {
     val root = Storage.rootPath(path)
     if (java.nio.file.Files.exists(Storage.schemaPath(root))) open(spark, path)
-    else create(spark, schema, path, protocol)
+    else create(spark, schema, path, protocol, store)
   }
 
   /** Does a graft table exist at `path`? */
@@ -677,13 +680,18 @@ object MatDb {
       "shallow clone requires the 'manifest' commit protocol " +
         "(rename-protocol visibility is the directory listing — nothing to fork)")
     Files.createDirectories(dst)
+    // share through the SOURCE's store: hard links on posix (zero-copy),
+    // byte/server-side copies on an object store — and the `_store`
+    // marker itself is carried so the clone keeps the same commit
+    // primitives
+    val store = Storage.casStore(src)
     // metadata: schema mirror + versioned docs + props + the FULL manifest
     // log (lineage included, so VERSION AS OF parity carries over)
-    Storage.linkOrCopyTree(src.resolve("_schema"), dst.resolve("_schema"))
-    Storage.linkOrCopyTree(src.resolve("_log"), dst.resolve("_log"))
-    Seq("schema.json", "_props.json").foreach { f =>
+    Storage.linkOrCopyTree(store, src.resolve("_schema"), dst.resolve("_schema"))
+    Storage.linkOrCopyTree(store, src.resolve("_log"), dst.resolve("_log"))
+    Seq("schema.json", "_props.json", "_store").foreach { f =>
       val p = src.resolve(f)
-      if (Files.exists(p)) Storage.linkOrCopyFile(p, dst.resolve(f))
+      if (Files.exists(p)) Storage.linkOrCopyFile(store, p, dst.resolve(f))
     }
     // data: every segment directory still on disk — committed, plus
     // lineage history awaiting vacuum (claim stamps are NOT carried: the
@@ -693,7 +701,7 @@ object MatDb {
     segs.foreach { id =>
       val from = proto.readPath(src, id)
       if (Files.isDirectory(from))
-        Storage.linkOrCopyTree(from, proto.readPath(dst, id),
+        Storage.linkOrCopyTree(store, from, proto.readPath(dst, id),
           skip = Set(Storage.ClaimFile))
     }
     open(spark, dstPath)

@@ -185,17 +185,12 @@ object Storage {
 
   def writeSchema(root: Path, schema: MatSchema): Unit = {
     Files.createDirectories(root)
-    // write-then-atomic-move: schema.json is also REwritten as the ALTER
+    // whole-object replace put: schema.json is also REwritten as the ALTER
     // TABLE read mirror, and a reader must never see a torn document.
-    // Writer-unique tmp name: two CAS winners in quick succession both
-    // refresh the mirror — a shared tmp would let one writer move the
-    // other's file away mid-rewrite (and readers prefer the versioned
-    // _schema/ file anyway, so mirror refresh order is harmless).
-    val tmp = Files.createTempFile(root, ".schema-mirror-", ".tmp")
-    Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, schemaPath(root),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // Two CAS winners in quick succession both refresh the mirror —
+    // readers prefer the versioned _schema/ file anyway, so mirror
+    // refresh order is harmless.
+    casStore(root).putReplace(schemaPath(root), schema.json)
   }
 
   def readSchema(root: Path): MatSchema = readSchemaVersioned(root)._1
@@ -251,13 +246,8 @@ object Storage {
     * ([[readSchemaVersioned]]) and re-apply its change. */
   def casSchema(root: Path, expected: Long, next: MatSchema): Boolean = {
     val dir = schemaVerDir(root)
-    Files.createDirectories(dir)
-    val tmp = Files.createTempFile(dir, ".schema-", ".tmp")
-    Files.write(tmp, next.json.getBytes(StandardCharsets.UTF_8))
-    val won =
-      try { Files.createLink(dir.resolve(f"${expected + 1L}%08x.json"), tmp); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      finally { Files.deleteIfExists(tmp); () }
+    val won = casStore(root).putIfAbsent(
+      dir.resolve(f"${expected + 1L}%08x.json"), next.json)
     if (won) writeSchema(root, next)
     won
   }
@@ -288,11 +278,7 @@ object Storage {
     val body = props.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "${escape(k)}": "${escape(v)}"""" }
       .mkString("{\n", ",\n", "\n}\n")
-    val tmp = Files.createTempFile(root, ".props-", ".tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, propsPath(root),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    casStore(root).putReplace(propsPath(root), body)
     ()
   }
 
@@ -301,30 +287,57 @@ object Storage {
   private def unescape(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
+  // ---- the CAS seam -------------------------------------------------------
+  //
+  // Every ATOMICITY-bearing operation (conditional put, replace put,
+  // claim, clone-share) routes through the table's [[CasStore]]; plain
+  // reads/writes/deletes stay direct. A table selects its store with a
+  // `_store` marker object at its root (absent = posix); the marker is
+  // written once at CREATE and carried by clones, so detection is one
+  // cached read. Porting to a real object store = implementing the four
+  // CasStore methods; the protocol above the seam is untouched.
+
+  private val StoreMarker = "_store"
+  private val storeCache =
+    new java.util.concurrent.ConcurrentHashMap[Path, CasStore]()
+
+  private[graft] def casStore(root: Path): CasStore =
+    storeCache.computeIfAbsent(root.toAbsolutePath, { p =>
+      val m = p.resolve(StoreMarker)
+      if (Files.isRegularFile(m))
+        CasStore.forName(new String(Files.readAllBytes(m), StandardCharsets.UTF_8).trim)
+      else PosixCasStore
+    })
+
+  /** Persist the table's store choice (CREATE-time; no-op for the posix
+    * default so existing tables stay marker-free). */
+  private[graft] def writeStoreMarker(root: Path, store: CasStore): Unit =
+    if (store != PosixCasStore) {
+      Files.createDirectories(root)
+      Files.write(root.resolve(StoreMarker),
+        store.name.getBytes(StandardCharsets.UTF_8))
+      storeCache.put(root.toAbsolutePath, store)
+      ()
+    }
+
   // ---- zero-copy clone plumbing (MatDb.shallowClone) ----------------------
 
-  /** Hard-link `from` to `to` (same inode, no data copied); falls back to a
-    * real copy across devices / on filesystems without links. */
-  private[core] def linkOrCopyFile(from: Path, to: Path): Unit = {
-    Files.createDirectories(to.getParent)
-    try { Files.createLink(to, from); () }
-    catch {
-      case _: UnsupportedOperationException | _: java.io.IOException =>
-        Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING); ()
-    }
-  }
+  /** Share `from` into `to` through the store ([[CasStore.shareFile]]:
+    * hard link on posix, byte/server-side copy on object stores). */
+  private[core] def linkOrCopyFile(store: CasStore, from: Path, to: Path): Unit =
+    store.shareFile(from, to)
 
-  /** Recursively link (or copy) a tree; file names in `skip` are omitted.
+  /** Recursively share a tree; file names in `skip` are omitted.
     * No-op when `from` does not exist. */
-  private[core] def linkOrCopyTree(from: Path, to: Path,
+  private[core] def linkOrCopyTree(store: CasStore, from: Path, to: Path,
       skip: Set[String] = Set.empty): Unit =
     if (Files.isDirectory(from)) {
       Files.createDirectories(to)
       listDir(from).foreach { p =>
         val name = p.getFileName.toString
         if (!skip.contains(name)) {
-          if (Files.isDirectory(p)) linkOrCopyTree(p, to.resolve(name), skip)
-          else linkOrCopyFile(p, to.resolve(name))
+          if (Files.isDirectory(p)) linkOrCopyTree(store, p, to.resolve(name), skip)
+          else linkOrCopyFile(store, p, to.resolve(name))
         }
       }
     }
@@ -685,14 +698,8 @@ object Storage {
       logDir(root).resolve(f"$version%08x.json")
 
     private def writeLastPointer(root: Path, version: Long): Unit =
-      try {
-        val tmp = Files.createTempFile(logDir(root), "._last-", ".tmp")
-        Files.write(tmp, String.valueOf(version).getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, lastPointer(root),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        ()
-      } catch { case _: Exception => () } // best-effort: readers self-heal
+      try casStore(root).putReplace(lastPointer(root), String.valueOf(version))
+      catch { case _: Exception => () } // best-effort: readers self-heal
 
     private def latestManifest(root: Path): Option[Path] = {
       val hinted =
@@ -765,14 +772,8 @@ object Storage {
       val body = visible.sorted.map(s => s"  [${s.txnId}, ${s.segNum}]").mkString(
         s"""{"txn": $prod, "replace": $isReplace, "new_txns": [$newTxns], """ +
           s""""chunks": [$chunks], "segments": [\n""", ",\n", "\n]}\n")
-      val tmp = Files.createTempFile(dir, ".manifest-", ".tmp")
-      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-      try {
-        Files.createLink(dir.resolve(f"$version%08x.json"), tmp)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      } finally Files.delete(tmp)
+      // the conditional put IS the commit — one winner per version name
+      casStore(root).putIfAbsent(dir.resolve(f"$version%08x.json"), body)
     }
 
     /** One committed manifest version's commit-scoped metadata: the txns it

@@ -230,13 +230,10 @@ final class Transaction private[core] (
       // wall-clock so a concurrent open/vacuum never mistakes the
       // in-flight segment for an expired orphan during a write that
       // outlasts the mtime grace (Storage.stampClaim scaladoc).
-      try java.nio.file.Files.createDirectory(target)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new java.util.ConcurrentModificationException(
-            s"transaction id ${id.txnId} already exists on disk — a concurrent " +
-              "writer claimed or committed it; reopen the table and retry")
-      }
+      if (!Storage.casStore(db.root).claimDirectory(target))
+        throw new java.util.ConcurrentModificationException(
+          s"transaction id ${id.txnId} already exists on disk — a concurrent " +
+            "writer claimed or committed it; reopen the table and retry")
       Storage.stampClaim(target)
       all
         .repartition(chunkCols: _*)

@@ -391,7 +391,8 @@ class GraftCatalog extends TableCatalog
         Seq(catalogName) ++ ident.namespace() :+ ident.name())
     java.nio.file.Files.createDirectories(dir.getParent)
     MatDb.create(SparkSession.active, mat, dir.toString,
-      Option(properties.get(GraftCatalog.ProtocolProp)).getOrElse("manifest"))
+      Option(properties.get(GraftCatalog.ProtocolProp)).getOrElse("manifest"),
+      Option(properties.get(GraftCatalog.StoreProp)).getOrElse("posix"))
     // persist operational graft.* properties (isolation policy, …) — dims
     // live in the schema and the protocol is _log/-self-describing, so
     // those two are excluded; Spark-reserved props (owner/provider/…) are
@@ -399,7 +400,8 @@ class GraftCatalog extends TableCatalog
     val extra = {
       import scala.jdk.CollectionConverters._
       properties.asScala.filter { case (k, _) =>
-        k.startsWith("graft.") && k != GraftCatalog.DimsProp && k != GraftCatalog.ProtocolProp
+        k.startsWith("graft.") && k != GraftCatalog.DimsProp &&
+          k != GraftCatalog.ProtocolProp && k != GraftCatalog.StoreProp
       }.toMap
     }
     if (extra.nonEmpty) Storage.writeProps(dir, extra)
@@ -541,6 +543,14 @@ object GraftCatalog {
     * after its read snapshot touched the same chunks — no lost updates).
     * Settable at CREATE or via ALTER TABLE SET TBLPROPERTIES. */
   val IsolationProp = "graft.isolation"
+
+  /** Table property selecting the commit-primitive store at CREATE:
+    * "posix" (default — hard-link conditional put, atomic rename, real
+    * directories) or "objectsim" (the simulated object store: conditional
+    * put + overwrite put only, the two calls a real S3/GCS binding has —
+    * [[graft.core.ObjectStoreSim]]). The choice persists as a `_store`
+    * marker and is carried by clones. */
+  val StoreProp = "graft.store"
 
   /** Table property refining serializable conflict detection:
     * "chunk" (default — a same-chunk commit above the snapshot aborts the

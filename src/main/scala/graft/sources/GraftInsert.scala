@@ -168,15 +168,12 @@ object GraftInsert {
     while (true) {
       val id = SegmentId(txn, 0)
       val p = proto.writePath(root, id)
-      try {
-        Files.createDirectory(p)
+      if (Storage.casStore(root).claimDirectory(p)) {
         // claim wall-clock stamp: keeps GC's grace honest for writes that
         // outlast the mtime grace (Storage.stampClaim scaladoc)
         Storage.stampClaim(p)
         return (id, p)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => txn += 1L
-      }
+      } else txn += 1L
     }
     throw new IllegalStateException("unreachable")
   }

@@ -44,15 +44,16 @@ object TestSpark {
   * (reference: tests/matdb.rs:54-75): 100×100 grid, mid-txn flush, in-txn
   * visibility, commit, fresh-txn visibility, and the dirty-directory re-run
   * relying on upsert dedup. */
-abstract class CoreProtocolBehaviors(protocolName: String)
+abstract class CoreProtocolBehaviors(protocolName: String,
+    storeName: String = "posix")
     extends AnyFunSuite with BeforeAndAfterAll {
   protected lazy val spark = TestSpark.spark
 
   protected def tmpDir(): String =
-    Files.createTempDirectory(s"graft-core-$protocolName").toString
+    Files.createTempDirectory(s"graft-core-$protocolName-$storeName").toString
 
   protected def create(path: String): MatDb =
-    MatDb.create(spark, schema, path, protocolName)
+    MatDb.create(spark, schema, path, protocolName, storeName)
 
   private def grid(n: Int, m: Int, valueOf: (Int, Int) => Long): Seq[Seq[Any]] =
     for (t <- 0 until n; s <- 0 until m)
@@ -64,7 +65,7 @@ abstract class CoreProtocolBehaviors(protocolName: String)
 
   test("matdb integration scenario: insert grid, flush, query, commit, reopen, dirty rerun") {
     val path = tmpDir()
-    val db = MatDb.createOrOpen(spark, schema, path, protocolName)
+    val db = MatDb.createOrOpen(spark, schema, path, protocolName, storeName)
     assert(db.protocol.name === protocolName)
 
     val txn = db.newTransaction()
@@ -469,5 +470,50 @@ class CoreManifestSpec extends CoreProtocolBehaviors("manifest") {
     // the table still accepts new transactions after a truncate
     val t2 = db.newTransaction(); t2.addRowsSeq(Seq(Seq(5L, 5L, 5L))); t2.commit()
     assert(db.snapshot().count() === 1)
+  }
+}
+
+/** Manifest protocol over the SIMULATED OBJECT STORE ([[ObjectStoreSim]]):
+  * the full protocol behaviors suite runs unchanged with only conditional
+  * put + overwrite put — no hard links, no atomic rename, no native
+  * directories. This is the CasStore seam's port-compatibility proof: a
+  * real S3/GCS binding implements the same four primitives. */
+class CoreObjectStoreSpec extends CoreProtocolBehaviors("manifest", "objectsim") {
+
+  test("the store marker routes commits through ObjectStoreSim") {
+    val path = tmpDir()
+    val db = create(path)
+    val t1 = db.newTransaction(); t1.addRowsSeq(Seq(Seq(1L, 1L, 1L))); t1.commit()
+    val root = Storage.rootPath(path)
+    assert(Files.readAllLines(root.resolve("_store")).get(0) === "objectsim")
+    // claims are marker objects, not bare directories
+    val seg = db.committedSegments.head
+    assert(Files.exists(
+      Storage.segmentPath(root, seg, tmp = false).resolve("_dirclaim")))
+  }
+
+  test("shallow clone over the object store copies bytes (no links) and stays independent") {
+    import spark.implicits._
+    val path = tmpDir()
+    val db = create(path)
+    val t1 = db.newTransaction()
+    t1.addRowsSeq(Seq(Seq(1L, 1L, 10L), Seq(2L, 2L, 20L))); t1.commit()
+    val dst = tmpDir() + "/clone"
+    val clone = MatDb.shallowClone(spark, path, dst)
+    // the clone carries the store marker and the data
+    assert(Files.readAllLines(
+      Storage.rootPath(dst).resolve("_store")).get(0) === "objectsim")
+    assert(clone.snapshot().count() === 2)
+    // copies, not links: the clone's parquet files have link count 1
+    val cloneSeg = Storage.segmentPath(Storage.rootPath(dst),
+      clone.committedSegments.head, tmp = false)
+    val aFile = Files.walk(cloneSeg).filter(p =>
+      p.toString.endsWith(".parquet")).findFirst().get()
+    assert(Files.getAttribute(aFile, "unix:nlink").asInstanceOf[Integer] === 1,
+      "object-store clone must copy bytes, not hard-link them")
+    // independence both ways
+    val t2 = clone.newTransaction(); t2.addRowsSeq(Seq(Seq(3L, 3L, 30L))); t2.commit()
+    assert(clone.snapshot().count() === 3)
+    assert(MatDb.open(spark, path).snapshot().count() === 2)
   }
 }

@@ -22,9 +22,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * (orphan segments + stray temp manifest), after 3 (committed). Replace
   * commits (compact/overwrite) share the same publish path and kill
   * points. No Spark involved — recovery reads only names and manifests. */
-class ManifestCrashSpec extends AnyFunSuite
+abstract class ManifestCrashBehaviors(storeName: String) extends AnyFunSuite
     with org.scalatest.BeforeAndAfterAll {
   private val proto = Storage.ManifestProtocol
+
+  /** A table root with the suite's CasStore pinned — all protocol
+    * operations below route through it. */
+  protected def mkRoot(prefix: String): Path = {
+    val root = Files.createTempDirectory(s"$prefix-$storeName")
+    Storage.writeStoreMarker(root, CasStore.forName(storeName))
+    Files.createDirectories(root.resolve("_log"))
+    root
+  }
 
   // this harness models a SINGLE-writer crash/recover cycle, where a full
   // sweep is correct — disable the multi-writer claim grace so the
@@ -82,8 +91,7 @@ class ManifestCrashSpec extends AnyFunSuite
 
   test("recovery converges to a committed prefix from every kill point") {
     for (seed <- 1L to 6L) {
-      val root = Files.createTempDirectory(s"graft-manifest-crash-$seed")
-      Files.createDirectories(root.resolve("_log"))
+      val root = mkRoot(s"graft-manifest-crash-$seed")
       var committed: Vector[SegmentId] = Vector.empty // the model
       var nextTxn = 1L
 
@@ -150,8 +158,7 @@ class ManifestCrashSpec extends AnyFunSuite
   }
 
   test("_last pointer: stale (crash before pointer), missing, corrupt, and ahead all self-heal") {
-    val root = Files.createTempDirectory("graft-manifest-last")
-    Files.createDirectories(root.resolve("_log"))
+    val root = mkRoot("graft-manifest-last")
     val last = root.resolve("_log").resolve("_last")
 
     // two published commits: versions 0 and 1; pointer tracks the latest
@@ -192,8 +199,7 @@ class ManifestCrashSpec extends AnyFunSuite
   }
 
   test("a crashed replace never destroys the previous committed state") {
-    val root = Files.createTempDirectory("graft-manifest-replace-crash")
-    Files.createDirectories(root.resolve("_log"))
+    val root = mkRoot("graft-manifest-replace-crash")
     val base = Seq(SegmentId(1, 0), SegmentId(2, 0))
     mkSegDirs(root, base)
     proto.commit(root, base, base)
@@ -225,3 +231,10 @@ class ManifestCrashSpec extends AnyFunSuite
       "vacuumed history falls back to the latest-manifest filter (empty here)")
   }
 }
+
+/** POSIX store (hard-link conditional put) — the local default. */
+class ManifestCrashSpec extends ManifestCrashBehaviors("posix")
+
+/** Simulated object store: the same crash-point convergence with ONLY
+  * conditional put + overwrite put (the CasStore seam's port proof). */
+class ManifestCrashObjectStoreSpec extends ManifestCrashBehaviors("objectsim")
