@@ -324,12 +324,12 @@ object Storage {
 
   /** Share `from` into `to` through the store ([[CasStore.shareFile]]:
     * hard link on posix, byte/server-side copy on object stores). */
-  private[core] def linkOrCopyFile(store: CasStore, from: Path, to: Path): Unit =
+  private[graft] def linkOrCopyFile(store: CasStore, from: Path, to: Path): Unit =
     store.shareFile(from, to)
 
   /** Recursively share a tree; file names in `skip` are omitted.
     * No-op when `from` does not exist. */
-  private[core] def linkOrCopyTree(store: CasStore, from: Path, to: Path,
+  private[graft] def linkOrCopyTree(store: CasStore, from: Path, to: Path,
       skip: Set[String] = Set.empty): Unit =
     if (Files.isDirectory(from)) {
       Files.createDirectories(to)

@@ -228,6 +228,82 @@ object BucketedGraft {
     }
   }
 
+  /** Zero-copy SHALLOW CLONE of a bucketed table ([[graft.core.MatDb.shallowClone]]
+    * ported to the metastore layout): create the target with the same
+    * schema/bucketing, hard-link every committed `_txn_id` partition's
+    * files into the target's location, and register the partitions —
+    * no data bytes copied, and writes/compaction on either side never
+    * affect the other (links pin the shared bytes). Dead claim partitions
+    * (no files) are not carried. */
+  def shallowClone(spark: SparkSession, srcName: String, dstName: String,
+      schema: MatSchema, buckets: Int): Unit = {
+    create(spark, dstName, schema, buckets)
+    val catalog = spark.sessionState.catalog
+    def loc(n: String) = java.nio.file.Paths.get(
+      catalog.getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(n))
+        .location)
+    val (srcLoc, dstLoc) = (loc(srcName), loc(dstName))
+    val (dstDb, dstTable) = dbTable(spark, dstName)
+    val ext = spark.sharedState.externalCatalog
+    val txns = listTxnIds(spark, srcName).sorted
+    txns.foreach { txn =>
+      val part = s"${Scan.TxnCol}=$txn"
+      val from = srcLoc.resolve(part)
+      if (java.nio.file.Files.isDirectory(from)) {
+        graft.core.Storage.linkOrCopyTree(
+          graft.core.Storage.casStore(srcLoc), from, dstLoc.resolve(part))
+        ext.createPartitions(dstDb, dstTable,
+          Seq(CatalogTablePartition(Map(Scan.TxnCol -> txn.toString),
+            CatalogStorageFormat.empty)),
+          ignoreIfExists = false)
+      }
+    }
+    txns.maxOption.foreach(setMaxTxnHint(spark, dstName, _))
+  }
+
+  /** Resolved-snapshot statistics for a bucketed table
+    * ([[graft.core.MatDb.analyze]] ported to the metastore layout): one
+    * aggregate over the resolved snapshot computes the post-MVCC row count
+    * and actual logical size (variable-width columns measured, not
+    * defaultSize-priced), persisted as CATALOG statistics
+    * (`alterTableStats`) — Catalyst then prices the relation by the
+    * resolved estimate instead of raw multi-version file bytes, the same
+    * broadcast-unlocking effect as the directory layout's GraftStatsScan.
+    * Returns (rowCount, sizeBytes). Stale-stats note: catalog statistics
+    * are a point-in-time snapshot; re-run after significant writes (the
+    * metastore has no watermark to auto-invalidate against). */
+  def analyze(spark: SparkSession, name: String, schema: MatSchema): (Long, Long) = {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, StringType}
+    val snap = snapshot(spark, name, schema)
+    val struct = schema.toStructType
+    val (varCols, fixedCols) = struct.fields.partition(f => f.dataType match {
+      case StringType | BinaryType | _: ArrayType => true
+      case _ => false
+    })
+    val varAggs = varCols.toSeq.map { f =>
+      val measured = f.dataType match {
+        case at: ArrayType =>
+          size(col(f.name)).cast("long") * lit(at.elementType.defaultSize.toLong)
+        case _ => octet_length(col(f.name)).cast("long")
+      }
+      sum(coalesce(measured, lit(0L))).as(s"_sz_${f.name}")
+    }
+    val aggs = count(lit(1)).as("_n") +: varAggs
+    val row = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getLong(0)
+    val varBytes = varCols.indices.map(i =>
+      if (row.isNullAt(1 + i)) 0L else row.getLong(1 + i)).sum
+    val bytes = n * fixedCols.map(_.dataType.defaultSize.toLong).sum + varBytes
+    val (db, table) = dbTable(spark, name)
+    spark.sharedState.externalCatalog.alterTableStats(db, table,
+      Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+        BigInt(bytes), Some(BigInt(n)))))
+    // a cached relation would keep pricing the old stats
+    spark.sessionState.catalog.refreshTable(
+      spark.sessionState.sqlParser.parseTableIdentifier(name))
+    (n, bytes)
+  }
+
   /** Drop the table AND its files. Catalog entries are session-scoped
     * under the default in-memory catalog, but the managed location
     * persists on disk — a stale directory from a previous session would

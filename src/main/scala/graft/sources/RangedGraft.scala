@@ -120,6 +120,51 @@ object RangedGraft {
     txn
   }
 
+  /** Zero-copy SHALLOW CLONE of a ranged table: schema, bounds manifest
+    * and every segment's piece files hard-linked into `dstPath` — no data
+    * bytes copied, independent appends afterwards (the single-writer
+    * contract applies to each side separately). */
+  def shallowClone(spark: SparkSession, srcPath: String, dstPath: String): Unit = {
+    val src = Paths.get(srcPath)
+    val dst = Paths.get(dstPath)
+    require(Files.exists(src.resolve("ranges.json")), s"no ranged table at $srcPath")
+    require(!Files.exists(dst) || !Files.exists(dst.resolve("ranges.json")),
+      s"clone target $dstPath already exists")
+    Files.createDirectories(dst)
+    val store = Storage.casStore(src)
+    Seq("schema.json", "ranges.json", "_stats.json").foreach { f =>
+      val p = src.resolve(f)
+      if (Files.exists(p)) Storage.linkOrCopyFile(store, p, dst.resolve(f))
+    }
+    segments(srcPath).foreach(seg =>
+      Storage.linkOrCopyTree(store, seg, dst.resolve(seg.getFileName.toString)))
+  }
+
+  /** Resolved-snapshot statistics: post-MVCC row count + per-piece live
+    * row counts, persisted as `_stats.json` (and returned). The per-piece
+    * counts are the skew diagnostic this layout needs — range boundaries
+    * are fixed at CREATE, and a piece that outgrew its siblings is the
+    * signal to re-create with fresh [[boundariesFromSample]] boundaries.
+    * Pricing note, stated loudly: the ranged READ path builds its plan
+    * from raw parquet file relations, so Catalyst still sizes scans by
+    * on-disk bytes (the safe over-estimate); resolved-size PRICING exists
+    * on the directory layout (GraftStatsScan) and the bucketed layout
+    * ([[BucketedGraft.analyze]] via catalog statistics) — this layout's
+    * analyze is a diagnostic, not (yet) an optimizer input. */
+  def analyze(spark: SparkSession, path: String, schema: MatSchema): (Long, Long) = {
+    val bounds = readBounds(path)
+    val perPiece = snapshot(spark, path, schema)
+      .withColumn(RangeCol, rangeId(col(schema.dimNames.head), bounds))
+      .groupBy(col(RangeCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = perPiece.values.sum
+    val bytes = n * schema.toStructType.defaultSize
+    val pieces = (0 to bounds.size).map(i => perPiece.getOrElse(i, 0L))
+    Files.writeString(Paths.get(path).resolve("_stats.json"),
+      s"""{"rowcount":$n,"bytes":$bytes,"piece_rows":[${pieces.mkString(",")}]}""")
+    (n, bytes)
+  }
+
   private def segDir(path: String, txn: Long): Path =
     Paths.get(path).resolve(f"seg-$txn%08d")
 

@@ -249,4 +249,57 @@ class BucketedGraftSpec extends AnyFunSuite {
     BucketedGraft.drop(spark, a)
     BucketedGraft.drop(spark, b)
   }
+
+  test("shallowClone: zero-copy fork — identical reads, independent writes") {
+    val (src, dst) = ("bg_clone_src", "bg_clone_dst")
+    Seq(src, dst).foreach(BucketedGraft.drop(spark, _))
+    BucketedGraft.create(spark, src, schema, buckets = 4)
+    BucketedGraft.append(spark, src, schema,
+      batch((0L until 100L).map(i => (i, i % 10, 1L))), buckets = 4)
+    BucketedGraft.append(spark, src, schema,
+      batch((0L until 50L).map(i => (i, i % 10, 2L))), buckets = 4)
+    BucketedGraft.shallowClone(spark, src, dst, schema, buckets = 4)
+    def rows(n: String) = BucketedGraft.snapshot(spark, n, schema)
+      .orderBy("t").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(rows(dst) === rows(src), "clone reads identically")
+    // hard links, not copies: a data file in the clone shares its inode
+    val loc = java.nio.file.Paths.get(spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(dst)).location)
+    val aFile = java.nio.file.Files.walk(loc).filter(p =>
+      p.toString.endsWith(".parquet")).findFirst().get()
+    assert(java.nio.file.Files.getAttribute(aFile, "unix:nlink")
+      .asInstanceOf[Integer] >= 2, "clone must hard-link data files")
+    // independent appends: the fork diverges, the source does not see it
+    BucketedGraft.append(spark, dst, schema, batch(Seq((500L, 0L, 9L))), buckets = 4)
+    assert(BucketedGraft.snapshot(spark, dst, schema).count() === 101)
+    assert(BucketedGraft.snapshot(spark, src, schema).count() === 100)
+    Seq(src, dst).foreach(BucketedGraft.drop(spark, _))
+  }
+
+  test("analyze: resolved catalog statistics price the relation, not raw versions") {
+    val name = "bg_analyze"
+    BucketedGraft.drop(spark, name)
+    BucketedGraft.create(spark, name, schema, buckets = 4)
+    // 200 keys x 5 versions: raw rows 1000, resolved 200
+    (0 until 5).foreach { i =>
+      BucketedGraft.append(spark, name, schema,
+        batch((0L until 200L).map(k => (k, k % 10, i.toLong))), buckets = 4)
+    }
+    val (n, bytes) = BucketedGraft.analyze(spark, name, schema)
+    assert(n === 200L, s"resolved count, got $n")
+    assert(bytes === 200L * schema.toStructType.defaultSize)
+    val stats = spark.table(name).queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes === BigInt(bytes),
+      s"catalog stats must price the relation: ${stats.sizeInBytes} vs $bytes")
+    // rowCount propagates into plan stats only under CBO (toPlanStats)
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val cboStats = spark.table(name).queryExecution.optimizedPlan.stats
+      assert(cboStats.rowCount.contains(BigInt(200)),
+        s"CBO must see the resolved row count, got ${cboStats.rowCount}")
+    } finally saved.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+      spark.conf.set("spark.sql.cbo.enabled", _))
+    BucketedGraft.drop(spark, name)
+  }
 }

@@ -107,4 +107,32 @@ class RangedGraftSpec extends AnyFunSuite {
       Seq("null", "10", "60", "130"))
     TestSpark.assertNoExchange(ord, "ranged ordered scan with null dim")
   }
+
+  test("shallowClone links files; analyze reports resolved + per-piece rows") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val dir = Files.createTempDirectory("graft-ranged-clone").toString
+    RangedGraft.create(spark, dir, schema, Seq(100L))
+    RangedGraft.append(spark, dir, schema,
+      batch((0L until 150L).map(i => (i, i % 10, 1L))))
+    RangedGraft.append(spark, dir, schema,
+      batch((0L until 50L).map(i => (i, i % 10, 2L))))
+    // analyze: resolved count 150 (50 keys have 2 versions), pieces split at 100
+    val (n, _) = RangedGraft.analyze(spark, dir, schema)
+    assert(n === 150L)
+    val statsTxt = JFiles.readString(JPaths.get(dir).resolve("_stats.json"))
+    assert(statsTxt.contains(""""piece_rows":[100,50]"""), statsTxt)
+    // clone: identical reads, hard-linked files, independent appends
+    val dst = Files.createTempDirectory("graft-ranged-clone-dst").toString + "/t"
+    RangedGraft.shallowClone(spark, dir, dst)
+    def rows(p: String) = RangedGraft.orderedScan(spark, p, schema)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(rows(dst) === rows(dir))
+    val aFile = JFiles.walk(JPaths.get(dst)).filter(p =>
+      p.toString.endsWith(".parquet")).findFirst().get()
+    assert(JFiles.getAttribute(aFile, "unix:nlink").asInstanceOf[Integer] >= 2,
+      "ranged clone must hard-link data files")
+    RangedGraft.append(spark, dst, schema, batch(Seq((500L, 0L, 9L))))
+    assert(RangedGraft.snapshot(spark, dst, schema).count() === 151)
+    assert(RangedGraft.snapshot(spark, dir, schema).count() === 150)
+  }
 }
