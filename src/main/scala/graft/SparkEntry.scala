@@ -5,22 +5,27 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * The battery (133 queries as of round 11) is assembled from four modules:
+  * The battery (135 queries as of round 12) is assembled from four modules:
   *   - [[graft.queries.CoreOps]]    q01-q05, q73, q76-q77, q92, q101-q103,
   *     q106, q108-q109, q111, q115, q117-q118, q120-q121, q123, q125-q126,
-  *     q128-q130, q132-q133: the engine's own
+  *     q128-q130, q132-q135: the engine's own
   *     operator semantics — scan order, MVCC upsert/delete, snapshot
   *     horizon, range pruning, the bucketed/ranged/z-order layouts, SQL
   *     DML (INSERT/INSERT OVERWRITE/DELETE/UPDATE/MERGE INTO/TRUNCATE —
   *     overwrite/truncate as O(new-data) manifest replace publishes)
   *     + VERSION AS OF (manifest-lineage time travel below replaces)
   *     through the DSv2 GraftCatalog, SQL CALL maintenance procedures
-  *     (checkpoint/vacuum/compact/analyze/clone — zero-copy shallow clone
-  *     q132, resolved-snapshot statistics q133), schema evolution with
-  *     dropped-name tombstones, CDC, checkpoint compaction, and
-  *     incremental/streaming aggregate views, and catalog change streams
-  *     (.stream sub-tables) ([[graft.core]] / [[graft.sources]] /
-  *     [[graft.operators.IncrementalAgg]]).
+  *     (checkpoint/vacuum/compact/analyze/clone/optimize — zero-copy
+  *     shallow clone q132, resolved-snapshot statistics q133 with
+  *     per-dimension DSv2 columnStats for CBO, z-order+size-bounded file
+  *     maintenance q135), storage-partitioned joins (q134 — chunk-aligned
+  *     catalog tables join with zero exchanges under
+  *     spark.sql.sources.v2.bucketing.enabled), schema evolution with
+  *     dropped-name tombstones, CDC, checkpoint compaction, serializable
+  *     row-level DML (chunk- or key-granular conflict detection via
+  *     manifest commit metadata), incremental/streaming aggregate views,
+  *     and catalog change streams (.stream sub-tables) ([[graft.core]] /
+  *     [[graft.sources]] / [[graft.operators.IncrementalAgg]]).
   *   - [[graft.queries.Relational]] q06-q39, q54, q58-q60, q74: full
   *     relational checklist incl. pivot/unpivot and both top-k UDAF tiers.
   *   - [[graft.queries.Pipeline]]   q40-q53, q55-q57, q75, q78, q83-q84,
