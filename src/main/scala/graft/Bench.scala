@@ -37,6 +37,15 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // iteration aid: SPARK_GRAFT_BENCH_CONF="k=v;k=v" applies session confs
+    // before the battery — for measuring a conf's effect (e.g. the
+    // storage-partitioned-join flag) without editing the harness
+    sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ => ()
+      }
+    })
     // warm-up: touch the scan path, a shuffle, and codegen once, untimed
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
