@@ -386,6 +386,33 @@ class GraftRowLevelSpec extends AnyFunSuite {
     Seq("serkey", "serchunk").foreach(t => spark.sql(s"DROP TABLE grl.$t"))
   }
 
+  test("serializable DML over the object-store sim works end to end") {
+    root
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS grl.oser")
+    spark.sql("CREATE TABLE grl.oser (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 'k:10', 'graft.isolation' = 'serializable', " +
+      "'graft.store' = 'objectsim')")
+    val dir = root.resolve("oser")
+    assert(java.nio.file.Files.readAllLines(dir.resolve("_store")).get(0) === "objectsim")
+    spark.sql("INSERT INTO grl.oser SELECT id, 0 FROM range(0, 20)") // txn 1
+    spark.sql("UPDATE grl.oser SET v = 7 WHERE k < 10")              // txn 2, chunk 0
+    assert(spark.sql("SELECT sum(v) FROM grl.oser").head().getLong(0) === 70L)
+    // conflict detection runs on the sim's conditional-put manifests too
+    val e = intercept[java.util.ConcurrentModificationException] {
+      GraftInsert.tombstone(spark, dir.toString, Seq((0L, 0L)).toDF("k", "v"),
+        serializableSince = Some(1L))
+    }
+    assert(e.getMessage.contains("serializable"))
+    // and the metadata path recorded the commits' chunks
+    val meta = graft.core.Storage.ManifestProtocol.commitsAfter(dir, 1L)
+      .getOrElse(fail("metadata conflict path expected over objectsim"))
+    assert(meta.exists(c => c.newTxns == Seq(2L) && c.chunks.exists(_ == Set("_ck_k=0"))))
+    spark.sql("DELETE FROM grl.oser WHERE k = 3") // fresh snapshot: commits
+    assert(spark.sql("SELECT count(*) FROM grl.oser").head().getLong(0) === 19L)
+    spark.sql("DROP TABLE grl.oser")
+  }
+
   test("graft.isolation is persisted, alterable, and surfaced in properties") {
     root
     spark.sql("DROP TABLE IF EXISTS grl.iso")
