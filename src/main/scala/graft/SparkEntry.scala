@@ -5,7 +5,7 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * The battery (135 queries as of round 12) is assembled from four modules:
+  * The battery (136 queries as of round 12) is assembled from four modules:
   *   - [[graft.queries.CoreOps]]    q01-q05, q73, q76-q77, q92, q101-q103,
   *     q106, q108-q109, q111, q115, q117-q118, q120-q121, q123, q125-q126,
   *     q128-q130, q132-q135: the engine's own
@@ -37,6 +37,7 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
   *     algebra, DSIR importance selection + bit-replayable Gumbel-top-k
   *     sampling).
   *   - [[graft.queries.Curation]]   q61-q72, q79-q82, q85-q87, q89, q91,
+  *     q136 (RAG-style overlapping sliding-window chunking),
   *     q97, q114, q119, q122: curation/batch prep (sampling, sessions,
   *     scrubbing, repetition, caps, stats, TF-IDF, decontamination,
   *     passage dedup, Zipf, embedding profile, packing/chunking/shuffle,

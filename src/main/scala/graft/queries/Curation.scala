@@ -901,6 +901,43 @@ object Curation {
       graft.operators.PageRank.run(edges, iters = 3)
         .orderBy(col("rank").desc, col("node"))
         .limit(100)
+    },
+
+    // ---- RAG-style overlapping chunking (round 12) ----------------------
+    // Sliding-window passage extraction — the retrieval/pretraining chunker
+    // q70's fixed non-overlapping split cannot express: windows of W=64
+    // tokens at stride S=48 (16-token overlap), final window clipped, every
+    // doc emitting at least one chunk. Start count k = ceil(max(n-W,0)/S)
+    // in pure INTEGER arithmetic ((m+S-1) div S), so both engines derive
+    // the same window set; chunk text re-joins the token slice (slice
+    // clipping is identical 1-based inclusive semantics). Scale shape: a
+    // per-row map + one explode — no shuffle at all until the final
+    // presentation sort; at 100 TB this is the ingest-side operator that
+    // feeds the embedding/index stages, and it pipelines entirely.
+    Entry("q136_rag_chunking", Some(
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') ws
+        |             FROM documents),
+        |d AS (SELECT doc_id, ws, len(ws) AS n,
+        |             (greatest(len(ws) - 64, 0) + 47) // 48 AS k FROM tok),
+        |c AS (SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+        |             array_to_string(ws[u.i*48+1 : u.i*48+64], ' ') AS chunk_text,
+        |             CAST(least(64, n - u.i*48) AS BIGINT) AS tok_cnt
+        |      FROM d, unnest(generate_series(0, k)) AS u(i))
+        |SELECT doc_id, chunk_idx, chunk_text, tok_cnt FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin)) { (s, d) =>
+      val W = 64; val S = 48
+      table(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+        .withColumn("n", size(col("ws")))
+        .withColumn("k", expr(s"(greatest(n - $W, 0) + ${S - 1}) div $S"))
+        .select(col("doc_id"), col("ws"), col("n"),
+          explode(expr("sequence(0L, k)")).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          array_join(slice(col("ws"),
+            (col("chunk_idx") * S + 1).cast("int"), lit(W)), " ").as("chunk_text"),
+          least(lit(W.toLong), col("n") - col("chunk_idx") * S)
+            .cast("long").as("tok_cnt"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }
   )
 
