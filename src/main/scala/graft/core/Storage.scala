@@ -309,16 +309,20 @@ object Storage {
       else PosixCasStore
     })
 
-  /** Persist the table's store choice (CREATE-time; no-op for the posix
-    * default so existing tables stay marker-free). */
-  private[graft] def writeStoreMarker(root: Path, store: CasStore): Unit =
-    if (store != PosixCasStore) {
-      Files.createDirectories(root)
+  /** Persist the table's store choice at CREATE. The posix default stays
+    * marker-free on disk, but the cache is refreshed EITHER way: a root
+    * deleted and recreated with a different store inside one JVM must not
+    * keep pricing commits through the old store. */
+  private[graft] def writeStoreMarker(root: Path, store: CasStore): Unit = {
+    Files.createDirectories(root)
+    if (store != PosixCasStore)
       Files.write(root.resolve(StoreMarker),
         store.name.getBytes(StandardCharsets.UTF_8))
-      storeCache.put(root.toAbsolutePath, store)
-      ()
-    }
+    else
+      Files.deleteIfExists(root.resolve(StoreMarker))
+    storeCache.put(root.toAbsolutePath, store)
+    ()
+  }
 
   // ---- zero-copy clone plumbing (MatDb.shallowClone) ----------------------
 

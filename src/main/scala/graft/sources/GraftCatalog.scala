@@ -907,12 +907,15 @@ private final class GraftScan(
       val files = partitions.flatMap(_.files)
       val keyed = files.map(f => keyOf(f) -> f)
       if (keyed.isEmpty || keyed.exists(_._1.isEmpty)) None
-      else Some(
-        keyed.groupBy(_._1.get).toSeq.sortBy(_._1.mkString(","))
-          .zipWithIndex.map { case ((key, fs), idx) =>
-            new KeyedFilePartition(idx, fs.map(_._2).toArray,
-              org.apache.spark.sql.catalyst.InternalRow.fromSeq(key))
-          })
+      else {
+        import scala.math.Ordering.Implicits.seqOrdering
+        Some(
+          keyed.groupBy(_._1.get).toSeq.sortBy(_._1) // numeric tuple order
+            .zipWithIndex.map { case ((key, fs), idx) =>
+              new KeyedFilePartition(idx, fs.map(_._2).toArray,
+                org.apache.spark.sql.catalyst.InternalRow.fromSeq(key))
+            })
+      }
     }
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
