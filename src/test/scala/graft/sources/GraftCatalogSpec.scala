@@ -771,4 +771,50 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     Seq("spj_a", "spj_b", "spj_c").foreach(t => spark.sql(s"DROP TABLE gcat.$t"))
   }
+
+  test("storage-partitioned join under pruning and partially-clustered skew handling") {
+    root
+    Seq("spjp_a", "spjp_b").foreach(t => spark.sql(s"DROP TABLE IF EXISTS gcat.$t"))
+    spark.sql("CREATE TABLE gcat.spjp_a (t BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 't:100')")
+    spark.sql("CREATE TABLE gcat.spjp_b (t BIGINT, w BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 't:100')")
+    spark.sql("INSERT INTO gcat.spjp_a SELECT id, id FROM range(0, 1000)")      // chunks 0..9
+    spark.sql("INSERT INTO gcat.spjp_b SELECT id, id * 2 FROM range(0, 500)")   // chunks 0..4
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // PRUNED sides: a filtered to chunks 2..6 (ChunkPruneRule partition
+      // filters), b unfiltered with chunks 0..4 — partition value sets
+      // differ on BOTH ends; pushPartValues must align them, zero exchanges
+      val q = spark.sql(
+        """SELECT a.t, a.v, b.w FROM gcat.spjp_a a JOIN gcat.spjp_b b ON a.t = b.t
+          |WHERE a.t >= 200 AND a.t < 700""".stripMargin)
+      val rows = q.collect()
+      assert(rows.length === 300, "t in [200, 500) joins") // b only has t < 500
+      assert(rows.forall(r => r.getLong(1) == r.getLong(0) && r.getLong(2) == 2 * r.getLong(0)))
+      val plan = graft.core.TestSpark.finalPlan(q)
+      assert(!plan.contains("Exchange"),
+        s"pushPartValues must align pruned partition sets without a shuffle:\n$plan")
+      // partially-clustered skew handling on: results must stay identical
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      val q2 = spark.sql(
+        """SELECT a.t, a.v, b.w FROM gcat.spjp_a a JOIN gcat.spjp_b b ON a.t = b.t
+          |WHERE a.t >= 200 AND a.t < 700""".stripMargin)
+      val rows2 = q2.collect()
+      assert(rows2.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq ===
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq,
+        "partially-clustered execution must not change results")
+    } finally {
+      saved.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+    Seq("spjp_a", "spjp_b").foreach(t => spark.sql(s"DROP TABLE gcat.$t"))
+  }
 }
