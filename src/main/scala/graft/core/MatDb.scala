@@ -297,12 +297,17 @@ final class MatDb private (
   def analyze(): (Long, Long) = {
     import org.apache.spark.sql.functions.{approx_count_distinct, coalesce, col, count, lit, max, min, octet_length, size => asize, sum}
     import org.apache.spark.sql.types.{ArrayType, BinaryType, StringType}
-    // watermark BEFORE the snapshot: a commit landing while the aggregate
-    // runs then advances the watermark PAST this stamp, so the stats read
-    // as stale (txn mismatch) rather than silently covering rows they
-    // never counted — staleness must never point in the under-estimate /
-    // driver-OOM-broadcast direction
+    // watermark BEFORE the refresh, refresh BEFORE the snapshot: the
+    // refreshed committed set then covers every commit the stamp claims
+    // (this handle may have been opened long ago — without the refresh a
+    // commit between open and the watermark read would be stamped as
+    // covered without its rows being counted, the exact under-estimate /
+    // mis-broadcast direction the stamp exists to prevent). A commit
+    // landing AFTER the watermark read is caught by the re-check below
+    // (watermark is monotone, so end-equality proves nothing landed in
+    // between) and the persist is skipped.
     val watermark = protocol.txnWatermark(root)
+    refresh()
     val snap = snapshot()
     // actual logical size, not n * defaultSize: StructType.defaultSize
     // prices every string at 20 bytes, so a document-text table would be
@@ -453,11 +458,11 @@ final class MatDb private (
         .putLong(MatSchema.ChunkKey, dim.chunkSize).build()
       org.apache.spark.sql.functions.col(dim.name).as(dim.name, md)
     }
-    import org.apache.spark.sql.functions.{col, floor, lit}
+    import org.apache.spark.sql.functions.{col, lit}
     val decorated = schema.dimensions.foldLeft(
       resolved.select(dimCols ++ schema.valueNames.map(col): _*)) { (d, dim) =>
         d.withColumn(schema.chunkColName(dim.name),
-          floor(col(dim.name) / lit(dim.chunkSize)).cast("long"))
+          MatSchema.chunkKeyCol(col(dim.name), dim.chunkSize))
       }
       .withColumn(Scan.DelCol, lit(false))
       .withColumn(Scan.TxnCol, lit(tid))

@@ -67,6 +67,27 @@ object MatSchema {
   val DimKey = "graft.dimension"
   val ChunkKey = "graft.chunkSize"
 
+  /** The chunk-key routing function as a Column: EXACT integer
+    * `floorDiv(dim, chunkSize)` over the full Long range — provably the
+    * same function as the read side's `Math.floorDiv`
+    * ([[graft.sources.ChunkFunction.Bound]] for storage-partitioned joins,
+    * ChunkPruneRule for predicate-to-chunk mapping).
+    *
+    * NOT `floor(col / lit(size))`: Long÷Long promotes to double, exact only
+    * to 2^53 — beyond that a row would route into a directory the pruner
+    * and SPJ key disagree with (wrong-results class). Built from the
+    * integral `div` operator (truncates toward zero) with the classic
+    * floor correction; all built-ins, so it stays inside whole-stage
+    * codegen. `chunkSize > 0` is enforced by [[Dimension]], so the only
+    * Long-overflow case of floorDiv (MinValue / -1) cannot arise. */
+  def chunkKeyCol(dim: org.apache.spark.sql.Column, chunkSize: Long)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{call_function, lit, when}
+    val a = dim.cast(LongType)
+    val q = call_function("div", a, lit(chunkSize))
+    when((a % chunkSize) =!= 0L && a < 0L, q - 1L).otherwise(q)
+  }
+
   /** Names of value columns DROPPED by ALTER TABLE whose bytes still sit in
     * pre-drop segments (segments are read by column NAME, so re-adding such
     * a name would resurrect the old values — or fail the scan on a type

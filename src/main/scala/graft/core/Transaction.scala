@@ -83,7 +83,7 @@ final class Transaction private[core] (
     val withMd = df.select(dimCols ++ schema.valueNames.map(col): _*)
     val withChunks = schema.dimensions.foldLeft(withMd) { (d, dim) =>
       d.withColumn(schema.chunkColName(dim.name),
-        floor(col(dim.name) / lit(dim.chunkSize)).cast("long"))
+        MatSchema.chunkKeyCol(col(dim.name), dim.chunkSize))
     }
     withChunks
       .withColumn(Scan.DelCol, lit(del))

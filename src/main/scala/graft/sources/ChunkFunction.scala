@@ -24,10 +24,12 @@ import org.apache.spark.sql.types.{DataType, DataTypes, LongType, StructType}
   * `canonicalName`, so differently-chunked tables correctly fall back to
   * a shuffle.
   *
-  * `Math.floorDiv` matches the write path's `floor(col / lit(size))`
-  * (double floor-div) across the layout's supported dim range, and is the
-  * same function ChunkPruneRule uses for predicate-to-chunk mapping
-  * (core/Scan.scala:155). */
+  * `Math.floorDiv` is exactly the write path's routing function — every
+  * write site derives chunk keys via [[graft.core.MatSchema.chunkKeyCol]],
+  * an exact integer floorDiv over the full Long range — and the same
+  * function ChunkPruneRule uses for predicate-to-chunk mapping
+  * (core/Scan.scala:155). Write, prune, and SPJ key are provably one
+  * function. */
 object ChunkFunction {
   private val Prefix = "chunk_"
 

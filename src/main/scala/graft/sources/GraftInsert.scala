@@ -207,7 +207,7 @@ object GraftInsert {
       else df.select(dimCols ++ schema.valueNames.map(col): _*)
     val withChunks = schema.dimensions.foldLeft(projected) { (d, dim) =>
       d.withColumn(schema.chunkColName(dim.name),
-        floor(col(dim.name) / lit(dim.chunkSize)).cast("long"))
+        graft.core.MatSchema.chunkKeyCol(col(dim.name), dim.chunkSize))
     }
     withChunks
       .withColumn(Scan.DelCol, lit(tombstone))
