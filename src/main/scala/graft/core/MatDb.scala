@@ -101,6 +101,46 @@ final class MatDb private (
     new Transaction(this, committed, nextTxnId.get())
   }
 
+  /** Highest transaction id this table has ever committed (on-disk read —
+    * pair with [[refresh]] for a fresh observation of a table other
+    * processes write). */
+  def txnWatermark: Long = protocol.txnWatermark(root)
+
+  /** Open a transaction whose id is PINNED to `id` instead of allocated.
+    *
+    * The deterministic-commit primitive: streaming view maintenance pins
+    * each maintenance commit to the BASE range's end txn, so (a) a replayed
+    * range is detectable by one watermark read — committed-or-not, never
+    * half — and (b) `view.asOf(baseTxn)` is the view aligned to the base's
+    * own transaction clock. Caller contract: single writer, ids presented
+    * in increasing order (`id` must be above the current watermark), and
+    * any crashed prior attempt's orphan segments cleared first
+    * ([[discardOrphanTxn]]) or flush aborts on the claimed directory. */
+  def newPinnedTransaction(id: Long): Transaction = synchronized {
+    require(id > protocol.txnWatermark(root),
+      s"pinned txn id $id is not above the table's watermark — already committed")
+    // raise the allocator floor past the pin so later UNPINNED allocations
+    // stay unique and monotone
+    var cur = nextTxnId.get()
+    while (cur <= id && !nextTxnId.compareAndSet(cur, id + 1L)) cur = nextTxnId.get()
+    new Transaction(this, committed, nextTxnId.get(), Some(id))
+  }
+
+  /** Delete UNCOMMITTED on-disk segments of txn `tid` — a crashed
+    * deterministic writer's leftovers — so a pinned re-run can reclaim the
+    * id (flush atomically claims segment directories and aborts if one is
+    * taken). Caller must [[refresh]] first and hold the single-writer
+    * contract: `tid` must not be committed. */
+  private[graft] def discardOrphanTxn(tid: Long): Unit = synchronized {
+    require(!committed.exists(_.txnId == tid),
+      s"txn $tid is committed — refusing to discard its segments")
+    var sn = 0
+    while (java.nio.file.Files.exists(protocol.writePath(root, SegmentId(tid, sn)))) {
+      protocol.discardInFlight(root, SegmentId(tid, sn))
+      sn += 1
+    }
+  }
+
   /** Re-pin this handle's committed-segment snapshot to the table's CURRENT
     * on-disk state — the read-only listing, NO recovery sweep (safe while
     * other processes are mid-write, unlike a fresh [[MatDb.open]], which

@@ -45,7 +45,8 @@ object MergeAction {
 final class Transaction private[core] (
     db: MatDb,
     visibleAtOpen: Seq[SegmentId],
-    horizon: Long) {
+    horizon: Long,
+    pinned: Option[Long] = None) {
 
   private val spark: SparkSession = db.spark
   private val schema: MatSchema = db.schema
@@ -207,7 +208,7 @@ final class Transaction private[core] (
   }
 
   private def ensureTxnId(): Long = txnId.getOrElse {
-    val id = db.allocateTxnId(); txnId = Some(id); id
+    val id = pinned.getOrElse(db.allocateTxnId()); txnId = Some(id); id
   }
 
   /** Spill buffered batches to a new uncommitted segment (a `.tmp` dir under

@@ -96,29 +96,17 @@ object IncrementalAgg {
     txn.id.getOrElse(-1L)
   }
 
-  /** As [[maintain]], but REPLAY-ABSORBABLE: instead of adding a delta to
-    * the view's current values (which double-counts if the same range is
-    * ever applied twice), recompute the AFFECTED GROUPS' aggregates
-    * absolutely from `base.asOf(toTxn)` and upsert them. Re-running the
-    * LAST applied range lands byte-identical rows, which MVCC newest-wins
-    * resolution absorbs — the same exactly-once-resolved contract as the
-    * streaming ingest sinks, making this the mode
+  /** As [[maintain]], but REPLAY-SAFE under at-least-once delivery: each
+    * maintenance commit is PINNED to the base range's end txn
+    * ([[graft.core.MatDb.newPinnedTransaction]]), so a replayed range is
+    * detected by one watermark read and skipped — committed-or-not, never
+    * half — making this the mode
     * [[graft.streaming.Streams.viewMaintSink]] uses under at-least-once
-    * `foreachBatch` delivery. The contract is TAIL replay only — exactly
-    * what a checkpointed stream can deliver (the final incomplete batch
-    * re-runs; earlier ranges are never re-presented). Re-applying a
-    * STALE range after newer ranges have landed would regress the view
-    * to asOf(its toTxn) for its touched groups — don't hand-drive this
-    * mode out of order.
-    *
-    * The trade: cost is O(history of touched GROUPS), not O(delta) — the
-    * restricted recompute streams the base through one semi-join against
-    * the broadcast touched-group set (groups touched by the delta,
-    * pre- or post-image). Right for fine-grained groups (per-user,
-    * per-document); for coarse groups (per-source over a 100 TB corpus)
-    * prefer [[maintain]] under a driver that guarantees each range is
-    * applied once. Reading `asOf(toTxn)` (not the live snapshot) is what
-    * makes replay deterministic even after the base has moved on. */
+    * `foreachBatch` delivery. A pleasant consequence: the view's txn clock
+    * IS the base's, so `view.asOf(baseTxn)` is the aggregate aligned to a
+    * base transaction. The contract is TAIL replay only — exactly what a
+    * checkpointed stream can deliver — and single-writer: don't hand-drive
+    * ranges out of order or commit to the view out-of-band. */
   def maintainAbsolute(base: MatDb, viewDb: MatDb, fromTxn: Long, toTxn: Long,
       groupCol: String, valueCol: String): Long = {
     val sumCol = s"sum_$valueCol"
@@ -132,42 +120,74 @@ object IncrementalAgg {
   /** [[maintainAbsolute]] generalized: the VIEW SCHEMA is the aggregate
     * spec. The view's dimension is the group column; every value column
     * declares its aggregate by NAME — `sum_<col>`, `min_<col>`,
-    * `max_<col>` over base columns, or `cnt` (row count). All of one
-    * view's aggregates are maintained from a single restricted recompute
-    * (one semi-join + one multi-aggregate pass over the touched groups'
-    * history), so adding aggregates costs buffer width, not passes.
+    * `max_<col>` over base columns, or `cnt` (row count).
     *
-    * MIN/MAX are only safe in THIS absolute mode: a delta-based retract
-    * cannot undo a retired extremum without the group's history, which the
-    * restricted recompute reads anyway. Same replay-absorbable tail-replay
-    * contract as [[maintainAbsolute]]. Null contract: `sum_` inputs must
-    * be non-null (guarded per batch); `min_`/`max_` skip nulls natively
-    * and `cnt` counts rows, so they need no guard. */
+    * SELF-MAINTAINING: when the view is exactly caught up to `fromTxn`
+    * (the steady streaming state), `sum_`/`cnt` rows are derived from
+    * old-view-row ⊕ delta alone — NO base read at all — and `min_`/`max_`
+    * read the base only for DIRTY groups (groups that lost or changed a
+    * row version, the only way an extremum can retract; insert-only groups
+    * merge `least`/`greatest` against the old row). Per-batch cost is
+    * O(delta) + O(view rows of touched groups), independent of base size —
+    * at 100 TB with hot groups this is the difference between reading the
+    * delta and re-reading the touched partition of the base every batch.
+    * If the view is NOT aligned (fresh view, changed checkpoint, missing
+    * `cnt` in a min/max-less spec), it falls back to the restricted
+    * absolute recompute of all touched groups from `base.asOf(toTxn)` —
+    * always correct, costs O(history of touched groups).
+    *
+    * Replay safety: the maintenance commit is pinned to `toTxn`
+    * ([[graft.core.MatDb.newPinnedTransaction]]); a re-presented range
+    * whose end is at-or-below the view's watermark is SKIPPED (the commit
+    * either landed atomically or didn't — there is no half state), so
+    * at-least-once tail replay is exactly-once on the view. Exactness:
+    * DECIMAL/integral sums are associative, so the delta-merged value is
+    * bit-equal to a recompute (float sums would drift by order — same
+    * caveat as [[maintain]]). Null contract: `sum_` inputs must be
+    * non-null (guarded per batch); `min_`/`max_` skip nulls natively and
+    * `cnt` counts rows, so they need no guard. Returns the view txn id
+    * applied (== toTxn), or the current watermark when skipped. */
   def maintainAbsoluteMulti(base: MatDb, viewDb: MatDb, fromTxn: Long, toTxn: Long,
       groupCol: String,
-      precomputedDelta: Option[org.apache.spark.sql.DataFrame] = None): Long = {
+      precomputedDelta: Option[org.apache.spark.sql.DataFrame] = None,
+      forceAbsolute: Boolean = false): Long = {
     require(viewDb.schema.dimNames == Seq(groupCol),
       s"view must be keyed by ($groupCol); got dims=${viewDb.schema.dimNames}")
+    def srcOf(name: String, prefix: String): String = {
+      val c = name.stripPrefix(prefix)
+      require(base.schema.columnNames.contains(c),
+        s"view column $name names no base column '$c'")
+      c
+    }
+    viewDb.schema.valueNames.foreach {
+      case "cnt" => ()
+      case n if n.startsWith("sum_") || n.startsWith("min_") || n.startsWith("max_") =>
+        srcOf(n, n.take(4)); ()
+      case other => throw new IllegalArgumentException(
+        s"view value column '$other' declares no aggregate " +
+          "(expected sum_<col>, min_<col>, max_<col>, or cnt)")
+    }
+    // one watermark read decides replay vs apply: maintenance commits are
+    // pinned to their range's end txn, so "watermark >= toTxn" is exactly
+    // "this range already landed" (refresh first — the handle chases other
+    // maintenance runs' commits under crash-replay)
+    viewDb.refresh()
+    val watermark = viewDb.txnWatermark
+    if (watermark >= toTxn) return watermark
+    // a crashed prior attempt may have flushed (never committed) segments
+    // at the pinned id — clear them or flush aborts on the claimed dir
+    viewDb.discardOrphanTxn(toTxn)
     val aggs: Seq[org.apache.spark.sql.Column] = viewDb.schema.values.map { v =>
-      def src(prefix: String): String = {
-        val c = v.name.stripPrefix(prefix)
-        require(base.schema.columnNames.contains(c),
-          s"view column ${v.name} names no base column '$c'")
-        c
-      }
       v.name match {
         case "cnt" => count(lit(1)).as("cnt")
-        case n if n.startsWith("sum_") => sum(col(src("sum_"))).cast(v.dataType).as(n)
-        case n if n.startsWith("min_") => min(col(src("min_"))).cast(v.dataType).as(n)
-        case n if n.startsWith("max_") => max(col(src("max_"))).cast(v.dataType).as(n)
-        case other => throw new IllegalArgumentException(
-          s"view value column '$other' declares no aggregate " +
-            "(expected sum_<col>, min_<col>, max_<col>, or cnt)")
+        case n if n.startsWith("sum_") => sum(col(srcOf(n, "sum_"))).cast(v.dataType).as(n)
+        case n if n.startsWith("min_") => min(col(srcOf(n, "min_"))).cast(v.dataType).as(n)
+        case n => max(col(srcOf(n, "max_"))).cast(v.dataType).as(n)
       }
     }
     // the change scan is the expensive leg (two restricted dedups + a
     // full-outer join) and every downstream reference would re-run it:
-    // null guards, the touched-group union, the anti-join. Persist it for
+    // null guards, the group classification, the anti-join. Persist it for
     // the duration of the maintenance — O(batch) rows, never O(base). A
     // caller maintaining SEVERAL views of one batch precomputes it once
     // and passes it in (viewMaintSink), halving-or-better the per-batch
@@ -181,19 +201,108 @@ object IncrementalAgg {
         .distinct.foreach(requireNoNullValues(delta, _))
       val isDim = base.schema.dimNames.contains(groupCol)
       val oldG = if (isDim) col(groupCol) else col(s"_old_$groupCol")
-      val touched = delta.select(col(groupCol)).where(col(groupCol).isNotNull)
-        .union(delta.select(oldG.as(groupCol)).where(oldG.isNotNull))
-        .distinct()
-      val newAgg = base.asOf(toTxn)
-        .join(broadcast(touched), Seq(groupCol), "left_semi")
-        .groupBy(col(groupCol))
-        .agg(aggs.head, aggs.tail: _*)
-      val emptied = touched.join(newAgg.select(col(groupCol)), Seq(groupCol), "left_anti")
-      val txn = viewDb.newTransaction()
-      txn.deleteRows(emptied)
-      txn.addRows(newAgg)
+      val hasMinMax = viewDb.schema.valueNames
+        .exists(n => n.startsWith("min_") || n.startsWith("max_"))
+      // self-maintenance needs `cnt` to detect emptied groups when there is
+      // no min/max recompute leg to reveal them; forceAbsolute is the
+      // measurement/escape hatch (ViewMaintProbe compares the two shapes)
+      val aligned = !forceAbsolute && watermark == fromTxn &&
+        (hasMinMax || viewDb.schema.valueNames.contains("cnt"))
+      val txn = viewDb.newPinnedTransaction(toTxn)
+      if (!aligned) {
+        // restricted ABSOLUTE recompute of every touched group — the
+        // always-correct fallback (fresh view backfill, range gaps)
+        val touched = delta.select(col(groupCol)).where(col(groupCol).isNotNull)
+          .union(delta.select(oldG.as(groupCol)).where(oldG.isNotNull))
+          .distinct()
+        val newAgg = base.asOf(toTxn)
+          .join(broadcast(touched), Seq(groupCol), "left_semi")
+          .groupBy(col(groupCol))
+          .agg(aggs.head, aggs.tail: _*)
+        val emptied = touched.join(newAgg.select(col(groupCol)), Seq(groupCol), "left_anti")
+        txn.deleteRows(emptied)
+        txn.addRows(newAgg)
+      } else {
+        val sumSrcs = viewDb.schema.valueNames.filter(_.startsWith("sum_"))
+          .map(_.stripPrefix("sum_")).distinct
+        val mmSrcs = viewDb.schema.valueNames
+          .collect { case n if n.startsWith("min_") || n.startsWith("max_") => n.drop(4) }
+          .distinct
+        def baseType(c: String) =
+          base.schema.toStructType.fields.find(_.name == c).get.dataType
+        // retract leg: pre-images of U/D rows (a group-moving update
+        // retracts from its old group here and applies to the new one
+        // below); min/max sources contribute nothing to a retract — dirty
+        // groups recompute them from base
+        val retractLeg = delta.where(col("op").isin("U", "D") && oldG.isNotNull)
+          .select(oldG.as(groupCol) +:
+            (sumSrcs.map(c => (-col(s"_old_$c")).as(s"_d_$c")) ++
+              mmSrcs.map(c => lit(null).cast(baseType(c)).as(s"_m_$c")) :+
+              lit(-1L).as("_dc")): _*)
+        val applyLeg = delta.where(col("op").isin("I", "U") && col(groupCol).isNotNull)
+          .select(col(groupCol) +:
+            (sumSrcs.map(c => col(c).as(s"_d_$c")) ++
+              mmSrcs.map(c => col(c).as(s"_m_$c")) :+
+              lit(1L).as("_dc")): _*)
+        val groupAggs = sumSrcs.map(c => sum(col(s"_d_$c")).as(s"_d_$c")) ++
+          mmSrcs.flatMap(c => Seq(min(col(s"_m_$c")).as(s"_mn_$c"),
+            max(col(s"_m_$c")).as(s"_mx_$c"))) :+
+          sum(col("_dc")).as("_dc")
+        val perGroup = retractLeg.unionByName(applyLeg)
+          .groupBy(col(groupCol))
+          .agg(groupAggs.head, groupAggs.tail: _*)
+        // DIRTY groups lost or changed a row version (pre-image side of
+        // U/D) — the only way an extremum can retract. Insert-only groups
+        // are CLEAN: every aggregate merges from the old view row alone.
+        val dirty = delta.where(col("op").isin("U", "D") && oldG.isNotNull)
+          .select(oldG.as(groupCol)).distinct()
+        // mergeable group-deltas: all touched groups when the view has no
+        // min/max (sum/cnt retract exactly); clean groups only otherwise
+        val mergeable =
+          if (!hasMinMax) perGroup
+          else perGroup.join(broadcast(dirty), Seq(groupCol), "left_anti")
+        // the view streams through ONE semi-join against the (small,
+        // broadcast) mergeable-group set — the view is never shuffled whole
+        val current = viewDb.snapshot()
+          .join(broadcast(mergeable.select(col(groupCol))), Seq(groupCol), "left_semi")
+          .select(col(groupCol) +:
+            viewDb.schema.valueNames.map(n => col(n).as(s"_cur_$n")): _*)
+        val mergedCols = viewDb.schema.values.map { v =>
+          v.name match {
+            case "cnt" => (coalesce(col("_cur_cnt"), lit(0L)) + col("_dc")).as("cnt")
+            case n if n.startsWith("sum_") =>
+              // decimal addition widens precision; cast back to the view's
+              // declared type so segments stay byte-compatible
+              (coalesce(col(s"_cur_$n"), lit(0).cast(v.dataType)) +
+                col(s"_d_${n.stripPrefix("sum_")}")).cast(v.dataType).as(n)
+            case n if n.startsWith("min_") =>
+              least(col(s"_cur_$n"), col(s"_mn_${n.drop(4)}")).cast(v.dataType).as(n)
+            case n =>
+              greatest(col(s"_cur_$n"), col(s"_mx_${n.drop(4)}")).cast(v.dataType).as(n)
+          }
+        }
+        val merged = mergeable.join(current, Seq(groupCol), "left")
+          .select(col(groupCol) +: mergedCols: _*)
+        if (!hasMinMax) {
+          // a group whose count reaches zero has no aggregate — delete it
+          txn.deleteRows(merged.where(col("cnt") === 0L).select(col(groupCol)))
+          txn.addRows(merged.where(col("cnt") =!= 0L))
+        } else {
+          // dirty groups: restricted absolute recompute (min/max retraction
+          // needs the group's surviving history; sums ride along for free).
+          // Clean merged groups are insert-only — their count cannot reach
+          // zero, so only dirty groups can empty.
+          val dirtyAgg = base.asOf(toTxn)
+            .join(broadcast(dirty), Seq(groupCol), "left_semi")
+            .groupBy(col(groupCol))
+            .agg(aggs.head, aggs.tail: _*)
+          val emptied = dirty.join(dirtyAgg.select(col(groupCol)), Seq(groupCol), "left_anti")
+          txn.deleteRows(emptied)
+          txn.addRows(merged.unionByName(dirtyAgg))
+        }
+      }
       txn.commit()
-      txn.id.getOrElse(-1L)
+      txn.id.getOrElse(toTxn)
     } finally { if (owned) { delta.unpersist(); () } }
   }
 }

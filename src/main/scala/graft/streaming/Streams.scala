@@ -257,11 +257,12 @@ object Streams {
     * the sink derives the batch's `(from, to]` txn range from the rows'
     * `_txn_id` and applies
     * [[graft.operators.IncrementalAgg.maintainAbsolute]] — the
-    * replay-absorbable mode: a crash-re-run batch recomputes the SAME
-    * touched groups from `asOf(to)` and re-lands byte-identical rows,
-    * which newest-wins resolution absorbs. The RESOLVED view is
-    * exactly-once while the raw view history is at-least-once — the same
-    * contract as every other graft ingest sink. The range trick is safe
+    * SELF-MAINTAINING replay-safe mode: view rows are derived from
+    * old-view-row ⊕ delta (no base read in the steady state), each
+    * maintenance commit is pinned to the range's end txn, and a
+    * crash-re-run batch is detected by one watermark read and skipped.
+    * The view is exactly-once — a pinned commit either landed atomically
+    * or didn't; there is no half state. The range trick is safe
     * against burned txn ids: any committed txn between the previous
     * batch's end and this batch's min would have been IN this batch.
     *
@@ -284,9 +285,10 @@ object Streams {
     * aggregate spec ([[graft.operators.IncrementalAgg.maintainAbsoluteMulti]]:
     * values named `sum_<col>` / `min_<col>` / `max_<col>` / `cnt`). The
     * batch's txn range is resolved once; every view then folds it through
-    * its own restricted recompute in the same foreachBatch, so all views
-    * advance in lockstep with the base (a crash replays the tail range
-    * into every view, and each absorbs it byte-identically).
+    * its own delta merge (or restricted recompute of its dirty groups) in
+    * the same foreachBatch, so all views advance in lockstep with the base
+    * (a crash replays the tail range; each view detects it by watermark —
+    * its maintenance commits are pinned to base txn ids — and skips).
     *
     * The base handle is opened ONCE (first batch) and [[MatDb.refresh]]ed
     * per micro-batch: a MatDb pins its committed-segment snapshot at open
@@ -308,18 +310,26 @@ object Streams {
         val range = batch.agg(min(col("_txn_id")).as("lo"), max(col("_txn_id")).as("hi"))
           .collect()(0)
         if (!range.isNullAt(0)) {
-          if (base == null) base = MatDb.open(batch.sparkSession, basePath)
-          else base.refresh()
-          // ONE change scan per batch, shared by every view: the delta is
-          // view-independent (two restricted dedups + a full-outer join —
-          // the dominant fixed cost), persisted for the batch and released
-          // after the last view committed. O(batch) rows, never O(base).
-          val delta = base.changesBetween(
-            range.getLong(0) - 1L, range.getLong(1), includeOld = true).persist()
-          try views.foreach { case (viewDb, groupCol) =>
-            graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, viewDb,
-              range.getLong(0) - 1L, range.getLong(1), groupCol, Some(delta))
-          } finally { delta.unpersist(); () }
+          // maintenance commits are PINNED to the range's end txn, so a
+          // crash-replayed batch is detected per view by one watermark
+          // read; when EVERY view already covers this range (whole-batch
+          // replay), skip the change scan entirely
+          val hi = range.getLong(1)
+          val pending = views.filter { case (v, _) => v.refresh(); v.txnWatermark < hi }
+          if (pending.nonEmpty) {
+            if (base == null) base = MatDb.open(batch.sparkSession, basePath)
+            else base.refresh()
+            // ONE change scan per batch, shared by every view: the delta is
+            // view-independent (two restricted dedups + a full-outer join —
+            // the dominant fixed cost), persisted for the batch and released
+            // after the last view committed. O(batch) rows, never O(base).
+            val delta = base.changesBetween(
+              range.getLong(0) - 1L, hi, includeOld = true).persist()
+            try pending.foreach { case (viewDb, groupCol) =>
+              graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, viewDb,
+                range.getLong(0) - 1L, hi, groupCol, Some(delta))
+            } finally { delta.unpersist(); () }
+          }
         }
         ()
       }

@@ -21,6 +21,12 @@ import graft.operators.IncrementalAgg
   * `checkpointIfNeeded` after each commit, the listing is bounded and the
   * curve flattens — the composition the two operators were built for.
   *
+  * A third comparison pins round 13's self-maintaining streaming mode:
+  * `multi_absolute` (forced old behavior — re-aggregate every touched
+  * group from base.asOf(to) per batch) grows with base size under hot
+  * groups, while `multi_self` (old-view ⊕ delta, no base read for
+  * sum/cnt) stays flat.
+  *
   * Usage: runMain graft.tools.ViewMaintProbe [batches] [rowsPerBatch] →
   * one JSON line + a `view_maint_probe.json` artifact in bench/.
   */
@@ -80,14 +86,81 @@ object ViewMaintProbe {
         else warm.takeRight(2).map(_._2).sum / warm.take(2).map(_._2).sum
       (points, ratio)
     }
+    // Round-13 evidence: the streaming mode (maintainAbsoluteMulti) used to
+    // re-aggregate every TOUCHED group from base.asOf(to) each batch — with
+    // hot groups (every delta touches all 200) that is a full base re-read
+    // per batch, so per-batch wall GROWS with base size. The self-
+    // maintaining path derives view rows from old-view ⊕ delta (no base
+    // read for sum/cnt), so per-batch wall is INDEPENDENT of base size.
+    // Experiment: constant-size deltas against a base grown in plateaus
+    // (seed → 16× seed); history is checkpointed so changesBetween's
+    // segment listing is bounded and the re-aggregation term is the only
+    // variable. Reported: mean per-batch secs at each plateau, and the
+    // big/small-plateau cost ratio per mode.
+    def runMulti(label: String, force: Boolean): (Seq[(Long, Double)], Double) = {
+      val base = MatDb.create(spark,
+        MatSchema(Seq(Dimension("k", 100000)),
+          Seq(ValueCol("g", LongType), ValueCol("v", dec))),
+        java.nio.file.Files.createTempDirectory(s"graft-vmp-base-$label").toString,
+        "manifest")
+      val view = MatDb.create(spark,
+        MatSchema(Seq(Dimension("g", 1000)),
+          Seq(ValueCol("sum_v", dec), ValueCol("cnt", LongType))),
+        java.nio.file.Files.createTempDirectory(s"graft-vmp-view-$label").toString,
+        "manifest")
+      var nextKey = 0L
+      def commitRows(n: Long): (Long, Long) = {
+        val txn = base.newTransaction()
+        txn.addRows(spark.range(nextKey, nextKey + n)
+          .select(col("id").as("k"), pmod(col("id"), lit(200L)).as("g"),
+            (col("id") % 1000).cast(dec).as("v")))
+        txn.commit()
+        nextKey += n
+        (txn.id.get - 1L, txn.id.get)
+      }
+      val seed = rows.toLong * 4
+      val plateaus = Seq(seed, seed * 4, seed * 16)
+      var grown = 0L
+      val points = plateaus.map { target =>
+        if (target > grown) {
+          val (f, t) = commitRows(target - grown); grown = target
+          // keep the view correct through the growth commit too
+          IncrementalAgg.maintainAbsoluteMulti(base, view, f, t, "g",
+            forceAbsolute = force)
+          base.checkpointIfNeeded(maxSegments = 2, retainTxns = 1)
+        }
+        val secs = (1 to nBatches).map { _ =>
+          val (f, t) = commitRows(rows.toLong)
+          val t0 = System.nanoTime()
+          IncrementalAgg.maintainAbsoluteMulti(base, view, f, t, "g",
+            forceAbsolute = force)
+          (System.nanoTime() - t0) / 1e9
+        }
+        grown += nBatches.toLong * rows
+        val warm = secs.drop(1)
+        val mean = warm.sum / warm.size
+        System.err.println(
+          f"[view-maint] $label base ~$target rows: $mean%.2f s/batch " +
+            s"(${warm.map(s => f"$s%.2f").mkString(",")})")
+        (target, mean)
+      }
+      (points, points.last._2 / points.head._2)
+    }
     val (plain, plainRatio) = run("plain", checkpointing = false)
     val (ckpt, ckptRatio) = run("ckpt", checkpointing = true)
+    val (abs, absRatio) = runMulti("multi-absolute", force = true)
+    val (self, selfRatio) = runMulti("multi-self", force = false)
     def pointsJson(ps: Seq[(Int, Double, Long)]): String =
       ps.map(p => f"""{"batch":${p._1},"secs":${p._2}%.3f,"base_rows":${p._3}}""")
         .mkString("[", ",", "]")
+    def plateauJson(ps: Seq[(Long, Double)]): String =
+      ps.map(p => f"""{"base_rows":${p._1},"secs_per_batch":${p._2}%.3f}""")
+        .mkString("[", ",", "]")
     val json = s"""{"batches":$nBatches,"rows_per_batch":$rows,""" +
       f""""plain":{"points":${pointsJson(plain)},"growth_ratio":$plainRatio%.2f},""" +
-      f""""with_checkpoint":{"points":${pointsJson(ckpt)},"growth_ratio":$ckptRatio%.2f}}"""
+      f""""with_checkpoint":{"points":${pointsJson(ckpt)},"growth_ratio":$ckptRatio%.2f},""" +
+      f""""multi_absolute":{"plateaus":${plateauJson(abs)},"base_16x_cost_ratio":$absRatio%.2f},""" +
+      f""""multi_self":{"plateaus":${plateauJson(self)},"base_16x_cost_ratio":$selfRatio%.2f}}"""
     println(json)
     val out = sys.env.get("SPARK_GRAFT_BENCH_DIR").map(java.nio.file.Paths.get(_))
       .orElse(sys.env.get("SPARK_GRAFT_REPO_ROOT").map(java.nio.file.Paths.get(_, "bench")))

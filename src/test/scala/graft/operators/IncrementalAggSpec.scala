@@ -181,4 +181,68 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(view.committedSegments.map(_.txnId).distinct.size === viewTxns,
       "a failed batch must not commit a view transaction")
   }
+
+  test("maintenance commits are pinned to base txn ids; asOf aligns to the base clock") {
+    import spark.implicits._
+    val base = newBase(); val view = newView()
+    def df(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("k", "g", "vs").select(col("k"), col("g"), col("vs").cast(dec).as("v"))
+    val t1 = base.newTransaction()
+    t1.addRows(df(Seq((1L, 1L, "1.0000"), (2L, 2L, "2.0000")))); t1.commit()
+    IncrementalAgg.maintainAbsolute(base, view, 0L, 1L, "g", "v")
+    val t2 = base.newTransaction()
+    t2.addRows(df(Seq((3L, 1L, "5.0000")))); t2.commit()
+    val applied = IncrementalAgg.maintainAbsolute(base, view, 1L, 2L, "g", "v")
+    assert(applied === 2L, "maintenance txn id == base range end")
+    assert(view.committedSegments.map(_.txnId).distinct.sorted === Seq(1L, 2L))
+    // the view's txn clock IS the base's: asOf(baseTxn) = view at that txn
+    assert(view.asOf(1L).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      === Map(1L -> 1L, 2L -> 1L))
+    assert(view.asOf(2L).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      === Map(1L -> 2L, 2L -> 1L))
+    // a replayed (stale) range is skipped by watermark, not re-applied
+    assert(IncrementalAgg.maintainAbsolute(base, view, 0L, 1L, "g", "v") === 2L)
+    assert(viewState(view) === recompute(base))
+  }
+
+  test("a crashed maintenance attempt's orphan segments are reclaimed on re-run") {
+    import spark.implicits._
+    val base = newBase(); val view = newView()
+    def df(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("k", "g", "vs").select(col("k"), col("g"), col("vs").cast(dec).as("v"))
+    val t1 = base.newTransaction()
+    t1.addRows(df(Seq((1L, 1L, "1.0000"), (2L, 2L, "2.0000")))); t1.commit()
+    IncrementalAgg.maintainAbsolute(base, view, 0L, 1L, "g", "v")
+    val t2 = base.newTransaction()
+    t2.addRows(df(Seq((3L, 1L, "5.0000")))); t2.commit()
+    // simulate a crash mid-maintenance of (1,2]: segments flushed at the
+    // pinned id, commit never reached (the dir claim a blind re-run would
+    // abort on)
+    val crashed = view.newPinnedTransaction(2L)
+    crashed.addRows(Seq((99L, "1.0000", 1L)).toDF("g", "s", "cnt")
+      .select(col("g"), col("s").cast(dec).as("sum_v"), col("cnt")))
+    crashed.flush() // flushed, never committed — then "crash"
+    IncrementalAgg.maintainAbsolute(base, view, 1L, 2L, "g", "v")
+    assert(viewState(view) === recompute(base))
+    assert(!viewState(view).contains(99L), "orphan segment rows must not surface")
+  }
+
+  test("an unaligned view (fresh from a later range) falls back to absolute recompute") {
+    import spark.implicits._
+    val base = newBase(); val view = newView()
+    def df(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("k", "g", "vs").select(col("k"), col("g"), col("vs").cast(dec).as("v"))
+    val t1 = base.newTransaction()
+    t1.addRows(df(Seq((1L, 1L, "1.0000"), (2L, 2L, "2.0000")))); t1.commit()
+    val t2 = base.newTransaction()
+    t2.addRows(df(Seq((1L, 1L, "3.0000"), (4L, 4L, "4.0000")))); t2.commit()
+    // view watermark (0) != fromTxn (1): a delta merge would retract from
+    // rows the view never had; the fallback recomputes touched groups
+    // absolutely from base.asOf(2)
+    IncrementalAgg.maintainAbsolute(base, view, 1L, 2L, "g", "v")
+    val st = viewState(view)
+    assert(st(1L) === (("3.0000", 1L)), "touched group 1 recomputed absolutely")
+    assert(st(4L) === (("4.0000", 1L)))
+    assert(!st.contains(2L), "untouched group 2 is not backfilled by a ranged catch-up")
+  }
 }
