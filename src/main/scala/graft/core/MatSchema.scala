@@ -26,6 +26,15 @@ import org.apache.spark.sql.types._
   */
 final case class Dimension(name: String, chunkSize: Long) {
   require(chunkSize > 0, s"chunkSize must be positive for dimension $name")
+  // dimension names ride in chunk-directory names (`_ck_<dim>=<v>`) which
+  // the manifest protocol embeds in its JSON UNQUOTED-escaped and parses
+  // back with a scoped regex — restrict them to a safe identifier so a
+  // quote/bracket/separator in a name can never corrupt a manifest (value
+  // column names are unrestricted: they only travel via StructType.json,
+  // which escapes properly)
+  require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+    s"dimension name '$name' must match [A-Za-z_][A-Za-z0-9_]* — it is " +
+      "embedded in chunk-directory and manifest names")
 }
 final case class ValueCol(name: String, dataType: DataType = LongType)
 

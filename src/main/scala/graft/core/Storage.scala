@@ -298,16 +298,34 @@ object Storage {
   // CasStore methods; the protocol above the seam is untouched.
 
   private val StoreMarker = "_store"
+  // cached per root WITH a marker stamp (mtime ^ size; -1 = absent): a table
+  // dropped and recreated with a different store by ANOTHER process must not
+  // keep committing through this JVM's stale primitives, so every lookup
+  // pays one stat of the marker (noise next to the commit it guards) and
+  // re-reads the marker only when the stamp moved
+  private final case class StoreEntry(store: CasStore, stamp: Long)
   private val storeCache =
-    new java.util.concurrent.ConcurrentHashMap[Path, CasStore]()
+    new java.util.concurrent.ConcurrentHashMap[Path, StoreEntry]()
 
-  private[graft] def casStore(root: Path): CasStore =
-    storeCache.computeIfAbsent(root.toAbsolutePath, { p =>
-      val m = p.resolve(StoreMarker)
-      if (Files.isRegularFile(m))
-        CasStore.forName(new String(Files.readAllBytes(m), StandardCharsets.UTF_8).trim)
-      else PosixCasStore
-    })
+  private def markerStamp(m: Path): Long =
+    if (!Files.isRegularFile(m)) -1L
+    else Files.getLastModifiedTime(m).toMillis ^ (Files.size(m) << 20)
+
+  private[graft] def casStore(root: Path): CasStore = {
+    val p = root.toAbsolutePath
+    val m = p.resolve(StoreMarker)
+    val now = markerStamp(m)
+    val cached = storeCache.get(p)
+    if (cached != null && cached.stamp == now) cached.store
+    else {
+      val store =
+        if (now == -1L) PosixCasStore
+        else CasStore.forName(
+          new String(Files.readAllBytes(m), StandardCharsets.UTF_8).trim)
+      storeCache.put(p, StoreEntry(store, now))
+      store
+    }
+  }
 
   /** Persist the table's store choice at CREATE. The posix default stays
     * marker-free on disk, but the cache is refreshed EITHER way: a root
@@ -320,7 +338,8 @@ object Storage {
         store.name.getBytes(StandardCharsets.UTF_8))
     else
       Files.deleteIfExists(root.resolve(StoreMarker))
-    storeCache.put(root.toAbsolutePath, store)
+    storeCache.put(root.toAbsolutePath,
+      StoreEntry(store, markerStamp(root.resolve(StoreMarker))))
     ()
   }
 
@@ -835,32 +854,78 @@ object Storage {
   // ---- key-granular serializable digests ----------------------------------
   //
   // `graft.isolation.granularity = 'key'` refines chunk-granular conflict
-  // detection: each row-level commit persists the EXACT set of touched
-  // keys as `<segdir>/_keys` (one xxhash64 of the dim tuple per line,
-  // sorted) and the checker exonerates a same-chunk commit whose key set
-  // is provably disjoint. Exact, not probabilistic: equal keys always
-  // hash equal, and a 64-bit hash collision only produces a spurious —
-  // safe — abort. Bounded: deltas touching more than KeyDigestCap keys
-  // record no digest and stay chunk-granular (the digest is for the hot
-  // OLTP-ish case, not bulk rewrites).
+  // detection: each row-level commit persists its touched-key digest as
+  // `<segdir>/_keys` and the checker exonerates a same-chunk commit whose
+  // key set is PROVABLY disjoint. Two encodings:
+  //   - up to KeyDigestCap keys: the EXACT set (one xxhash64 of the dim
+  //     tuple per line, sorted). Equal keys always hash equal; a 64-bit
+  //     collision only produces a spurious — safe — abort.
+  //   - above the cap: a FIXED-RATE BLOOM FILTER over the same hashes
+  //     (Spark's sketch, fpp 0.1%), so a large-delta writer keeps
+  //     key-precision instead of degrading to chunk granularity exactly
+  //     when contention hurts most. Bloom negatives are certain, so
+  //     disjointness proofs stay sound; a false positive only produces a
+  //     spurious abort at the configured rate. Bloom-vs-bloom cannot
+  //     PROVE disjointness (no sound intersection-emptiness test), so two
+  //     concurrent over-cap writers stay chunk-granular — the
+  //     conservative direction.
 
   private[graft] val KeyDigestCap = 4096
 
-  /** Persist `keys` as the segment's key digest. Must happen BEFORE the
-    * segment becomes visible (checkers read it as soon as the manifest
+  /** A commit's recorded write-key set, exact or bloom. `provablyDisjoint`
+    * returns true ONLY when the two write sets certainly share no key —
+    * the exoneration predicate; any uncertainty reads as overlap. */
+  private[graft] sealed trait KeyDigest {
+    def provablyDisjoint(other: KeyDigest): Boolean
+  }
+  private[graft] final case class ExactKeys(keys: Set[Long]) extends KeyDigest {
+    def provablyDisjoint(other: KeyDigest): Boolean = other match {
+      case ExactKeys(t) => !keys.exists(t.contains)
+      case BloomKeys(bf) => keys.forall(k => !bf.mightContainLong(k))
+    }
+  }
+  private[graft] final case class BloomKeys(
+      bloom: org.apache.spark.util.sketch.BloomFilter) extends KeyDigest {
+    def provablyDisjoint(other: KeyDigest): Boolean = other match {
+      case ExactKeys(t) => t.forall(k => !bloom.mightContainLong(k))
+      case _: BloomKeys => false
+    }
+  }
+
+  private val BloomMagic = "GBLOOM1\n".getBytes(StandardCharsets.UTF_8)
+
+  /** Persist `keys` as the segment's exact key digest. Must happen BEFORE
+    * the segment becomes visible (checkers read it as soon as the manifest
     * lists the commit). */
   private[graft] def writeKeyDigest(segDir: Path, keys: Set[Long]): Unit =
     Files.write(segDir.resolve("_keys"),
       keys.toSeq.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
 
+  /** Persist an over-cap commit's bloom key digest (same visibility rule). */
+  private[graft] def writeBloomDigest(segDir: Path,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(BloomMagic)
+    bloom.writeTo(out)
+    Files.write(segDir.resolve("_keys"), out.toByteArray)
+  }
+
   /** The segment's recorded key digest; None when the commit recorded none
-    * (pre-key-granularity, over-cap, or non-row-level) — the checker must
-    * then stay chunk-granular for that commit. */
-  private[graft] def readKeyDigest(segDir: Path): Option[Set[Long]] = {
+    * (pre-key-granularity, or non-row-level) — the checker must then stay
+    * chunk-granular for that commit. */
+  private[graft] def readKeyDigest(segDir: Path): Option[KeyDigest] = {
     val p = segDir.resolve("_keys")
     if (!Files.isRegularFile(p)) None
-    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .linesIterator.filter(_.nonEmpty).map(_.toLong).toSet)
+    else {
+      val bytes = Files.readAllBytes(p)
+      if (bytes.length >= BloomMagic.length &&
+          java.util.Arrays.equals(bytes.take(BloomMagic.length), BloomMagic))
+        Some(BloomKeys(org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(
+            bytes, BloomMagic.length, bytes.length - BloomMagic.length))))
+      else Some(ExactKeys(new String(bytes, StandardCharsets.UTF_8)
+        .linesIterator.filter(_.nonEmpty).map(_.toLong).toSet))
+    }
   }
 
   /** (data file count, data bytes) under a segment directory — the

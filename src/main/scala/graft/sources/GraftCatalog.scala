@@ -554,11 +554,22 @@ object GraftCatalog {
 
   /** Table property refining serializable conflict detection:
     * "chunk" (default — a same-chunk commit above the snapshot aborts the
-    * statement) or "key" (row-level commits persist their exact touched-key
-    * digest, so a same-chunk commit with provably DISJOINT keys no longer
-    * false-aborts; bounded by [[graft.core.Storage.KeyDigestCap]] — larger
-    * deltas stay chunk-granular). Only meaningful with
-    * `graft.isolation = 'serializable'`. */
+    * statement) or "key" (row-level commits persist their touched-key
+    * digest — exact up to [[graft.core.Storage.KeyDigestCap]] keys, a
+    * fixed-rate bloom filter above it — so a same-chunk commit with
+    * provably DISJOINT keys no longer false-aborts at any delta size; two
+    * concurrent over-cap deltas stay chunk-granular). Only meaningful with
+    * `graft.isolation = 'serializable'`.
+    *
+    * GUARANTEE UNDER 'key' — WRITE-serializable, not full serializable
+    * (Delta Lake's WriteSerializable equivalent): exoneration compares
+    * WRITE sets only, so two statements whose writes are disjoint but
+    * whose READ predicates cover each other's keys (write skew — e.g.
+    * concurrent `UPDATE ... WHERE v = ...` guarding an invariant over
+    * rows the other one moves) can now BOTH commit where chunk
+    * granularity would have aborted one. Lost updates remain impossible
+    * (an overlapping write key always conflicts). Keep 'chunk' when
+    * statements' correctness depends on predicate reads staying stable. */
   val GranularityProp = "graft.isolation.granularity"
 }
 

@@ -253,25 +253,35 @@ object GraftInsert {
     }
   }
 
-  /** Under `graft.isolation.granularity = 'key'`: compute the delta's exact
+  /** Under `graft.isolation.granularity = 'key'`: compute the delta's
     * touched-key digest (xxhash64 of the dim tuple, read back from the
     * just-written segment — one scan of our OWN small delta) and persist it
     * as `<segdir>/_keys` BEFORE publish, so concurrent checkers can
-    * exonerate us. Returns the keys for OUR side of the check. None when
-    * the granularity is chunk, or the delta exceeds
-    * [[graft.core.Storage.KeyDigestCap]] keys (stays chunk-granular). */
+    * exonerate us. Up to [[graft.core.Storage.KeyDigestCap]] keys the
+    * digest is EXACT; above it a fixed-rate bloom filter (fpp 0.1%) keeps
+    * key-precision for large deltas — disjointness proofs against a bloom
+    * stay sound (negatives are certain), a false positive only produces a
+    * spurious abort. Returns the digest for OUR side of the check; None
+    * when the granularity is chunk. */
   private[sources] def maybeWriteKeyDigest(spark: SparkSession, schema: MatSchema,
-      root: Path, segPath: Path): Option[Set[Long]] =
+      root: Path, segPath: Path): Option[Storage.KeyDigest] =
     if (!Storage.readProps(root).get(GraftCatalog.GranularityProp).contains("key")) None
     else {
-      val rows = spark.read.parquet(segPath.toString)
+      val hashes = spark.read.parquet(segPath.toString)
         .select(xxhash64(schema.dimNames.map(col): _*).as("h"))
-        .distinct().limit(Storage.KeyDigestCap + 1).collect()
-      if (rows.length > Storage.KeyDigestCap) None
-      else {
+        .distinct()
+      val rows = hashes.limit(Storage.KeyDigestCap + 1).collect()
+      if (rows.length <= Storage.KeyDigestCap) {
         val keys = rows.map(_.getLong(0)).toSet
         Storage.writeKeyDigest(segPath, keys)
-        Some(keys)
+        Some(Storage.ExactKeys(keys))
+      } else {
+        // over the cap: one distributed count + one bloom aggregate over
+        // our own delta — never collected to the driver
+        val n = hashes.count()
+        val bloom = hashes.stat.bloomFilter("h", math.max(n, 1L), 0.001)
+        Storage.writeBloomDigest(segPath, bloom)
+        Some(Storage.BloomKeys(bloom))
       }
     }
 
@@ -290,7 +300,7 @@ object GraftInsert {
     * ([[GraftDeltaBatchWrite]]) and the serializable filter-DELETE. */
   private[sources] def publishConflictChecked(root: Path, proto: graft.core.Protocol,
       segId: SegmentId, segPath: Path, readHorizon: Long,
-      ourKeys: Option[Set[Long]] = None): Unit = {
+      ourKeys: Option[Storage.KeyDigest] = None): Unit = {
     lazy val ours = chunkKeys(segPath) // our OWN just-written delta — one walk
     // conflicting txn ids committed above the horizon, or empty
     def conflictTxns(base: Seq[SegmentId]): Seq[Long] = {
@@ -307,16 +317,19 @@ object GraftInsert {
           Storage.ManifestProtocol.commitsAfter(root, readHorizon).map(_.flatMap { c =>
             val chunkOverlap = c.chunks.forall(_.exists(ours.contains))
             // key exoneration (granularity = 'key'): a same-chunk commit
-            // whose recorded key digest is provably disjoint from ours is
-            // serializable after all — no abort. Any side without a digest
-            // (over-cap, bulk append, pre-key-granularity) stays
-            // chunk-granular, the conservative direction.
+            // whose recorded key digest is PROVABLY disjoint from ours is
+            // write-serializable after all — no abort. Digests are exact
+            // up to the cap and bloom above it ([[Storage.KeyDigest]]);
+            // any side without a digest (bulk append,
+            // pre-key-granularity) stays chunk-granular, the conservative
+            // direction — as do two over-cap bloom sides (no sound
+            // emptiness test between blooms).
             val keyDisjoint = !c.isReplace && chunkOverlap && (ourKeys match {
               case Some(mine) if c.newSegs.nonEmpty =>
                 val theirs = c.newSegs.map(id =>
                   Storage.readKeyDigest(proto.readPath(root, id)))
                 theirs.forall(_.isDefined) &&
-                  !theirs.flatten.exists(_.exists(mine.contains))
+                  theirs.flatten.forall(_.provablyDisjoint(mine))
               case _ => false
             })
             val overlap = c.isReplace || (chunkOverlap && !keyDisjoint)

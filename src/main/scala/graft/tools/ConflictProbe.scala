@@ -80,10 +80,43 @@ object ConflictProbe {
         s"metadata conflict check must beat the dir-walk 5x at $c chunks: $meta vs $walk ms")
     }
 
+    // round 13: key digests past the exact cap — a >4096-key delta records
+    // a BLOOM digest, so a concurrent disjoint-key writer with a stale
+    // horizon still commits where the old over-cap behavior degraded to
+    // chunk granularity and aborted it
+    val bloomScenario = {
+      val root = java.nio.file.Files.createTempDirectory("graft-conflict-bloom")
+      val sch = MatSchema(Seq(Dimension("k", 1000000)), Seq(ValueCol("v")))
+      val db = MatDb.create(spark, sch, root.toString, "manifest")
+      Storage.writeProps(root, Storage.readProps(root) +
+        ("graft.isolation.granularity" -> "key"))
+      val t = db.newTransaction()
+      t.addRows(spark.range(6000).select(col("id").as("k"), lit(0L).as("v")))
+      t.commit()
+      // writer A: 5000-key delta (over the 4096 exact cap → bloom digest)
+      graft.sources.GraftInsert.tombstone(spark, root.toString,
+        spark.range(5000).select(col("id").as("k"), lit(0L).as("v")),
+        serializableSince = Some(1L))
+      // writer B: one disjoint key, horizon BELOW writer A — both commit
+      val before = Storage.ManifestProtocol.txnWatermark(root)
+      graft.sources.GraftInsert.tombstone(spark, root.toString,
+        spark.range(5500, 5501).select(col("id").as("k"), lit(0L).as("v")),
+        serializableSince = Some(1L))
+      val both = Storage.ManifestProtocol.txnWatermark(root) > before
+      db.refresh()
+      val n = db.snapshot().count()
+      Storage.deleteRecursively(root)
+      require(both && n == 999L,
+        s"disjoint over-cap writers must both commit (both=$both rows=$n)")
+      s""""bloom_digest":{"delta_keys":5000,"exact_cap":${Storage.KeyDigestCap},""" +
+        s""""disjoint_writer_committed":$both,"rows_after":$n}"""
+    }
+
     val json =
       s"""{"metric":"conflict_probe","commits":$commits,""" +
         results.map { case (c, w, m) =>
-          s""""chunks_$c":{"walk_ms":$w,"meta_ms":$m}""" }.mkString(",") + "}"
+          s""""chunks_$c":{"walk_ms":$w,"meta_ms":$m}""" }.mkString(",") +
+        s",$bloomScenario}"
     println(json)
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", "."), "bench", "conflict_probe.json")

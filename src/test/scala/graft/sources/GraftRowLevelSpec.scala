@@ -386,6 +386,57 @@ class GraftRowLevelSpec extends AnyFunSuite {
     Seq("serkey", "serchunk").foreach(t => spark.sql(s"DROP TABLE grl.$t"))
   }
 
+  test("granularity=key: over-cap deltas record bloom digests; disjoint writers still both commit") {
+    root
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS grl.serbloom")
+    spark.sql("CREATE TABLE grl.serbloom (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 'k:10000', 'graft.isolation' = 'serializable', " +
+      "'graft.isolation.granularity' = 'key')")
+    spark.sql("INSERT INTO grl.serbloom SELECT id, 0 FROM range(0, 6000)") // txn 1
+    val dir = root.resolve("serbloom")
+    // txn 2 writes 5000 keys — over KeyDigestCap, so the digest on disk
+    // must be a BLOOM, not exact (and not absent, the old degradation)
+    spark.sql("UPDATE grl.serbloom SET v = 7 WHERE k < 5000")
+    val proto = graft.core.Storage.ManifestProtocol
+    val txn2Segs = proto.listCommitted(dir).filter(_.txnId == 2L)
+    assert(txn2Segs.nonEmpty)
+    val digest = graft.core.Storage.readKeyDigest(proto.readPath(dir, txn2Segs.head))
+    assert(digest.exists(_.isInstanceOf[graft.core.Storage.BloomKeys]),
+      s"a 5000-key delta must record a bloom digest, got $digest")
+
+    // exact-vs-bloom: a same-chunk tombstone of a key OUTSIDE the update's
+    // write set, with a stale horizon — the bloom proves disjointness
+    GraftInsert.tombstone(spark, dir.toString, Seq((5500L, 0L)).toDF("k", "v"),
+      serializableSince = Some(1L)) // txn 3
+    assert(spark.sql("SELECT count(*) FROM grl.serbloom").head().getLong(0) === 5999L,
+      "a disjoint-key tombstone must commit against an over-cap bloom digest")
+    // a key INSIDE the update's write set still aborts (bloom has no
+    // false negatives)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      GraftInsert.tombstone(spark, dir.toString, Seq((100L, 0L)).toDF("k", "v"),
+        serializableSince = Some(1L))
+    }
+    assert(e.getMessage.contains("serializable"))
+
+    // bloom-vs-exact: OUR side over-cap (4500-key tombstone), their side
+    // the exact txn-3 digest — still provably disjoint, still commits
+    GraftInsert.tombstone(spark, dir.toString,
+      spark.range(500, 5000).select($"id".as("k"), org.apache.spark.sql.functions.lit(0L).as("v")),
+      serializableSince = Some(2L)) // txn 4
+    assert(spark.sql("SELECT count(*) FROM grl.serbloom").head().getLong(0) === 1499L)
+
+    // bloom-vs-bloom has no sound emptiness test: two over-cap writers
+    // stay chunk-granular — conservative abort even on disjoint keys
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      GraftInsert.tombstone(spark, dir.toString,
+        spark.range(6000, 12000).select($"id".as("k"), org.apache.spark.sql.functions.lit(0L).as("v")),
+        serializableSince = Some(2L))
+    }
+    assert(e2.getMessage.contains("serializable"))
+    spark.sql("DROP TABLE grl.serbloom")
+  }
+
   test("serializable DML over the object-store sim works end to end") {
     root
     import spark.implicits._
