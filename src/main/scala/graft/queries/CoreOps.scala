@@ -1243,6 +1243,59 @@ object CoreOps {
       require(o.getLong(2) <= o.getLong(1),
         s"optimize must not grow the file count: $o")
       s.sql("SELECT user_id, slot, v FROM g135.t ORDER BY user_id")
+    },
+
+    // ---- SPJ across COMPATIBLE chunk sizes (round 13) --------------------
+    // q134's join with MISMATCHED but commensurate layouts: a is chunked
+    // user_id:500, b user_id:1000. chunk_500 refines chunk_1000, so
+    // ChunkFunction's ReducibleFunction reducer (SPARK-44647) REGROUPS the
+    // finer side's key-grouped partitions to the coarser transform under
+    // spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled —
+    // the join still runs with zero exchanges instead of shuffling both
+    // sides. The gate replays the join relationally; GraftCatalogSpec pins
+    // the exchange-free plan shape and the incommensurate-size fallback.
+    Entry("q137_spj_regroup", Some(
+      """WITH a AS (SELECT user_id, arg_max(value, event_id) AS v
+        |           FROM events GROUP BY user_id),
+        |b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM events GROUP BY user_id)
+        |SELECT a.user_id, a.v, b.cnt FROM a JOIN b USING (user_id)
+        |ORDER BY user_id""".stripMargin)) { (s, d) =>
+      val root = Q.fixture("q137-spjr")
+      Seq("a", "b", "out").foreach(t =>
+        graft.core.Storage.deleteRecursively(root.resolve(t)))
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g137").isEmpty) {
+        s.conf.set("spark.sql.catalog.g137", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g137.root", root.toString)
+      }
+      table(s, d, "events").createOrReplaceTempView("events")
+      s.sql("CREATE TABLE g137.a (user_id BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:500')")
+      s.sql("""INSERT INTO g137.a
+              |SELECT user_id, max_by(value, event_id)
+              |FROM events GROUP BY user_id""".stripMargin)
+      s.sql("CREATE TABLE g137.b (user_id BIGINT, cnt BIGINT) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:1000')")
+      s.sql("""INSERT INTO g137.b
+              |SELECT user_id, CAST(count(*) AS BIGINT)
+              |FROM events GROUP BY user_id""".stripMargin)
+      val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+        "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        s.conf.set(
+          "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.sql("""CREATE TABLE g137.out TBLPROPERTIES('graft.dims' = 'user_id:1000') AS
+                |SELECT a.user_id, a.v, b.cnt
+                |FROM g137.a a JOIN g137.b b ON a.user_id = b.user_id""".stripMargin)
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      s.sql("SELECT user_id, v, cnt FROM g137.out ORDER BY user_id")
     }
   )
 }

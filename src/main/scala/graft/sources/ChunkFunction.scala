@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, Reducer, ReducibleFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.types.{DataType, DataTypes, LongType, StructType}
 
 /** The graft chunk-key layout transform as a family of catalog functions:
@@ -21,8 +21,10 @@ import org.apache.spark.sql.types.{DataType, DataTypes, LongType, StructType}
   * `KeyGroupedPartitioning.supportsExpressions` only accepts transforms
   * with a single reference child (the bucket-count special case is
   * reserved for the name "bucket"). Compatibility between two scans is by
-  * `canonicalName`, so differently-chunked tables correctly fall back to
-  * a shuffle.
+  * `canonicalName`, widened by [[Bound.reducer]]: when one size divides
+  * the other the finer side REGROUPS to the coarser transform
+  * (exchange-free join); only incommensurate sizes fall back to a
+  * shuffle.
   *
   * `Math.floorDiv` is exactly the write path's routing function — every
   * write site derives chunk keys via [[graft.core.MatSchema.chunkKeyCol]],
@@ -53,7 +55,8 @@ object ChunkFunction {
     }
   }
 
-  final case class Bound(chunkSize: Long) extends ScalarFunction[java.lang.Long] {
+  final case class Bound(chunkSize: Long) extends ScalarFunction[java.lang.Long]
+      with ReducibleFunction[java.lang.Long, java.lang.Long] {
     override def inputTypes(): Array[DataType] = Array(LongType)
     override def resultType(): DataType = LongType
     override def name(): String = ChunkFunction.name(chunkSize)
@@ -66,5 +69,29 @@ object ChunkFunction {
     /** "Magic" overload — Spark's ScalarFunction codegen path binds
       * `invoke` by reflection to skip row boxing. */
     def invoke(dim: Long): Long = Math.floorDiv(dim, chunkSize)
+
+    /** SPJ across COMPATIBLE chunk sizes (SPARK-44647): when this side's
+      * chunk size DIVIDES the other's, `chunk_a` is a refinement of
+      * `chunk_b` and this side's partition keys reduce to the other's by
+      * one more exact floor-division — `floorDiv(floorDiv(x, a), b/a) ==
+      * floorDiv(x, a*(b/a))`, the floor-div composition identity (valid
+      * because both divisors are positive). Catalyst then GROUPS the finer
+      * side's key-grouped partitions to the coarser transform instead of
+      * shuffling both sides. Returns null (not reducible) for the coarser
+      * or incommensurate side — two tables whose sizes share no multiple
+      * correctly fall back to a full shuffle. */
+    override def reducer(other: ReducibleFunction[_, _])
+        : Reducer[java.lang.Long, java.lang.Long] = other match {
+      case Bound(otherSize) if otherSize != chunkSize && otherSize % chunkSize == 0 =>
+        ChunkReducer(otherSize / chunkSize)
+      case _ => null
+    }
+  }
+
+  /** Reduce a `chunk_a` partition key to the `chunk_(a*factor)` key. */
+  final case class ChunkReducer(factor: Long)
+      extends Reducer[java.lang.Long, java.lang.Long] {
+    override def reduce(key: java.lang.Long): java.lang.Long =
+      Math.floorDiv(key, factor)
   }
 }

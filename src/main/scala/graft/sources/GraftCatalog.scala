@@ -900,32 +900,52 @@ private final class GraftScan(
   /** One [[KeyedFilePartition]] per chunk tuple (across segments), keyed
     * for Spark's key-grouped execution; None when SPJ is off or any file
     * sits outside the `_ck_*` layout (never on the standard write paths —
-    * defensive fallback to stock planning). */
+    * defensive fallback to stock planning).
+    *
+    * Keys are STRUCTURAL: each file's chunk tuple comes from the file
+    * index's own parsed partition values (`fileIndex.listFiles` — the same
+    * source of truth the actual read uses), matched to the planned
+    * [[PartitionedFile]]s by exact path equality. The keys cannot be read
+    * off the PartitionedFiles directly because their `partitionValues`
+    * are projected to `readPartitionSchema`, which rarely includes the
+    * internal `_ck_*` columns. No path-STRING parsing of key content: a
+    * layout that ever encoded keys differently would surface here as a
+    * missing `_ck_*` field in the partition schema → clean fallback. */
   private lazy val keyedPartitions: Option[Seq[KeyedFilePartition]] =
     if (!spjEnabled) None
     else {
-      val ckNames = matSchema.chunkColNames
-      def keyOf(f: org.apache.spark.sql.execution.datasources.PartitionedFile)
-          : Option[Seq[Long]] = {
-        val segs = f.filePath.toPath.toUri.getPath.split('/')
-        val kv = segs.iterator.flatMap { s =>
-          val i = s.indexOf('=')
-          if (i > 0) Some(s.substring(0, i) -> s.substring(i + 1)) else None
-        }.toMap
-        val vals = ckNames.map(n => kv.get(n).flatMap(_.toLongOption))
-        if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
-      }
-      val files = partitions.flatMap(_.files)
-      val keyed = files.map(f => keyOf(f) -> f)
-      if (keyed.isEmpty || keyed.exists(_._1.isEmpty)) None
+      val pschema = fileIndex.partitionSchema
+      val ckIdx = matSchema.chunkColNames.map(n =>
+        pschema.fieldNames.indexOf(n) match {
+          case -1 => None
+          case i => Some(i)
+        })
+      if (ckIdx.exists(_.isEmpty)) None
       else {
-        import scala.math.Ordering.Implicits.seqOrdering
-        Some(
-          keyed.groupBy(_._1.get).toSeq.sortBy(_._1) // numeric tuple order
-            .zipWithIndex.map { case ((key, fs), idx) =>
-              new KeyedFilePartition(idx, fs.map(_._2).toArray,
-                org.apache.spark.sql.catalyst.InternalRow.fromSeq(key))
-            })
+        def longAt(row: org.apache.spark.sql.catalyst.InternalRow, i: Int): Option[Long] =
+          pschema.fields(i).dataType match {
+            case org.apache.spark.sql.types.LongType => Some(row.getLong(i))
+            case org.apache.spark.sql.types.IntegerType => Some(row.getInt(i).toLong)
+            case _ => None // chunk keys are integral on every graft write path
+          }
+        val keyByPath: Map[String, Option[Seq[Long]]] =
+          fileIndex.listFiles(base.partitionFilters, base.dataFilters).iterator.flatMap { d =>
+            val vals = ckIdx.map(i => longAt(d.values, i.get))
+            val key = if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+            d.files.iterator.map(f => f.getPath.toString -> key)
+          }.toMap
+        val files = partitions.flatMap(_.files)
+        val keyed = files.map(f => keyByPath.getOrElse(f.filePath.toPath.toString, None) -> f)
+        if (keyed.isEmpty || keyed.exists(_._1.isEmpty)) None
+        else {
+          import scala.math.Ordering.Implicits.seqOrdering
+          Some(
+            keyed.groupBy(_._1.get).toSeq.sortBy(_._1) // numeric tuple order
+              .zipWithIndex.map { case ((key, fs), idx) =>
+                new KeyedFilePartition(idx, fs.map(_._2).toArray,
+                  org.apache.spark.sql.catalyst.InternalRow.fromSeq(key))
+              })
+        }
       }
     }
 

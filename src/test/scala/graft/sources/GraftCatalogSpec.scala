@@ -715,27 +715,34 @@ class GraftCatalogSpec extends AnyFunSuite {
 
   test("storage-partitioned join: chunk-aligned graft tables join with zero exchanges") {
     root
-    Seq("spj_a", "spj_b", "spj_c").foreach(t => spark.sql(s"DROP TABLE IF EXISTS gcat.$t"))
-    // a, b chunk-aligned (t:50, sensor:10); c differently chunked (t:25)
+    Seq("spj_a", "spj_b", "spj_c", "spj_i").foreach(t => spark.sql(s"DROP TABLE IF EXISTS gcat.$t"))
+    // a, b chunk-aligned (t:50, sensor:10); c a COMPATIBLE refinement
+    // (t:25 — 25 divides 50, so ChunkFunction's reducer regroups it);
+    // i INCOMMENSURATE (t:30 — neither divides the other)
     spark.sql("CREATE TABLE gcat.spj_a (t BIGINT, sensor BIGINT, v BIGINT) " +
       "TBLPROPERTIES('graft.dims' = 't:50,sensor:10')")
     spark.sql("CREATE TABLE gcat.spj_b (t BIGINT, sensor BIGINT, w BIGINT) " +
       "TBLPROPERTIES('graft.dims' = 't:50,sensor:10')")
     spark.sql("CREATE TABLE gcat.spj_c (t BIGINT, sensor BIGINT, u BIGINT) " +
       "TBLPROPERTIES('graft.dims' = 't:25,sensor:10')")
+    spark.sql("CREATE TABLE gcat.spj_i (t BIGINT, sensor BIGINT, u BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 't:30,sensor:10')")
     // two commits each so the per-chunk grouping spans segments
     spark.sql("INSERT INTO gcat.spj_a SELECT id, id % 40, id FROM range(0, 400)")
     spark.sql("INSERT INTO gcat.spj_a SELECT id, id % 40, id + 1000 FROM range(0, 200)")
     spark.sql("INSERT INTO gcat.spj_b SELECT id, id % 40, id * 2 FROM range(100, 500)")
     spark.sql("INSERT INTO gcat.spj_b SELECT id, id % 40, id * 3 FROM range(100, 150)")
     spark.sql("INSERT INTO gcat.spj_c SELECT id, id % 40, id * 5 FROM range(0, 400)")
+    spark.sql("INSERT INTO gcat.spj_i SELECT id, id % 40, id * 5 FROM range(0, 400)")
     val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
       "spark.sql.autoBroadcastJoinThreshold")
       .map(k => k -> spark.conf.getOption(k))
     try {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val q = spark.sql(
         """SELECT a.t, a.sensor, a.v, b.w FROM gcat.spj_a a
@@ -757,19 +764,34 @@ class GraftCatalogSpec extends AnyFunSuite {
       agg.collect()
       assert(!graft.core.TestSpark.finalPlan(agg).contains("Exchange"),
         s"dims-keyed aggregate must reuse the chunk partitioning:\n${graft.core.TestSpark.finalPlan(agg)}")
-      // differently-chunked tables are NOT compatible — falls back to shuffle,
-      // same answer
+      // COMPATIBLE chunk sizes (t:25 refines t:50): the reducer regroups
+      // the finer side's partitions to the coarser transform — still zero
+      // exchanges, same answer as a shuffle evaluation
       val qc = spark.sql(
         """SELECT a.t, a.sensor, a.v, c.u FROM gcat.spj_a a
           |JOIN gcat.spj_c c ON a.t = c.t AND a.sensor = c.sensor""".stripMargin)
-      assert(qc.collect().length === 400)
-      assert(graft.core.TestSpark.finalPlan(qc).contains("Exchange"),
-        "mismatched chunk sizes must fall back to a shuffle join")
+      val rc = qc.collect()
+      assert(rc.length === 400)
+      assert(rc.forall { r =>
+        val t = r.getLong(0)
+        val expectedV = if (t < 200) t + 1000 else t
+        r.getLong(2) == expectedV && r.getLong(3) == t * 5
+      }, "reducer-regrouped join must return MVCC-resolved matches")
+      assert(!graft.core.TestSpark.finalPlan(qc).contains("Exchange"),
+        s"a dividing chunk size must regroup, not shuffle:\n${graft.core.TestSpark.finalPlan(qc)}")
+      // INCOMMENSURATE chunk sizes (t:30 vs t:50) stay incompatible —
+      // falls back to shuffle, same answer
+      val qi = spark.sql(
+        """SELECT a.t, a.sensor, a.v, i.u FROM gcat.spj_a a
+          |JOIN gcat.spj_i i ON a.t = i.t AND a.sensor = i.sensor""".stripMargin)
+      assert(qi.collect().length === 400)
+      assert(graft.core.TestSpark.finalPlan(qi).contains("Exchange"),
+        "incommensurate chunk sizes must fall back to a shuffle join")
     } finally {
       saved.foreach { case (k, v) =>
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     }
-    Seq("spj_a", "spj_b", "spj_c").foreach(t => spark.sql(s"DROP TABLE gcat.$t"))
+    Seq("spj_a", "spj_b", "spj_c", "spj_i").foreach(t => spark.sql(s"DROP TABLE gcat.$t"))
   }
 
   test("storage-partitioned join under pruning and partially-clustered skew handling") {
