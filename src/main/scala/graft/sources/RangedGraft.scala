@@ -145,24 +145,57 @@ object RangedGraft {
     * counts are the skew diagnostic this layout needs — range boundaries
     * are fixed at CREATE, and a piece that outgrew its siblings is the
     * signal to re-create with fresh [[boundariesFromSample]] boundaries.
-    * Pricing note, stated loudly: the ranged READ path builds its plan
-    * from raw parquet file relations, so Catalyst still sizes scans by
-    * on-disk bytes (the safe over-estimate); resolved-size PRICING exists
-    * on the directory layout (GraftStatsScan) and the bucketed layout
-    * ([[BucketedGraft.analyze]] via catalog statistics) — this layout's
-    * analyze is a diagnostic, not (yet) an optimizer input. */
+    *
+    * PRICED, not just diagnostic (round 13): the stats also record the
+    * RAW (pre-dedup) row count and the segment watermark they describe;
+    * while the watermark still matches, [[claimedRaw]] attaches the raw
+    * logical size to its LogicalRDD (`originStats` — the slot
+    * Dataset.checkpoint uses), replacing the default "effectively
+    * infinite" pricing that made every ranged relation unbroadcastable.
+    * Raw (not resolved) numbers on the raw node keep staleness pointing
+    * in the safe over-estimate direction; any later append invalidates by
+    * watermark mismatch. */
   def analyze(spark: SparkSession, path: String, schema: MatSchema): (Long, Long) = {
     val bounds = readBounds(path)
+    val watermark = nextTxnId(path) - 1L
     val perPiece = snapshot(spark, path, schema)
       .withColumn(RangeCol, rangeId(col(schema.dimNames.head), bounds))
       .groupBy(col(RangeCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val n = perPiece.values.sum
-    val bytes = n * schema.toStructType.defaultSize
+    val rowBytes = schema.toStructType.defaultSize
+    val bytes = n * rowBytes
+    val rawN = claimedRaw(spark, path, schema, None).count()
     val pieces = (0 to bounds.size).map(i => perPiece.getOrElse(i, 0L))
-    Files.writeString(Paths.get(path).resolve("_stats.json"),
-      s"""{"rowcount":$n,"bytes":$bytes,"piece_rows":[${pieces.mkString(",")}]}""")
+    // stamped AFTER the aggregates with the watermark read BEFORE them: a
+    // segment landing mid-analyze makes the stamp stale (txn mismatch)
+    // rather than claiming rows it never counted
+    if (nextTxnId(path) - 1L == watermark)
+      Files.writeString(Paths.get(path).resolve("_stats.json"),
+        s"""{"rowcount":$n,"bytes":$bytes,"raw_rows":$rawN,""" +
+          s""""raw_bytes":${rawN * rowBytes},"txn":$watermark,""" +
+          s""""piece_rows":[${pieces.mkString(",")}]}""")
     (n, bytes)
+  }
+
+  /** Analyzed raw (pre-dedup) pricing for the read path: (rawBytes,
+    * rawRows) while the recorded watermark still matches the CURRENT
+    * segment set and the read is not time-traveled; None otherwise (the
+    * LogicalRDD then keeps the default conservative pricing). */
+  private def pricedRawStats(path: String, asOf: Option[Long]): Option[(Long, Long)] = {
+    val p = Paths.get(path).resolve("_stats.json")
+    if (asOf.isDefined || !Files.isRegularFile(p)) None
+    else {
+      val body = Files.readString(p)
+      def field(name: String): Option[Long] =
+        s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+      for {
+        txn <- field("txn")
+        if txn == nextTxnId(path) - 1L
+        bytes <- field("raw_bytes")
+        rows <- field("raw_rows")
+      } yield (bytes, rows)
+    }
   }
 
   private def segDir(path: String, txn: Long): Path =
@@ -223,7 +256,9 @@ object RangedGraft {
     // the claim: piece i holds exactly the i-th contiguous leading-dim
     // range, pieces ascend — true by construction of the write path
     GraftInternals.dataFrameWithPartitioning(
-      spark, attrs, union, RangePartitioning(orders, pieces), Nil)
+      spark, attrs, union, RangePartitioning(orders, pieces), Nil,
+      pricedRawStats(path, asOf).map { case (bytes, rows) =>
+        (BigInt(bytes), Some(BigInt(rows))) })
   }
 
   /** Newest version of every key point — dedup with NO exchange (range

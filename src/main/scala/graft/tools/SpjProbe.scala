@@ -78,6 +78,39 @@ object SpjProbe {
     val off = run("spj_off", spj = false)
     val on = run("spj_on", spj = true)
 
+    // round 13: COMPATIBLE chunk sizes — table c is chunked at HALF a's
+    // size; ChunkFunction's reducer regroups c's partitions to a's
+    // transform (allowCompatibleTransforms), so the mixed-layout join is
+    // exchange-free too (minus the constant 1-row gather)
+    spark.sql("CREATE TABLE gspj.c (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 'k:50000')")
+    spark.sql(s"INSERT INTO gspj.c SELECT id, id * 11 FROM range(0, $rows)")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+    val regroup = {
+      def q(): DataFrame = spark.sql(
+        """SELECT sum(a.v + c.v) AS s, count(*) AS n
+          |FROM gspj.a a JOIN gspj.c c ON a.k = c.k""".stripMargin)
+      q().collect()
+      var best = Double.MaxValue
+      var bytes = 0L
+      (1 to 3).foreach { _ =>
+        val b0 = shuffleBytes.get()
+        val t0 = System.nanoTime()
+        q().collect()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        bytes = shuffleBytes.get() - b0
+      }
+      val plan = q().queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      println(f"[probe] regroup  exchanges=$exchanges min=${best}%6.3f s shuffleBytes=$bytes")
+      require(exchanges <= 1 && bytes < 100_000,
+        s"cross-chunk-size SPJ must regroup, not shuffle: exchanges=$exchanges bytes=$bytes")
+      (best, bytes, s"$exchanges")
+    }
+
     // the one exchange left under SPJ is the final 1-row scalar aggregate's
     // partial->final gather — constant bytes at ANY table size; the
     // data-volume exchanges (both dedup aggregates + the join) are gone
@@ -89,7 +122,8 @@ object SpjProbe {
     val json =
       s"""{"metric":"spj_probe","rows":$rows,
          |"spj_off":{"exchanges":${off._3},"sec":${off._1},"shuffle_bytes":${off._2}},
-         |"spj_on":{"exchanges":${on._3},"sec":${on._1},"shuffle_bytes":${on._2}}}"""
+         |"spj_on":{"exchanges":${on._3},"sec":${on._1},"shuffle_bytes":${on._2}},
+         |"regroup_50k_vs_100k":{"exchanges":${regroup._3},"sec":${regroup._1},"shuffle_bytes":${regroup._2}}}"""
         .stripMargin.replace("\n", "")
     println(json)
     val out = java.nio.file.Paths.get(

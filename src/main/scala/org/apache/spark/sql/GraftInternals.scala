@@ -27,10 +27,20 @@ object GraftInternals {
       output: Seq[Attribute],
       rdd: RDD[InternalRow],
       partitioning: Partitioning,
-      ordering: Seq[SortOrder]): DataFrame = {
+      ordering: Seq[SortOrder],
+      stats: Option[(BigInt, Option[BigInt])] = None): DataFrame = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // originStats is the same slot Dataset.checkpoint uses to carry the
+    // materialized plan's statistics — without it a LogicalRDD is priced
+    // at spark.sql.defaultSizeInBytes (effectively infinite), so the
+    // relation can never broadcast and CBO runs blind on it
+    val originStats = stats.map { case (bytes, rows) =>
+      org.apache.spark.sql.catalyst.plans.logical.Statistics(
+        sizeInBytes = bytes, rowCount = rows)
+    }
     org.apache.spark.sql.classic.Dataset.ofRows(
-      cs, LogicalRDD(output, rdd, partitioning, ordering, isStreaming = false)(cs))
+      cs, LogicalRDD(output, rdd, partitioning, ordering, isStreaming = false)(
+        cs, originStats, None))
   }
 
   /** Unwrap Spark's `private[sql]` RowLevelOperationTable (the table the
