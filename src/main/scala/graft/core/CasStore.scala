@@ -98,9 +98,17 @@ object PosixCasStore extends CasStore {
   * `_dirclaim` marker object under the prefix; `createDirectories` is
   * idempotent prefix bookkeeping on the local simulation).
   *
-  * The single-JVM simulation serializes conditional puts on one lock —
-  * standing in for the service's own linearized conditional put; whole-
-  * object visibility is kept with a temp-write + move inside the lock.
+  * The conditional put is linearized CROSS-PROCESS: check + move run
+  * under an exclusive [[java.nio.channels.FileLock]] on a per-directory
+  * `.objectsim.lock` object (dot-prefixed — invisible to Spark's file
+  * listing and every graft listing). This stands in for the SERVICE's own
+  * internal linearization of `If-None-Match: *` — the lock is the sim's
+  * implementation detail, not part of the two-call interface the
+  * protocol sees — and it means multi-process claim races exercise the
+  * same winner-takes-one semantics on this store as on posix (a plain
+  * JVM monitor, the round-12 sim, could only serialize in-process racers;
+  * the JVM lock REMAINS because POSIX file locks are per-process —
+  * overlapping in-JVM acquisitions would throw instead of queueing).
   * Everything above the seam (manifest CAS, schema CAS, claims, clone,
   * crash recovery) runs UNCHANGED over this store — the parameterized
   * core suites are the port's compatibility test. */
@@ -108,15 +116,28 @@ object ObjectStoreSim extends CasStore {
   val name = "objectsim"
   private val lock = new Object
   private[core] val ClaimMarker = "_dirclaim"
+  private val LockName = ".objectsim.lock"
+
+  private def withDirLock[A](dir: Path)(f: => A): A = {
+    val ch = java.nio.channels.FileChannel.open(dir.resolve(LockName),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val fl = ch.lock()
+      try f finally { fl.release() }
+    } finally ch.close()
+  }
 
   def putIfAbsent(target: Path, content: Array[Byte]): Boolean = lock.synchronized {
     Files.createDirectories(target.getParent)
-    if (Files.exists(target)) false
-    else {
-      val tmp = Files.createTempFile(target.getParent, ".put-", ".tmp")
-      Files.write(tmp, content)
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-      true
+    withDirLock(target.getParent) {
+      if (Files.exists(target)) false
+      else {
+        val tmp = Files.createTempFile(target.getParent, ".put-", ".tmp")
+        Files.write(tmp, content)
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        true
+      }
     }
   }
 

@@ -246,31 +246,38 @@ class GraftCatalogSpec extends AnyFunSuite {
   }
 
   test("concurrent SQL inserts claim distinct transactions, both visible (claim race)") {
-    spark.sql("DROP TABLE IF EXISTS gcat.race")
-    spark.sql(
-      """CREATE TABLE gcat.race (t BIGINT, sensor BIGINT, v BIGINT)
-        |TBLPROPERTIES('graft.dims' = 't:50,sensor:10')""".stripMargin)
-    val dir = root.resolve("race").toString
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
-    // race N appends through the same claim path the SQL INSERT uses; the
-    // put-if-absent directory claim must hand every writer a distinct id
-    val futures = (0 until 4).map { w =>
-      Future {
-        GraftInsert.append(spark, dir,
-          batch((0L until 10L).map(i => (i + w * 100L, i % 10, w.toLong))))
+    root
+    // parameterized over BOTH stores: the posix claim is createDirectory;
+    // the objectsim claim is a FileLock-linearized conditional put of a
+    // _dirclaim marker — the same winner-takes-one contract must hold
+    for (store <- Seq("posix", "objectsim")) {
+      spark.sql("DROP TABLE IF EXISTS gcat.race")
+      spark.sql(
+        s"""CREATE TABLE gcat.race (t BIGINT, sensor BIGINT, v BIGINT)
+          |TBLPROPERTIES('graft.dims' = 't:50,sensor:10',
+          |'graft.store' = '$store')""".stripMargin)
+      val dir = root.resolve("race").toString
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      // race N appends through the same claim path the SQL INSERT uses; the
+      // put-if-absent directory claim must hand every writer a distinct id
+      val futures = (0 until 4).map { w =>
+        Future {
+          GraftInsert.append(spark, dir,
+            batch((0L until 10L).map(i => (i + w * 100L, i % 10, w.toLong))))
+        }
       }
+      val txns = futures.map(f => Await.result(f, 120.seconds)).flatten
+      assert(txns.toSet.size === 4, s"[$store] claimed ids collided: $txns")
+      assert(txns.toSet === Set(1L, 2L, 3L, 4L), s"[$store] ids not sequential: $txns")
+      // every writer's rows are visible — no commit overwrote another
+      assert(spark.sql("SELECT * FROM gcat.race").count() === 40, s"[$store]")
+      assert(spark.sql("SELECT DISTINCT v FROM gcat.race").collect()
+        .map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L), s"[$store]")
+      spark.sql("DROP TABLE gcat.race")
     }
-    val txns = futures.map(f => Await.result(f, 120.seconds)).flatten
-    assert(txns.toSet.size === 4, s"claimed ids collided: $txns")
-    assert(txns.toSet === Set(1L, 2L, 3L, 4L), s"ids not sequential: $txns")
-    // every writer's rows are visible — no commit overwrote another
-    assert(spark.sql("SELECT * FROM gcat.race").count() === 40)
-    assert(spark.sql("SELECT DISTINCT v FROM gcat.race").collect()
-      .map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L))
-    spark.sql("DROP TABLE gcat.race")
   }
 
   test("SQL DELETE tombstones keys; value predicates post-resolve; time travel intact") {

@@ -208,13 +208,18 @@ class GraftRowLevelSpec extends AnyFunSuite {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
     root
+    // parameterized over BOTH stores: the serializable publish CAS runs on
+    // putIfAbsent, which objectsim linearizes with a FileLock — racing DML
+    // must behave identically over the sim
+    for (store <- Seq("posix", "objectsim")) {
     var sawAbort = false
     var attempts = 0
     while (!sawAbort && attempts < 3) {
       attempts += 1
       spark.sql("DROP TABLE IF EXISTS grl.ser")
       spark.sql("CREATE TABLE grl.ser (k BIGINT, v BIGINT) " +
-        "TBLPROPERTIES('graft.dims' = 'k:100', 'graft.isolation' = 'serializable')")
+        "TBLPROPERTIES('graft.dims' = 'k:100', 'graft.isolation' = 'serializable', " +
+        s"'graft.store' = '$store')")
       spark.sql("INSERT INTO grl.ser SELECT id, 0 FROM range(0, 10)")
       def inc(): Future[Boolean] = Future {
         try { spark.sql("UPDATE grl.ser SET v = v + 1"); true }
@@ -238,8 +243,9 @@ class GraftRowLevelSpec extends AnyFunSuite {
       sawAbort = successes == 1
     }
     assert(sawAbort,
-      "in 3 racing attempts at least one run must produce a serializable abort")
+      s"[$store] in 3 racing attempts at least one run must produce a serializable abort")
     spark.sql("DROP TABLE grl.ser")
+    }
   }
 
   test("serializable: disjoint-chunk concurrent updates both commit (no false abort)") {
