@@ -1296,6 +1296,77 @@ object CoreOps {
       } finally saved.foreach { case (k, v) =>
         v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
       s.sql("SELECT user_id, v, cnt FROM g137.out ORDER BY user_id")
+    },
+
+    // ---- ANN index maintenance under DML (round 13) ----------------------
+    // The persisted IVF index (q78's layout) folds an upsert/delete delta
+    // WITHOUT a rebuild (IvfIndex.maintainIndex — only the touched buckets
+    // rewrite): vec_id%7==1 upserts to its NEGATED vector (antipodal — a
+    // guaranteed bucket move), disjoint vec_id%11==3 ids are deleted, then
+    // searchIndex runs over the MAINTAINED index. The oracle replays the
+    // exact search math over the post-DML corpus from the centroids
+    // fixture: normalize (x/sqrt(Σx²), left folds), argmin-sqdist
+    // assignment, 2-probe, dot score, per-query top-5 — hash-exact, so any
+    // stale/missing/duplicated index row fails the gate. IvfSpec pins the
+    // touched-buckets-only rewrite and recall floors.
+    Entry("q138_ivf_maintain", Some {
+      val fix = s"${Q.fixture("q138-ivfm")}/index/centroids/*.parquet"
+      s"""WITH cent AS (SELECT bucket, weights FROM read_parquet('$fix')),
+         |post AS (SELECT vec_id,
+         |                CASE WHEN vec_id % 7 = 1
+         |                  THEN list_transform(embedding, x -> -CAST(x AS DOUBLE))
+         |                  ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS e
+         |         FROM embeddings
+         |         WHERE NOT (vec_id % 11 = 3 AND vec_id % 7 != 1)),
+         |nrm AS (SELECT vec_id,
+         |               list_transform(e, x -> x / sqrt(
+         |                 list_reduce(list_transform(range(1, 65), i -> e[i] * e[i]),
+         |                             (x, y) -> x + y))) AS v
+         |        FROM post),
+         |dots AS (SELECT n.vec_id, c.bucket,
+         |                list_reduce(list_transform(range(1, 65), i ->
+         |                  (n.v[i] - c.weights[i]) * (n.v[i] - c.weights[i])),
+         |                  (x, y) -> x + y) AS dsq
+         |         FROM nrm n CROSS JOIN cent c),
+         |dlt AS (SELECT vec_id, list(dsq ORDER BY bucket) AS dl FROM dots GROUP BY vec_id),
+         |asg AS (SELECT n.vec_id, n.v, l.dl,
+         |               list_position(l.dl, list_min(l.dl)) - 1 AS bucket
+         |        FROM nrm n JOIN dlt l USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket,
+         |             COALESCE(list_position(dl,
+         |               list_min(list_filter(dl, x -> x <> list_min(dl)))) - 1, bucket) AS b2
+         |      FROM asg WHERE vec_id < 3),
+         |qp AS (SELECT qid, qv, unnest(list_value(bucket, b2)) AS bucket FROM q),
+         |scored AS (
+         |  SELECT qid, a.vec_id,
+         |         list_reduce(list_transform(range(1, 65), i -> qp.qv[i] * a.v[i]),
+         |                     (x, y) -> x + y) AS score
+         |  FROM qp JOIN asg a USING (bucket) WHERE a.vec_id != qid)
+         |SELECT qid, vec_id, score, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn
+         |      FROM scored) t
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.IvfIndex
+      graft.functions.VectorOps.register(s)
+      val fixDir = Q.fixture("q138-ivfm")
+      graft.core.Storage.deleteRecursively(fixDir)
+      val emb = table(s, d, "embeddings")
+      val trained = IvfIndex.train(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", k = 8, iters = 2).map(_.toSeq).toSeq
+      val idx = fixDir.resolve("index").toString
+      IvfIndex.writeIndex(emb, "vec_id", "embedding", trained, idx)
+      val upserts = emb.where(col("vec_id") % 7 === 1)
+        .select(col("vec_id"), expr("transform(embedding, x -> -x)").as("embedding"))
+      val deletes = emb.where(col("vec_id") % 11 === 3 && col("vec_id") % 7 =!= 1)
+        .select(col("vec_id"))
+      IvfIndex.maintainIndex(s, idx, "vec_id", upserts, deletes)
+      val postQ = emb.where(col("vec_id") < 3)
+        .select(col("vec_id"), when(col("vec_id") % 7 === 1,
+          expr("transform(embedding, x -> -x)")).otherwise(col("embedding")).as("embedding"))
+      IvfIndex.searchIndex(s, idx, postQ, "vec_id", "embedding", nprobe = 2, k = 5)
+        .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
     }
   )
 }

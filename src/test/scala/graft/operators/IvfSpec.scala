@@ -81,6 +81,82 @@ class IvfSpec extends AnyFunSuite {
       .select(col("bucket")).collect().map(_.getInt(0)).toSet
     assert(probed.size < 8, s"test premise: probes must not cover all buckets ($probed)")
   }
+
+  test("maintainIndex: upserts move buckets, deletes leave, untouched buckets keep their files") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 4)
+      .map(_.toSeq).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-maint").toString
+    IvfIndex.writeIndex(emb, "vec_id", "embedding", centroids, path)
+
+    // DML: vec_id % 7 == 1 upserts to its NEGATED vector (on a sphere the
+    // antipode lands in a different bucket — a guaranteed move), and
+    // vec_id % 11 == 3 is deleted (disjoint from the upserts — an id in
+    // both sets is an upsert by maintainIndex's newest-wins contract)
+    val upserts = emb.where(col("vec_id") % 7 === 1)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> -x)").as("embedding"))
+    val deletes = emb.where(col("vec_id") % 11 === 3 && col("vec_id") % 7 =!= 1)
+      .select(col("vec_id"))
+    val postDml = emb.where(!(col("vec_id") % 11 === 3 && col("vec_id") % 7 =!= 1))
+      .select(col("vec_id"), when(col("vec_id") % 7 === 1,
+        expr("transform(embedding, x -> -x)")).otherwise(col("embedding")).as("embedding"))
+
+    // a bucket no touched id lives in must keep its files byte-identical
+    def bucketOf(df: org.apache.spark.sql.DataFrame) = IvfIndex.assign(
+      df.select(col("vec_id"), IvfIndex.normalized(col("embedding")).as("v")),
+      "v", centroids).select(col("vec_id"), col("bucket"))
+    val touchedBuckets = bucketOf(emb.join(
+        upserts.select("vec_id").unionByName(deletes), Seq("vec_id"), "left_semi"))
+      .select("bucket").collect().map(_.getInt(0)).toSet ++
+      bucketOf(upserts).select("bucket").collect().map(_.getInt(0)).toSet
+    val untouched = (0 until 8).find(b => !touchedBuckets.contains(b))
+    def files(b: Int): Seq[(String, Long)] = {
+      val d = JP.get(s"$path/corpus/bucket=$b")
+      if (!JF.isDirectory(d)) Seq.empty
+      else {
+        val s = JF.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(p => p.getFileName.toString -> JF.size(p)).toSeq.sorted
+        } finally s.close()
+      }
+    }
+    val before = untouched.map(files)
+
+    IvfIndex.maintainIndex(spark, path, "vec_id", upserts, deletes)
+
+    untouched.foreach(b => assert(files(b) === before.get,
+      s"untouched bucket $b must keep its files"))
+
+    val queries = postDml.where(col("vec_id") < 3)
+    val fromIndex = IvfIndex
+      .searchIndex(spark, path, queries, "vec_id", "embedding", nprobe = 3, k = 5)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+    // ground truth: the same search math over the post-DML corpus, no index
+    val expected = IvfIndex
+      .searchTopK(postDml, queries, "vec_id", "embedding", centroids, nprobe = 3, k = 5)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+    assert(fromIndex.except(expected).count() === 0L)
+    assert(expected.except(fromIndex).count() === 0L)
+
+    // deleted ids never surface; a moved id is findable at its new home
+    val all = IvfIndex.searchIndex(spark, path,
+        postDml.where(col("vec_id") < 50), "vec_id", "embedding", nprobe = 8, k = 10)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(!all.exists(id => id % 11 == 3 && id % 7 != 1),
+      "deleted ids must not surface as candidates")
+    // the maintained corpus row count matches the post-DML corpus exactly
+    assert(spark.read.parquet(s"$path/corpus").count() === postDml.count())
+    // and an upserted id's stored vector is its NEW normalized vector
+    val movedId = upserts.select(col("vec_id")).orderBy(col("vec_id")).head().getLong(0)
+    val stored = spark.read.parquet(s"$path/corpus")
+      .where(col("vec_id") === movedId).select(col("v")).head().getSeq[Double](0)
+    val fresh = upserts.where(col("vec_id") === movedId)
+      .select(IvfIndex.normalized(col("embedding")).as("v")).head().getSeq[Double](0)
+    assert(stored === fresh, "the upserted vector must replace the old version")
+  }
 }
 
 /** q37's HLL sketch has no DuckDB oracle (rows-only in the battery); this
