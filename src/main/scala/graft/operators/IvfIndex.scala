@@ -170,6 +170,24 @@ object IvfIndex {
     val touched = upserts.select(col(idCol))
       .unionByName(deletes.select(col(idCol))).distinct()
     val corpusPath = s"$path/corpus"
+    // bootstrap: an index created over an empty corpus (writeIndex of zero
+    // rows, or a table whose stream hasn't delivered yet) has no parquet
+    // files — the first delta IS the corpus
+    val empty = {
+      val p = java.nio.file.Paths.get(corpusPath)
+      !java.nio.file.Files.isDirectory(p) || {
+        val s = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          !s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+        } finally s.close()
+      }
+    }
+    if (empty) {
+      newAssign.select(col(idCol), col("v"), col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(corpusPath)
+      return
+    }
     val corpus = spark.read.parquet(corpusPath)
     val oldBuckets = corpus.select(col(idCol), col("bucket"))
       .join(broadcast(touched), Seq(idCol), "left_semi")

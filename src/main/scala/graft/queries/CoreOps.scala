@@ -1367,6 +1367,91 @@ object CoreOps {
       IvfIndex.searchIndex(s, idx, postQ, "vec_id", "embedding", nprobe = 2, k = 5)
         .select(col("qid"), col("vec_id"), col("score"), col("rn"))
         .orderBy(col("qid"), col("rn"))
+    },
+
+    // ---- streaming index maintenance (round 13) ---------------------------
+    // q138's maintenance driven by the TABLE's own transaction stream
+    // (Streams.indexMaintSink): the base graft table takes three commits
+    // (seed; antipodal upserts; deletes), the sink folds each micro-batch's
+    // changesBetween delta into the persisted IVF index (empty-bootstrap
+    // on the first batch, touched-buckets rewrite after), and the gate
+    // searches the maintained index. The oracle is q138's: replay the
+    // exact search math over the post-DML state from the centroids
+    // fixture. StreamingSpec pins replay convergence and null-vector
+    // retirement.
+    Entry("q139_stream_index_maint", Some {
+      val fix = s"${Q.fixture("q139-idxsink")}/index/centroids/*.parquet"
+      s"""WITH cent AS (SELECT bucket, weights FROM read_parquet('$fix')),
+         |post AS (SELECT vec_id,
+         |                CASE WHEN vec_id % 7 = 1
+         |                  THEN list_transform(embedding, x -> -CAST(x AS DOUBLE))
+         |                  ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS e
+         |         FROM embeddings
+         |         WHERE NOT (vec_id % 11 = 3 AND vec_id % 7 != 1)),
+         |nrm AS (SELECT vec_id,
+         |               list_transform(e, x -> x / sqrt(
+         |                 list_reduce(list_transform(range(1, 65), i -> e[i] * e[i]),
+         |                             (x, y) -> x + y))) AS v
+         |        FROM post),
+         |dots AS (SELECT n.vec_id, c.bucket,
+         |                list_reduce(list_transform(range(1, 65), i ->
+         |                  (n.v[i] - c.weights[i]) * (n.v[i] - c.weights[i])),
+         |                  (x, y) -> x + y) AS dsq
+         |         FROM nrm n CROSS JOIN cent c),
+         |dlt AS (SELECT vec_id, list(dsq ORDER BY bucket) AS dl FROM dots GROUP BY vec_id),
+         |asg AS (SELECT n.vec_id, n.v, l.dl,
+         |               list_position(l.dl, list_min(l.dl)) - 1 AS bucket
+         |        FROM nrm n JOIN dlt l USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket,
+         |             COALESCE(list_position(dl,
+         |               list_min(list_filter(dl, x -> x <> list_min(dl)))) - 1, bucket) AS b2
+         |      FROM asg WHERE vec_id < 3),
+         |qp AS (SELECT qid, qv, unnest(list_value(bucket, b2)) AS bucket FROM q),
+         |scored AS (
+         |  SELECT qid, a.vec_id,
+         |         list_reduce(list_transform(range(1, 65), i -> qp.qv[i] * a.v[i]),
+         |                     (x, y) -> x + y) AS score
+         |  FROM qp JOIN asg a USING (bucket) WHERE a.vec_id != qid)
+         |SELECT qid, vec_id, score, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn
+         |      FROM scored) t
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    }) { (s, d) =>
+      import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+      import graft.operators.IvfIndex
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      graft.functions.VectorOps.register(s)
+      val root = Q.fixture("q139-idxsink")
+      graft.core.Storage.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val trained = IvfIndex.train(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", k = 8, iters = 2).map(_.toSeq).toSeq
+      val idx = root.resolve("index").toString
+      IvfIndex.writeIndex(emb.limit(0), "vec_id", "embedding", trained, idx)
+      val basePath = root.resolve("base").toString
+      val base = MatDb.create(s, MatSchema(Seq(Dimension("vec_id", 1000)),
+        Seq(ValueCol("embedding", ArrayType(FloatType)))), basePath, "manifest")
+      val t1 = base.newTransaction()
+      t1.addRows(emb); t1.commit()
+      val t2 = base.newTransaction()
+      t2.addRows(emb.where(col("vec_id") % 7 === 1)
+        .select(col("vec_id"), expr("transform(embedding, x -> -x)").as("embedding")))
+      t2.commit()
+      val t3 = base.newTransaction()
+      t3.deleteRows(emb.where(col("vec_id") % 11 === 3 && col("vec_id") % 7 =!= 1)
+        .select(col("vec_id")))
+      t3.commit()
+      val q = graft.streaming.Streams.indexMaintSink(
+        s.readStream.format("graft-stream").option("maxTxnsPerBatch", "1")
+          .load(basePath),
+        basePath, idx, "embedding", root.resolve("ckpt").toString).start()
+      try q.processAllAvailable() finally q.stop()
+      base.refresh()
+      val postQ = base.snapshot().where(col("vec_id") < 3)
+      IvfIndex.searchIndex(s, idx, postQ, "vec_id", "embedding", nprobe = 2, k = 5)
+        .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
     }
   )
 }

@@ -282,6 +282,32 @@ final class GraftFileReader(file: String, schema: StructType)
               org.apache.spark.sql.types.Decimal(
                 new java.math.BigDecimal(unscaled, d.scale), d.precision, d.scale)
           }
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          // Spark's standard 3-level list layout: group (LIST) { repeated
+          // group list { element } } — embeddings and other array values
+          // ride graft tables, so the stream reader must pass them through
+          val outer = g.getGroup(f.name, 0)
+          val n = outer.getFieldRepetitionCount("list")
+          val arr = new Array[Any](n)
+          var i = 0
+          while (i < n) {
+            val entry = outer.getGroup("list", i)
+            arr(i) =
+              if (entry.getFieldRepetitionCount("element") == 0) null
+              else et match {
+                case FloatType   => entry.getFloat("element", 0)
+                case DoubleType  => entry.getDouble("element", 0)
+                case LongType    => entry.getLong("element", 0)
+                case IntegerType => entry.getInteger("element", 0)
+                case BooleanType => entry.getBoolean("element", 0)
+                case StringType  =>
+                  UTF8String.fromBytes(entry.getBinary("element", 0).getBytes)
+                case other => throw new UnsupportedOperationException(
+                  s"graft-stream: unsupported array element type $other for ${f.name}")
+              }
+            i += 1
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
         case dt => throw new UnsupportedOperationException(
           s"graft-stream: unsupported column type $dt for ${f.name}")
       }

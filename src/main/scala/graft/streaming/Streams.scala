@@ -335,6 +335,57 @@ object Streams {
       }
   }
 
+  /** ANN-index maintenance sink: keep a persisted IVF index
+    * ([[graft.operators.IvfIndex.writeIndex]] layout) current from a graft
+    * table's own transaction stream (`format("graft-stream")` on the base
+    * path) — "the index follows the table". Per micro-batch: ONE
+    * `changesBetween` delta over the batch's txn range; I/U post-images
+    * become index upserts (a changed vector MOVES to its new bucket), D
+    * rows — and I/U rows whose `vecCol` went null, which must stop being
+    * searchable — become deletes; [[graft.operators.IvfIndex.maintainIndex]]
+    * folds them, rewriting only the touched buckets. Centroids stay fixed
+    * (the index's geometry); re-train + writeIndex when drift warrants a
+    * rebuild.
+    *
+    * Exactly-once shape: maintainIndex is per-id ABSOLUTE (the delta's ids
+    * are replaced wholesale in their buckets), so a crash-replayed tail
+    * batch recomputes the same deterministic delta (`changesBetween` is
+    * pinned by txn ids) and rewrites the same buckets to the same content
+    * — at-least-once `foreachBatch` delivery converges to the exact
+    * post-DML index. Single index writer, like every fixture layout. */
+  def indexMaintSink(stream: DataFrame, basePath: String, indexPath: String,
+      vecCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var base: MatDb = null // driver-side foreachBatch state, one per stream
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val range = batch.agg(min(col("_txn_id")).as("lo"), max(col("_txn_id")).as("hi"))
+          .collect()(0)
+        if (!range.isNullAt(0)) {
+          if (base == null) base = MatDb.open(batch.sparkSession, basePath)
+          else base.refresh()
+          val idCol = base.schema.dimNames.head
+          require(base.schema.dimNames == Seq(idCol),
+            s"indexMaintSink: the base table must be keyed by one id dimension, " +
+              s"got ${base.schema.dimNames}")
+          val delta = base.changesBetween(
+            range.getLong(0) - 1L, range.getLong(1)).persist()
+          try {
+            val upserts = delta.where(col("op").isin("I", "U") && col(vecCol).isNotNull)
+              .select(col(idCol), col(vecCol))
+            val deletes = delta.where(col("op") === "D" ||
+                (col("op").isin("I", "U") && col(vecCol).isNull))
+              .select(col(idCol))
+            graft.operators.IvfIndex.maintainIndex(
+              batch.sparkSession, indexPath, idCol, upserts, deletes)
+          } finally { delta.unpersist(); () }
+        }
+        ()
+      }
+  }
+
   /** Shared by the bucketed ingest sinks: fold the raw transaction log
     * into one compacted txn every `compactEvery` micro-batches, INSIDE the
     * sink's own foreachBatch — the one place BucketedGraft.compact's

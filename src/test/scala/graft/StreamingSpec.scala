@@ -460,6 +460,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(view.asOf(1L).count() === 3L)
   }
 
+  test("index-maintenance sink: the persisted IVF index follows the table's DML") {
+    import graft.operators.IvfIndex
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    graft.functions.VectorOps.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 3)
+      .map(_.toSeq).toSeq
+    val idxPath = Files.createTempDirectory("graft-idxsink-idx").toString
+    // index created EMPTY: the stream builds the corpus from txn 1 onward
+    IvfIndex.writeIndex(emb.limit(0), "vec_id", "embedding", centroids, idxPath)
+    val basePath = Files.createTempDirectory("graft-idxsink-base").toString
+    val base = MatDb.create(spark,
+      MatSchema(Seq(Dimension("vec_id", 1000)),
+        Seq(ValueCol("embedding", ArrayType(FloatType)))), basePath, "manifest")
+    val checkpoint = Files.createTempDirectory("graft-idxsink-ckpt").toString
+    def runOnce(): Unit = {
+      val q = Streams.indexMaintSink(
+        spark.readStream.format("graft-stream").load(basePath),
+        basePath, idxPath, "embedding", checkpoint).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def assertFollows(): Unit = {
+      base.refresh()
+      val live = base.snapshot().where(col("embedding").isNotNull)
+      val queries = live.where(col("vec_id") < 3)
+      val fromIndex = IvfIndex.searchIndex(spark, idxPath, queries,
+          "vec_id", "embedding", nprobe = 3, k = 5)
+        .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+      val expected = IvfIndex.searchTopK(live, queries,
+          "vec_id", "embedding", centroids, nprobe = 3, k = 5)
+        .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+      assert(fromIndex.except(expected).count() === 0L)
+      assert(expected.except(fromIndex).count() === 0L)
+      assert(spark.read.parquet(s"$idxPath/corpus").count() === live.count())
+    }
+
+    // txn 1: seed from scratch (the bootstrap path — empty corpus)
+    val t1 = base.newTransaction()
+    t1.addRows(emb.where(col("vec_id") < 300)); t1.commit()
+    runOnce()
+    assertFollows()
+
+    // txn 2: vector change (antipodal — moves buckets); txn 3: deletes
+    // plus one id whose vector goes NULL (must stop being searchable)
+    val t2 = base.newTransaction()
+    t2.addRows(emb.where(col("vec_id") % 7 === 1 && col("vec_id") < 300)
+      .select(col("vec_id"), expr("transform(embedding, x -> -x)").as("embedding")))
+    t2.commit()
+    val t3 = base.newTransaction()
+    import spark.implicits._
+    t3.deleteRows((0L until 300L).filter(i => i % 11 == 3 && i % 7 != 1).toDF("vec_id"))
+    t3.addRows(Seq(5L).toDF("vec_id")
+      .select(col("vec_id"), lit(null).cast(ArrayType(FloatType)).as("embedding")))
+    t3.commit()
+    runOnce() // restart from checkpoint — picks up ONLY txns 2 and 3
+    assertFollows()
+    val ids = spark.read.parquet(s"$idxPath/corpus")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(5L), "a null-vector upsert must leave the index")
+    assert(!ids.contains(14L), "deleted ids must leave the index") // 14 = 11+3
+    // replaying the LAST batch converges (per-id absolute maintenance)
+    runOnce()
+    assertFollows()
+  }
+
   test("cdc apply sink fails loudly on a duplicate (key, ord) pair") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
