@@ -251,11 +251,33 @@ object IncrementalAgg {
         val perGroup = retractLeg.unionByName(applyLeg)
           .groupBy(col(groupCol))
           .agg(groupAggs.head, groupAggs.tail: _*)
-        // DIRTY groups lost or changed a row version (pre-image side of
-        // U/D) — the only way an extremum can retract. Insert-only groups
-        // are CLEAN: every aggregate merges from the old view row alone.
-        val dirty = delta.where(col("op").isin("U", "D") && oldG.isNotNull)
-          .select(oldG.as(groupCol)).distinct()
+        // DIRTY groups: a retraction (pre-image side of U/D) can retire an
+        // extremum ONLY if the retracted value sits AT a current extreme —
+        // an interior retraction leaves min/max standing, and its sum/cnt
+        // legs retract exactly, so the group still delta-merges with no
+        // base read. The boundary test compares each retracted pre-image
+        // against the group's CURRENT view extremes (<=/>= — equality is
+        // conservative: another row may hold the same extreme, recompute
+        // anyway); a null pre-image cannot retire anything (min/max skip
+        // nulls); a missing view row (defensive — cannot happen when
+        // aligned) is dirty.
+        lazy val dirty = {
+          val mmViewCols = viewDb.schema.valueNames
+            .filter(n => n.startsWith("min_") || n.startsWith("max_"))
+          val retractVals = delta.where(col("op").isin("U", "D") && oldG.isNotNull)
+            .select(oldG.as(groupCol) +:
+              mmSrcs.map(c => col(s"_old_$c").as(s"_o_$c")): _*)
+          val mmView = viewDb.snapshot()
+            .select(col(groupCol) +: (mmViewCols.map(col) :+ lit(true).as("_present")): _*)
+          val boundary = mmViewCols.map { n =>
+            val c = n.drop(4)
+            if (n.startsWith("min_")) col(s"_o_$c") <= col(n)
+            else col(s"_o_$c") >= col(n)
+          }.reduce(_ || _)
+          retractVals.join(mmView, Seq(groupCol), "left")
+            .where(col("_present").isNull || boundary)
+            .select(col(groupCol)).distinct()
+        }
         // mergeable group-deltas: all touched groups when the view has no
         // min/max (sum/cnt retract exactly); clean groups only otherwise
         val mergeable =

@@ -146,6 +146,25 @@ class IncrementalAggSpec extends AnyFunSuite {
     IncrementalAgg.maintainAbsoluteMulti(base, view, 2L, 3L, "g")
     assert(viewAll() === recomputeAll())
     assert(!viewAll().exists(_._1 == 3L), "an emptied group leaves the view")
+    // txn4: INTERIOR churn only — update/delete rows strictly inside their
+    // groups' extremes (the clean-merge path: no extremum can retire), plus
+    // an insert extending one extreme. The view must still equal a full
+    // recompute exactly.
+    val t4 = base.newTransaction()
+    t4.addRows(df(Seq((6L, 1L, "2.0000"), (7L, 2L, "5.0000")))) // interiors
+    t4.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 3L, 4L, "g")
+    assert(viewAll() === recomputeAll())
+    // g1 now holds {4, 5, 2}, g2 {3, 2, 5}: update k1 (4 -> 3, strictly
+    // inside g1's (2,5)), delete k3 (3, strictly inside g2's (2,5)) — both
+    // clean-path retractions — and insert k8 extending g1's max
+    val t5 = base.newTransaction()
+    t5.addRows(df(Seq((1L, 1L, "3.0000"))))
+    t5.deleteRows(Seq(3L).toDF("k"))
+    t5.addRows(df(Seq((8L, 1L, "9.0000"))))
+    t5.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 4L, 5L, "g")
+    assert(viewAll() === recomputeAll())
     // an undeclarable aggregate name fails loudly
     val bad = MatDb.create(spark,
       MatSchema(Seq(Dimension("g", 100)), Seq(ValueCol("avg_v", dec))),
