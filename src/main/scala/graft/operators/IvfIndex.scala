@@ -169,12 +169,24 @@ object IvfIndex {
       upserts.select(col(idCol), normalized(col(vecCol)).as("v")), "v", centroids)
     val touched = upserts.select(col(idCol))
       .unionByName(deletes.select(col(idCol))).distinct()
-    val corpusPath = s"$path/corpus"
-    // bootstrap: an index created over an empty corpus (writeIndex of zero
-    // rows, or a table whose stream hasn't delivered yet) has no parquet
-    // files — the first delta IS the corpus
+    upsertBucketLayout(spark, s"$path/corpus", idCol,
+      newAssign.select(col(idCol), col("v"), col("bucket")), touched)
+  }
+
+  /** The shared touched-buckets-only rewrite under a `bucket=N/` parquet
+    * layout ([[maintainIndex]] for normalized vectors,
+    * [[PqIndex.maintainIvfPq]] for PQ codes): replace every `touched` id
+    * with its `newRows` version (which carry a `bucket` column), rewriting
+    * ONLY the buckets either side touches — old-bucket lookup is a
+    * column-pruned scan of the layout's id column. The rewrite lands in a
+    * temp sibling and swaps per-bucket directories (the source buckets are
+    * being read by the same plan); a bucket emptied entirely disappears.
+    * Bootstraps an EMPTY layout: the first delta becomes the corpus. */
+  private[operators] def upsertBucketLayout(
+      spark: org.apache.spark.sql.SparkSession, layoutPath: String,
+      idCol: String, newRows: DataFrame, touched: DataFrame): Unit = {
     val empty = {
-      val p = java.nio.file.Paths.get(corpusPath)
+      val p = java.nio.file.Paths.get(layoutPath)
       !java.nio.file.Files.isDirectory(p) || {
         val s = java.nio.file.Files.walk(p)
         try {
@@ -184,26 +196,25 @@ object IvfIndex {
       }
     }
     if (empty) {
-      newAssign.select(col(idCol), col("v"), col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(corpusPath)
+      newRows.write.mode("overwrite").partitionBy("bucket").parquet(layoutPath)
       return
     }
-    val corpus = spark.read.parquet(corpusPath)
+    val corpus = spark.read.parquet(layoutPath)
     val oldBuckets = corpus.select(col(idCol), col("bucket"))
       .join(broadcast(touched), Seq(idCol), "left_semi")
       .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
-    val newBuckets = newAssign.select(col("bucket")).distinct()
+    val newBuckets = newRows.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
     val rewrite = (oldBuckets ++ newBuckets).toSeq.sorted
     if (rewrite.nonEmpty) {
       val replacement = corpus.where(col("bucket").isin(rewrite: _*))
         .join(broadcast(touched), Seq(idCol), "left_anti")
-        .unionByName(newAssign.select(col(idCol), col("v"), col("bucket")))
-      val tmp = java.nio.file.Paths.get(s"$corpusPath.maintain.tmp")
+        .unionByName(newRows)
+      val tmp = java.nio.file.Paths.get(s"$layoutPath.maintain.tmp")
       graft.core.Storage.deleteRecursively(tmp)
       replacement.write.partitionBy("bucket").parquet(tmp.toString)
       rewrite.foreach { b =>
-        val live = java.nio.file.Paths.get(s"$corpusPath/bucket=$b")
+        val live = java.nio.file.Paths.get(s"$layoutPath/bucket=$b")
         val fresh = tmp.resolve(s"bucket=$b")
         graft.core.Storage.deleteRecursively(live)
         if (java.nio.file.Files.isDirectory(fresh)) {

@@ -109,17 +109,22 @@ object PqIndex {
     array(cb.codes(sub).toSeq.map(w => sqDist(
       slice(vec, sub * cb.subDim + 1, cb.subDim), typedlit(w.toSeq))): _*)
 
-  /** Encode: tag each row with `codes` (array<int>, length m) — its
+  /** The `codes` column (array<int>, length m) for a raw vector column —
     * per-subspace nearest code ids (ties → lowest code, matching the
-    * first-position semantics both engines share). Shuffle-free. */
-  def encode(emb: DataFrame, idCol: String, vecCol: String, cb: Codebook): DataFrame = {
-    graft.functions.VectorOps.register(emb.sparkSession)
-    val vec = col(vecCol).cast("array<double>")
+    * first-position semantics both engines share). */
+  def codesCol(vecCol: Column, cb: Codebook): Column = {
+    val vec = vecCol.cast("array<double>")
     val codeCols = (0 until cb.m).map { s =>
       val dl = subDistances(s, vec, cb)
       (array_position(dl, array_min(dl)) - 1).cast("int")
     }
-    emb.select(col(idCol), array(codeCols: _*).as("codes"))
+    array(codeCols: _*)
+  }
+
+  /** Encode: tag each row with its [[codesCol]]. Shuffle-free. */
+  def encode(emb: DataFrame, idCol: String, vecCol: String, cb: Codebook): DataFrame = {
+    graft.functions.VectorOps.register(emb.sparkSession)
+    emb.select(col(idCol), codesCol(col(vecCol), cb).as("codes"))
   }
 
   /** ADC top-k: approximate squared distance from each query to every
@@ -204,6 +209,74 @@ object PqIndex {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))).cast("long"))
       .where(col("rn") <= k)
+  }
+
+  /** Persist a full IVF-PQ index — the 100 TB layout:
+    *   - `path/centroids`: the IVF coarse quantizer (k rows, same table
+    *     [[IvfIndex.writeIndex]] writes);
+    *   - `path/codebook`: the PQ codebook ([[writeCodebook]]);
+    *   - `path/codes`: (idCol, codes) written BUCKET-PARTITIONED by the
+    *     IVF assignment of the NORMALIZED vector (cosine geometry, same
+    *     assign as IvfIndex) — a probe reads (nprobe/k_ivf) of the
+    *     corpus's 8 B/vector codes, enforced by the directory layout.
+    * Raw vectors are NOT stored: the refine stage fetches them from the
+    * caller's corpus relation (e.g. the graft base table, where id-keyed
+    * chunk pruning makes the shortlist fetch a point lookup). */
+  def writeIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], cb: Codebook, path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.functions.VectorOps.register(spark)
+    centroids.zipWithIndex.map { case (c, b) => (b, c) }
+      .toDF("bucket", "weights").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    writeCodebook(spark, cb, s"$path/codebook")
+    IvfIndex.assign(
+        corpus.select(col(idCol), col(vecCol),
+          IvfIndex.normalized(col(vecCol)).as("_nv")), "_nv", centroids)
+      .select(col(idCol), codesCol(col(vecCol), cb).as("codes"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
+  }
+
+  /** IVF-ADC search with exact refine against a [[writeIvfPq]] layout:
+    * probe the query's nprobe buckets (partition-pruned codes read), ADC
+    * over the pruned codes, exact re-rank of the per-query shortlist
+    * against `corpus` raw vectors. Output (qid, idCol, dist, rn). */
+  def searchIvfPq(spark: SparkSession, path: String, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int, k: Int, shortlist: Int): DataFrame = {
+    graft.functions.VectorOps.register(spark)
+    val centroids = IvfIndex.readCentroids(spark, path).map(_.toSeq).toSeq
+    val cb = readCodebook(spark, s"$path/codebook")
+    val probes = IvfIndex.probes(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("_qraw"),
+        IvfIndex.normalized(col(vecCol)).as("_qn")), "_qn", centroids, nprobe)
+    val probed = probes.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
+    val encodedAssigned = spark.read.parquet(s"$path/codes")
+      .where(col("bucket").isin(probed: _*))
+    ivfAdcSearchRefined(encodedAssigned, corpus,
+      probes.select(col("qid"), col("_qraw"), col("bucket")),
+      idCol, vecCol, "_qraw", cb, k, shortlist)
+  }
+
+  /** INDEX MAINTENANCE under DML for the [[writeIvfPq]] layout — the PQ
+    * sibling of [[IvfIndex.maintainIndex]], same contract (fixed
+    * centroids + codebook; upserts re-encode and possibly MOVE buckets;
+    * deletes retire ids; an id in both is an upsert; only touched buckets
+    * rewrite; empty layout bootstraps). */
+  def maintainIvfPq(spark: SparkSession, path: String, idCol: String,
+      upserts: DataFrame, deletes: DataFrame): Unit = {
+    graft.functions.VectorOps.register(spark)
+    val vecCol = upserts.columns.find(_ != idCol).getOrElse(idCol)
+    val centroids = IvfIndex.readCentroids(spark, path).map(_.toSeq).toSeq
+    val cb = readCodebook(spark, s"$path/codebook")
+    val newRows = IvfIndex.assign(
+        upserts.select(col(idCol), col(vecCol),
+          IvfIndex.normalized(col(vecCol)).as("_nv")), "_nv", centroids)
+      .select(col(idCol), codesCol(col(vecCol), cb).as("codes"), col("bucket"))
+    val touched = upserts.select(col(idCol))
+      .unionByName(deletes.select(col(idCol))).distinct()
+    IvfIndex.upsertBucketLayout(spark, s"$path/codes", idCol, newRows, touched)
   }
 
   /** Persist a codebook as a (sub, code, weights) parquet table. */

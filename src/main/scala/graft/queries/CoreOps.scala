@@ -1452,6 +1452,109 @@ object CoreOps {
       IvfIndex.searchIndex(s, idx, postQ, "vec_id", "embedding", nprobe = 2, k = 5)
         .select(col("qid"), col("vec_id"), col("score"), col("rn"))
         .orderBy(col("qid"), col("rn"))
+    },
+
+    // ---- persisted IVF-PQ index + maintenance (round 13) ------------------
+    // The 100 TB ANN layout (PqIndex.writeIvfPq): coarse centroids + PQ
+    // codebook fixtures, codes bucket-partitioned by the IVF assignment —
+    // a probe reads (nprobe/k_ivf) of the corpus's 8 B/vector codes, and
+    // the exact refine fetches only the per-query shortlist's raw vectors
+    // from the caller's corpus relation. Same DML as q138, folded by
+    // maintainIvfPq (re-encode the delta, rewrite touched buckets only),
+    // searched via searchIvfPq. The oracle replays the full chain from
+    // both fixtures over the post-DML state: normalize + argmin-sqdist
+    // assignment (q138's pattern), argmin encode, 2-probe, ascending-sub
+    // ADC fold, exact-refine fold, per-query top-5 (q98's pattern) —
+    // hash-exact end to end. PqSpec pins layout pruning and
+    // touched-buckets-only maintenance.
+    Entry("q140_ivfpq_maintain", Some {
+      val root = s"${Q.fixture("q140-ivfpqm")}/index"
+      s"""WITH cent AS (SELECT bucket, weights FROM read_parquet('$root/centroids/*.parquet')),
+         |cb AS (SELECT sub, code, weights FROM read_parquet('$root/codebook/*.parquet')),
+         |post AS (SELECT vec_id,
+         |                CASE WHEN vec_id % 7 = 1
+         |                  THEN list_transform(embedding, x -> -CAST(x AS DOUBLE))
+         |                  ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS e
+         |         FROM embeddings
+         |         WHERE NOT (vec_id % 11 = 3 AND vec_id % 7 != 1)),
+         |nrm AS (SELECT vec_id,
+         |               list_transform(e, x -> x / sqrt(
+         |                 list_reduce(list_transform(range(1, 65), i -> e[i] * e[i]),
+         |                             (x, y) -> x + y))) AS v
+         |        FROM post),
+         |cdots AS (SELECT n.vec_id, c.bucket,
+         |                 list_reduce(list_transform(range(1, 65), i ->
+         |                   (n.v[i] - c.weights[i]) * (n.v[i] - c.weights[i])),
+         |                   (x, y) -> x + y) AS dsq
+         |          FROM nrm n CROSS JOIN cent c),
+         |dlt AS (SELECT vec_id, list(dsq ORDER BY bucket) AS dl FROM cdots GROUP BY vec_id),
+         |asg AS (SELECT n.vec_id, l.dl,
+         |               list_position(l.dl, list_min(l.dl)) - 1 AS bucket
+         |        FROM nrm n JOIN dlt l USING (vec_id)),
+         |sv AS (SELECT vec_id, s.sub,
+         |              list_transform(range(1, 9), i -> e[s.sub * 8 + i]) AS v
+         |       FROM post, (SELECT unnest(range(0, 8)) AS sub) s),
+         |d AS (SELECT vec_id, sub, code,
+         |             list_reduce(list_transform(range(1, 9),
+         |               i -> (v[i] - weights[i]) * (v[i] - weights[i])),
+         |               (x, y) -> x + y) AS dd
+         |      FROM sv JOIN cb USING (sub)),
+         |enc AS (SELECT vec_id, sub, code FROM (
+         |          SELECT vec_id, sub, code,
+         |                 row_number() OVER (PARTITION BY vec_id, sub
+         |                   ORDER BY dd, code) AS rn
+         |          FROM d) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, bucket,
+         |             COALESCE(list_position(dl,
+         |               list_min(list_filter(dl, x -> x <> list_min(dl)))) - 1, bucket) AS b2
+         |      FROM asg WHERE vec_id < 3),
+         |qp AS (SELECT qid, unnest(list_value(bucket, b2)) AS bucket FROM q),
+         |cand AS (SELECT qp.qid, a.vec_id
+         |         FROM qp JOIN asg a USING (bucket) WHERE a.vec_id <> qp.qid),
+         |pairs AS (SELECT c.qid, c.vec_id, e.sub, dq.dd
+         |          FROM cand c JOIN enc e ON e.vec_id = c.vec_id
+         |          JOIN d dq ON dq.vec_id = c.qid AND dq.sub = e.sub AND dq.code = e.code),
+         |adc AS (SELECT qid, vec_id,
+         |               list_reduce(list(dd ORDER BY sub), (x, y) -> x + y) AS approx_dist
+         |        FROM pairs GROUP BY qid, vec_id),
+         |short AS (SELECT qid, vec_id FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY qid
+         |              ORDER BY approx_dist, vec_id) AS srn
+         |            FROM adc) t WHERE srn <= 10),
+         |ref AS (SELECT sh.qid, sh.vec_id,
+         |               list_reduce(list_transform(range(1, 65), i ->
+         |                 (qe.e[i] - ce.e[i]) * (qe.e[i] - ce.e[i])),
+         |                 (x, y) -> x + y) AS dist
+         |        FROM short sh JOIN post qe ON qe.vec_id = sh.qid
+         |                      JOIN post ce ON ce.vec_id = sh.vec_id)
+         |SELECT qid, vec_id, dist, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY dist, vec_id) AS rn FROM ref) t
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.{IvfIndex, PqIndex}
+      graft.functions.VectorOps.register(s)
+      val root = Q.fixture("q140-ivfpqm")
+      graft.core.Storage.deleteRecursively(root)
+      val emb = table(s, d, "embeddings")
+      val cent = IvfIndex.train(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", k = 8, iters = 2).map(_.toSeq).toSeq
+      val cb = PqIndex.train(emb.where(col("vec_id") % 3 === 1),
+        "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      val idx = root.resolve("index").toString
+      PqIndex.writeIvfPq(emb, "vec_id", "embedding", cent, cb, idx)
+      val upserts = emb.where(col("vec_id") % 7 === 1)
+        .select(col("vec_id"), expr("transform(embedding, x -> -x)").as("embedding"))
+      val deletes = emb.where(col("vec_id") % 11 === 3 && col("vec_id") % 7 =!= 1)
+        .select(col("vec_id"))
+      PqIndex.maintainIvfPq(s, idx, "vec_id", upserts, deletes)
+      val post = emb.where(!(col("vec_id") % 11 === 3 && col("vec_id") % 7 =!= 1))
+        .select(col("vec_id"), when(col("vec_id") % 7 === 1,
+          expr("transform(embedding, x -> -x)")).otherwise(col("embedding")).as("embedding"))
+      PqIndex.searchIvfPq(s, idx, post, post.where(col("vec_id") < 3),
+          "vec_id", "embedding", nprobe = 2, k = 5, shortlist = 10)
+        .select(col("qid"), col("vec_id"), col("dist"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
     }
   )
 }

@@ -141,4 +141,78 @@ class PqSpec extends AnyFunSuite {
     // and with nprobe=2 of 4 buckets the usual case still finds neighbors
     assert(got.keys.map(_._1).toSet.size === 5, "every query returned rows")
   }
+
+  test("persisted IVF-PQ layout: search matches the in-memory composition; maintenance follows DML") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    graft.functions.VectorOps.register(spark)
+    val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val cent = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 3)
+      .map(_.toSeq).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    PqIndex.writeIvfPq(emb, "vec_id", "embedding", cent, cb, path)
+    def queriesOf(df: org.apache.spark.sql.DataFrame) = df.where(col("vec_id") < 3)
+    // the persisted search equals the same composition built in memory
+    def inMemory(corpus: org.apache.spark.sql.DataFrame) = {
+      val encA = IvfIndex.assign(
+          corpus.select(col("vec_id"), col("embedding"),
+            IvfIndex.normalized(col("embedding")).as("_nv")), "_nv", cent)
+        .select(col("vec_id"),
+          PqIndex.codesCol(col("embedding"), cb).as("codes"), col("bucket"))
+      val probes = IvfIndex.probes(
+        queriesOf(corpus).select(col("vec_id").as("qid"), col("embedding").as("_qraw"),
+          IvfIndex.normalized(col("embedding")).as("_qn")), "_qn", cent, 3)
+      PqIndex.ivfAdcSearchRefined(encA, corpus,
+          probes.select(col("qid"), col("_qraw"), col("bucket")),
+          "vec_id", "embedding", "_qraw", cb, k = 5, shortlist = 10)
+        .select(col("qid"), col("vec_id"), col("dist"), col("rn"))
+    }
+    def fromIndex(corpus: org.apache.spark.sql.DataFrame) =
+      PqIndex.searchIvfPq(spark, path, corpus, queriesOf(corpus),
+          "vec_id", "embedding", nprobe = 3, k = 5, shortlist = 10)
+        .select(col("qid"), col("vec_id"), col("dist"), col("rn"))
+    assert(fromIndex(emb).except(inMemory(emb)).count() === 0L)
+    assert(inMemory(emb).except(fromIndex(emb)).count() === 0L)
+    // the codes scan prunes to the probed bucket directories
+    val plan = fromIndex(emb).queryExecution.executedPlan.toString
+    val codesScan = plan.linesIterator
+      .filter(_.contains("FileScan")).find(_.contains("/codes")).getOrElse("")
+    assert(codesScan.contains("PartitionFilters: [bucket"),
+      s"bucket isin not a partition filter on the codes scan:\n$plan")
+
+    // maintenance: antipodal upserts (bucket moves) + disjoint deletes;
+    // untouched buckets keep their files byte-identical
+    val upserts = emb.where(col("vec_id") % 7 === 1)
+      .select(col("vec_id"), expr("transform(embedding, x -> -x)").as("embedding"))
+    val deletes = emb.where(col("vec_id") % 11 === 3 && col("vec_id") % 7 =!= 1)
+      .select(col("vec_id"))
+    val postDml = emb.where(!(col("vec_id") % 11 === 3 && col("vec_id") % 7 =!= 1))
+      .select(col("vec_id"), when(col("vec_id") % 7 === 1,
+        expr("transform(embedding, x -> -x)")).otherwise(col("embedding")).as("embedding"))
+    val touchedBuckets = IvfIndex.assign(
+        emb.join(upserts.select("vec_id").unionByName(deletes), Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), IvfIndex.normalized(col("embedding")).as("v"))
+          .unionByName(upserts
+            .select(col("vec_id"), IvfIndex.normalized(col("embedding")).as("v"))),
+        "v", cent)
+      .select("bucket").collect().map(_.getInt(0)).toSet
+    val untouched = (0 until 8).find(b => !touchedBuckets.contains(b))
+    def files(b: Int): Seq[(String, Long)] = {
+      val d = JP.get(s"$path/codes/bucket=$b")
+      if (!JF.isDirectory(d)) Seq.empty
+      else {
+        val s = JF.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(p => p.getFileName.toString -> JF.size(p)).toSeq.sorted
+        } finally s.close()
+      }
+    }
+    val before = untouched.map(files)
+    PqIndex.maintainIvfPq(spark, path, "vec_id", upserts, deletes)
+    untouched.foreach(b => assert(files(b) === before.get,
+      s"untouched bucket $b must keep its files"))
+    assert(fromIndex(postDml).except(inMemory(postDml)).count() === 0L)
+    assert(inMemory(postDml).except(fromIndex(postDml)).count() === 0L)
+    assert(spark.read.parquet(s"$path/codes").count() === postDml.count())
+  }
 }
