@@ -545,17 +545,68 @@ object Pipeline {
     // oracle-replayable entry. No SQL oracle (k-means training is not
     // expressible in the DuckDB replay), so the driver records a rows-only
     // check; recall vs the brute-force baseline is asserted in IvfSpec.
-    Entry("q55_ann_ivf_trained", None) { (s, d) =>
+    // ORACLE-CHECKED since round 13 (rows-only for rounds 1-12): k-means
+    // training is still not SQL-replayable, but searchTopK's exact math —
+    // left-fold normalize, argmin-sqdist assignment, 2-probe selection,
+    // dot score, per-query top-5 — is, from a centroids FIXTURE persisted
+    // by the same run (the q78/q138 pattern; q138's oracle replays this
+    // identical chain against the persisted-index search, and IvfSpec pins
+    // searchIndex ≡ searchTopK bit-for-bit).
+    Entry("q55_ann_ivf_trained", Some {
+      val fix = s"${Q.fixture("q55-ivf")}/centroids/*.parquet"
+      s"""WITH cent AS (SELECT bucket, weights FROM read_parquet('$fix')),
+         |post AS (SELECT vec_id,
+         |                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |         FROM embeddings),
+         |nrm AS (SELECT vec_id,
+         |               list_transform(e, x -> x / sqrt(
+         |                 list_reduce(list_transform(range(1, 65), i -> e[i] * e[i]),
+         |                             (x, y) -> x + y))) AS v
+         |        FROM post),
+         |dots AS (SELECT n.vec_id, c.bucket,
+         |                list_reduce(list_transform(range(1, 65), i ->
+         |                  (n.v[i] - c.weights[i]) * (n.v[i] - c.weights[i])),
+         |                  (x, y) -> x + y) AS dsq
+         |         FROM nrm n CROSS JOIN cent c),
+         |dlt AS (SELECT vec_id, list(dsq ORDER BY bucket) AS dl FROM dots GROUP BY vec_id),
+         |asg AS (SELECT n.vec_id, n.v, l.dl,
+         |               list_position(l.dl, list_min(l.dl)) - 1 AS bucket
+         |        FROM nrm n JOIN dlt l USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket,
+         |             COALESCE(list_position(dl,
+         |               list_min(list_filter(dl, x -> x <> list_min(dl)))) - 1, bucket) AS b2
+         |      FROM asg WHERE vec_id < 3),
+         |qp AS (SELECT qid, qv, unnest(list_value(bucket, b2)) AS bucket FROM q),
+         |scored AS (
+         |  SELECT qid, a.vec_id,
+         |         list_reduce(list_transform(range(1, 65), i -> qp.qv[i] * a.v[i]),
+         |                     (x, y) -> x + y) AS score
+         |  FROM qp JOIN asg a USING (bucket) WHERE a.vec_id != qid)
+         |SELECT qid, vec_id, score, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn
+         |      FROM scored) t
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    }) { (s, d) =>
       import graft.operators.IvfIndex
       val emb = table(s, d, "embeddings")
+      val fixDir = Q.fixture("q55-ivf")
+      graft.core.Storage.deleteRecursively(fixDir)
       // train on a deterministic 1/3 sample, 2 Lloyd iterations — the
       // index-build step, timed inside the query because the driver
       // contract is one self-contained DataFrame; a real pipeline trains
       // once and persists the centroid table (SURVEY.md §9.2). Quality is
       // pinned separately by IvfSpec (full train, recall floors).
-      val centroids = IvfIndex.train(emb.where(col("vec_id") % 3 === 0),
-          "vec_id", "embedding", k = 8, iters = 2)
-        .map(_.toSeq).toSeq
+      val trained = IvfIndex.train(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", k = 8, iters = 2)
+      locally {
+        import s.implicits._
+        trained.zipWithIndex.map { case (c, b) => (b, c.toSeq) }.toSeq
+          .toDF("bucket", "weights").coalesce(1)
+          .write.mode("overwrite").parquet(fixDir.resolve("centroids").toString)
+      }
+      // read BACK so both engines consume byte-identical weights
+      val centroids = s.read.parquet(fixDir.resolve("centroids").toString)
+        .orderBy(col("bucket")).collect().map(_.getSeq[Double](1)).toSeq
       IvfIndex.searchTopK(emb, emb.where(col("vec_id") < 3),
           "vec_id", "embedding", centroids, nprobe = 2, k = 5)
         .select(col("qid"), col("vec_id"), col("score"), col("rn"))
