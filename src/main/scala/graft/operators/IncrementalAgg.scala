@@ -196,6 +196,14 @@ object IncrementalAgg {
       base.changesBetween(fromTxn, toTxn, includeOld = true))
     val owned = precomputedDelta.isEmpty
     if (owned) delta.persist()
+    // small intermediates (group keys, per-group deltas, merged rows) are
+    // referenced several times inside the ONE commit write job — without a
+    // cache each reference re-runs its delta aggregation and view join
+    // (the q123 r13 regression: the dirty classification evaluated ~5×)
+    val cachedFrames = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+    def cached(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      df.persist(); cachedFrames += df; df
+    }
     try {
       viewDb.schema.valueNames.filter(_.startsWith("sum_")).map(_.stripPrefix("sum_"))
         .distinct.foreach(requireNoNullValues(delta, _))
@@ -212,9 +220,10 @@ object IncrementalAgg {
       if (!aligned) {
         // restricted ABSOLUTE recompute of every touched group — the
         // always-correct fallback (fresh view backfill, range gaps)
-        val touched = delta.select(col(groupCol)).where(col(groupCol).isNotNull)
-          .union(delta.select(oldG.as(groupCol)).where(oldG.isNotNull))
-          .distinct()
+        val touched = cached(
+          delta.select(col(groupCol)).where(col(groupCol).isNotNull)
+            .union(delta.select(oldG.as(groupCol)).where(oldG.isNotNull))
+            .distinct())
         val newAgg = base.asOf(toTxn)
           .join(broadcast(touched), Seq(groupCol), "left_semi")
           .groupBy(col(groupCol))
@@ -261,7 +270,7 @@ object IncrementalAgg {
         // anyway); a null pre-image cannot retire anything (min/max skip
         // nulls); a missing view row (defensive — cannot happen when
         // aligned) is dirty.
-        lazy val dirty = {
+        lazy val dirty = cached {
           val mmViewCols = viewDb.schema.valueNames
             .filter(n => n.startsWith("min_") || n.startsWith("max_"))
           val retractVals = delta.where(col("op").isin("U", "D") && oldG.isNotNull)
@@ -280,9 +289,9 @@ object IncrementalAgg {
         }
         // mergeable group-deltas: all touched groups when the view has no
         // min/max (sum/cnt retract exactly); clean groups only otherwise
-        val mergeable =
+        val mergeable = cached(
           if (!hasMinMax) perGroup
-          else perGroup.join(broadcast(dirty), Seq(groupCol), "left_anti")
+          else perGroup.join(broadcast(dirty), Seq(groupCol), "left_anti"))
         // the view streams through ONE semi-join against the (small,
         // broadcast) mergeable-group set — the view is never shuffled whole
         val current = viewDb.snapshot()
@@ -303,28 +312,40 @@ object IncrementalAgg {
               greatest(col(s"_cur_$n"), col(s"_mx_${n.drop(4)}")).cast(v.dataType).as(n)
           }
         }
-        val merged = mergeable.join(current, Seq(groupCol), "left")
-          .select(col(groupCol) +: mergedCols: _*)
+        val merged = cached(mergeable.join(current, Seq(groupCol), "left")
+          .select(col(groupCol) +: mergedCols: _*))
         if (!hasMinMax) {
           // a group whose count reaches zero has no aggregate — delete it
           txn.deleteRows(merged.where(col("cnt") === 0L).select(col(groupCol)))
           txn.addRows(merged.where(col("cnt") =!= 0L))
+        } else if (dirty.isEmpty) {
+          // no boundary retraction anywhere: every touched group merges —
+          // NO base read at all, and clean groups cannot empty (the probe
+          // is one tiny job on the already-cached classification, whose
+          // result the write job reuses)
+          txn.addRows(merged)
         } else {
           // dirty groups: restricted absolute recompute (min/max retraction
           // needs the group's surviving history; sums ride along for free).
-          // Clean merged groups are insert-only — their count cannot reach
-          // zero, so only dirty groups can empty.
+          // Clean merged groups are insert-only-or-interior — their count
+          // cannot reach zero, so only dirty groups can empty.
           val dirtyAgg = base.asOf(toTxn)
             .join(broadcast(dirty), Seq(groupCol), "left_semi")
             .groupBy(col(groupCol))
             .agg(aggs.head, aggs.tail: _*)
           val emptied = dirty.join(dirtyAgg.select(col(groupCol)), Seq(groupCol), "left_anti")
           txn.deleteRows(emptied)
-          txn.addRows(merged.unionByName(dirtyAgg))
+          // when EVERY touched group is dirty the merge leg is empty —
+          // drop it from the write plan (the common heavy-churn batch)
+          if (mergeable.isEmpty) txn.addRows(dirtyAgg)
+          else txn.addRows(merged.unionByName(dirtyAgg))
         }
       }
       txn.commit()
       txn.id.getOrElse(toTxn)
-    } finally { if (owned) { delta.unpersist(); () } }
+    } finally {
+      cachedFrames.foreach(_.unpersist())
+      if (owned) { delta.unpersist(); () }
+    }
   }
 }
