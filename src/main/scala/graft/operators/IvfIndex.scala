@@ -184,7 +184,7 @@ object IvfIndex {
     * Bootstraps an EMPTY layout: the first delta becomes the corpus. */
   private[operators] def upsertBucketLayout(
       spark: org.apache.spark.sql.SparkSession, layoutPath: String,
-      idCol: String, newRows: DataFrame, touched: DataFrame): Unit = {
+      idCol: String, newRowsIn: DataFrame, touchedIn: DataFrame): Unit = {
     val empty = {
       val p = java.nio.file.Paths.get(layoutPath)
       !java.nio.file.Files.isDirectory(p) || {
@@ -196,34 +196,41 @@ object IvfIndex {
       }
     }
     if (empty) {
-      newRows.write.mode("overwrite").partitionBy("bucket").parquet(layoutPath)
+      newRowsIn.write.mode("overwrite").partitionBy("bucket").parquet(layoutPath)
       return
     }
-    val corpus = spark.read.parquet(layoutPath)
-    val oldBuckets = corpus.select(col(idCol), col("bucket"))
-      .join(broadcast(touched), Seq(idCol), "left_semi")
-      .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
-    val newBuckets = newRows.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val rewrite = (oldBuckets ++ newBuckets).toSeq.sorted
-    if (rewrite.nonEmpty) {
-      val replacement = corpus.where(col("bucket").isin(rewrite: _*))
-        .join(broadcast(touched), Seq(idCol), "left_anti")
-        .unionByName(newRows)
-      val tmp = java.nio.file.Paths.get(s"$layoutPath.maintain.tmp")
-      graft.core.Storage.deleteRecursively(tmp)
-      replacement.write.partitionBy("bucket").parquet(tmp.toString)
-      rewrite.foreach { b =>
-        val live = java.nio.file.Paths.get(s"$layoutPath/bucket=$b")
-        val fresh = tmp.resolve(s"bucket=$b")
-        graft.core.Storage.deleteRecursively(live)
-        if (java.nio.file.Files.isDirectory(fresh)) {
-          java.nio.file.Files.move(fresh, live)
-          ()
+    // both inputs are referenced twice (the bucket-set collects AND the
+    // replacement write) — persist for the duration so the delta
+    // assignment / encode runs once, not per reference
+    val newRows = newRowsIn.persist()
+    val touched = touchedIn.persist()
+    try {
+      val corpus = spark.read.parquet(layoutPath)
+      val oldBuckets = corpus.select(col(idCol), col("bucket"))
+        .join(broadcast(touched), Seq(idCol), "left_semi")
+        .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
+      val newBuckets = newRows.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val rewrite = (oldBuckets ++ newBuckets).toSeq.sorted
+      if (rewrite.nonEmpty) {
+        val replacement = corpus.where(col("bucket").isin(rewrite: _*))
+          .join(broadcast(touched), Seq(idCol), "left_anti")
+          .unionByName(newRows)
+        val tmp = java.nio.file.Paths.get(s"$layoutPath.maintain.tmp")
+        graft.core.Storage.deleteRecursively(tmp)
+        replacement.write.partitionBy("bucket").parquet(tmp.toString)
+        rewrite.foreach { b =>
+          val live = java.nio.file.Paths.get(s"$layoutPath/bucket=$b")
+          val fresh = tmp.resolve(s"bucket=$b")
+          graft.core.Storage.deleteRecursively(live)
+          if (java.nio.file.Files.isDirectory(fresh)) {
+            java.nio.file.Files.move(fresh, live)
+            ()
+          }
         }
+        graft.core.Storage.deleteRecursively(tmp)
       }
-      graft.core.Storage.deleteRecursively(tmp)
-    }
+    } finally { newRows.unpersist(); touched.unpersist(); () }
   }
 
   /** Top-k cosine search against a [[writeIndex]] layout. The probed
