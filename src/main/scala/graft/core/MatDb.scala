@@ -167,7 +167,23 @@ final class MatDb private (
     * what lets partition pruning + parquet pushdown skip IO before dedup. */
   def snapshot(asOfTxn: Option[Long] = None,
       pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    Scan.resolve(spark, schema, segmentReadPaths(visibleAt(asOfTxn)), extra = Nil, pred)
+    val segs = visibleAt(asOfTxn)
+    val df = Scan.resolve(spark, schema, segmentReadPaths(segs), extra = Nil, pred)
+    // current, predicate-free snapshots of a table with declared
+    // materialized views register with the MV auto-rewrite rule: an
+    // Aggregate whose child canonicalizes equal to this plan may be
+    // answered from a maintained view ([[graft.plans.MvRewriteRule]]).
+    // asOf/pred snapshots never register — the rewrite's freshness check
+    // is pinned to the CURRENT state.
+    if (asOfTxn.isEmpty && pred.isEmpty) {
+      val mv = materializedViews
+      if (mv.nonEmpty)
+        graft.plans.MvRegistry.register(
+          df.queryExecution.analyzed.canonicalized,
+          graft.plans.MvRegistry.Entry(root.toAbsolutePath.toString,
+            segs.map(_.txnId).foldLeft(0L)(math.max), mv))
+    }
+    df
   }
 
   /** Segment set visible at `asOfTxn`. Time travel resolves through the
@@ -416,6 +432,48 @@ final class MatDb private (
   def registerView(name: String, asOfTxn: Option[Long] = None): Unit =
     snapshot(asOfTxn).createOrReplaceTempView(name)
 
+  // ---- materialized-view auto-rewrite declarations -----------------------
+  //
+  // `graft.mviews` (table property, tab-separated roots) lists tables that
+  // are incrementally-maintained aggregate views OF THIS TABLE
+  // ([[graft.operators.IncrementalAgg.maintainAbsoluteMulti]] — the pinned,
+  // stamped maintenance mode; `maintain` is unpinned and never qualifies).
+  // Declaring them lets [[graft.plans.MvRewriteRule]] answer matching
+  // GROUP BY queries from the view instead of the base — O(groups) read
+  // instead of O(base). The declaration alone changes nothing: the rule
+  // re-verifies per query that the view's maintenance stamp matches this
+  // table's snapshot txn exactly, so a stale/foreign declaration only
+  // costs the missed rewrite.
+
+  private val MviewsProp = "graft.mviews"
+
+  /** Declare `viewPath` (a table maintained by `maintainAbsoluteMulti` /
+    * `viewMaintSink`) as a materialized view of this table. Idempotent. */
+  def registerMaterializedView(viewPath: String): Unit = {
+    val p = Storage.rootPath(viewPath).toAbsolutePath.toString
+    val cur = materializedViews
+    if (!cur.contains(p))
+      Storage.writeProps(root,
+        Storage.readProps(root) + (MviewsProp -> (cur :+ p).mkString("\t")))
+  }
+
+  /** Remove a materialized-view declaration (and its cached rewrite
+    * registrations). */
+  def unregisterMaterializedView(viewPath: String): Unit = {
+    val p = Storage.rootPath(viewPath).toAbsolutePath.toString
+    val rest = materializedViews.filterNot(_ == p)
+    val props = Storage.readProps(root)
+    Storage.writeProps(root,
+      if (rest.isEmpty) props - MviewsProp
+      else props + (MviewsProp -> rest.mkString("\t")))
+    graft.plans.MvRegistry.dropRoot(root.toAbsolutePath.toString)
+  }
+
+  /** Declared materialized-view roots (absolute paths). */
+  def materializedViews: Seq[String] =
+    Storage.readProps(root).get(MviewsProp).toSeq
+      .flatMap(_.split('\t')).filter(_.nonEmpty)
+
   /** Replace the table's contents with `df` in one transaction — the
     * SaveMode.Overwrite semantics: keys absent from `df` are GONE afterward
     * (not upserted around). An empty `df` still commits (truncating the
@@ -467,8 +525,14 @@ final class MatDb private (
     *
     * Atomicity: the same replace publish as [[compact]] —
     * `visibleAfter = baseline ++ retained`, conflict-checked against the
-    * snapshot, `ConcurrentModificationException` if any commit lands
-    * concurrently. Returns the baseline's txn id, or -1 if nothing is old
+    * snapshot. Concurrency: a checkpoint NEVER conflicts with concurrent
+    * APPENDS — their txn ids are above the horizon, so they land in the
+    * retained class the fold never read, and the publish simply REBASES
+    * onto them (re-list, verify the folded prefix intact, retry the O(1)
+    * CAS — the fold's write is never redone). Only a concurrent REPLACE
+    * (overwrite/truncate/another fold) aborts with
+    * `ConcurrentModificationException` — its output superseded the
+    * baseline. Returns the baseline's txn id, or -1 if nothing is old
     * enough to fold. Scale shape: one resolve (the flagship aggregate)
     * over the folded prefix + one chunk-partitioned write; retained
     * segments are not read at all. */
@@ -547,16 +611,45 @@ final class MatDb private (
             protocol.writePath(root, bid).resolve(Storage.CommitTsFile),
             String.valueOf(ts).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
-      synchronized {
-        if (committed != base) {
+      // REBASE loop: a checkpoint is pure maintenance — its baseline folds
+      // exactly the segments <= horizon, and any CONCURRENT APPEND commits
+      // txn ids above the watermark (hence above the horizon), landing in
+      // the retained class the fold never read. So an append racing the
+      // publish must not abort the (expensive, already-written) fold: re-list
+      // the committed set, verify the FOLDED PREFIX is byte-identical, and
+      // re-publish with the newcomer retained — only the O(1) CAS retries,
+      // never the write. A concurrent REPLACE (overwrite/truncate/another
+      // fold) changes the prefix and still aborts: its output superseded
+      // ours. This is the Delta/Iceberg "compaction does not conflict with
+      // appends" rule; OVERWRITE keeps strict abort semantics because its
+      // output semantically replaces the concurrent append too — rebasing
+      // there would silently drop committed rows.
+      var tries = 0
+      var published = false
+      while (!published) {
+        // rebase view: whatever is committed on disk NOW (in-memory state
+        // may be stale vs another handle/process — the publish CAS is the
+        // authority either way)
+        val cur = protocol.listCommitted(root).toVector.sorted
+        if (cur.filter(_.txnId <= horizon) != replaced) {
           protocol.discardInFlight(root, bid)
           throw new java.util.ConcurrentModificationException(
-            "table changed since the checkpoint's snapshot; retry")
+            "folded prefix changed under the checkpoint (concurrent " +
+              "overwrite/truncate/fold); the baseline is stale — retry from scratch")
         }
-        committed = protocol
-          .replace(root, Seq(bid), (Seq(bid) ++ retained).sorted, base,
-            prodTxn = (Seq(bid) ++ retained).map(_.txnId).max)
-          .toVector.sorted
+        val newRetained = cur.filterNot(_.txnId <= horizon)
+        try {
+          synchronized {
+            committed = protocol
+              .replace(root, Seq(bid), (Seq(bid) ++ newRetained).sorted, cur,
+                prodTxn = (Seq(bid) ++ newRetained).map(_.txnId).max)
+              .toVector.sorted
+          }
+          published = true
+        } catch {
+          case _: java.util.ConcurrentModificationException if tries < 16 =>
+            tries += 1 // an append landed between list and publish: rebase
+        }
       }
     } finally resolveInFlight(Seq(bid))
     // manifest protocol (required at entry): superseded dirs are already

@@ -342,6 +342,16 @@ object IncrementalAgg {
         }
       }
       txn.commit()
+      // maintenance stamp — the soundness token the MV auto-rewrite
+      // verifies ([[graft.plans.MvRewriteRule]]): "this table is a
+      // maintained view of <base>, exactly through <toTxn>". Written AFTER
+      // the commit; a crash in between only delays the stamp (and thus the
+      // rewrite) until the next batch — never unsound, since the rule
+      // requires exact txn equality.
+      graft.core.Storage.writeProps(viewDb.root,
+        graft.core.Storage.readProps(viewDb.root) ++ Map(
+          "graft.mview.base" -> base.root.toAbsolutePath.toString,
+          "graft.mview.txn" -> toTxn.toString))
       txn.id.getOrElse(toTxn)
     } finally {
       cachedFrames.foreach(_.unpersist())

@@ -123,5 +123,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ChunkPruneRule)
     ext.injectResolutionRule(session => graft.sources.GraftCatalogDedupRule(session))
+    // materialized-view auto-rewrite: GROUP BY over a registered snapshot
+    // answered from its maintained view (see MvRewrite.scala)
+    ext.injectResolutionRule(session => MvRewriteRule(session))
   }
 }

@@ -1,0 +1,183 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Materialized-view AUTO-REWRITE: answer a base-table GROUP BY from its
+  * incrementally-maintained aggregate view ([[graft.operators.IncrementalAgg]])
+  * instead of scanning the base.
+  *
+  * The 100 TB story: a maintained view holds one row per group — answering
+  * `SELECT g, sum(v), count(*) FROM base GROUP BY g` from it reads O(groups)
+  * bytes instead of O(base). The maintenance side already made each delta
+  * O(batch); this closes the READ side, so the common dashboard aggregate
+  * never touches the fact table at all (the classic lakehouse MV-rewrite,
+  * à la Calcite/Databricks, scoped to the aggregate shapes graft views
+  * maintain: single group column; SUM / MIN / MAX / COUNT(*)).
+  *
+  * == How a query is recognized ==
+  * [[graft.core.MatDb.snapshot]] REGISTERS its analyzed plan's canonicalized
+  * form here whenever the table has materialized views declared
+  * (`MatDb.registerMaterializedView` → `graft.mviews` table property). The
+  * analyzer rule then matches `Aggregate(g, aggs, child)` — optionally with
+  * a group-column-only Filter between — whose `child` canonicalizes equal to
+  * a registered snapshot. Canonical-plan equality (Spark's own `sameResult`
+  * test) is exact: ANY other shape (extra projections, joins, non-group
+  * filters) simply fails the lookup and the query runs against the base.
+  *
+  * == When it is SOUND ==
+  * Three checks, all required, evaluated at rewrite time:
+  *   1. the view's props carry the maintenance stamp (`graft.mview.base`,
+  *      `graft.mview.txn`) written by `IncrementalAgg.maintainAbsoluteMulti`
+  *      after each maintenance commit — proof the table at `viewRoot` really
+  *      is a maintained view OF THIS BASE and how far it has been maintained;
+  *   2. the stamp's txn equals the registered snapshot's txn — the view is
+  *      maintained EXACTLY to the state the query's snapshot reads (ahead is
+  *      as wrong as behind: the snapshot pinned an older segment set);
+  *   3. every aggregate in the query maps onto a view column — `sum(c)` →
+  *      `sum_c`, `min(c)` → `min_c`, `max(c)` → `max_c`, `count(*)`/
+  *      `count(1)` → `cnt` — with no DISTINCT and no FILTER clause, and the
+  *      single grouping expression is the view's dimension column.
+  * Time-travel snapshots (`asOf`) and predicate-pushed snapshots never
+  * register, so they never rewrite. A stale or foreign view fails check 1/2
+  * and the query silently runs against the base — the rewrite can change
+  * PLANS, never results (MvRewriteSpec pins both directions; the q141 gate
+  * pins result-equality against the DuckDB oracle and asserts the rewritten
+  * plan reads only view files).
+  *
+  * Kill switch: `spark.graft.mv.rewrite.enabled = false` (default on).
+  */
+object MvRegistry {
+  final case class Entry(baseRoot: String, snapTxn: Long, viewRoots: Seq[String])
+
+  // canonicalized snapshot plan -> entry; snapshots of successive table
+  // states register distinct keys, so cap-and-clear keeps the map bounded
+  // (a cleared entry only costs a missed rewrite until the next snapshot)
+  private val entries = new ConcurrentHashMap[LogicalPlan, Entry]()
+  // view handles are opened once per JVM and refreshed per use (O(1)
+  // manifest-pointer read) — the rule must stay metadata-cheap
+  private val handles = new ConcurrentHashMap[String, graft.core.MatDb]()
+
+  def register(key: LogicalPlan, e: Entry): Unit = {
+    if (entries.size > 256) entries.clear()
+    entries.put(key, e)
+    ()
+  }
+
+  def lookup(key: LogicalPlan): Option[Entry] = Option(entries.get(key))
+
+  def isEmpty: Boolean = entries.isEmpty
+
+  /** Drop every registration of `baseRoot` (unregister / tests). */
+  def dropRoot(baseRoot: String): Unit = {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue.baseRoot == baseRoot) it.remove()
+  }
+
+  private[plans] def viewHandle(spark: SparkSession, root: String): graft.core.MatDb = {
+    val h = handles.computeIfAbsent(root, r => graft.core.MatDb.open(spark, r))
+    h.refresh()
+    h
+  }
+}
+
+case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    spark.conf.get("spark.graft.mv.rewrite.enabled", "true") == "true"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvRegistry.isEmpty || !enabled) plan
+    else plan.resolveOperatorsUp {
+      case agg @ Aggregate(Seq(g: Attribute), aggExprs, child, _) if agg.resolved =>
+        rewrite(g, aggExprs, child).getOrElse(agg)
+    }
+
+  /** The registered-snapshot pre-filter: graft snapshot outputs carry the
+    * chunk-size metadata on their dimension attributes — anything without
+    * it cannot be a registered plan, so skip the canonicalization. */
+  private def looksLikeSnapshot(p: LogicalPlan): Boolean =
+    p.output.exists(_.metadata.contains(graft.core.MatSchema.ChunkKey))
+
+  private def rewrite(g: Attribute, aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val (core, cond) = child match {
+      case Filter(c, inner) => (inner, Some(c))
+      case other            => (other, None)
+    }
+    if (!looksLikeSnapshot(core)) return None
+    // a Filter between may only reference the group column — any value
+    // predicate must see base rows, not the aggregate
+    if (cond.exists(c => !c.references.subsetOf(AttributeSet(g)) || !c.deterministic))
+      return None
+    val entry = MvRegistry.lookup(core.canonicalized).getOrElse(return None)
+    entry.viewRoots.iterator
+      .flatMap(r => tryView(r, entry, g, aggExprs, cond))
+      .nextOption()
+  }
+
+  private def tryView(viewRoot: String, entry: MvRegistry.Entry, g: Attribute,
+      aggExprs: Seq[NamedExpression], cond: Option[Expression]): Option[LogicalPlan] = {
+    val view =
+      try MvRegistry.viewHandle(spark, viewRoot)
+      catch { case _: Exception => return None } // dropped view: never block the query
+    if (view.schema.dimNames != Seq(g.name)) return None
+    // soundness stamp: written by maintainAbsoluteMulti AFTER each
+    // maintenance commit — proves "maintained view of THIS base, through
+    // THIS txn". Exact equality with the snapshot's txn, both directions.
+    val props = graft.core.Storage.readProps(view.root)
+    if (!props.get("graft.mview.base").contains(entry.baseRoot)) return None
+    if (!props.get("graft.mview.txn").map(_.toLong).contains(entry.snapTxn)) return None
+
+    // fresh plan per rewrite (fresh attribute ids — two rewrites in one
+    // query tree must not collide)
+    val vPlan = view.snapshot().queryExecution.analyzed
+    def vAttr(name: String): Option[Attribute] = vPlan.output.find(_.name == name)
+    val gV = vAttr(g.name).getOrElse(return None)
+
+    def mapAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      def col(prefix: String, c: Expression): Option[Expression] = c match {
+        case a: Attribute =>
+          vAttr(prefix + a.name).map(v =>
+            if (v.dataType == ae.dataType) v else Cast(v, ae.dataType))
+        case _ => None // sum(expr) has no maintained column
+      }
+      ae.aggregateFunction match {
+        case s: Sum   => col("sum_", s.child)
+        case m: Min   => col("min_", m.child)
+        case m: Max   => col("max_", m.child)
+        case c: Count => c.children match {
+          case Seq(l: Literal) if l.value != null => vAttr("cnt")
+          case _                                  => None
+        }
+        case _ => None
+      }
+    }
+
+    var ok = true
+    val mapped = aggExprs.map { ne =>
+      val e2 = ne.transformUp {
+        case ae: AggregateExpression => mapAgg(ae).getOrElse { ok = false; ae }
+        case a: Attribute if a.exprId == g.exprId => gV
+      }
+      e2 match {
+        case al: Alias => al // withNewChildren keeps the original exprId
+        case other     => Alias(other, ne.name)(exprId = ne.exprId)
+      }
+    }
+    if (!ok) return None
+    val filtered = cond match {
+      case Some(c) =>
+        Filter(c.transformUp { case a: Attribute if a.exprId == g.exprId => gV }, vPlan)
+      case None => vPlan
+    }
+    logInfo(s"graft mv-rewrite: answering aggregate over ${entry.baseRoot} " +
+      s"from materialized view $viewRoot (txn ${entry.snapTxn})")
+    Some(Project(mapped, filtered))
+  }
+}

@@ -1555,6 +1555,80 @@ object CoreOps {
           "vec_id", "embedding", nprobe = 2, k = 5, shortlist = 10)
         .select(col("qid"), col("vec_id"), col("dist"), col("rn"))
         .orderBy(col("qid"), col("rn"))
+    },
+
+    // ---- materialized-view AUTO-REWRITE (plans.MvRewriteRule, round 13) --
+    // The read-side closure of incremental view maintenance: q117/q118/q123
+    // made each maintenance step O(delta); this gate makes the QUERY side
+    // O(groups) — a GROUP BY over base.snapshot() is answered from the
+    // maintained view without touching the base (the lakehouse MV-rewrite,
+    // scoped to the aggregate shapes graft views maintain). Scenario:
+    // 3 base txns (insert / value-update + group-moving update / delete),
+    // each folded by maintainAbsoluteMulti (which stamps the view with its
+    // base + maintained txn); the query then filters on the group column,
+    // groups, and SUMs — and the entry REQUIRES the optimized plan to scan
+    // only view files, so a silently-broken rewrite turns this row red
+    // rather than passing through the base. The oracle replays the DML
+    // relationally: rewritten-read == full recompute, hash-exact (DECIMAL
+    // sums are order-free).
+    Entry("q141_mv_rewrite", Some(
+      """WITH b AS (SELECT event_id, user_id, value FROM events WHERE event_id < 700),
+        |fin AS (SELECT CASE WHEN event_id >= 500 AND event_id < 600
+        |                    THEN user_id + 50000 ELSE user_id END AS grp,
+        |               CASE WHEN event_id < 100
+        |                    THEN CAST(value + 2.5 AS DECIMAL(18,4))
+        |                    ELSE CAST(value AS DECIMAL(18,4)) END AS v
+        |        FROM b WHERE NOT (event_id >= 200 AND event_id < 260))
+        |SELECT grp, CAST(sum_v AS DOUBLE) AS sum_v, cnt
+        |FROM (SELECT grp, sum(v) AS sum_v, count(*) AS cnt FROM fin GROUP BY grp)
+        |WHERE grp % 3 = 0 ORDER BY grp""".stripMargin)) { (s, d) =>
+      import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      val root = Q.fixture("q141-mvrw")
+      graft.core.Storage.deleteRecursively(root)
+      val dec = DecimalType(18, 4)
+      val base = MatDb.create(s, MatSchema(Seq(Dimension("event_id", 100)),
+        Seq(ValueCol("grp", LongType), ValueCol("v", dec))),
+        root.resolve("base").toString, "manifest")
+      val view = MatDb.create(s, MatSchema(Seq(Dimension("grp", 1000)),
+        Seq(ValueCol("sum_v", dec), ValueCol("cnt", LongType))),
+        root.resolve("view").toString, "manifest")
+      val e = table(s, d, "events")
+      val t1 = base.newTransaction()
+      t1.addRows(e.where(col("event_id") < 700).select(col("event_id"),
+        col("user_id").as("grp"), Q.dec4(col("value")).as("v")))
+      t1.commit()
+      graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, view, 0L, 1L, "grp")
+      val t2 = base.newTransaction()
+      t2.addRows(e.where(col("event_id") < 100).select(col("event_id"),
+        col("user_id").as("grp"), Q.dec4(col("value") + lit(2.5)).as("v")))
+      t2.addRows(e.where(col("event_id").between(500, 599)).select(col("event_id"),
+        (col("user_id") + lit(50000L)).as("grp"), Q.dec4(col("value")).as("v")))
+      t2.commit()
+      graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, view, 1L, 2L, "grp")
+      val t3 = base.newTransaction()
+      t3.deleteRows(e.where(col("event_id").between(200, 259)).select(col("event_id")))
+      t3.commit()
+      graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, view, 2L, 3L, "grp")
+      base.registerMaterializedView(root.resolve("view").toString)
+      // the user-facing query: base snapshot, group-column filter, GROUP BY
+      val agg = base.snapshot().where(col("grp") % 3 === 0).groupBy("grp")
+        .agg(sum("v").as("sum_v_dec"), count(lit(1)).as("cnt"))
+      // the gate's teeth: the rewritten plan must read ONLY view files —
+      // if the rewrite silently stops firing, this row goes red
+      val scanned = agg.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(scanned.nonEmpty && scanned.forall(_.contains("/view/")),
+        s"mv-rewrite did not fire: scans $scanned")
+      graft.plans.MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+      agg.select(col("grp"), col("sum_v_dec").cast("double").as("sum_v"), col("cnt"))
+        .orderBy(col("grp"))
     }
   )
 }

@@ -115,6 +115,42 @@ class CheckpointSpec extends AnyFunSuite {
     assert(state(db.snapshot())(50L) === 50L)
   }
 
+  test("a concurrent APPEND rebases the checkpoint's publish instead of aborting it") {
+    import spark.implicits._
+    val db = freshDb(); build(db)
+    // a second handle (cross-process stand-in) appends; db's in-memory
+    // committed set is now STALE — exactly what checkpoint() sees when an
+    // append lands between its snapshot and its publish. The append's txn
+    // is above the horizon (ids only move up), so the fold never read it:
+    // the publish must rebase onto it, not abort the finished write.
+    val other = MatDb.open(spark, db.root.toString)
+    val t = other.newTransaction()
+    t.addRows(Seq((60L, 60L)).toDF("k", "v")); t.commit()
+    val tid = db.checkpoint(2L)
+    assert(tid === 2L)
+    val s = state(db.snapshot())
+    assert(s(60L) === 60L, "the concurrent append's rows survive the fold")
+    assert(s(3L) === 999L && !s.contains(7L),
+      "retained upserts/tombstones still mean what they meant")
+    assert(db.committedSegments.count(_.txnId <= 2L) === 1,
+      "the fold itself still happened")
+  }
+
+  test("a concurrent REPLACE aborts the checkpoint — the baseline is stale") {
+    import spark.implicits._
+    val db = freshDb(); build(db)
+    val other = MatDb.open(spark, db.root.toString)
+    other.overwrite(Seq((1L, 1L)).toDF("k", "v"))
+    // the folded prefix (txns <= 2) is GONE from the visible set — a
+    // rebase would resurrect overwritten rows; this must abort
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      db.checkpoint(2L)
+    }
+    assert(ex.getMessage.contains("folded prefix"))
+    assert(state(other.snapshot()) === Map(1L -> 1L),
+      "the overwrite's result is untouched")
+  }
+
   test("checkpointIfNeeded folds only past the threshold, keeping retainTxns travelable") {
     val db = freshDb(); build(db) // 4 txns, 4 segment sets
     assert(db.checkpointIfNeeded(maxSegments = 4, retainTxns = 2) === None)

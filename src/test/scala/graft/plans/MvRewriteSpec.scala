@@ -1,0 +1,185 @@
+package graft.plans
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.operators.IncrementalAgg
+
+/** Materialized-view auto-rewrite (MvRewriteRule): a GROUP BY over a
+  * registered base snapshot is answered from the maintained view — and ONLY
+  * when every soundness check holds. Results must be identical either way;
+  * the rewrite may change plans, never answers. */
+class MvRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val baseSchema = MatSchema(
+    Seq(Dimension("event_id", 100)),
+    Seq(ValueCol("grp"), ValueCol("v")))
+
+  /** Root paths of every parquet relation the (logical) plan scans. */
+  private def scanRoots(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  private def fixture(tag: String): (MatDb, MatDb, String, String) = {
+    val root = Files.createTempDirectory(s"graft-mv-$tag")
+    val basePath = root.resolve("base").toString
+    val viewPath = root.resolve("view").toString
+    val base = MatDb.create(spark, baseSchema, basePath, "manifest")
+    val view = MatDb.create(spark, MatSchema(Seq(Dimension("grp", 1000)),
+      Seq(ValueCol("sum_v"), ValueCol("cnt"))), viewPath, "manifest")
+    (base, view, basePath, viewPath)
+  }
+
+  private def seedAndMaintain(base: MatDb, view: MatDb, groupCol: String = "grp"): Unit = {
+    // txn 1: 60 rows in 6 groups; txn 2: updates for half; txn 3: deletes
+    val t1 = base.newTransaction()
+    t1.addRowsSeq(for (i <- 0L until 60L) yield Seq[Any](i, i % 6, i * 10L))
+    t1.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 0L, 1L, groupCol)
+    val t2 = base.newTransaction()
+    t2.addRowsSeq(for (i <- 0L until 30L) yield Seq[Any](i, i % 6, i * 10L + 1L))
+    t2.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 1L, 2L, groupCol)
+    val t3 = base.newTransaction()
+    t3.deleteRows(spark.createDataFrame(
+      spark.sparkContext.parallelize((40L until 50L).map(i => org.apache.spark.sql.Row(i))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType)))))
+    t3.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 2L, 3L, groupCol)
+  }
+
+  test("sum/count GROUP BY over a registered snapshot reads ONLY the view") {
+    val (base, view, basePath, viewPath) = fixture("basic")
+    seedAndMaintain(base, view)
+    base.registerMaterializedView(viewPath)
+
+    def q = base.snapshot().groupBy("grp")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("cnt"))
+
+    val rewritten = q
+    val roots = scanRoots(rewritten)
+    assert(roots.nonEmpty && roots.forall(_.contains("/view/")),
+      s"expected only view scans, got $roots")
+
+    // ground truth: same query with the rewrite disabled
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val plain =
+      try q
+      finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    assert(scanRoots(plain).exists(_.contains("/base/")), "kill switch ignored")
+    assert(rewritten.orderBy("grp").collect().toSeq ===
+      plain.orderBy("grp").collect().toSeq)
+    assert(rewritten.count() === 6)
+    MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+  }
+
+  test("group-column filter rides the rewrite; value filters do not") {
+    val (base, view, _, viewPath) = fixture("filter")
+    seedAndMaintain(base, view)
+    base.registerMaterializedView(viewPath)
+
+    val filtered = base.snapshot().where(col("grp") < 3)
+      .groupBy("grp").agg(sum("v").as("sum_v"))
+    assert(scanRoots(filtered).forall(_.contains("/view/")))
+    assert(filtered.count() === 3)
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val expected =
+      try filtered.orderBy("grp").collect().toSeq
+      finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    assert(filtered.orderBy("grp").collect().toSeq === expected)
+
+    // a predicate on a VALUE column must see base rows — no rewrite
+    val valueFiltered = base.snapshot().where(col("v") > 100L)
+      .groupBy("grp").agg(sum("v").as("sum_v"))
+    assert(scanRoots(valueFiltered).exists(_.contains("/base/")))
+    MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+  }
+
+  test("staleness, distinct aggregates, asOf, and foreign views never rewrite") {
+    val (base, view, _, viewPath) = fixture("guards")
+    seedAndMaintain(base, view)
+    base.registerMaterializedView(viewPath)
+
+    // distinct aggregate: no maintained column can answer it
+    val d = base.snapshot().groupBy("grp").agg(countDistinct("v").as("dv"))
+    assert(scanRoots(d).exists(_.contains("/base/")))
+
+    // sum over an expression: not maintained
+    val e = base.snapshot().groupBy("grp").agg(sum(col("v") + 1L).as("s"))
+    assert(scanRoots(e).exists(_.contains("/base/")))
+
+    // time travel below the watermark reads a DIFFERENT segment set, so
+    // its plan can never canonicalize equal to a registered snapshot
+    // (asOf at exactly the watermark is the same plan as the current
+    // snapshot and may legitimately rewrite — same plan, same result)
+    val t = base.asOf(2L).groupBy("grp").agg(sum("v").as("sum_v"))
+    assert(scanRoots(t).exists(_.contains("/base/")))
+
+    // stale: one more base commit, view not maintained -> fresh snapshot
+    // reads the base (and returns the NEW rows the view lacks)
+    val t4 = base.newTransaction()
+    t4.addRowsSeq(Seq(Seq[Any](1000L, 99L, 5L)))
+    t4.commit()
+    val stale = base.snapshot().groupBy("grp").agg(count(lit(1)).as("cnt"))
+    assert(scanRoots(stale).exists(_.contains("/base/")))
+    assert(stale.where(col("grp") === 99L).count() === 1)
+    // catch the view back up -> rewrite resumes
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 3L, 4L, "grp")
+    val fresh = base.snapshot().groupBy("grp").agg(count(lit(1)).as("cnt"))
+    assert(scanRoots(fresh).forall(_.contains("/view/")))
+    assert(fresh.where(col("grp") === 99L).count() === 1)
+    MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+  }
+
+  test("min/max views rewrite; a view of another table never hijacks") {
+    val root = Files.createTempDirectory("graft-mv-minmax")
+    val base = MatDb.create(spark, baseSchema, root.resolve("base").toString, "manifest")
+    val view = MatDb.create(spark, MatSchema(Seq(Dimension("grp", 1000)),
+      Seq(ValueCol("min_v"), ValueCol("max_v"), ValueCol("cnt"))),
+      root.resolve("view").toString, "manifest")
+    seedAndMaintain(base, view)
+    base.registerMaterializedView(root.resolve("view").toString)
+
+    val q = base.snapshot().groupBy("grp")
+      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("cnt"))
+    assert(scanRoots(q).forall(_.contains("/view/")))
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val expected =
+      try q.orderBy("grp").collect().toSeq
+      finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    assert(q.orderBy("grp").collect().toSeq === expected)
+
+    // sum is NOT maintained by this view -> no rewrite
+    val s = base.snapshot().groupBy("grp").agg(sum("v").as("s"))
+    assert(scanRoots(s).exists(_.contains("/base/")))
+
+    // a second base declaring the SAME view path: stamp names the first
+    // base, so the foreign declaration never fires
+    val other = MatDb.create(spark, baseSchema, root.resolve("other").toString, "manifest")
+    val to = other.newTransaction()
+    to.addRowsSeq(for (i <- 0L until 6L) yield Seq[Any](i, i % 6, i))
+    to.commit()
+    // put other's watermark at the view's stamped txn to tempt the matcher
+    val t2 = other.newTransaction()
+    t2.addRowsSeq(Seq(Seq[Any](100L, 0L, 0L))); t2.commit()
+    val t3 = other.newTransaction()
+    t3.addRowsSeq(Seq(Seq[Any](101L, 0L, 0L))); t3.commit()
+    other.registerMaterializedView(root.resolve("view").toString)
+    val oq = other.snapshot().groupBy("grp").agg(count(lit(1)).as("cnt"))
+    assert(scanRoots(oq).exists(_.contains("/other/")))
+    assert(oq.count() === 6)
+    MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+    MvRegistry.dropRoot(other.root.toAbsolutePath.toString)
+  }
+}
