@@ -150,9 +150,25 @@ object IncrementalAgg {
   def maintainAbsoluteMulti(base: MatDb, viewDb: MatDb, fromTxn: Long, toTxn: Long,
       groupCol: String,
       precomputedDelta: Option[org.apache.spark.sql.DataFrame] = None,
+      forceAbsolute: Boolean = false): Long =
+    maintainAbsoluteMultiKeys(base, viewDb, fromTxn, toTxn, Seq(groupCol),
+      precomputedDelta, forceAbsolute)
+
+  /** [[maintainAbsoluteMulti]] with a COMPOSITE group key: the view's
+    * dimensions are several base columns (`GROUP BY src, day` → view dims
+    * (src, day)), each a base dimension or LONG value column. Same
+    * maintenance algebra, same self-maintenance/absolute split, same
+    * replay safety — the group identity is just a tuple now. Rows with a
+    * NULL in any group column are excluded from the view on both legs
+    * (document them out or coalesce upstream), matching the single-key
+    * contract. */
+  def maintainAbsoluteMultiKeys(base: MatDb, viewDb: MatDb, fromTxn: Long, toTxn: Long,
+      groupCols: Seq[String],
+      precomputedDelta: Option[org.apache.spark.sql.DataFrame] = None,
       forceAbsolute: Boolean = false): Long = {
-    require(viewDb.schema.dimNames == Seq(groupCol),
-      s"view must be keyed by ($groupCol); got dims=${viewDb.schema.dimNames}")
+    require(groupCols.nonEmpty && viewDb.schema.dimNames == groupCols,
+      s"view must be keyed by (${groupCols.mkString(", ")}); " +
+        s"got dims=${viewDb.schema.dimNames}")
     def srcOf(name: String, prefix: String): String = {
       val c = name.stripPrefix(prefix)
       require(base.schema.columnNames.contains(c),
@@ -207,8 +223,13 @@ object IncrementalAgg {
     try {
       viewDb.schema.valueNames.filter(_.startsWith("sum_")).map(_.stripPrefix("sum_"))
         .distinct.foreach(requireNoNullValues(delta, _))
-      val isDim = base.schema.dimNames.contains(groupCol)
-      val oldG = if (isDim) col(groupCol) else col(s"_old_$groupCol")
+      // per group column: dimensions are version-invariant (old == new);
+      // value columns read their pre-image from the delta's _old_ side
+      def oldGOf(g: String): org.apache.spark.sql.Column =
+        if (base.schema.dimNames.contains(g)) col(g) else col(s"_old_$g")
+      val gCols = groupCols.map(col)
+      val oldNotNull = groupCols.map(oldGOf(_).isNotNull).reduce(_ && _)
+      val newNotNull = groupCols.map(col(_).isNotNull).reduce(_ && _)
       val hasMinMax = viewDb.schema.valueNames
         .exists(n => n.startsWith("min_") || n.startsWith("max_"))
       // self-maintenance needs `cnt` to detect emptied groups when there is
@@ -221,14 +242,15 @@ object IncrementalAgg {
         // restricted ABSOLUTE recompute of every touched group — the
         // always-correct fallback (fresh view backfill, range gaps)
         val touched = cached(
-          delta.select(col(groupCol)).where(col(groupCol).isNotNull)
-            .union(delta.select(oldG.as(groupCol)).where(oldG.isNotNull))
+          delta.select(gCols: _*).where(newNotNull)
+            .union(delta.select(groupCols.map(g => oldGOf(g).as(g)): _*)
+              .where(oldNotNull))
             .distinct())
         val newAgg = base.asOf(toTxn)
-          .join(broadcast(touched), Seq(groupCol), "left_semi")
-          .groupBy(col(groupCol))
+          .join(broadcast(touched), groupCols, "left_semi")
+          .groupBy(gCols: _*)
           .agg(aggs.head, aggs.tail: _*)
-        val emptied = touched.join(newAgg.select(col(groupCol)), Seq(groupCol), "left_anti")
+        val emptied = touched.join(newAgg.select(gCols: _*), groupCols, "left_anti")
         txn.deleteRows(emptied)
         txn.addRows(newAgg)
       } else {
@@ -243,13 +265,13 @@ object IncrementalAgg {
         // retracts from its old group here and applies to the new one
         // below); min/max sources contribute nothing to a retract — dirty
         // groups recompute them from base
-        val retractLeg = delta.where(col("op").isin("U", "D") && oldG.isNotNull)
-          .select(oldG.as(groupCol) +:
+        val retractLeg = delta.where(col("op").isin("U", "D") && oldNotNull)
+          .select(groupCols.map(g => oldGOf(g).as(g)) ++
             (sumSrcs.map(c => (-col(s"_old_$c")).as(s"_d_$c")) ++
               mmSrcs.map(c => lit(null).cast(baseType(c)).as(s"_m_$c")) :+
               lit(-1L).as("_dc")): _*)
-        val applyLeg = delta.where(col("op").isin("I", "U") && col(groupCol).isNotNull)
-          .select(col(groupCol) +:
+        val applyLeg = delta.where(col("op").isin("I", "U") && newNotNull)
+          .select(gCols ++
             (sumSrcs.map(c => col(c).as(s"_d_$c")) ++
               mmSrcs.map(c => col(c).as(s"_m_$c")) :+
               lit(1L).as("_dc")): _*)
@@ -258,7 +280,7 @@ object IncrementalAgg {
             max(col(s"_m_$c")).as(s"_mx_$c"))) :+
           sum(col("_dc")).as("_dc")
         val perGroup = retractLeg.unionByName(applyLeg)
-          .groupBy(col(groupCol))
+          .groupBy(gCols: _*)
           .agg(groupAggs.head, groupAggs.tail: _*)
         // DIRTY groups: a retraction (pre-image side of U/D) can retire an
         // extremum ONLY if the retracted value sits AT a current extreme —
@@ -273,30 +295,30 @@ object IncrementalAgg {
         lazy val dirty = cached {
           val mmViewCols = viewDb.schema.valueNames
             .filter(n => n.startsWith("min_") || n.startsWith("max_"))
-          val retractVals = delta.where(col("op").isin("U", "D") && oldG.isNotNull)
-            .select(oldG.as(groupCol) +:
+          val retractVals = delta.where(col("op").isin("U", "D") && oldNotNull)
+            .select(groupCols.map(g => oldGOf(g).as(g)) ++
               mmSrcs.map(c => col(s"_old_$c").as(s"_o_$c")): _*)
           val mmView = viewDb.snapshot()
-            .select(col(groupCol) +: (mmViewCols.map(col) :+ lit(true).as("_present")): _*)
+            .select(gCols ++ (mmViewCols.map(col) :+ lit(true).as("_present")): _*)
           val boundary = mmViewCols.map { n =>
             val c = n.drop(4)
             if (n.startsWith("min_")) col(s"_o_$c") <= col(n)
             else col(s"_o_$c") >= col(n)
           }.reduce(_ || _)
-          retractVals.join(mmView, Seq(groupCol), "left")
+          retractVals.join(mmView, groupCols, "left")
             .where(col("_present").isNull || boundary)
-            .select(col(groupCol)).distinct()
+            .select(gCols: _*).distinct()
         }
         // mergeable group-deltas: all touched groups when the view has no
         // min/max (sum/cnt retract exactly); clean groups only otherwise
         val mergeable = cached(
           if (!hasMinMax) perGroup
-          else perGroup.join(broadcast(dirty), Seq(groupCol), "left_anti"))
+          else perGroup.join(broadcast(dirty), groupCols, "left_anti"))
         // the view streams through ONE semi-join against the (small,
         // broadcast) mergeable-group set — the view is never shuffled whole
         val current = viewDb.snapshot()
-          .join(broadcast(mergeable.select(col(groupCol))), Seq(groupCol), "left_semi")
-          .select(col(groupCol) +:
+          .join(broadcast(mergeable.select(gCols: _*)), groupCols, "left_semi")
+          .select(gCols ++
             viewDb.schema.valueNames.map(n => col(n).as(s"_cur_$n")): _*)
         val mergedCols = viewDb.schema.values.map { v =>
           v.name match {
@@ -312,11 +334,11 @@ object IncrementalAgg {
               greatest(col(s"_cur_$n"), col(s"_mx_${n.drop(4)}")).cast(v.dataType).as(n)
           }
         }
-        val merged = cached(mergeable.join(current, Seq(groupCol), "left")
-          .select(col(groupCol) +: mergedCols: _*))
+        val merged = cached(mergeable.join(current, groupCols, "left")
+          .select(gCols ++ mergedCols: _*))
         if (!hasMinMax) {
           // a group whose count reaches zero has no aggregate — delete it
-          txn.deleteRows(merged.where(col("cnt") === 0L).select(col(groupCol)))
+          txn.deleteRows(merged.where(col("cnt") === 0L).select(gCols: _*))
           txn.addRows(merged.where(col("cnt") =!= 0L))
         } else if (dirty.isEmpty) {
           // no boundary retraction anywhere: every touched group merges —
@@ -330,10 +352,10 @@ object IncrementalAgg {
           // Clean merged groups are insert-only-or-interior — their count
           // cannot reach zero, so only dirty groups can empty.
           val dirtyAgg = base.asOf(toTxn)
-            .join(broadcast(dirty), Seq(groupCol), "left_semi")
-            .groupBy(col(groupCol))
+            .join(broadcast(dirty), groupCols, "left_semi")
+            .groupBy(gCols: _*)
             .agg(aggs.head, aggs.tail: _*)
-          val emptied = dirty.join(dirtyAgg.select(col(groupCol)), Seq(groupCol), "left_anti")
+          val emptied = dirty.join(dirtyAgg.select(gCols: _*), groupCols, "left_anti")
           txn.deleteRows(emptied)
           // when EVERY touched group is dirty the merge leg is empty —
           // drop it from the write plan (the common heavy-churn batch)

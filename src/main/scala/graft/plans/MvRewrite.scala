@@ -17,7 +17,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * O(batch); this closes the READ side, so the common dashboard aggregate
   * never touches the fact table at all (the classic lakehouse MV-rewrite,
   * à la Calcite/Databricks, scoped to the aggregate shapes graft views
-  * maintain: single group column; SUM / MIN / MAX / COUNT(*)).
+  * maintain: a single- or multi-column group key — the view's dimensions,
+  * matched as a set, any GROUP BY order, or any SUBSET of them via the
+  * rollup path (re-aggregate the view: sum-of-sums, min-of-mins,
+  * sum-of-cnts) — and SUM / MIN / MAX / COUNT(*)).
   *
   * == How a query is recognized ==
   * [[graft.core.MatDb.snapshot]] REGISTERS its analyzed plan's canonicalized
@@ -93,8 +96,11 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (MvRegistry.isEmpty || !enabled) plan
     else plan.resolveOperatorsUp {
-      case agg @ Aggregate(Seq(g: Attribute), aggExprs, child, _) if agg.resolved =>
-        rewrite(g, aggExprs, child).getOrElse(agg)
+      case agg @ Aggregate(groups, aggExprs, child, _)
+          if agg.resolved && groups.nonEmpty &&
+            groups.forall(_.isInstanceOf[Attribute]) =>
+        rewrite(groups.map(_.asInstanceOf[Attribute]), aggExprs, child)
+          .getOrElse(agg)
     }
 
   /** The registered-snapshot pre-filter: graft snapshot outputs carry the
@@ -103,29 +109,47 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def looksLikeSnapshot(p: LogicalPlan): Boolean =
     p.output.exists(_.metadata.contains(graft.core.MatSchema.ChunkKey))
 
-  private def rewrite(g: Attribute, aggExprs: Seq[NamedExpression],
+  /** SQL reads arrive as `SubqueryAlias(ident, wrap)` — identity for
+    * matching purposes (aliases only affect name resolution, done by now). */
+  private def stripAliases(p: LogicalPlan): LogicalPlan = p match {
+    case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(_, c) =>
+      stripAliases(c)
+    case other => other
+  }
+
+  private def rewrite(gs: Seq[Attribute], aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
-    val (core, cond) = child match {
-      case Filter(c, inner) => (inner, Some(c))
+    if (gs.map(_.name).distinct.size != gs.size) return None
+    val (core, cond) = stripAliases(child) match {
+      case Filter(c, inner) => (stripAliases(inner), Some(c))
       case other            => (other, None)
     }
     if (!looksLikeSnapshot(core)) return None
-    // a Filter between may only reference the group column — any value
+    // a Filter between may only reference group columns — any value
     // predicate must see base rows, not the aggregate
-    if (cond.exists(c => !c.references.subsetOf(AttributeSet(g)) || !c.deterministic))
+    if (cond.exists(c => !c.references.subsetOf(AttributeSet(gs)) || !c.deterministic))
       return None
     val entry = MvRegistry.lookup(core.canonicalized).getOrElse(return None)
     entry.viewRoots.iterator
-      .flatMap(r => tryView(r, entry, g, aggExprs, cond))
+      .flatMap(r => tryView(r, entry, gs, aggExprs, cond))
       .nextOption()
   }
 
-  private def tryView(viewRoot: String, entry: MvRegistry.Entry, g: Attribute,
+  private def tryView(viewRoot: String, entry: MvRegistry.Entry, gs: Seq[Attribute],
       aggExprs: Seq[NamedExpression], cond: Option[Expression]): Option[LogicalPlan] = {
     val view =
       try MvRegistry.viewHandle(spark, viewRoot)
       catch { case _: Exception => return None } // dropped view: never block the query
-    if (view.schema.dimNames != Seq(g.name)) return None
+    // group attrs must be the view's dimensions (any order) — exactly, or
+    // a PROPER SUBSET for the rollup path: sum/min/max are decomposable
+    // (sum of per-cell sums == total sum; likewise min/max) and count(*)
+    // rolls up as the sum of per-cell counts, so a coarser GROUP BY
+    // re-aggregates the VIEW — still O(view rows), never the base.
+    val gNames = gs.map(_.name).toSet
+    val rollup = !(view.schema.dimNames.toSet == gNames &&
+      view.schema.dimNames.size == gs.size)
+    if (rollup && !(gNames.subsetOf(view.schema.dimNames.toSet) &&
+        gNames.size == gs.size)) return None
     // soundness stamp: written by maintainAbsoluteMulti AFTER each
     // maintenance commit — proves "maintained view of THIS base, through
     // THIS txn". Exact equality with the snapshot's txn, both directions.
@@ -137,23 +161,36 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // query tree must not collide)
     val vPlan = view.snapshot().queryExecution.analyzed
     def vAttr(name: String): Option[Attribute] = vPlan.output.find(_.name == name)
-    val gV = vAttr(g.name).getOrElse(return None)
+    // base group attr exprId -> the view's column for it
+    val gMap: Map[ExprId, Attribute] =
+      gs.map(g => g.exprId -> vAttr(g.name).getOrElse(return None)).toMap
 
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
-      def col(prefix: String, c: Expression): Option[Expression] = c match {
+      // exact grain: the view row IS the group — read the column.
+      // rollup grain: re-aggregate the view's cells — sum/min/max are
+      // decomposable, count(*) is the sum of per-cell counts.
+      def col(prefix: String, c: Expression,
+          roll: Attribute => AggregateFunction): Option[Expression] = c match {
         case a: Attribute =>
-          vAttr(prefix + a.name).map(v =>
-            if (v.dataType == ae.dataType) v else Cast(v, ae.dataType))
+          vAttr(prefix + a.name).map { v =>
+            val e: Expression =
+              if (rollup) roll(v).toAggregateExpression() else v
+            if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
+          }
         case _ => None // sum(expr) has no maintained column
       }
       ae.aggregateFunction match {
-        case s: Sum   => col("sum_", s.child)
-        case m: Min   => col("min_", m.child)
-        case m: Max   => col("max_", m.child)
+        case s: Sum   => col("sum_", s.child, Sum(_))
+        case m: Min   => col("min_", m.child, Min(_))
+        case m: Max   => col("max_", m.child, Max(_))
         case c: Count => c.children match {
-          case Seq(l: Literal) if l.value != null => vAttr("cnt")
-          case _                                  => None
+          case Seq(l: Literal) if l.value != null =>
+            vAttr("cnt").map { v =>
+              if (rollup) Cast(Sum(v).toAggregateExpression(), ae.dataType)
+              else v
+            }
+          case _ => None
         }
         case _ => None
       }
@@ -163,7 +200,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val mapped = aggExprs.map { ne =>
       val e2 = ne.transformUp {
         case ae: AggregateExpression => mapAgg(ae).getOrElse { ok = false; ae }
-        case a: Attribute if a.exprId == g.exprId => gV
+        case a: Attribute if gMap.contains(a.exprId) => gMap(a.exprId)
       }
       e2 match {
         case al: Alias => al // withNewChildren keeps the original exprId
@@ -173,11 +210,16 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!ok) return None
     val filtered = cond match {
       case Some(c) =>
-        Filter(c.transformUp { case a: Attribute if a.exprId == g.exprId => gV }, vPlan)
+        Filter(c.transformUp {
+          case a: Attribute if gMap.contains(a.exprId) => gMap(a.exprId)
+        }, vPlan)
       case None => vPlan
     }
     logInfo(s"graft mv-rewrite: answering aggregate over ${entry.baseRoot} " +
-      s"from materialized view $viewRoot (txn ${entry.snapTxn})")
-    Some(Project(mapped, filtered))
+      s"from materialized view $viewRoot (txn ${entry.snapTxn}" +
+      (if (rollup) ", rolled up" else "") + ")")
+    Some(
+      if (rollup) Aggregate(gs.map(g => gMap(g.exprId)), mapped, filtered)
+      else Project(mapped, filtered))
   }
 }

@@ -1629,6 +1629,79 @@ object CoreOps {
       graft.plans.MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
       agg.select(col("grp"), col("sum_v_dec").cast("double").as("sum_v"), col("cnt"))
         .orderBy(col("grp"))
+    },
+
+    // ---- composite-key materialized view, streamed + rewritten (r13) ----
+    // q141's rewrite generalized to a COMPOSITE group key, maintained by
+    // the STREAMING sink: the view's dimensions are (grp, src) — two base
+    // value columns — kept current by viewMaintSinkKeys from the base
+    // table's own transaction stream (one txn per micro-batch, replay-safe
+    // pinned commits), then a GROUP BY in the REVERSED column order
+    // (src, grp) is answered from the view (the rewrite matches the key as
+    // a SET). Plan-asserted like q141: only view files may be scanned. The
+    // oracle replays the DML and aggregates relationally — streamed
+    // maintenance + rewritten read == full recompute, hash-exact.
+    Entry("q142_mv_rewrite_multikey", Some(
+      """WITH b AS (SELECT event_id, user_id, value FROM events WHERE event_id < 500),
+        |fin AS (SELECT user_id AS grp, user_id % 7 AS src,
+        |               CASE WHEN event_id < 120
+        |                    THEN CAST(value + 1.5 AS DECIMAL(18,4))
+        |                    ELSE CAST(value AS DECIMAL(18,4)) END AS v
+        |        FROM b WHERE NOT (event_id >= 300 AND event_id < 370))
+        |SELECT src, grp, CAST(sum_v AS DOUBLE) AS sum_v, cnt
+        |FROM (SELECT src, grp, sum(v) AS sum_v, count(*) AS cnt
+        |      FROM fin GROUP BY src, grp)
+        |ORDER BY src, grp""".stripMargin)) { (s, d) =>
+      import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      val root = Q.fixture("q142-mvrwk")
+      graft.core.Storage.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val dec = DecimalType(18, 4)
+      val basePath = root.resolve("base").toString
+      val base = MatDb.create(s, MatSchema(Seq(Dimension("event_id", 100)),
+        Seq(ValueCol("grp", LongType), ValueCol("src", LongType), ValueCol("v", dec))),
+        basePath, "manifest")
+      val view = MatDb.create(s, MatSchema(
+        Seq(Dimension("grp", 1000), Dimension("src", 10)),
+        Seq(ValueCol("sum_v", dec), ValueCol("cnt", LongType))),
+        root.resolve("view").toString, "manifest")
+      val e = table(s, d, "events")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.select(col("event_id"),
+        col("user_id").as("grp"), (col("user_id") % 7).as("src"),
+        Q.dec4(col("value")).as("v"))
+      val t1 = base.newTransaction()
+      t1.addRows(rows(e.where(col("event_id") < 500)))
+      t1.commit()
+      val t2 = base.newTransaction()
+      t2.addRows(rows(e.where(col("event_id") < 120))
+        .withColumn("v", Q.dec4(col("v") + lit(1.5))))
+      t2.commit()
+      val t3 = base.newTransaction()
+      t3.deleteRows(e.where(col("event_id").between(300, 369)).select(col("event_id")))
+      t3.commit()
+      val q = graft.streaming.Streams.viewMaintSinkKeys(
+        s.readStream.format("graft-stream").option("maxTxnsPerBatch", "1")
+          .load(basePath),
+        basePath, Seq(view -> Seq("grp", "src")), root.resolve("ckpt").toString).start()
+      try q.processAllAvailable() finally q.stop()
+      base.registerMaterializedView(root.resolve("view").toString)
+      val agg = base.snapshot().groupBy("src", "grp")
+        .agg(sum("v").as("sum_v_dec"), count(lit(1)).as("cnt"))
+      val scanned = agg.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(scanned.nonEmpty && scanned.forall(_.contains("/view/")),
+        s"composite-key mv-rewrite did not fire: scans $scanned")
+      graft.plans.MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+      agg.select(col("src"), col("grp"),
+          col("sum_v_dec").cast("double").as("sum_v"), col("cnt"))
+        .orderBy(col("src"), col("grp"))
     }
   )
 }

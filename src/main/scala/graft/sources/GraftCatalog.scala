@@ -1199,6 +1199,28 @@ case class GraftCatalogDedupRule(spark: SparkSession) extends Rule[LogicalPlan] 
       if (schema.dimNames.contains(a.name)) a
       else Alias(agg.output.find(_.name == a.name).get, a.name)(exprId = a.exprId)
     }
-    Project(restored, live)
+    val wrapped = Project(restored, live)
+    // the SQL leg of the MV auto-rewrite: a CURRENT catalog snapshot of a
+    // table with declared materialized views registers its resolve wrap,
+    // so `SELECT g, sum(v) FROM cat.t GROUP BY g` rewrites exactly like
+    // the DataFrame path (MvRewriteRule looks through the SubqueryAlias
+    // SQL puts above this wrap). VERSION AS OF relations have no writeDir
+    // and never register — same freshness rule as MatDb.snapshot.
+    rel.table match {
+      case g: GraftV2Table if g.writeDir.isDefined =>
+        val mv = g.tableProps.getOrElse("graft.mviews", "")
+          .split('\t').toSeq.filter(_.nonEmpty)
+        if (mv.nonEmpty) {
+          val snapTxn = g.segmentPaths
+            .flatMap(p => graft.core.Storage.decode(
+              java.nio.file.Paths.get(p).getFileName.toString))
+            .map(_._1.txnId).foldLeft(0L)(math.max)
+          graft.plans.MvRegistry.register(wrapped.canonicalized,
+            graft.plans.MvRegistry.Entry(java.nio.file.Paths.get(g.writeDir.get)
+              .toAbsolutePath.toString, snapTxn, mv))
+        }
+      case _ => ()
+    }
+    wrapped
   }
 }

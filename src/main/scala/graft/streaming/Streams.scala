@@ -300,6 +300,17 @@ object Streams {
     * are actively writing). */
   def viewMaintSink(stream: DataFrame, basePath: String,
       views: Seq[(MatDb, String)], checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    viewMaintSinkKeys(stream, basePath,
+      views.map { case (v, g) => v -> Seq(g) }, checkpoint)
+
+  /** [[viewMaintSink]] with COMPOSITE group keys: each view may be keyed
+    * by several base columns (its dimensions — see
+    * [[graft.operators.IncrementalAgg.maintainAbsoluteMultiKeys]]).
+    * Single-key views pass `Seq(col)`; the two single-key overloads
+    * delegate here. */
+  def viewMaintSinkKeys(stream: DataFrame, basePath: String,
+      views: Seq[(MatDb, Seq[String])], checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(views.nonEmpty, "viewMaintSink: need at least one view")
     var base: MatDb = null // driver-side foreachBatch state, one per stream
@@ -325,9 +336,9 @@ object Streams {
             // after the last view committed. O(batch) rows, never O(base).
             val delta = base.changesBetween(
               range.getLong(0) - 1L, hi, includeOld = true).persist()
-            try pending.foreach { case (viewDb, groupCol) =>
-              graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, viewDb,
-                range.getLong(0) - 1L, hi, groupCol, Some(delta))
+            try pending.foreach { case (viewDb, groupCols) =>
+              graft.operators.IncrementalAgg.maintainAbsoluteMultiKeys(base, viewDb,
+                range.getLong(0) - 1L, hi, groupCols, Some(delta))
             } finally { delta.unpersist(); () }
           }
         }

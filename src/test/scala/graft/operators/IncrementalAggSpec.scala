@@ -173,6 +173,59 @@ class IncrementalAggSpec extends AnyFunSuite {
       IncrementalAgg.maintainAbsoluteMulti(base, bad, 0L, 3L, "g"))
   }
 
+  test("maintainAbsoluteMultiKeys: a composite (g, h) view tracks a recompute across churn") {
+    import spark.implicits._
+    val base = MatDb.create(spark,
+      MatSchema(Seq(Dimension("k", 100)),
+        Seq(ValueCol("g", LongType), ValueCol("h", LongType), ValueCol("v", dec))),
+      Files.createTempDirectory("graft-iagg2-base").toString, "manifest")
+    // min_v included so the composite key also drives the dirty
+    // classification (boundary retraction joins on BOTH key columns)
+    val view = MatDb.create(spark,
+      MatSchema(Seq(Dimension("g", 100), Dimension("h", 100)),
+        Seq(ValueCol("min_v", dec), ValueCol("sum_v", dec), ValueCol("cnt", LongType))),
+      Files.createTempDirectory("graft-iagg2-view").toString, "manifest")
+    def df(rows: Seq[(Long, Long, Long, String)]) =
+      rows.toDF("k", "g", "h", "vs")
+        .select(col("k"), col("g"), col("h"), col("vs").cast(dec).as("v"))
+    def recomputeAll(): Set[(Long, Long, String, String, Long)] =
+      base.snapshot().groupBy(col("g"), col("h"))
+        .agg(min(col("v")).cast(dec).as("mn"), sum(col("v")).cast(dec).as("sm"),
+          count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDecimal(2).toPlainString, r.getDecimal(3).toPlainString,
+          r.getLong(4))).toSet
+    def viewAll(): Set[(Long, Long, String, String, Long)] =
+      view.snapshot().collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).toPlainString, r.getDecimal(3).toPlainString,
+        r.getLong(4))).toSet
+    val t1 = base.newTransaction()
+    t1.addRows(df(Seq((1L, 1L, 10L, "1.0000"), (2L, 1L, 10L, "5.0000"),
+      (3L, 1L, 20L, "9.0000"), (4L, 2L, 10L, "2.0000"), (5L, 2L, 20L, "7.0000"))))
+    t1.commit()
+    IncrementalAgg.maintainAbsoluteMultiKeys(base, view, 0L, 1L, Seq("g", "h"))
+    assert(viewAll() === recomputeAll())
+    // txn2: CELL-moving update (k3 moves h 20 -> 10 inside g=1: retracts
+    // from (1,20) — emptying it — applies to (1,10)), plus a MIN-retiring
+    // update in (2,10) (2.0 -> 6.0: the dirty path, composite-keyed)
+    val t2 = base.newTransaction()
+    t2.addRows(df(Seq((3L, 1L, 10L, "9.0000"), (4L, 2L, 10L, "6.0000"))))
+    t2.commit()
+    IncrementalAgg.maintainAbsoluteMultiKeys(base, view, 1L, 2L, Seq("g", "h"))
+    assert(viewAll() === recomputeAll())
+    assert(!viewAll().exists(t => t._1 == 1L && t._2 == 20L),
+      "the emptied (1,20) cell leaves the view")
+    // txn3: delete the (2,20) cell's only row
+    val t3 = base.newTransaction()
+    t3.deleteRows(Seq(5L).toDF("k"))
+    t3.commit()
+    IncrementalAgg.maintainAbsoluteMultiKeys(base, view, 2L, 3L, Seq("g", "h"))
+    assert(viewAll() === recomputeAll())
+    // key-order mismatch with the view's dims fails loudly
+    intercept[IllegalArgumentException](
+      IncrementalAgg.maintainAbsoluteMultiKeys(base, view, 0L, 3L, Seq("h", "g")))
+  }
+
   test("a poisoned delta (null value) fails the batch loudly; nothing commits") {
     val base = newBase(); val view = newView()
     import spark.implicits._

@@ -142,6 +142,87 @@ class MvRewriteSpec extends AnyFunSuite {
     MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
   }
 
+  test("a composite-key view answers GROUP BY in any column order") {
+    val root = Files.createTempDirectory("graft-mv-multi")
+    val base = MatDb.create(spark, MatSchema(Seq(Dimension("event_id", 100)),
+      Seq(ValueCol("grp"), ValueCol("src"), ValueCol("v"))),
+      root.resolve("base").toString, "manifest")
+    val view = MatDb.create(spark, MatSchema(
+      Seq(Dimension("grp", 1000), Dimension("src", 10)),
+      Seq(ValueCol("sum_v"), ValueCol("cnt"))),
+      root.resolve("view").toString, "manifest")
+    val t1 = base.newTransaction()
+    t1.addRowsSeq(for (i <- 0L until 60L) yield Seq[Any](i, i % 6, i % 3, i))
+    t1.commit()
+    IncrementalAgg.maintainAbsoluteMultiKeys(base, view, 0L, 1L, Seq("grp", "src"))
+    base.registerMaterializedView(root.resolve("view").toString)
+
+    // GROUP BY in the REVERSE of the view's dimension order still rewrites
+    val q = base.snapshot().groupBy("src", "grp")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("cnt"))
+    assert(scanRoots(q).nonEmpty && scanRoots(q).forall(_.contains("/view/")))
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val plain =
+      try q.orderBy("src", "grp").collect().toSeq
+      finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    assert(q.orderBy("src", "grp").collect().toSeq === plain)
+
+    // a SUBSET of the key (coarser rollup) re-aggregates the VIEW:
+    // sum-of-sums / sum-of-cnts — still O(view), never the base
+    val coarse = base.snapshot().groupBy("grp")
+      .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+    assert(scanRoots(coarse).nonEmpty &&
+      scanRoots(coarse).forall(_.contains("/view/")),
+      s"rollup should read the view, got ${scanRoots(coarse)}")
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val coarsePlain =
+      try coarse.orderBy("grp").collect().toSeq
+      finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    assert(coarse.orderBy("grp").collect().toSeq === coarsePlain)
+
+    // min/max also roll up (min of per-cell minima); a column the view
+    // does not maintain still blocks the rewrite
+    val noMin = base.snapshot().groupBy("grp").agg(min("v").as("m"))
+    assert(scanRoots(noMin).exists(_.contains("/base/")),
+      "this view maintains no min_v — a rollup cannot invent it")
+    MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+  }
+
+  test("the SQL catalog read path rewrites too (through the SubqueryAlias)") {
+    val croot = Files.createTempDirectory("graft-mv-sqlcat")
+    spark.conf.set("spark.sql.catalog.gmv",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmv.root", croot.toString)
+    // base table lives at <catalogRoot>/t — created directly, read via SQL
+    val base = MatDb.create(spark, baseSchema, croot.resolve("t").toString, "manifest")
+    val view = MatDb.create(spark, MatSchema(Seq(Dimension("grp", 1000)),
+      Seq(ValueCol("sum_v"), ValueCol("cnt"))),
+      croot.resolve("t_view").toString, "manifest")
+    seedAndMaintain(base, view)
+    base.registerMaterializedView(croot.resolve("t_view").toString)
+
+    def q = spark.sql(
+      "SELECT grp, sum(v) AS sum_v, count(*) AS cnt FROM gmv.t GROUP BY grp")
+    val roots = scanRoots(q)
+    assert(roots.nonEmpty && roots.forall(_.contains("t_view")),
+      s"expected only view scans on the SQL path, got $roots")
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val plain =
+      try q.orderBy("grp").collect().toSeq
+      finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    assert(q.orderBy("grp").collect().toSeq === plain)
+
+    // SQL filter on the group column rides along; VERSION AS OF never does
+    val f = spark.sql(
+      "SELECT grp, sum(v) AS s FROM gmv.t WHERE grp < 3 GROUP BY grp")
+    assert(scanRoots(f).forall(_.contains("t_view")) && f.count() === 3)
+    val tt = spark.sql(
+      "SELECT grp, sum(v) AS s FROM gmv.t VERSION AS OF 2 GROUP BY grp")
+    assert(scanRoots(tt).isEmpty, // not rewritten: stays a DSv2 scan
+      "a time-travel catalog read must never rewrite")
+    MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+  }
+
   test("min/max views rewrite; a view of another table never hijacks") {
     val root = Files.createTempDirectory("graft-mv-minmax")
     val base = MatDb.create(spark, baseSchema, root.resolve("base").toString, "manifest")
