@@ -20,7 +20,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * maintain: a single- or multi-column group key — the view's dimensions,
   * matched as a set, any GROUP BY order, or any SUBSET of them via the
   * rollup path (re-aggregate the view: sum-of-sums, min-of-mins,
-  * sum-of-cnts) — and SUM / MIN / MAX / COUNT(*)).
+  * sum-of-cnts) — and SUM / MIN / MAX / COUNT(*) / AVG, the last derived
+  * from the (sum_c, cnt) pair through Spark's own Average evaluation
+  * expression so division/precision semantics are never reimplemented).
   *
   * == How a query is recognized ==
   * [[graft.core.MatDb.snapshot]] REGISTERS its analyzed plan's canonicalized
@@ -189,6 +191,32 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             vAttr("cnt").map { v =>
               if (rollup) Cast(Sum(v).toAggregateExpression(), ae.dataType)
               else v
+            }
+          case _ => None
+        }
+        // AVG derives from the maintained pair (sum_c, cnt) by substituting
+        // them into Spark's OWN Average.evaluateExpression — its aggregation
+        // buffer is exactly (sum, count), so the division/overflow/precision
+        // semantics are Spark's verbatim, not a reimplementation. Bit-exact
+        // for DECIMAL (the buffer sum is a widened decimal; casting our
+        // exact sum_c up is lossless) and for integral inputs within 2^53
+        // (integer-valued double additions are order-free there).
+        case a: Average => a.child match {
+          case c: Attribute =>
+            for { s <- vAttr("sum_" + c.name); n <- vAttr("cnt") } yield {
+              val Seq(sumBuf, cntBuf) = a.aggBufferAttributes
+              // rollup: the buffer values are themselves sums over cells
+              // (sum-of-sums / sum-of-cnts) — the same decomposition the
+              // partial-aggregation merge performs
+              def sub(e: Expression, t: org.apache.spark.sql.types.DataType)
+                  : Expression = {
+                val v: Expression = if (rollup) Sum(e).toAggregateExpression() else e
+                if (v.dataType == t) v else Cast(v, t)
+              }
+              a.evaluateExpression.transformUp {
+                case x: Attribute if x.exprId == sumBuf.exprId => sub(s, sumBuf.dataType)
+                case x: Attribute if x.exprId == cntBuf.exprId => sub(n, cntBuf.dataType)
+              }
             }
           case _ => None
         }

@@ -1702,6 +1702,69 @@ object CoreOps {
       agg.select(col("src"), col("grp"),
           col("sum_v_dec").cast("double").as("sum_v"), col("cnt"))
         .orderBy(col("src"), col("grp"))
+    },
+
+    // ---- SQL-first materialized-view lifecycle (round 13) ---------------
+    // The whole MV loop from PURE SQL: CREATE both tables (the view's
+    // schema IS its aggregate spec), INSERT, `CALL system.maintain_mview`
+    // (first call backfills; the view's dims are its group key), `CALL
+    // system.register_mview`, then UPDATE + INSERT more and re-maintain —
+    // each maintenance is O(delta) — and finally a plain GROUP BY over the
+    // BASE is answered from the view (plan-asserted, like q141/q142). The
+    // oracle replays all four DML statements relationally: SQL-maintained
+    // view + rewritten read == full recompute, hash-exact.
+    Entry("q143_sql_mview", Some(
+      """WITH b AS (SELECT event_id, user_id AS grp,
+        |                  CAST(value AS DECIMAL(18,4)) AS v
+        |           FROM events WHERE event_id < 400),
+        |upd AS (SELECT event_id, grp,
+        |               CASE WHEN event_id < 100
+        |                    THEN CAST(v + 10.0 AS DECIMAL(18,4)) ELSE v END AS v
+        |        FROM b),
+        |ins AS (SELECT event_id, user_id + 100000 AS grp,
+        |               CAST(value AS DECIMAL(18,4)) AS v
+        |        FROM events WHERE event_id >= 400 AND event_id < 500),
+        |fin AS (SELECT grp, v FROM upd UNION ALL SELECT grp, v FROM ins)
+        |SELECT grp, CAST(sum_v AS DOUBLE) AS sum_v, cnt
+        |FROM (SELECT grp, sum(v) AS sum_v, count(*) AS cnt FROM fin GROUP BY grp)
+        |ORDER BY grp""".stripMargin)) { (s, d) =>
+      val root = Q.fixture("q143-sqlmv")
+      graft.core.Storage.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g143").isEmpty) {
+        s.conf.set("spark.sql.catalog.g143", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g143.root", root.toString)
+      }
+      table(s, d, "events").createOrReplaceTempView("ev143")
+      s.sql("CREATE TABLE g143.base (event_id BIGINT, grp BIGINT, v DECIMAL(18,4)) " +
+        "TBLPROPERTIES('graft.dims'='event_id:100')")
+      s.sql("INSERT INTO g143.base SELECT event_id, user_id, " +
+        "CAST(value AS DECIMAL(18,4)) FROM ev143 WHERE event_id < 400")
+      s.sql("CREATE TABLE g143.base_by_grp (grp BIGINT, sum_v DECIMAL(18,4), " +
+        "cnt BIGINT) TBLPROPERTIES('graft.dims'='grp:1000')")
+      s.sql("CALL g143.system.maintain_mview('base', 'base_by_grp')").collect()
+      s.sql("CALL g143.system.register_mview('base', 'base_by_grp')").collect()
+      s.sql("UPDATE g143.base SET v = v + 10.0 WHERE event_id < 100")
+      s.sql("INSERT INTO g143.base SELECT event_id, user_id + 100000, " +
+        "CAST(value AS DECIMAL(18,4)) FROM ev143 " +
+        "WHERE event_id >= 400 AND event_id < 500")
+      s.sql("CALL g143.system.maintain_mview('base', 'base_by_grp')").collect()
+      val agg = s.sql(
+        "SELECT grp, sum(v) AS sum_v_dec, count(*) AS cnt FROM g143.base GROUP BY grp")
+      val scanned = agg.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(scanned.nonEmpty && scanned.forall(_.contains("base_by_grp")),
+        s"SQL mv lifecycle: rewrite did not fire, scans $scanned")
+      graft.plans.MvRegistry.dropRoot(
+        root.resolve("base").toAbsolutePath.toString)
+      agg.select(col("grp"), col("sum_v_dec").cast("double").as("sum_v"), col("cnt"))
+        .orderBy(col("grp"))
     }
   )
 }

@@ -40,7 +40,7 @@ object GraftProcedures {
   /** Declared procedure names, for `listProcedures` / error messages. */
   val names: Seq[String] =
     Seq("checkpoint", "checkpoint_if_needed", "compact", "vacuum", "clone",
-      "analyze", "optimize")
+      "analyze", "optimize", "register_mview", "maintain_mview")
 
   def load(catalogName: String, root: java.nio.file.Path,
       name: String): UnboundProcedure = {
@@ -54,6 +54,22 @@ object GraftProcedures {
     }
     def db(row: InternalRow): MatDb =
       MatDb.open(SparkSession.active, tableDir(row).toString)
+    // a table named at parameter `i` (dotted, under THIS catalog root —
+    // same escape validation as clone's target: procedure args must never
+    // address paths outside the catalog)
+    def namedDir(root: java.nio.file.Path, row: InternalRow, i: Int): java.nio.file.Path = {
+      val table = row.getUTF8String(i).toString
+      val parts = table.split('.')
+      require(parts.nonEmpty && parts.forall(p =>
+        p.nonEmpty && p != ".." && p != "." &&
+          !p.contains('/') && !p.contains('\\')),
+        s"'$table' is not a valid dotted table name")
+      val dir = parts.foldLeft(root)(_.resolve(_))
+      if (!MatDb.exists(dir.toString))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          Identifier.of(Array.empty, table))
+      dir
+    }
     name match {
       case "checkpoint" => proc("checkpoint",
         "fold transactions <= horizon into one baseline segment set; " +
@@ -159,6 +175,42 @@ object GraftProcedures {
             .split(',').map(_.trim).filter(_.nonEmpty).toSeq
           val (txn, before, after) = db(row).optimize(target, zdims)
           new GenericInternalRow(Array[Any](txn, before, after))
+      }
+      case "register_mview" => proc("register_mview",
+        "declare a catalog table (maintained by maintain_mview) as a " +
+          "materialized aggregate view of another: matching GROUP BY " +
+          "queries over the base are answered from the view when it is " +
+          "exactly caught up (plans.MvRewriteRule; " +
+          "MatDb.registerMaterializedView)",
+        params = Seq(in("table", StringType), in("view", StringType)),
+        out = StructType(Seq(StructField("views", IntegerType, nullable = false)))) {
+        row =>
+          val baseDb = db(row)
+          baseDb.registerMaterializedView(namedDir(root, row, 1).toString)
+          new GenericInternalRow(Array[Any](baseDb.materializedViews.size))
+      }
+      case "maintain_mview" => proc("maintain_mview",
+        "fold the base table's changes since the view's last maintenance " +
+          "into the view (IncrementalAgg.maintainAbsoluteMultiKeys: the " +
+          "view's dimensions are its group key, its value column names — " +
+          "sum_<c>/min_<c>/max_<c>/cnt — its aggregate spec). First call " +
+          "on a fresh view backfills; repeat calls are O(delta); a call " +
+          "with nothing new is a no-op. Returns the base txn the view now " +
+          "reflects",
+        params = Seq(in("table", StringType), in("view", StringType)),
+        out = StructType(Seq(StructField("maintained_to", LongType, nullable = false)))) {
+        row =>
+          val spark = SparkSession.active
+          val baseDb = db(row)
+          val viewDb = MatDb.open(spark, namedDir(root, row, 1).toString)
+          val to = baseDb.txnWatermark
+          val from = viewDb.txnWatermark // pinned clock = last maintained base txn
+          val reached =
+            if (to > from)
+              graft.operators.IncrementalAgg.maintainAbsoluteMultiKeys(
+                baseDb, viewDb, from, to, viewDb.schema.dimNames)
+            else from
+          new GenericInternalRow(Array[Any](reached))
       }
       case other =>
         throw new UnsupportedOperationException(

@@ -65,7 +65,7 @@ class MvRewriteSpec extends AnyFunSuite {
     base.registerMaterializedView(viewPath)
 
     def q = base.snapshot().groupBy("grp")
-      .agg(sum("v").as("sum_v"), count(lit(1)).as("cnt"))
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("cnt"), avg("v").as("avg_v"))
 
     val rewritten = q
     val roots = scanRoots(rewritten)
@@ -168,9 +168,9 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(q.orderBy("src", "grp").collect().toSeq === plain)
 
     // a SUBSET of the key (coarser rollup) re-aggregates the VIEW:
-    // sum-of-sums / sum-of-cnts — still O(view), never the base
+    // sum-of-sums / sum-of-cnts (avg dividing the two) — still O(view)
     val coarse = base.snapshot().groupBy("grp")
-      .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+      .agg(sum("v").as("s"), count(lit(1)).as("cnt"), avg("v").as("a"))
     assert(scanRoots(coarse).nonEmpty &&
       scanRoots(coarse).forall(_.contains("/view/")),
       s"rollup should read the view, got ${scanRoots(coarse)}")
@@ -185,6 +185,35 @@ class MvRewriteSpec extends AnyFunSuite {
     val noMin = base.snapshot().groupBy("grp").agg(min("v").as("m"))
     assert(scanRoots(noMin).exists(_.contains("/base/")),
       "this view maintains no min_v — a rollup cannot invent it")
+    MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+  }
+
+  test("decimal AVG rewrites bit-exactly through Spark's own Average semantics") {
+    import org.apache.spark.sql.types.DecimalType
+    val root = Files.createTempDirectory("graft-mv-avg")
+    val dec = DecimalType(18, 4)
+    val base = MatDb.create(spark, MatSchema(Seq(Dimension("event_id", 100)),
+      Seq(ValueCol("grp"), ValueCol("v", dec))),
+      root.resolve("base").toString, "manifest")
+    val view = MatDb.create(spark, MatSchema(Seq(Dimension("grp", 1000)),
+      Seq(ValueCol("sum_v", dec), ValueCol("cnt"))),
+      root.resolve("view").toString, "manifest")
+    val t1 = base.newTransaction()
+    t1.addRows(spark.range(0, 90).select(col("id").as("event_id"),
+      (col("id") % 9).as("grp"),
+      ((col("id") * 7 + 1).cast("decimal(18,4)") / lit(3)).cast(dec).as("v")))
+    t1.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 0L, 1L, "grp")
+    base.registerMaterializedView(root.resolve("view").toString)
+    val q = base.snapshot().groupBy("grp").agg(avg("v").as("a"))
+    assert(scanRoots(q).nonEmpty && scanRoots(q).forall(_.contains("/view/")))
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val plain =
+      try q.orderBy("grp").collect().toSeq
+      finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    val rewritten = q.orderBy("grp").collect().toSeq
+    assert(rewritten === plain) // BigDecimal equality: scale + value
+    assert(rewritten.head.schema("a").dataType === plain.head.schema("a").dataType)
     MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
   }
 
