@@ -168,7 +168,23 @@ final class MatDb private (
   def snapshot(asOfTxn: Option[Long] = None,
       pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val segs = visibleAt(asOfTxn)
-    val df = Scan.resolve(spark, schema, segmentReadPaths(segs), extra = Nil, pred)
+    // READ-OPTIMIZED fast path: a visible set that is exactly ONE
+    // checkpoint/optimize baseline (Storage.UniqueFile invariant: one live
+    // row per key, no tombstones) needs no MVCC resolution — the scan is a
+    // plain parquet read, zero exchanges, and value predicates push into
+    // the files because post-resolve == pre-resolve when every key has one
+    // version. Any later commit makes the set larger and falls back to the
+    // full resolve automatically. Two marked segments of DIFFERENT txns can
+    // overlap keys, so the fast path requires exactly one.
+    val unique = segs.map(_.txnId).distinct.size == 1 &&
+      segs.forall(s => Storage.isUnique(protocol.readPath(root, s)))
+    val df =
+      if (unique && segs.nonEmpty) {
+        val raw = Scan.raw(spark, schema, segmentReadPaths(segs), extra = Nil)
+        val live = pred.fold(raw)(raw.filter)
+        live.select((schema.dimNames ++ schema.valueNames)
+          .map(org.apache.spark.sql.functions.col): _*)
+      } else Scan.resolve(spark, schema, segmentReadPaths(segs), extra = Nil, pred)
     // current, predicate-free snapshots of a table with declared
     // materialized views register with the MV auto-rewrite rule: an
     // Aggregate whose child canonicalizes equal to this plan may be
@@ -601,6 +617,10 @@ final class MatDb private (
       writer
         .partitionBy(schema.chunkColNames: _*)
         .parquet(protocol.writePath(root, bid).toString)
+      // the baseline holds the RESOLVED snapshot: one live row per key, no
+      // tombstones — record it so reads whose visible set is exactly this
+      // segment skip MVCC resolution (Storage.UniqueFile; see snapshot())
+      Storage.markUnique(protocol.writePath(root, bid))
       // preserve the horizon txn's ORIGINAL commit wall-clock on the folded
       // baseline (stampCommitTs won't overwrite an existing stamp), so
       // TIMESTAMP AS OF keeps resolving exactly like before the fold for

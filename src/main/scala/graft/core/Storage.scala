@@ -928,6 +928,28 @@ object Storage {
     }
   }
 
+  // ---- unique-baseline marker ---------------------------------------------
+  //
+  // A segment written by checkpoint/optimize holds the RESOLVED snapshot:
+  // one live row per key, no tombstones, `_seq` saturated. `_unique` in the
+  // segment dir records that invariant, and a read whose visible set is
+  // EXACTLY one marked segment can skip MVCC resolution entirely — no
+  // dedup aggregate, no exchange, and value predicates push down into
+  // parquet (post-resolve == pre-resolve when every key has one version).
+  // The marker is a property of the WRITE (only the fold paths create such
+  // segments); any later commit adds a second visible segment and the read
+  // path falls back to the full resolve automatically.
+
+  val UniqueFile = "_unique"
+
+  private[graft] def markUnique(segDir: Path): Unit = {
+    Files.write(segDir.resolve(UniqueFile), Array.emptyByteArray)
+    ()
+  }
+
+  private[graft] def isUnique(segDir: Path): Boolean =
+    Files.isRegularFile(segDir.resolve(UniqueFile))
+
   /** (data file count, data bytes) under a segment directory — the
     * small-file diagnostics `.history` and `optimize` report. */
   private[graft] def dataFileStats(segDir: Path): (Long, Long) =

@@ -352,7 +352,12 @@ class GraftCatalog extends TableCatalog
       tableProps = Storage.readProps(dir),
       // the snapshot horizon this relation READS: serializable row-level
       // DML conflict-checks its publish against txns committed above it
-      readHorizon = horizon)
+      readHorizon = horizon,
+      // exactly one checkpoint/optimize baseline visible: reads skip the
+      // MVCC resolve (GraftCatalogDedupRule leaves the relation bare)
+      uniqueBaseline = visible.map(_.txnId).distinct.size == 1 &&
+        visible.nonEmpty &&
+        visible.forall(s => Storage.isUnique(proto.readPath(dir, s))))
   }
 
   /** `CREATE TABLE`/CTAS: chunked dimensions come from
@@ -591,7 +596,8 @@ object GraftCatalog {
 final class GraftV2Table(tableName: String, val matSchema: MatSchema,
     val segmentPaths: Seq[String], val writeDir: Option[String] = None,
     val tableProps: Map[String, String] = Map.empty,
-    val readHorizon: Long = 0L)
+    val readHorizon: Long = 0L,
+    val uniqueBaseline: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -1138,9 +1144,38 @@ case class GraftCatalogDedupRule(spark: SparkSession) extends Rule[LogicalPlan] 
           if graftTableOf(rel).isDefined &&
             !rel.output.exists(_.name == Scan.TxnCol) &&
             !isWriteTarget(rel) =>
-        dedup(rel, graftTableOf(rel).get.matSchema)
+        val g = graftTableOf(rel).get
+        // READ-OPTIMIZED fast path: exactly one checkpoint/optimize
+        // baseline visible (one live row per key, no tombstones —
+        // Storage.UniqueFile) ⇒ resolve is the identity; leave the
+        // relation BARE: no dedup aggregate, no exchange, and value
+        // predicates push into parquet. Any later commit reloads the
+        // table without the flag. Direct GraftV2Table reads only — the
+        // row-level (UPDATE/MERGE) wrap keeps its uniform shape.
+        if (rel.table.isInstanceOf[GraftV2Table] && g.uniqueBaseline) {
+          registerMviews(rel, g)
+          rel
+        } else dedup(rel, g.matSchema)
     }
   }
+
+  /** The SQL leg of the MV auto-rewrite: register this read's plan so a
+    * GROUP BY above it can be answered from a declared maintained view
+    * ([[graft.plans.MvRewriteRule]]). Current snapshots only. */
+  private def registerMviews(key: LogicalPlan, g: GraftV2Table): Unit =
+    if (g.writeDir.isDefined) {
+      val mv = g.tableProps.getOrElse("graft.mviews", "")
+        .split('\t').toSeq.filter(_.nonEmpty)
+      if (mv.nonEmpty) {
+        val snapTxn = g.segmentPaths
+          .flatMap(p => graft.core.Storage.decode(
+            java.nio.file.Paths.get(p).getFileName.toString))
+          .map(_._1.txnId).foldLeft(0L)(math.max)
+        graft.plans.MvRegistry.register(key.canonicalized,
+          graft.plans.MvRegistry.Entry(java.nio.file.Paths.get(g.writeDir.get)
+            .toAbsolutePath.toString, snapTxn, mv))
+      }
+    }
 
   /** The graft table behind a relation: direct, or wrapped in Spark's
     * [[org.apache.spark.sql.connector.write.RowLevelOperationTable]] (the
@@ -1207,19 +1242,8 @@ case class GraftCatalogDedupRule(spark: SparkSession) extends Rule[LogicalPlan] 
     // SQL puts above this wrap). VERSION AS OF relations have no writeDir
     // and never register — same freshness rule as MatDb.snapshot.
     rel.table match {
-      case g: GraftV2Table if g.writeDir.isDefined =>
-        val mv = g.tableProps.getOrElse("graft.mviews", "")
-          .split('\t').toSeq.filter(_.nonEmpty)
-        if (mv.nonEmpty) {
-          val snapTxn = g.segmentPaths
-            .flatMap(p => graft.core.Storage.decode(
-              java.nio.file.Paths.get(p).getFileName.toString))
-            .map(_._1.txnId).foldLeft(0L)(math.max)
-          graft.plans.MvRegistry.register(wrapped.canonicalized,
-            graft.plans.MvRegistry.Entry(java.nio.file.Paths.get(g.writeDir.get)
-              .toAbsolutePath.toString, snapTxn, mv))
-        }
-      case _ => ()
+      case g: GraftV2Table => registerMviews(wrapped, g)
+      case _               => ()
     }
     wrapped
   }
