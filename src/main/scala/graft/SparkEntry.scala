@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
+import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,7 +52,8 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational}
   */
 object SparkEntry {
   private lazy val battery: Seq[Q.Entry] =
-    CoreOps.entries ++ Relational.entries ++ Pipeline.entries ++ Curation.entries
+    CoreOps.entries ++ Relational.entries ++ Pipeline.entries ++
+      Curation.entries ++ TimeSeries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bucketized range (interval) join — match each point to every interval
+  * containing it WITHOUT an equi-key, turned into an equi-join Spark can
+  * shuffle-partition (the bin/bucket range-join technique; Spark itself
+  * would plan a point-in-interval theta join as BroadcastNestedLoopJoin —
+  * O(points × intervals) compares and a broadcast of one whole side,
+  * a non-starter at scale).
+  *
+  * Technique: pick a bucket width `bucket` (≈ the typical interval
+  * length). Each point lands in exactly ONE bucket
+  * (`floorDiv(pt, bucket)` — the exact integral floor division shared
+  * with the chunk-routing write path). Each interval REPLICATES to every
+  * bucket it overlaps (`sequence(floorDiv(lo), floorDiv(hi))` — i.e.
+  * `len/bucket + 1` copies, so replication is bounded by the caller's
+  * bucket choice). The join is then a plain shuffled equi-join on the
+  * bucket id with the `lo <= pt <= hi` containment as a residual — and
+  * because a point has exactly one bucket, each matching (point,
+  * interval) pair is produced exactly once: no post-dedup.
+  *
+  * Cost model: shuffle O(points + intervals · span/bucket), compare
+  * O(pairs sharing a bucket) — not O(points × intervals). A hot bucket
+  * (skewed time range) is an AQE skew-join split candidate like any other
+  * shuffled equi-join; intervals of wildly varying length argue for the
+  * multi-resolution variant (bucket per length class), which callers can
+  * build by unioning two calls.
+  *
+  * Mirrors the interval-join shape of streaming engines (Flink's interval
+  * join) and warehouse range-join optimizations; the DuckDB oracle checks
+  * it with its native inequality join (q145).
+  */
+object RangeJoin {
+
+  /** Join `points` to `intervals` on containment:
+    * `intervals(lo) <= points(pt) <= intervals(hi)`.
+    *
+    * @param points    point side; `pt` a LONG column (e.g. epoch nanos)
+    * @param pt        point column name
+    * @param intervals interval side; `lo`/`hi` LONG columns, `lo <= hi`
+    *                  (rows violating it simply match nothing)
+    * @param lo        interval start column name (inclusive)
+    * @param hi        interval end column name (inclusive)
+    * @param bucket    bucket width in `pt` units (> 0); choose ≈ typical
+    *                  interval length
+    * @return one row per contained (point, interval) pair carrying both
+    *         sides' columns (names must be disjoint)
+    */
+  def pointInInterval(
+      points: DataFrame,
+      pt: String,
+      intervals: DataFrame,
+      lo: String,
+      hi: String,
+      bucket: Long): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty, s"column names must be disjoint, both have: $overlap")
+
+    def cell(c: Column): Column = graft.core.MatSchema.chunkKeyCol(c, bucket)
+
+    val p = points.withColumn("_rj_b", cell(col(pt)))
+    val iv = intervals.withColumn("_rj_b",
+      explode(sequence(cell(col(lo)), cell(col(hi)))))
+    p.join(iv, p("_rj_b") === iv("_rj_b") &&
+        col(pt) >= col(lo) && col(pt) <= col(hi))
+      .drop(p("_rj_b")).drop(iv("_rj_b"))
+  }
+}
