@@ -612,7 +612,8 @@ final class MatDb private (
           s"zorder takes exactly two dimensions, got ${other.mkString(",")}")
       }
       val writer = maxRecordsPerFile.foldLeft(
-        sorted.write.mode("append").option("compression", "zstd"))(
+        sorted.write.mode("append").option("compression", "zstd")
+          .options(Storage.parquetWriteOptions(Storage.readProps(root))))(
         (w, n) => w.option("maxRecordsPerFile", n))
       writer
         .partitionBy(schema.chunkColNames: _*)

@@ -287,6 +287,44 @@ object Storage {
   private def unescape(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
+  /** Parquet writer options derived from table properties, applied by every
+    * segment write path (Transaction.flush, the DSv2 insert/overwrite and
+    * row-level delta writes, checkpoint/optimize rewrites, ranged-layout
+    * appends).
+    *
+    *   - Any property whose key starts with `parquet.` passes through
+    *     verbatim — per-table row-group size (`parquet.block.size`), page
+    *     size, and parquet's own per-column `#col`-suffixed settings.
+    *   - `graft.bloom.columns = "c1,c2"` expands to per-column BLOOM FILTER
+    *     enables. Blooms are the point-lookup data-skipping index for
+    *     HIGH-CARDINALITY VALUE columns: dimension predicates already prune
+    *     via chunk directories and row-group min/max, but a needle lookup
+    *     on a value column (fingerprint, doc id) reads every row group —
+    *     with a bloom, row groups that provably lack the value are skipped
+    *     at the footer, so a hit touches O(1) row groups of a 100 TB table.
+    *     Scan-side cost is one footer-adjacent bloom read per row group;
+    *     Spark's pushed EqualTo/In filters consult it automatically.
+    *   - `graft.bloom.ndv.<col> = n` sizes the bloom for n distinct values
+    *     PER ROW GROUP (~1% fpp) — not per table: oversizing by the table
+    *     NDV makes every row-group bloom megabytes and the bloom READS
+    *     dominate the lookup (measured in BloomProbe). Without the hint
+    *     parquet's adaptive sizing picks the smallest candidate that holds
+    *     each row group's observed NDV — the right default.
+    */
+  def parquetWriteOptions(props: Map[String, String]): Map[String, String] = {
+    val passthrough = props.filter { case (k, _) => k.startsWith("parquet.") }
+    val bloom = props.get("graft.bloom.columns").toSeq.flatMap { cols =>
+      cols.split(",").map(_.trim).filter(_.nonEmpty).flatMap { c =>
+        Seq(s"parquet.bloom.filter.enabled#$c" -> "true") ++
+          (props.get(s"graft.bloom.ndv.$c") match {
+            case Some(ndv) => Seq(s"parquet.bloom.filter.expected.ndv#$c" -> ndv)
+            case None      => Seq("parquet.bloom.filter.adaptive.enabled" -> "true")
+          })
+      }
+    }
+    passthrough ++ bloom
+  }
+
   // ---- the CAS seam -------------------------------------------------------
   //
   // Every ATOMICITY-bearing operation (conditional put, replace put,

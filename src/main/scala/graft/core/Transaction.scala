@@ -241,6 +241,7 @@ final class Transaction private[core] (
         .sortWithinPartitions(schema.dimNames.map(col): _*)
         .write.mode("append")
         .option("compression", "zstd")
+        .options(Storage.parquetWriteOptions(Storage.readProps(db.root)))
         .partitionBy(schema.chunkColNames: _*)
         .parquet(target.toString)
       flushed = flushed :+ id

@@ -405,7 +405,8 @@ class GraftCatalog extends TableCatalog
     val extra = {
       import scala.jdk.CollectionConverters._
       properties.asScala.filter { case (k, _) =>
-        k.startsWith("graft.") && k != GraftCatalog.DimsProp &&
+        (k.startsWith("graft.") || k.startsWith("parquet.")) &&
+          k != GraftCatalog.DimsProp &&
           k != GraftCatalog.ProtocolProp && k != GraftCatalog.StoreProp
       }.toMap
     }
@@ -448,8 +449,10 @@ class GraftCatalog extends TableCatalog
     if (propChanges.nonEmpty) {
       val next = propChanges.foldLeft(Storage.readProps(dir)) {
         case (m, set: TableChange.SetProperty) =>
-          require(set.property.startsWith("graft."),
-            s"only graft.* table properties are settable, got '${set.property}'")
+          require(set.property.startsWith("graft.") ||
+            set.property.startsWith("parquet."),
+            "only graft.* and parquet.* (writer passthrough) table " +
+              s"properties are settable, got '${set.property}'")
           require(set.property != GraftCatalog.DimsProp &&
             set.property != GraftCatalog.ProtocolProp,
             s"'${set.property}' is structural table identity and cannot be altered")

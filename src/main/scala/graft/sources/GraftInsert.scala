@@ -124,6 +124,7 @@ object GraftInsert {
       .sortWithinPartitions(schema.dimNames.map(col): _*)
       .write.mode("append")
       .option("compression", "zstd")
+      .options(Storage.parquetWriteOptions(Storage.readProps(root)))
       .partitionBy(schema.chunkColNames: _*)
       .parquet(segPath.toString)
     val newIds = if (hasDataFiles(segPath)) Seq(segId) else Seq.empty[SegmentId]
@@ -234,6 +235,7 @@ object GraftInsert {
       .sortWithinPartitions(schema.dimNames.map(col): _*)
       .write.mode("append")
       .option("compression", "zstd")
+      .options(Storage.parquetWriteOptions(Storage.readProps(root)))
       .partitionBy(schema.chunkColNames: _*)
       .parquet(segPath.toString)
     if (hasDataFiles(segPath)) {

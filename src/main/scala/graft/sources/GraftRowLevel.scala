@@ -150,7 +150,10 @@ final class GraftDeltaBatchWrite(dir: String, matSchema: MatSchema, info: Logica
     val fileSchema = Scan.provenanceStruct(matSchema)
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val parquetFactory = new ParquetFileFormat().prepareWrite(
-      spark, job, Map("compression" -> "zstd"), fileSchema)
+      spark, job,
+      Map("compression" -> "zstd") ++
+        Storage.parquetWriteOptions(Storage.readProps(root)),
+      fileSchema)
     new GraftDeltaWriterFactory(
       c._2.toString, c._1.txnId,
       matSchema.dimNames.toArray, matSchema.dimensions.map(_.chunkSize).toArray,

@@ -116,6 +116,8 @@ object RangedGraft {
       .withColumn(RangeCol, rangeId(col(schema.dimNames.head), bounds))
       .write.partitionBy(RangeCol)
       .option("compression", "zstd")
+      .options(Storage.parquetWriteOptions(
+        Storage.readProps(java.nio.file.Paths.get(path))))
       .parquet(seg.toString)
     txn
   }
