@@ -92,7 +92,12 @@ final class MatDb private (
     * and only when no in-flight snapshot may still be reading pre-replace
     * files. Returns the number of directories removed. */
   def vacuum(): Int = synchronized {
-    protocol.sweepUnreferenced(root, committed ++ inFlight)
+    val swept = protocol.sweepUnreferenced(root, committed ++ inFlight)
+    // with the superseded directories gone, manifest versions referencing
+    // them can serve no read — drop them so table metadata stays O(live
+    // history), not O(commits ever) (Storage.pruneManifestHistory)
+    protocol.pruneManifestHistory(root)
+    swept
   }
 
   /** Open a new snapshot-isolated transaction. Horizon = all txns committed

@@ -108,6 +108,20 @@ sealed trait Protocol {
     * protocol: no-op (committed == listed, deletion happens at replace). */
   def sweepUnreferenced(root: Path, keep: Seq[SegmentId]): Int = 0
 
+  /** Delete manifest versions that can no longer serve ANY read (some
+    * referenced segment directory is gone — i.e. history a segment sweep
+    * already reclaimed, whose time-travel reads fall back to the latest
+    * manifest either way). Bounds metadata growth over a table's
+    * lifetime: without it `_log/` accumulates one version per commit
+    * forever, and every lineage walk (time travel across replaces,
+    * recovery's ever-referenced scan, conflict metadata) pays O(all
+    * commits ever). Strictly behavior-preserving by construction — only
+    * versions whose reads already fall back are removed, and the
+    * conflict-metadata walk treats a missing version as a hole and turns
+    * conservative. Same caller contract as the segment sweep (no
+    * concurrent writers). Rename protocol: no manifests, no-op. */
+  def pruneManifestHistory(root: Path): Int = 0
+
   /** Physically delete a committed segment directory (GC after compact /
     * replace — only call once no live snapshot can reference it). */
   def deleteSegment(root: Path, id: SegmentId): Unit
@@ -731,6 +745,28 @@ object Storage {
         .filter(e => refEver.contains(e._2) || !withinGrace(e._1))
       stale.foreach(e => deleteRecursively(e._1))
       stale.size
+    }
+
+    /** Prune manifest versions whose state is no longer readable: any
+      * referenced directory missing means [[listCommittedAsOf]] already
+      * falls back to filtering the latest manifest, so the version file
+      * is dead metadata. The latest version is never a candidate (its
+      * directories are the live set; a missing one there is corruption
+      * this GC must not paper over). A crash mid-prune just leaves more
+      * dead versions for the next run — [[commitsAfter]] treats any
+      * missing version as a hole and turns conservative, and
+      * [[latestManifest]] probes forward from `_last`, so partial
+      * deletion is harmless. */
+    override def pruneManifestHistory(root: Path): Int = {
+      val latest = latestManifest(root).getOrElse(return 0)
+      val old = listDir(logDir(root))
+        .filter(p => ManifestName.matches(p.getFileName.toString))
+        .filterNot(_.getFileName == latest.getFileName)
+      val dead = old.filter(p =>
+        !readManifest(p).forall(id => Files.isDirectory(readPath(root, id))))
+      dead.sortBy(_.getFileName.toString)
+        .foreach(p => Files.deleteIfExists(p))
+      dead.size
     }
 
     /** Every segment id any manifest version has EVER referenced — the

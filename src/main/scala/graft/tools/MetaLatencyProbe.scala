@@ -79,7 +79,30 @@ object MetaLatencyProbe {
     }
 
     val (pollS, openS, fbS) = measure(build(small))
-    val (pollB, openB, fbB) = measure(build(big))
+    val bigRoot = build(big)
+    val (pollB, openB, fbB) = measure(bigRoot)
+
+    // round 13: the remaining O(all-commits-ever) paths are the LINEAGE
+    // walks (time travel across replaces, everReferenced). vacuum's
+    // manifest-history prune bounds them: once the sweep reclaimed the
+    // replaced dirs, the versions referencing them are dead metadata.
+    def manifestCount(root: java.nio.file.Path): Long =
+      Files.list(root.resolve("_log")).filter(_.getFileName.toString
+        .matches("[0-9a-f]{8}\\.json")).count()
+    val lineageReps = math.max(reps / 10, 20)
+    val lineageBefore = medianNanos(lineageReps)(
+      proto.listCommittedAsOf(bigRoot, 1L)) / 1e6
+    val filesBefore = manifestCount(bigRoot)
+    val prunedCount = proto.pruneManifestHistory(bigRoot)
+    val lineageAfter = medianNanos(lineageReps)(
+      proto.listCommittedAsOf(bigRoot, 1L)) / 1e6
+    val filesAfter = manifestCount(bigRoot)
+    println(f"[probe] prune: manifests $filesBefore -> $filesAfter " +
+      f"(removed $prunedCount), lineage walk ${lineageBefore}%8.4f ms -> ${lineageAfter}%8.4f ms")
+    require(filesAfter * 100 <= filesBefore,
+      s"prune must collapse the version count 100x+ here: $filesBefore -> $filesAfter")
+    require(lineageAfter * 5 < lineageBefore,
+      s"the lineage walk must stop paying O(commits ever): $lineageBefore -> $lineageAfter ms")
     val ratioPoll = pollB / pollS
     val ratioOpen = openB / openS
     val ratioFb = fbB / fbS
@@ -99,7 +122,9 @@ object MetaLatencyProbe {
       s"""{"metric":"meta_latency_probe","reps":$reps,
          |"small":{"commits":$small,"poll_ms":$pollS,"open_ms":$openS,"fallback_poll_ms":$fbS},
          |"big":{"commits":$big,"poll_ms":$pollB,"open_ms":$openB,"fallback_poll_ms":$fbB},
-         |"ratio":{"poll":$ratioPoll,"open":$ratioOpen,"fallback_poll":$ratioFb}}"""
+         |"ratio":{"poll":$ratioPoll,"open":$ratioOpen,"fallback_poll":$ratioFb},
+         |"prune":{"manifests_before":$filesBefore,"manifests_after":$filesAfter,
+         |"lineage_ms_before":$lineageBefore,"lineage_ms_after":$lineageAfter}}"""
         .stripMargin.replace("\n", "")
     println(json)
     val out = java.nio.file.Paths.get(
