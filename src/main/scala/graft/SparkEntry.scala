@@ -5,7 +5,7 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * The battery (143 queries as of round 13) is assembled from four modules:
+  * The battery (146 queries as of round 13) is assembled from five modules:
   *   - [[graft.queries.CoreOps]]    q01-q05, q73, q76-q77, q92, q101-q103,
   *     q106, q108-q109, q111, q115, q117-q118, q120-q121, q123, q125-q126,
   *     q128-q130, q132-q135, q137 (SPJ across compatible chunk sizes),
@@ -49,6 +49,13 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational, TimeSeries}
   *     passage dedup, Zipf, embedding profile, packing/chunking/shuffle,
   *     trigram-LM scoring, PageRank, strict-order + conversion-window
   *     funnels).
+  *   - [[graft.queries.TimeSeries]] q144-q146: sensor-series
+  *     regularization (the reference's own domain) — q144 resample +
+  *     gap-fill with forward fill and linear interpolation
+  *     ([[graft.operators.GapFill]]), q145 bucketized interval
+  *     containment join ([[graft.operators.RangeJoin]] — one shuffled
+  *     equi-join where Spark's own plan is a nested loop), q146 OHLC
+  *     downsampling.
   */
 object SparkEntry {
   private lazy val battery: Seq[Q.Entry] =

@@ -711,11 +711,18 @@ object Storage {
       * behavior: typically the empty table below a replace — never a torn
       * read of half-vacuumed history). */
     override def listCommittedAsOf(root: Path, txn: Long): Seq[SegmentId] = {
-      val state = manifestLineage(root).filter(_._1 <= txn).lastOption
-        .map(_._2).getOrElse(Seq.empty)
-      val visible = state.filter(_.txnId <= txn).sorted
-      if (visible.forall(id => Files.isDirectory(readPath(root, id)))) visible
-      else listCommitted(root).filter(_.txnId <= txn).sorted
+      def fallback = listCommitted(root).filter(_.txnId <= txn).sorted
+      manifestLineage(root).filter(_._1 <= txn).lastOption match {
+        case Some((_, state)) =>
+          val visible = state.filter(_.txnId <= txn).sorted
+          if (visible.forall(id => Files.isDirectory(readPath(root, id)))) visible
+          else fallback
+        // no version at or below `txn` remains: either a pre-first-commit
+        // time (fallback filters to empty as well) or PRUNED history
+        // (vacuum's manifest GC) — fall back, exactly as an unreadable
+        // version would, so pruning a version never changes an answer
+        case None => fallback
+      }
     }
 
     override def txnWatermark(root: Path): Long =
