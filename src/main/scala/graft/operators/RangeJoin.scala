@@ -68,4 +68,57 @@ object RangeJoin {
         col(pt) >= col(lo) && col(pt) <= col(hi))
       .drop(p("_rj_b")).drop(iv("_rj_b"))
   }
+
+  /** [[pointInInterval]] for interval lengths spanning orders of magnitude.
+    *
+    * One bucket width cannot serve mixed lengths: sized for the short
+    * intervals it replicates a long interval `len/bucket + 1` times;
+    * sized for the long ones it packs every short interval (and most
+    * points) into a few giant cells. The classic fix is per-length-class
+    * resolution: intervals partition into doubling length classes
+    * `[base·2^i, base·2^(i+1))`, each class joins at its own bucket width
+    * `base·2^(i+1)` (so every interval in the class replicates to at most
+    * 2 cells), and the class results union. Points are small to
+    * re-bucket (one integral floor-div per class); classes partition the
+    * INTERVALS, so each matching pair still appears exactly once. Cost:
+    * `classes` shuffled equi-joins of (all points + that class's
+    * intervals) — `classes` is log2(maxLen/base), e.g. 7 joins for
+    * lengths from 1 s to 2 min at base 1 s.
+    *
+    * @param base bucket width for the shortest class (> 0); intervals
+    *             shorter than `base` join in the first class
+    */
+  def pointInIntervalMultiRes(
+      points: DataFrame,
+      pt: String,
+      intervals: DataFrame,
+      lo: String,
+      hi: String,
+      base: Long,
+      maxClasses: Int = 40): DataFrame = {
+    require(base > 0, s"base must be positive, got $base")
+    require(maxClasses >= 1 && maxClasses <= 62, s"bad maxClasses $maxClasses")
+    // one scalar aggregate sizes the class count to the data (driver-side,
+    // O(1) result — not a data collect); an empty interval side still
+    // produces a correctly-shaped empty result through class 0
+    val len = col(hi) - col(lo)
+    val maxLenRow = intervals.agg(max(len)).head()
+    val maxLen = if (maxLenRow.isNullAt(0)) 0L else maxLenRow.getLong(0)
+    val needed = math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxLen / base)))
+    val classes = math.min(maxClasses, needed)
+    // class i holds lengths in [base·2^i, base·2^(i+1)) — derivable per
+    // row, so the split is one filter per class, no shuffle of its own
+    def classOf(i: Int): Column = {
+      val lower = base * (1L << i)
+      if (classes == 1) lit(true)
+      else if (i == 0) len < lower * 2
+      else if (i == classes - 1) len >= lower
+      else len >= lower && len < lower * 2
+    }
+    (0 until classes).map { i =>
+      val classIvs = intervals.where(classOf(i))
+      pointInInterval(points, pt, classIvs, lo, hi, bucket = base * (2L << i))
+    }.reduce(_ unionByName _)
+  }
 }

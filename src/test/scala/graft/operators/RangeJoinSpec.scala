@@ -69,6 +69,29 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.toSet == Set((1L, 100L), (2L, 100L), (3L, 100L)))
   }
 
+  test("multi-resolution: wildly mixed interval lengths stay exact, pairs unique") {
+    import spark.implicits._
+    val p = points(500, 100000L)
+    // lengths spanning 5 orders of magnitude: 0..3, ~100, ~10k, ~80k
+    val iv = ((0 until 40).map { i =>
+      val lo = h(i, 13L, 100000L); (i.toLong, lo, lo + h(i, 29L, 4L))
+    } ++ (40 until 70).map { i =>
+      val lo = h(i, 17L, 100000L); (i.toLong, lo, lo + 100L + h(i, 31L, 50L))
+    } ++ (70 until 90).map { i =>
+      val lo = h(i, 19L, 100000L); (i.toLong, lo, lo + 10000L + h(i, 37L, 5000L))
+    } ++ (90 until 95).map { i =>
+      val lo = h(i, 23L, 20000L); (i.toLong, lo, lo + 80000L)
+    }).toDF("iid", "lo", "hi")
+    val want = brute(p, iv)
+    val got = pairs(RangeJoin.pointInIntervalMultiRes(p, "pt", iv, "lo", "hi", base = 4L))
+    assert(got.size == got.toSet.size, "length classes must partition the intervals")
+    assert(got.toSet == want)
+    // degenerate sides
+    val none = RangeJoin.pointInIntervalMultiRes(p, "pt",
+      iv.where(col("iid") < 0), "lo", "hi", base = 4L)
+    assert(none.count() == 0 && none.columns.length == p.columns.length + 3)
+  }
+
   test("plans as a shuffled equi-join on the bucket, not a nested-loop join") {
     val p = points(50, 1000L)
     val iv = intervals(20, 1000L, maxLen = 100L)
