@@ -5,11 +5,14 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * The battery (146 queries as of round 13) is assembled from five modules:
+  * The battery (147 queries as of round 13) is assembled from five modules:
   *   - [[graft.queries.CoreOps]]    q01-q05, q73, q76-q77, q92, q101-q103,
   *     q106, q108-q109, q111, q115, q117-q118, q120-q121, q123, q125-q126,
   *     q128-q130, q132-q135, q137 (SPJ across compatible chunk sizes),
   *     q138-q140 (persisted ANN index maintenance under DML + streaming),
+  *     q147 (the vacuum + manifest-prune lifecycle: CALL vacuum reclaims
+  *     replaced history AND prunes dead manifest versions, with
+  *     VERSION AS OF resolving through the documented fallback),
   *     q141-q143 (materialized-view auto-rewrite — a base GROUP BY
   *     answered from the maintained view, plan-asserted; q142 composite
   *     group key via the streaming sink, matched in any order; q143 the

@@ -1765,6 +1765,68 @@ object CoreOps {
         root.resolve("base").toAbsolutePath.toString)
       agg.select(col("grp"), col("sum_v_dec").cast("double").as("sum_v"), col("cnt"))
         .orderBy(col("grp"))
+    },
+
+    // ---- vacuum + manifest-prune lifecycle (round 13) --------------------
+    // The full storage-GC story through SQL: three commits build history,
+    // CALL optimize replaces them with one baseline, one more append lands
+    // on top, CALL vacuum reclaims the replaced directories AND prunes the
+    // manifest versions that referenced them (metadata stays O(live), not
+    // O(commits ever) — in-code requires pin both). The gate then reads
+    // BOTH the current state and VERSION AS OF the baseline txn: post-
+    // vacuum sub-replace time travel resolves through the documented
+    // latest-manifest-filter fallback, so the as-of half of the result is
+    // exactly the post-optimize state — replayed relationally by the
+    // oracle. ManifestPruneSpec/CheckpointSpec pin the mechanism.
+    Entry("q147_vacuum_lifecycle", Some(
+      """WITH base AS (SELECT user_id, arg_max(value, event_id) AS v
+        |              FROM events GROUP BY user_id),
+        |opt AS (SELECT user_id,
+        |               CASE WHEN user_id % 3 = 0 THEN v * 2.0 ELSE v END AS v
+        |        FROM base WHERE user_id >= 3),
+        |cur AS (SELECT user_id,
+        |               CASE WHEN user_id % 5 = 4 THEN -1.0 ELSE v END AS v,
+        |               0 AS src
+        |        FROM opt),
+        |snap AS (SELECT user_id, v, 1 AS src FROM opt)
+        |SELECT user_id, v, src FROM cur
+        |UNION ALL SELECT user_id, v, src FROM snap
+        |ORDER BY src, user_id""".stripMargin)) { (s, d) =>
+      val root = Q.fixture("q147-vacuum")
+      graft.core.Storage.deleteRecursively(root.resolve("t"))
+      java.nio.file.Files.createDirectories(root)
+      if (s.conf.getOption("spark.sql.catalog.g147").isEmpty) {
+        s.conf.set("spark.sql.catalog.g147", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g147.root", root.toString)
+      }
+      table(s, d, "events").createOrReplaceTempView("events")
+      s.sql("CREATE TABLE g147.t (user_id BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES('graft.dims' = 'user_id:1000')")
+      s.sql("""INSERT INTO g147.t
+              |SELECT user_id, max_by(value, event_id)
+              |FROM events GROUP BY user_id""".stripMargin)              // txn 1
+      s.sql("""INSERT INTO g147.t
+              |SELECT user_id, max_by(value, event_id) * 2.0
+              |FROM events WHERE user_id % 3 = 0 GROUP BY user_id""".stripMargin) // txn 2
+      s.sql("DELETE FROM g147.t WHERE user_id < 3")                      // txn 3
+      s.sql("CALL g147.system.optimize('t')").collect()                  // baseline
+      val baseTxn = s.sql("SELECT max(txn_id) FROM g147.t.history")
+        .head.getLong(0)
+      s.sql("""INSERT INTO g147.t
+              |SELECT user_id, -1.0 FROM events
+              |WHERE user_id % 5 = 4 AND user_id >= 3
+              |GROUP BY user_id""".stripMargin)                          // on top
+      val removed = s.sql("CALL g147.system.vacuum('t')").head.getInt(0)
+      require(removed > 0, s"vacuum must reclaim the replaced history")
+      val versions = graft.core.Storage.listDirPublic(root.resolve("t/_log"))
+        .count(_.getFileName.toString.matches("[0-9a-f]{8}\\.json"))
+      require(versions <= 2,
+        s"manifest prune must leave O(live) versions, found $versions")
+      val cur = s.sql("SELECT user_id, v FROM g147.t")
+        .withColumn("src", lit(0))
+      val asof = s.sql(s"SELECT user_id, v FROM g147.t VERSION AS OF $baseTxn")
+        .withColumn("src", lit(1))
+      cur.unionByName(asof).orderBy(col("src"), col("user_id"))
     }
   )
 }

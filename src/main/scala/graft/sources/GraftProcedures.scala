@@ -111,8 +111,12 @@ object GraftProcedures {
         row =>
           val dir = tableDir(row)
           val proto = graft.core.Storage.detect(dir)
-          new GenericInternalRow(Array[Any](
-            proto.sweepUnreferenced(dir, proto.listCommitted(dir))))
+          val removed = proto.sweepUnreferenced(dir, proto.listCommitted(dir))
+          // with the superseded directories gone, manifest versions
+          // referencing them can serve no read — same GC MatDb.vacuum runs,
+          // so table metadata stays O(live history), not O(commits ever)
+          proto.pruneManifestHistory(dir)
+          new GenericInternalRow(Array[Any](removed))
       }
       case "clone" => proc("clone",
         "zero-copy SHALLOW CLONE of a table into a new name under this " +

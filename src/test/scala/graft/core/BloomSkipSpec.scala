@@ -96,6 +96,43 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(missScanned < N / 4, s"bloom miss decoded $missScanned of $N rows")
   }
 
+  test("SQL path: TBLPROPERTIES declare the bloom; IN-list lookups skip too") {
+    val root = Files.createTempDirectory("graft-bloom-sql")
+    spark.conf.set("spark.sql.catalog.gbloom",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbloom.root", root.toString)
+    spark.sql("CREATE TABLE gbloom.t (k BIGINT, fp BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.dims' = 'k:1000000', " +
+      "'graft.bloom.columns' = 'fp', 'parquet.block.size' = '65536')")
+    spark.sql(s"INSERT INTO gbloom.t " +
+      s"SELECT id, xxhash64(id), id * 2 FROM range(0, $N)")
+    spark.sql("CALL gbloom.system.optimize('t')").collect()
+
+    val file = java.nio.file.Files.walk(root)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString),
+        spark.sessionState.newHadoopConf()))
+    try {
+      import scala.jdk.CollectionConverters._
+      val block = reader.getRowGroups.get(0)
+      val fp = block.getColumns.asScala.find(_.getPath.toDotString == "fp").get
+      assert(reader.getBloomFilterDataReader(block).readBloomFilter(fp) != null,
+        "TBLPROPERTIES bloom declaration did not reach the segment writer")
+    } finally reader.close()
+
+    // IN-list: Spark pushes In as per-value equality, each consulting the
+    // bloom — a multi-needle lookup skips like a single-needle one
+    val needles = Seq(7L, 123456L).map(fpOf)
+    val q = spark.sql(s"SELECT k FROM gbloom.t WHERE fp IN " +
+      s"(${needles.mkString(",")})")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 123456L))
+    val scanned = scannedRows(spark.sql(
+      s"SELECT k FROM gbloom.t WHERE fp IN (${needles.mkString(",")})"))
+    assert(scanned < N / 4, s"IN-list decoded $scanned of $N rows")
+  }
+
   test("control: without the bloom the same lookup decodes every row group") {
     val db = build(bloom = false)
     val scanned = scannedRows(db.snapshot().where(col("fp") === fpOf(123456L)))
