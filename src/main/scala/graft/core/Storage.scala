@@ -332,7 +332,11 @@ object Storage {
         Seq(s"parquet.bloom.filter.enabled#$c" -> "true") ++
           (props.get(s"graft.bloom.ndv.$c") match {
             case Some(ndv) => Seq(s"parquet.bloom.filter.expected.ndv#$c" -> ndv)
-            case None      => Seq("parquet.bloom.filter.adaptive.enabled" -> "true")
+            // column-scoped, NOT the global flag: with mixed hinted/unhinted
+            // bloom columns a global adaptive=true takes precedence per
+            // column in parquet-mr and silently ignores the explicit ndv
+            // sizing on the hinted column
+            case None => Seq(s"parquet.bloom.filter.adaptive.enabled#$c" -> "true")
           })
       }
     }
@@ -754,14 +758,25 @@ object Storage {
       stale.size
     }
 
-    /** Prune manifest versions whose state is no longer readable: any
-      * referenced directory missing means [[listCommittedAsOf]] already
-      * falls back to filtering the latest manifest, so the version file
-      * is dead metadata. The latest version is never a candidate (its
-      * directories are the live set; a missing one there is corruption
-      * this GC must not paper over). A crash mid-prune just leaves more
-      * dead versions for the next run — [[commitsAfter]] treats any
-      * missing version as a hole and turns conservative, and
+    /** Prune a contiguous PREFIX of manifest versions: find the newest
+      * version (below the latest) whose state is no longer readable — some
+      * referenced directory was vacuumed — and delete every version at or
+      * below it. Unreadable versions are dead metadata ([[listCommittedAsOf]]
+      * already falls back to filtering the latest manifest for them);
+      * fully-readable versions BELOW the newest dead one must go too, or
+      * they become stale survivors that lineage resolution picks over the
+      * fallback, silently changing `VERSION AS OF` answers (e.g. an empty
+      * truncate version is vacuously "readable" — keeping it below a
+      * pruned hole makes `VERSION AS OF` of a later pruned txn answer
+      * EMPTY instead of the latest-filtered baseline). Prefix-prune is
+      * behavior-preserving: a readable version below the hole references
+      * only still-live directories, so its state is a subset of the live
+      * set, and producing txns are monotone — filtering the latest
+      * manifest by txn resolves it identically. The latest version is
+      * never a candidate (its directories are the live set; a missing one
+      * there is corruption this GC must not paper over). A crash mid-prune
+      * just leaves more dead versions for the next run — [[commitsAfter]]
+      * treats any missing version as a hole and turns conservative, and
       * [[latestManifest]] probes forward from `_last`, so partial
       * deletion is harmless. */
     override def pruneManifestHistory(root: Path): Int = {
@@ -769,10 +784,12 @@ object Storage {
       val old = listDir(logDir(root))
         .filter(p => ManifestName.matches(p.getFileName.toString))
         .filterNot(_.getFileName == latest.getFileName)
-      val dead = old.filter(p =>
+        .sortBy(_.getFileName.toString)
+      val newestDead = old.lastIndexWhere(p =>
         !readManifest(p).forall(id => Files.isDirectory(readPath(root, id))))
-      dead.sortBy(_.getFileName.toString)
-        .foreach(p => Files.deleteIfExists(p))
+      if (newestDead < 0) return 0
+      val dead = old.take(newestDead + 1)
+      dead.foreach(p => Files.deleteIfExists(p))
       dead.size
     }
 

@@ -133,6 +133,21 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(scanned < N / 4, s"IN-list decoded $scanned of $N rows")
   }
 
+  test("mixed hinted/unhinted bloom columns scope the adaptive flag per column") {
+    val opts = Storage.parquetWriteOptions(Map(
+      "graft.bloom.columns" -> "fp, doc",
+      "graft.bloom.ndv.fp" -> "50000"))
+    assert(opts("parquet.bloom.filter.enabled#fp") == "true")
+    assert(opts("parquet.bloom.filter.enabled#doc") == "true")
+    assert(opts("parquet.bloom.filter.expected.ndv#fp") == "50000")
+    // the unhinted column gets COLUMN-SCOPED adaptive sizing; the global
+    // flag would take precedence per column in parquet-mr and silently
+    // ignore fp's explicit ndv hint
+    assert(opts("parquet.bloom.filter.adaptive.enabled#doc") == "true")
+    assert(!opts.contains("parquet.bloom.filter.adaptive.enabled"),
+      "global adaptive flag must not be emitted")
+  }
+
   test("control: without the bloom the same lookup decodes every row group") {
     val db = build(bloom = false)
     val scanned = scannedRows(db.snapshot().where(col("fp") === fpOf(123456L)))

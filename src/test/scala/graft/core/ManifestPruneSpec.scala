@@ -76,6 +76,34 @@ class ManifestPruneSpec extends AnyFunSuite {
     assert(db.snapshot(Some(t1)).agg(max(col("v"))).head.getLong(0) == 109L)
   }
 
+  test("prefix-prune removes readable survivors below the hole " +
+      "(an empty truncate version must not hijack VERSION AS OF)") {
+    val (db, root) = freshDb()
+    import spark.implicits._
+    append(db, 100L)                                    // txn 1
+    db.overwrite(Seq.empty[(Long, Long)].toDF("k", "v")) // txn 2: TRUNCATE (empty manifest)
+    append(db, 300L)                                    // txn 3
+    append(db, 400L)                                    // txn 4
+    // pre-prune observation: as-of 3 is txn 3's state
+    assert(db.snapshot(Some(3L)).count() == 10)
+    assert(db.snapshot(Some(3L)).agg(max(col("v"))).head.getLong(0) == 309L)
+
+    db.checkpoint(3L) // fold txns <= 3 into one baseline; v1/v3/v4 dirs die
+    db.vacuum()
+    // keep-readable-survivors would retain the empty truncate version v2
+    // (vacuously readable) while pruning v1/v3/v4 around it — then
+    // VERSION AS OF 3 resolves to v2 and answers EMPTY. Prefix-prune
+    // removes everything at or below the newest dead version.
+    val survivors = manifests(root)
+    assert(survivors.size == 1, s"only the checkpoint version survives, got $survivors")
+    assert(db.snapshot(Some(3L)).count() == 10,
+      "VERSION AS OF 3 must still answer the txn-3 baseline after vacuum")
+    assert(db.snapshot(Some(3L)).agg(max(col("v"))).head.getLong(0) == 309L)
+    // current state untouched: txn 4 upserted the same 10 keys, newest wins
+    assert(db.snapshot().count() == 10)
+    assert(db.snapshot().agg(max(col("v"))).head.getLong(0) == 409L)
+  }
+
   test("the latest manifest is never a prune candidate") {
     val (db, root) = freshDb()
     append(db, 100L)
