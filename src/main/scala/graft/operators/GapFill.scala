@@ -68,12 +68,15 @@ object GapFill {
     //    each input partition's cells before the shuffle
     val obs = df.groupBy((kCols :+ cell): _*).agg(cellAgg.as("_v"))
 
-    // 2. densify: each key's span, exploded to the full grid. sequence() is
-    //    evaluated per key row on executors; grid size == output size.
+    // 2. densify: each key's span, exploded to the full grid — in BOUNDED
+    //    slices ([[Densify.explodeRange]]): grid size == output size, and
+    //    per-row transient memory is capped regardless of a key's span (a
+    //    10-year key at second grain must not build a 3·10^8-element
+    //    array in one row before the generator runs)
     val span = obs.groupBy(kCols: _*)
       .agg(min(col("_cell")).as("_lo"), max(col("_cell")).as("_hi"))
-    val grid = span.select(kCols :+
-      explode(sequence(col("_lo"), col("_hi"))).as("_cell"): _*)
+    val grid = Densify.explodeRange(span, col("_lo"), col("_hi"), "_cell")
+      .select(kCols :+ col("_cell"): _*)
 
     // 3. join observations back (left: gaps stay null), then fill
     val joined = grid.join(obs, keys :+ "_cell", "left")

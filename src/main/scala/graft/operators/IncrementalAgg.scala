@@ -28,6 +28,28 @@ import graft.core.MatDb
   */
 object IncrementalAgg {
 
+  // diagnostic phase timing, enabled by SPARK_GRAFT_MAINT_DEBUG=1 (used by
+  // tools.MaintProfile to attribute per-maintenance fixed cost)
+  private val debug = sys.env.get("SPARK_GRAFT_MAINT_DEBUG").contains("1")
+  private def ph[A](label: String)(f: => A): A =
+    if (!debug) f
+    else {
+      val s = System.nanoTime(); val r = f
+      println(f"[maintph] $label%-24s ${(System.nanoTime() - s) / 1e9}%.2f s")
+      r
+    }
+
+  private val NullGuardMarker = "coalesce or filter upstream"
+  private def isNullGuard(e: Throwable): Boolean =
+    e != null && (Option(e.getMessage).exists(_.contains(NullGuardMarker)) ||
+      isNullGuard(e.getCause))
+  @annotation.tailrec
+  private def nullGuardMessage(e: Throwable): String =
+    if (Option(e.getMessage).exists(_.contains(NullGuardMarker))) {
+      val m = e.getMessage
+      m.substring(m.indexOf("delta contains null").max(0))
+    } else nullGuardMessage(e.getCause)
+
   /** Loud guard for the non-null `valueCol` contract: a null would vanish
     * from SUM but still count in `cnt` (SQL's SUM-skips-nulls vs COUNT(*)
     * mismatch), silently skewing the view forever. One cheap probe over
@@ -187,12 +209,12 @@ object IncrementalAgg {
     // pinned to their range's end txn, so "watermark >= toTxn" is exactly
     // "this range already landed" (refresh first — the handle chases other
     // maintenance runs' commits under crash-replay)
-    viewDb.refresh()
+    ph("refresh+wm")(viewDb.refresh())
     val watermark = viewDb.txnWatermark
     if (watermark >= toTxn) return watermark
     // a crashed prior attempt may have flushed (never committed) segments
     // at the pinned id — clear them or flush aborts on the claimed dir
-    viewDb.discardOrphanTxn(toTxn)
+    ph("discardOrphan")(viewDb.discardOrphanTxn(toTxn))
     val aggs: Seq[org.apache.spark.sql.Column] = viewDb.schema.values.map { v =>
       v.name match {
         case "cnt" => count(lit(1)).as("cnt")
@@ -221,8 +243,8 @@ object IncrementalAgg {
       df.persist(); cachedFrames += df; df
     }
     try {
-      viewDb.schema.valueNames.filter(_.startsWith("sum_")).map(_.stripPrefix("sum_"))
-        .distinct.foreach(requireNoNullValues(delta, _))
+      val sumGuardCols = viewDb.schema.valueNames.filter(_.startsWith("sum_"))
+        .map(_.stripPrefix("sum_")).distinct
       // per group column: dimensions are version-invariant (old == new);
       // value columns read their pre-image from the delta's _old_ side
       def oldGOf(g: String): org.apache.spark.sql.Column =
@@ -239,6 +261,9 @@ object IncrementalAgg {
         (hasMinMax || viewDb.schema.valueNames.contains("cnt"))
       val txn = viewDb.newPinnedTransaction(toTxn)
       if (!aligned) {
+        // backfill path: the up-front probe job is fine here (rare, and
+        // the absolute recompute dwarfs it)
+        ph("nullguard")(sumGuardCols.foreach(requireNoNullValues(delta, _)))
         // restricted ABSOLUTE recompute of every touched group — the
         // always-correct fallback (fresh view backfill, range gaps)
         val touched = cached(
@@ -270,9 +295,21 @@ object IncrementalAgg {
             (sumSrcs.map(c => (-col(s"_old_$c")).as(s"_d_$c")) ++
               mmSrcs.map(c => lit(null).cast(baseType(c)).as(s"_m_$c")) :+
               lit(-1L).as("_dc")): _*)
+        // the non-null sum contract rides the write job as a row-level
+        // raise_error instead of a separate up-front probe job (steady-path
+        // job count matters: each job is fixed latency per view per batch).
+        // The write job failing aborts BEFORE the manifest publish, so the
+        // guarantee is unchanged: a null in the delta means nothing commits
+        // (the claimed dir is swept by the next attempt's discardOrphanTxn).
+        def guarded(c: String): org.apache.spark.sql.Column =
+          if (!sumGuardCols.contains(c)) col(c)
+          else when(col(c).isNull, raise_error(lit(
+            s"delta contains null $c rows — the view's SUM would skip them " +
+              "while cnt counts them; coalesce or filter upstream " +
+              "(nothing was committed)"))).otherwise(col(c))
         val applyLeg = delta.where(col("op").isin("I", "U") && newNotNull)
           .select(gCols ++
-            (sumSrcs.map(c => col(c).as(s"_d_$c")) ++
+            (sumSrcs.map(c => guarded(c).as(s"_d_$c")) ++
               mmSrcs.map(c => col(c).as(s"_m_$c")) :+
               lit(1L).as("_dc")): _*)
         val groupAggs = sumSrcs.map(c => sum(col(s"_d_$c")).as(s"_d_$c")) ++
@@ -340,40 +377,58 @@ object IncrementalAgg {
           // a group whose count reaches zero has no aggregate — delete it
           txn.deleteRows(merged.where(col("cnt") === 0L).select(gCols: _*))
           txn.addRows(merged.where(col("cnt") =!= 0L))
-        } else if (dirty.isEmpty) {
-          // no boundary retraction anywhere: every touched group merges —
-          // NO base read at all, and clean groups cannot empty (the probe
-          // is one tiny job on the already-cached classification, whose
-          // result the write job reuses)
-          txn.addRows(merged)
         } else {
-          // dirty groups: restricted absolute recompute (min/max retraction
-          // needs the group's surviving history; sums ride along for free).
-          // Clean merged groups are insert-only-or-interior — their count
-          // cannot reach zero, so only dirty groups can empty.
-          val dirtyAgg = base.asOf(toTxn)
-            .join(broadcast(dirty), groupCols, "left_semi")
-            .groupBy(gCols: _*)
-            .agg(aggs.head, aggs.tail: _*)
-          val emptied = dirty.join(dirtyAgg.select(gCols: _*), groupCols, "left_anti")
-          txn.deleteRows(emptied)
-          // when EVERY touched group is dirty the merge leg is empty —
-          // drop it from the write plan (the common heavy-churn batch)
-          if (mergeable.isEmpty) txn.addRows(dirtyAgg)
-          else txn.addRows(merged.unionByName(dirtyAgg))
+          // ONE probe job decides both branches (dirty-empty and
+          // mergeable-empty) and materializes both cached classifications
+          // the write job reuses — two separate isEmpty probes paid two
+          // job round-trips per view per batch on the steady path
+          val flags = ph("probe")(
+            dirty.limit(1).select(lit(1).as("_w"))
+              .unionByName(mergeable.limit(1).select(lit(2).as("_w")))
+              .collect().map(_.getInt(0)).toSet)
+          if (!flags.contains(1)) {
+            // no boundary retraction anywhere: every touched group merges —
+            // NO base read at all, and clean groups cannot empty
+            txn.addRows(merged)
+          } else {
+            // dirty groups: restricted absolute recompute (min/max
+            // retraction needs the group's surviving history; sums ride
+            // along for free). Clean merged groups are
+            // insert-only-or-interior — their count cannot reach zero, so
+            // only dirty groups can empty.
+            val dirtyAgg = base.asOf(toTxn)
+              .join(broadcast(dirty), groupCols, "left_semi")
+              .groupBy(gCols: _*)
+              .agg(aggs.head, aggs.tail: _*)
+            val emptied = dirty.join(dirtyAgg.select(gCols: _*), groupCols, "left_anti")
+            txn.deleteRows(emptied)
+            // when EVERY touched group is dirty the merge leg is empty —
+            // drop it from the write plan (the common heavy-churn batch)
+            if (!flags.contains(2)) txn.addRows(dirtyAgg)
+            else txn.addRows(merged.unionByName(dirtyAgg))
+          }
         }
       }
-      txn.commit()
+      try ph("commit")(txn.commit())
+      catch {
+        // the inlined null guard fired inside the write job: surface the
+        // documented contract violation (and leave nothing behind — the
+        // rollback sweeps the claimed segment dir immediately instead of
+        // waiting for the next attempt's discardOrphanTxn)
+        case e: Throwable if isNullGuard(e) =>
+          try txn.rollback() catch { case _: Throwable => () }
+          throw new IllegalArgumentException(nullGuardMessage(e), e)
+      }
       // maintenance stamp — the soundness token the MV auto-rewrite
       // verifies ([[graft.plans.MvRewriteRule]]): "this table is a
       // maintained view of <base>, exactly through <toTxn>". Written AFTER
       // the commit; a crash in between only delays the stamp (and thus the
       // rewrite) until the next batch — never unsound, since the rule
       // requires exact txn equality.
-      graft.core.Storage.writeProps(viewDb.root,
+      ph("stamp")(graft.core.Storage.writeProps(viewDb.root,
         graft.core.Storage.readProps(viewDb.root) ++ Map(
           "graft.mview.base" -> base.root.toAbsolutePath.toString,
-          "graft.mview.txn" -> toTxn.toString))
+          "graft.mview.txn" -> toTxn.toString)))
       txn.id.getOrElse(toTxn)
     } finally {
       cachedFrames.foreach(_.unpersist())

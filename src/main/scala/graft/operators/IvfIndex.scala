@@ -161,10 +161,15 @@ object IvfIndex {
     * an in-place overwrite is illegal). Single-writer contract, like
     * every fixture layout. */
   def maintainIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      idCol: String, upserts: DataFrame, deletes: DataFrame): Unit = {
+      idCol: String, upserts: DataFrame, deletes: DataFrame,
+      knownCentroids: Option[Seq[Seq[Double]]] = None): Unit = {
     graft.functions.VectorOps.register(spark)
     val vecCol = upserts.columns.find(_ != idCol).getOrElse(idCol)
-    val centroids = readCentroids(spark, path).map(_.toSeq).toSeq
+    // centroids are FIXED for the index's lifetime (they are its geometry),
+    // so a steady maintenance driver (indexMaintSink) reads them once and
+    // passes them in — one fewer read+collect per micro-batch
+    val centroids = knownCentroids.getOrElse(
+      readCentroids(spark, path).map(_.toSeq).toSeq)
     val newAssign = assign(
       upserts.select(col(idCol), normalized(col(vecCol)).as("v")), "v", centroids)
     val touched = upserts.select(col(idCol))
@@ -206,12 +211,15 @@ object IvfIndex {
     val touched = touchedIn.persist()
     try {
       val corpus = spark.read.parquet(layoutPath)
-      val oldBuckets = corpus.select(col(idCol), col("bucket"))
+      // ONE job for the touched-bucket set: old buckets (column-pruned id
+      // scan semi-joined against the touched ids) unioned with the delta's
+      // new buckets — two separate collects would pay two job round-trips
+      // per maintenance batch
+      val rewrite = corpus.select(col(idCol), col("bucket"))
         .join(broadcast(touched), Seq(idCol), "left_semi")
-        .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
-      val newBuckets = newRows.select(col("bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      val rewrite = (oldBuckets ++ newBuckets).toSeq.sorted
+        .select(col("bucket"))
+        .unionByName(newRows.select(col("bucket")))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
       if (rewrite.nonEmpty) {
         val replacement = corpus.where(col("bucket").isin(rewrite: _*))
           .join(broadcast(touched), Seq(idCol), "left_anti")

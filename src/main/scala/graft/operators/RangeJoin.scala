@@ -62,8 +62,10 @@ object RangeJoin {
     def cell(c: Column): Column = graft.core.MatSchema.chunkKeyCol(c, bucket)
 
     val p = points.withColumn("_rj_b", cell(col(pt)))
-    val iv = intervals.withColumn("_rj_b",
-      explode(sequence(cell(col(lo)), cell(col(hi)))))
+    // interval → bucket replication in BOUNDED slices (Densify.explodeRange):
+    // replication is still len/bucket + 1 rows, but an interval spanning
+    // millions of buckets no longer materializes them as one array value
+    val iv = Densify.explodeRange(intervals, cell(col(lo)), cell(col(hi)), "_rj_b")
     p.join(iv, p("_rj_b") === iv("_rj_b") &&
         col(pt) >= col(lo) && col(pt) <= col(hi))
       .drop(p("_rj_b")).drop(iv("_rj_b"))
@@ -87,6 +89,12 @@ object RangeJoin {
     *
     * @param base bucket width for the shortest class (> 0); intervals
     *             shorter than `base` join in the first class
+    * @param knownMaxLen a caller-known upper bound on interval length
+    *             (e.g. "maintenance windows never exceed 4 h"): skips the
+    *             sizing aggregate — one fewer blocking Spark job before
+    *             planning. Intervals longer than the bound still join
+    *             EXACTLY (the top class is open-ended) — a loose bound
+    *             only costs replication, never correctness.
     */
   def pointInIntervalMultiRes(
       points: DataFrame,
@@ -95,15 +103,18 @@ object RangeJoin {
       lo: String,
       hi: String,
       base: Long,
-      maxClasses: Int = 40): DataFrame = {
+      maxClasses: Int = 40,
+      knownMaxLen: Option[Long] = None): DataFrame = {
     require(base > 0, s"base must be positive, got $base")
     require(maxClasses >= 1 && maxClasses <= 62, s"bad maxClasses $maxClasses")
     // one scalar aggregate sizes the class count to the data (driver-side,
     // O(1) result — not a data collect); an empty interval side still
     // produces a correctly-shaped empty result through class 0
     val len = col(hi) - col(lo)
-    val maxLenRow = intervals.agg(max(len)).head()
-    val maxLen = if (maxLenRow.isNullAt(0)) 0L else maxLenRow.getLong(0)
+    val maxLen = knownMaxLen.getOrElse {
+      val maxLenRow = intervals.agg(max(len)).head()
+      if (maxLenRow.isNullAt(0)) 0L else maxLenRow.getLong(0)
+    }
     val needed = math.max(1,
       64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxLen / base)))
     val classes = math.min(maxClasses, needed)

@@ -336,9 +336,26 @@ object Streams {
             // after the last view committed. O(batch) rows, never O(base).
             val delta = base.changesBetween(
               range.getLong(0) - 1L, hi, includeOld = true).persist()
-            try pending.foreach { case (viewDb, groupCols) =>
-              graft.operators.IncrementalAgg.maintainAbsoluteMultiKeys(base, viewDb,
-                range.getLong(0) - 1L, hi, groupCols, Some(delta))
+            // GROUPED maintenance: every pending view of the batch folds
+            // CONCURRENTLY (one driver thread per view, Spark schedules the
+            // jobs side by side), so the batch pays ONE view-maintenance
+            // wall-clock instead of a serial commit chain — the per-commit
+            // fixed cost (merge-plan jobs + flush + manifest publish) was
+            // the multi-view scenario's dominant term once the change scan
+            // was shared. Cross-TABLE atomicity is neither possible nor
+            // needed: each view's commit stays individually atomic and
+            // pinned to the range's end txn, so a crash mid-group leaves
+            // some views behind one range and the replayed batch advances
+            // exactly those (the same guarantee the serial loop gave).
+            try {
+              import scala.concurrent.{Await, Future}
+              import scala.concurrent.duration.Duration
+              implicit val ec: scala.concurrent.ExecutionContext = MaintPool.ec
+              val folds = pending.map { case (viewDb, groupCols) => Future {
+                graft.operators.IncrementalAgg.maintainAbsoluteMultiKeys(base, viewDb,
+                  range.getLong(0) - 1L, hi, groupCols, Some(delta))
+              }}
+              Await.result(Future.sequence(folds), Duration.Inf)
             } finally { delta.unpersist(); () }
           }
         }
@@ -368,6 +385,7 @@ object Streams {
       vecCol: String, checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     var base: MatDb = null // driver-side foreachBatch state, one per stream
+    var centroids: Seq[Seq[Double]] = null // fixed geometry: read once per stream
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
@@ -377,6 +395,9 @@ object Streams {
         if (!range.isNullAt(0)) {
           if (base == null) base = MatDb.open(batch.sparkSession, basePath)
           else base.refresh()
+          if (centroids == null)
+            centroids = graft.operators.IvfIndex
+              .readCentroids(batch.sparkSession, indexPath).map(_.toSeq).toSeq
           val idCol = base.schema.dimNames.head
           require(base.schema.dimNames == Seq(idCol),
             s"indexMaintSink: the base table must be keyed by one id dimension, " +
@@ -390,7 +411,8 @@ object Streams {
                 (col("op").isin("I", "U") && col(vecCol).isNull))
               .select(col(idCol))
             graft.operators.IvfIndex.maintainIndex(
-              batch.sparkSession, indexPath, idCol, upserts, deletes)
+              batch.sparkSession, indexPath, idCol, upserts, deletes,
+              Some(centroids))
           } finally { delta.unpersist(); () }
         }
         ()
@@ -825,5 +847,22 @@ object Streams {
         } finally sigged.unpersist()
         maybeCompact(spark, table, schema, buckets, batchId, compactEvery)
       }
+  }
+
+  /** Shared driver-side pool for grouped view maintenance: a handful of
+    * daemon threads is plenty (each just ORCHESTRATES Spark jobs — the
+    * actual work runs on executors), and a bounded pool keeps a
+    * many-view sink from flooding the scheduler. */
+  private object MaintPool {
+    lazy val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(8,
+          new java.util.concurrent.ThreadFactory {
+            private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+            def newThread(r: Runnable): Thread = {
+              val t = new Thread(r, s"graft-view-maint-${n.getAndIncrement()}")
+              t.setDaemon(true); t
+            }
+          }))
   }
 }

@@ -60,6 +60,36 @@ class GapFillSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(4)).toSeq == Seq(1.0, 2.5, 4.0))
   }
 
+  test("explodeRange equals the plain range for every slice alignment") {
+    import spark.implicits._
+    // spans that end exactly on, one short of, and one past slice edges,
+    // plus negative and single-cell spans — at a tiny slice width so a few
+    // rows cross many slices
+    val cases = Seq((0L, 0L), (0L, 6L), (0L, 7L), (0L, 8L), (-13L, 5L),
+      (-8L, -8L), (3L, 20L), (Long.MaxValue - 3L, Long.MaxValue))
+    cases.foreach { case (lo, hi) =>
+      val out = Densify.explodeRange(Seq((lo, hi)).toDF("l", "h"),
+        col("l"), col("h"), "x", slice = 7L)
+        .select(col("x")).collect().map(_.getLong(0)).toSeq
+      assert(out == (lo to hi).toSeq, s"range [$lo, $hi]")
+      assert(out.distinct == out, s"duplicates in [$lo, $hi]")
+    }
+  }
+
+  test("a 10^8-cell span densifies at bounded executor memory") {
+    import spark.implicits._
+    // the single-sequence form would build one 10^8-element (≈800 MB)
+    // array value inside one row before exploding; the sliced form caps
+    // per-row transient memory at SliceCells longs. The count streaming
+    // through is the whole assertion — an unbounded array would OOM the
+    // executor thread long before it finished.
+    val n = 100000000L
+    val cnt = Densify.explodeRange(Seq((0L, n - 1L)).toDF("l", "h"),
+      col("l"), col("h"), "x")
+      .agg(count(lit(1)), min(col("x")), max(col("x"))).head()
+    assert(cnt.getLong(0) == n && cnt.getLong(1) == 0L && cnt.getLong(2) == n - 1L)
+  }
+
   test("grid generation is distributed (no driver-side collect in the plan)") {
     val plan = run(obs(("a", 0L, 1.0), ("a", 99L, 2.0)), grain = 1L)
       .queryExecution.executedPlan.toString

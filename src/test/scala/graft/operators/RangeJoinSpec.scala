@@ -53,6 +53,20 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("an interval replicating across many densify slices stays exact once") {
+    import spark.implicits._
+    // bucket=1 makes the giant interval replicate to ~200k bucket rows —
+    // several Densify slices — alongside short intervals and an lo > hi
+    // junk row (matches nothing, its descending slices must be filtered)
+    val p = Seq((1L, 0L), (2L, 99999L), (3L, 200000L), (4L, 250000L))
+      .toDF("pid", "pt")
+    val iv = Seq((10L, 0L, 200000L), (20L, 250000L, 250000L),
+      (30L, 5000L, 4000L)).toDF("iid", "lo", "hi")
+    val got = pairs(RangeJoin.pointInInterval(p, "pt", iv, "lo", "hi", bucket = 1L))
+    assert(got.size == got.toSet.size, "duplicate pairs emitted")
+    assert(got.toSet == Set((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L)))
+  }
+
   test("bounds are inclusive on both ends; zero-length intervals match") {
     import spark.implicits._
     val p = Seq((1L, 10L), (2L, 20L), (3L, 15L)).toDF("pid", "pt")
@@ -90,6 +104,14 @@ class RangeJoinSpec extends AnyFunSuite {
     val none = RangeJoin.pointInIntervalMultiRes(p, "pt",
       iv.where(col("iid") < 0), "lo", "hi", base = 4L)
     assert(none.count() == 0 && none.columns.length == p.columns.length + 3)
+    // caller-known length bound skips the sizing job; a LOOSE bound and a
+    // TIGHT (violated) bound must both stay exact — the top class is
+    // open-ended, so a longer-than-declared interval still joins
+    for (bound <- Seq(80000L, 1000000L, 500L)) {
+      val g = pairs(RangeJoin.pointInIntervalMultiRes(p, "pt", iv, "lo", "hi",
+        base = 4L, knownMaxLen = Some(bound)))
+      assert(g.size == g.toSet.size && g.toSet == want, s"knownMaxLen=$bound")
+    }
   }
 
   test("plans as a shuffled equi-join on the bucket, not a nested-loop join") {
