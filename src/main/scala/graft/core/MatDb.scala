@@ -190,13 +190,17 @@ final class MatDb private (
         live.select((schema.dimNames ++ schema.valueNames)
           .map(org.apache.spark.sql.functions.col): _*)
       } else Scan.resolve(spark, schema, segmentReadPaths(segs), extra = Nil, pred)
-    // current, predicate-free snapshots of a table with declared
-    // materialized views register with the MV auto-rewrite rule: an
-    // Aggregate whose child canonicalizes equal to this plan may be
-    // answered from a maintained view ([[graft.plans.MvRewriteRule]]).
-    // asOf/pred snapshots never register — the rewrite's freshness check
-    // is pinned to the CURRENT state.
-    if (asOfTxn.isEmpty && pred.isEmpty) {
+    // predicate-free snapshots of a table with declared materialized views
+    // register with the MV auto-rewrite rule: an Aggregate whose child
+    // canonicalizes equal to this plan may be answered from a maintained
+    // view ([[graft.plans.MvRewriteRule]]). Time-travel snapshots register
+    // too, keyed by their own state txn — maintenance commits are PINNED
+    // to base txn ids, so a view version aligned exactly at that txn is as
+    // sound as the current-state case (`VERSION AS OF` dashboards rewrite;
+    // the rule's per-query alignment witness decides, a missing aligned
+    // version just falls through to the base). Predicate-pushed snapshots
+    // never register (the view holds aggregates, not base rows).
+    if (pred.isEmpty) {
       val mv = materializedViews
       if (mv.nonEmpty)
         graft.plans.MvRegistry.register(
@@ -218,6 +222,20 @@ final class MatDb private (
   }
 
   def asOf(txnId: Long): DataFrame = snapshot(Some(txnId))
+
+  /** True iff the state visible AS OF `txn` ends in a commit pinned EXACTLY
+    * at `txn` — i.e. this table has a version whose producing transaction
+    * is `txn` itself, still resolvable from history. For a maintained view
+    * (whose maintenance commits are pinned to base txn ids) this is the
+    * alignment witness [[graft.plans.MvRewriteRule]] uses to serve
+    * `VERSION AS OF` rewrites: `view.asOf(t)` equals the aggregate of
+    * `base.asOf(t)` precisely when such a pinned commit exists. History
+    * checkpointed or vacuumed below `txn` resolves through the fallback's
+    * filtered set, whose max txn then differs — the witness fails closed
+    * (metadata-only: one manifest-lineage read, no data IO). */
+  def hasCommitExactlyAt(txn: Long): Boolean =
+    txn > 0L &&
+      protocol.listCommittedAsOf(root, txn).map(_.txnId).foldLeft(0L)(math.max) == txn
 
   /** Total on-disk bytes of the segments visible at `asOfTxn` (driver-side
     * listing, no data IO). [[graft.sources.GraftRelation]] reports this as
@@ -488,6 +506,7 @@ final class MatDb private (
       if (rest.isEmpty) props - MviewsProp
       else props + (MviewsProp -> rest.mkString("\t")))
     graft.plans.MvRegistry.dropRoot(root.toAbsolutePath.toString)
+    graft.plans.MvRegistry.dropViewHandle(p)
   }
 
   /** Declared materialized-view roots (absolute paths). */

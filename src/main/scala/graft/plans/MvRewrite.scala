@@ -40,18 +40,24 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *      `graft.mview.txn`) written by `IncrementalAgg.maintainAbsoluteMulti`
   *      after each maintenance commit — proof the table at `viewRoot` really
   *      is a maintained view OF THIS BASE and how far it has been maintained;
-  *   2. the stamp's txn equals the registered snapshot's txn — the view is
-  *      maintained EXACTLY to the state the query's snapshot reads (ahead is
-  *      as wrong as behind: the snapshot pinned an older segment set);
+  *   2. ALIGNMENT — either the stamp's txn equals the registered snapshot's
+  *      txn (the view's current state is maintained EXACTLY to the state
+  *      the query reads — ahead is as wrong as behind: the snapshot pinned
+  *      an older segment set), or the view's own history has a version
+  *      pinned EXACTLY at the snapshot's txn (maintenance commits are
+  *      pinned to base txn ids, so `view.asOf(t)` IS the aggregate of
+  *      `base.asOf(t)` — this serves `VERSION AS OF` dashboards and
+  *      current snapshots the view has since advanced past);
   *   3. every aggregate in the query maps onto a view column — `sum(c)` →
   *      `sum_c`, `min(c)` → `min_c`, `max(c)` → `max_c`, `count(*)`/
   *      `count(1)` → `cnt` — with no DISTINCT and no FILTER clause, and the
   *      single grouping expression is the view's dimension column.
-  * Time-travel snapshots (`asOf`) and predicate-pushed snapshots never
-  * register, so they never rewrite. A stale or foreign view fails check 1/2
-  * and the query silently runs against the base — the rewrite can change
-  * PLANS, never results (MvRewriteSpec pins both directions; the q141 gate
-  * pins result-equality against the DuckDB oracle and asserts the rewritten
+  * Predicate-pushed snapshots never register, so they never rewrite; a
+  * time-travel snapshot BELOW every aligned view version fails the
+  * alignment witness. A stale or foreign view fails check 1/2 and the
+  * query silently runs against the base — the rewrite can change PLANS,
+  * never results (MvRewriteSpec pins both directions; the q141 gate pins
+  * result-equality against the DuckDB oracle and asserts the rewritten
   * plan reads only view files).
   *
   * Kill switch: `spark.graft.mv.rewrite.enabled = false` (default on).
@@ -59,16 +65,27 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object MvRegistry {
   final case class Entry(baseRoot: String, snapTxn: Long, viewRoots: Seq[String])
 
-  // canonicalized snapshot plan -> entry; snapshots of successive table
-  // states register distinct keys, so cap-and-clear keeps the map bounded
-  // (a cleared entry only costs a missed rewrite until the next snapshot)
-  private val entries = new ConcurrentHashMap[LogicalPlan, Entry]()
+  private val MaxEntries = 256
+
+  // canonicalized snapshot plan -> entry, LRU-evicted at MaxEntries:
+  // snapshots of successive table states register distinct keys, and a
+  // long-lived multi-tenant service must keep the RECENTLY-USED ones
+  // rewritable (the old cap-and-clear dropped everything at once — every
+  // live dashboard missed its next rewrite). Eviction only costs a missed
+  // rewrite until the next snapshot re-registers.
+  private val entries = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[LogicalPlan, Entry](64, 0.75f, /*accessOrder*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[LogicalPlan, Entry]): Boolean =
+        size() > MaxEntries
+    })
   // view handles are opened once per JVM and refreshed per use (O(1)
-  // manifest-pointer read) — the rule must stay metadata-cheap
+  // manifest-pointer read) — the rule must stay metadata-cheap. Handles are
+  // dropped on dropRoot/dropViewHandle so a dropped view's MatDb does not
+  // outlive its table (it would re-open lazily if ever referenced again).
   private val handles = new ConcurrentHashMap[String, graft.core.MatDb]()
 
   def register(key: LogicalPlan, e: Entry): Unit = {
-    if (entries.size > 256) entries.clear()
     entries.put(key, e)
     ()
   }
@@ -77,11 +94,29 @@ object MvRegistry {
 
   def isEmpty: Boolean = entries.isEmpty
 
-  /** Drop every registration of `baseRoot` (unregister / tests). */
-  def dropRoot(baseRoot: String): Unit = {
+  private[plans] def size: Int = entries.size()
+
+  /** Drop every registration of `baseRoot` AND the handles of the views
+    * those registrations pointed at (unregister / DROP TABLE / tests). */
+  def dropRoot(baseRoot: String): Unit = entries.synchronized {
     val it = entries.entrySet().iterator()
-    while (it.hasNext) if (it.next().getValue.baseRoot == baseRoot) it.remove()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.baseRoot == baseRoot) {
+        e.getValue.viewRoots.foreach(handles.remove)
+        it.remove()
+      }
+    }
   }
+
+  /** Free a single view's cached handle (view dropped or re-created). */
+  def dropViewHandle(viewRoot: String): Unit = {
+    handles.remove(viewRoot)
+    ()
+  }
+
+  private[plans] def hasHandle(viewRoot: String): Boolean =
+    handles.containsKey(viewRoot)
 
   private[plans] def viewHandle(spark: SparkSession, root: String): graft.core.MatDb = {
     val h = handles.computeIfAbsent(root, r => graft.core.MatDb.open(spark, r))
@@ -154,14 +189,31 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         gNames.size == gs.size)) return None
     // soundness stamp: written by maintainAbsoluteMulti AFTER each
     // maintenance commit — proves "maintained view of THIS base, through
-    // THIS txn". Exact equality with the snapshot's txn, both directions.
+    // THIS txn" (the relationship proof; never inferred from layout).
     val props = graft.core.Storage.readProps(view.root)
     if (!props.get("graft.mview.base").contains(entry.baseRoot)) return None
-    if (!props.get("graft.mview.txn").map(_.toLong).contains(entry.snapTxn)) return None
+    val stampTxn = props.get("graft.mview.txn").map(_.toLong).getOrElse(return None)
+    // alignment, two sound cases:
+    //   1. stamp == snapshot txn — the view's CURRENT state is maintained
+    //      exactly to the state the query reads (ahead is as wrong as
+    //      behind: the snapshot pinned an older segment set);
+    //   2. PINNED history — maintenance commits are pinned to base txn ids
+    //      (IncrementalAgg.maintainAbsoluteMulti), so a view version ending
+    //      EXACTLY at the snapshot's txn is the aggregate of base.asOf(txn)
+    //      verbatim: `VERSION AS OF` dashboards rewrite too, and a view
+    //      that advanced PAST a just-registered current snapshot still
+    //      serves it from its aligned version. A snapshot txn the view has
+    //      no commit at (mid-batch txn, or view history checkpointed/pruned
+    //      below it — the version-max test fails on the fallback's filtered
+    //      set) falls through to the base.
+    val vDf =
+      if (stampTxn == entry.snapTxn) view.snapshot()
+      else if (view.hasCommitExactlyAt(entry.snapTxn)) view.asOf(entry.snapTxn)
+      else return None
 
     // fresh plan per rewrite (fresh attribute ids — two rewrites in one
     // query tree must not collide)
-    val vPlan = view.snapshot().queryExecution.analyzed
+    val vPlan = vDf.queryExecution.analyzed
     def vAttr(name: String): Option[Attribute] = vPlan.output.find(_.name == name)
     // base group attr exprId -> the view's column for it
     val gMap: Map[ExprId, Attribute] =

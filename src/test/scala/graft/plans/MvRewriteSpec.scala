@@ -119,12 +119,12 @@ class MvRewriteSpec extends AnyFunSuite {
     val e = base.snapshot().groupBy("grp").agg(sum(col("v") + 1L).as("s"))
     assert(scanRoots(e).exists(_.contains("/base/")))
 
-    // time travel below the watermark reads a DIFFERENT segment set, so
-    // its plan can never canonicalize equal to a registered snapshot
-    // (asOf at exactly the watermark is the same plan as the current
-    // snapshot and may legitimately rewrite — same plan, same result)
+    // time travel at an ALIGNED txn (a maintenance batch ended exactly
+    // there) rewrites to the view's pinned version — and answers the
+    // HISTORICAL aggregate, not the current one (see the dedicated
+    // VERSION AS OF test for the full matrix)
     val t = base.asOf(2L).groupBy("grp").agg(sum("v").as("sum_v"))
-    assert(scanRoots(t).exists(_.contains("/base/")))
+    assert(scanRoots(t).forall(_.contains("/view/")))
 
     // stale: one more base commit, view not maintained -> fresh snapshot
     // reads the base (and returns the NEW rows the view lacks)
@@ -291,5 +291,100 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(oq.count() === 6)
     MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
     MvRegistry.dropRoot(other.root.toAbsolutePath.toString)
+  }
+
+  test("VERSION AS OF rewrites at aligned txns, falls back at mid-batch txns") {
+    val (base, view, _, viewPath) = fixture("asof")
+    // txn 1 maintained alone; txns 2+3 maintained as ONE range (2, 3] —
+    // the view has pinned versions at 1 and 3, but NOT at 2
+    val t1 = base.newTransaction()
+    t1.addRowsSeq(for (i <- 0L until 60L) yield Seq[Any](i, i % 6, i * 10L))
+    t1.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 0L, 1L, "grp")
+    val t2 = base.newTransaction()
+    t2.addRowsSeq(for (i <- 0L until 30L) yield Seq[Any](i, i % 6, i * 10L + 1L))
+    t2.commit()
+    val t3 = base.newTransaction()
+    t3.addRowsSeq(Seq(Seq[Any](1000L, 99L, 7L)))
+    t3.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 1L, 3L, "grp")
+    base.registerMaterializedView(viewPath)
+
+    def agg(df: DataFrame) = df.groupBy("grp")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("cnt"))
+    def truth(df: DataFrame) = {
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      try agg(df).orderBy("grp").collect().toSeq
+      finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    }
+
+    // aligned historical txn 1: rewrites AND answers the txn-1 aggregate
+    val q1 = agg(base.asOf(1L))
+    assert(scanRoots(q1).forall(_.contains("/view/")),
+      "asOf at an aligned maintenance txn must rewrite to the view")
+    assert(q1.orderBy("grp").collect().toSeq === truth(base.asOf(1L)))
+    assert(q1.where(col("grp") === 99L).count() === 0,
+      "the historical rewrite must not leak current-state rows")
+
+    // mid-batch txn 2: the view has no pinned version there -> base scan
+    val q2 = agg(base.asOf(2L))
+    assert(scanRoots(q2).exists(_.contains("/base/")),
+      "asOf at a mid-batch txn must fall back to the base")
+    assert(q2.orderBy("grp").collect().toSeq === truth(base.asOf(2L)))
+
+    // current snapshot (== txn 3, the stamp) still rewrites
+    val q3 = agg(base.snapshot())
+    assert(scanRoots(q3).forall(_.contains("/view/")))
+    assert(q3.where(col("grp") === 99L).count() === 1)
+
+    // a view that ADVANCED PAST a registered snapshot serves it from its
+    // aligned version: register the txn-3 snapshot, advance base+view to
+    // txn 4, the OLD snapshot's aggregate still rewrites (pinned read)
+    val snap3 = base.snapshot()
+    val t4 = base.newTransaction()
+    t4.addRowsSeq(Seq(Seq[Any](1001L, 98L, 9L))); t4.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 3L, 4L, "grp")
+    val q3b = agg(snap3)
+    assert(scanRoots(q3b).forall(_.contains("/view/")),
+      "an advanced view must still serve the older snapshot via its aligned version")
+    assert(q3b.where(col("grp") === 98L).count() === 0)
+    assert(q3b.orderBy("grp").collect().toSeq === truth(base.asOf(3L)))
+    MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+  }
+
+  test("registry is LRU (recent snapshots stay rewritable); dropped views free handles") {
+    val (base, view, _, viewPath) = fixture("lru")
+    seedAndMaintain(base, view)
+    base.registerMaterializedView(viewPath)
+    val q0 = base.snapshot().groupBy("grp").agg(sum("v").as("s"))
+    assert(scanRoots(q0).forall(_.contains("/view/")), "baseline rewrite")
+
+    // flood the registry with 300 foreign registrations: the RECENTLY USED
+    // entry must survive LRU eviction (cap-and-clear would drop it)
+    val snap = base.snapshot() // registers + is the entry we keep using
+    (1 to 300).foreach { i =>
+      MvRegistry.register(
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            s"c$i", org.apache.spark.sql.types.LongType)()),
+        MvRegistry.Entry(s"/nowhere/$i", i.toLong, Seq(s"/nowhere/$i/view")))
+      if (i % 50 == 0) // keep OUR entry warm mid-flood
+        assert(scanRoots(snap.groupBy("grp").agg(sum("v").as("s")))
+          .forall(_.contains("/view/")), s"evicted after $i foreign registrations")
+    }
+    assert(scanRoots(snap.groupBy("grp").agg(sum("v").as("s")))
+      .forall(_.contains("/view/")), "the most-recently-used entry must survive")
+
+    // dropping the view frees its cached handle; the next query falls
+    // through to the base (handle gone, stamp gone with the deleted dir)
+    assert(MvRegistry.hasHandle(java.nio.file.Paths.get(viewPath)
+      .toAbsolutePath.toString))
+    base.unregisterMaterializedView(viewPath)
+    assert(!MvRegistry.hasHandle(java.nio.file.Paths.get(viewPath)
+      .toAbsolutePath.toString), "unregister must drop the view handle")
+    val after = base.snapshot().groupBy("grp").agg(sum("v").as("s"))
+    assert(scanRoots(after).exists(_.contains("/base/")),
+      "after unregister the query must fall through to the base")
+    MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
   }
 }
