@@ -71,6 +71,102 @@ object RangeJoin {
       .drop(p("_rj_b")).drop(iv("_rj_b"))
   }
 
+  /** INTERVAL-OVERLAP join — match every pair of intervals that intersect
+    * (`leftLo <= rightHi && rightLo <= leftHi`, both ends inclusive),
+    * without an equi-key: the sensor domain's "maintenance windows ×
+    * outage windows" ask, which Spark alone would plan as a nested-loop
+    * over the full cross product.
+    *
+    * Technique: both sides replicate to every bucket they span (bounded
+    * slices, like [[pointInInterval]]); an overlapping pair shares at
+    * least one bucket, and would match in EVERY bucket their intersection
+    * spans — so each pair is OWNED by exactly one bucket, the one
+    * containing the intersection's start `max(leftLo, rightLo)` (which
+    * lies inside both intervals whenever they overlap), and only the
+    * owner emits it: exactly-once with no post-dedup shuffle.
+    *
+    * Cost: shuffle O(Σ len/bucket) replicas per side, compare O(pairs
+    * sharing a bucket). Mixed lengths: see [[intervalOverlapMultiRes]].
+    *
+    * @param left  interval side; `lLo`/`lHi` LONG columns
+    * @param right interval side; `rLo`/`rHi` LONG columns (names disjoint
+    *              from `left`'s)
+    * @param bucket bucket width (> 0), ≈ typical interval length
+    * @return one row per overlapping (left, right) pair with both sides'
+    *         columns
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      lLo: String,
+      lHi: String,
+      right: DataFrame,
+      rLo: String,
+      rHi: String,
+      bucket: Long): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    val overlapCols = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlapCols.isEmpty,
+      s"column names must be disjoint, both have: $overlapCols")
+    def cell(c: Column): Column = graft.core.MatSchema.chunkKeyCol(c, bucket)
+    // rows with lo > hi match nothing (same contract as pointInInterval) —
+    // filtered BEFORE replication: an inverted interval's descending slice
+    // replication could revisit a bucket, breaking the owner-emits-once rule
+    val l = Densify.explodeRange(left.where(col(lLo) <= col(lHi)),
+      cell(col(lLo)), cell(col(lHi)), "_rj_lb")
+    val r = Densify.explodeRange(right.where(col(rLo) <= col(rHi)),
+      cell(col(rLo)), cell(col(rHi)), "_rj_rb")
+    l.join(r, l("_rj_lb") === r("_rj_rb") &&
+        col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        cell(greatest(col(lLo), col(rLo))) === l("_rj_lb"))
+      .drop(l("_rj_lb")).drop(r("_rj_rb"))
+  }
+
+  /** [[intervalOverlap]] for mixed interval lengths: the LEFT side
+    * partitions into doubling length classes (each left interval then
+    * replicates to ≤ 2 cells of its class's bucket width); the right side
+    * replicates per class at that class's width. Classes PARTITION the
+    * left side and each class applies the owner-bucket rule, so every
+    * overlapping pair still appears exactly once. Cost: `classes` joins,
+    * right-side replication Σ_i len_r/bucket_i — put the LONGER-interval
+    * side on the left if both are mixed.
+    *
+    * @param base bucket width for the shortest class (> 0)
+    * @param knownMaxLen caller-known bound on LEFT interval length — skips
+    *                    the sizing aggregate; a violated bound stays exact
+    *                    (the top class is open-ended) */
+  def intervalOverlapMultiRes(
+      left: DataFrame,
+      lLo: String,
+      lHi: String,
+      right: DataFrame,
+      rLo: String,
+      rHi: String,
+      base: Long,
+      maxClasses: Int = 40,
+      knownMaxLen: Option[Long] = None): DataFrame = {
+    require(base > 0, s"base must be positive, got $base")
+    require(maxClasses >= 1 && maxClasses <= 62, s"bad maxClasses $maxClasses")
+    val len = col(lHi) - col(lLo)
+    val maxLen = knownMaxLen.getOrElse {
+      val maxLenRow = left.agg(max(len)).head()
+      if (maxLenRow.isNullAt(0)) 0L else maxLenRow.getLong(0)
+    }
+    val needed = math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxLen / base)))
+    val classes = math.min(maxClasses, needed)
+    def classOf(i: Int): Column = {
+      val lower = base * (1L << i)
+      if (classes == 1) lit(true)
+      else if (i == 0) len < lower * 2
+      else if (i == classes - 1) len >= lower
+      else len >= lower && len < lower * 2
+    }
+    (0 until classes).map { i =>
+      intervalOverlap(left.where(classOf(i)), lLo, lHi, right, rLo, rHi,
+        bucket = base * (2L << i))
+    }.reduce(_ unionByName _)
+  }
+
   /** [[pointInInterval]] for interval lengths spanning orders of magnitude.
     *
     * One bucket width cannot serve mixed lengths: sized for the short

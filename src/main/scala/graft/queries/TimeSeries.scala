@@ -160,6 +160,58 @@ object TimeSeries {
         .select(col("user_id"), (col("cell") * DAY).as("day_ts"),
           col("open"), col("high"), col("low"), col("close"), col("n_obs"))
         .orderBy(col("user_id"), col("day_ts"))
+    },
+
+    // ---------------------------------------------------------------- q148
+    // Interval OVERLAP (interval × interval, round 14): maintenance
+    // windows (around sampled purchases, lengths spanning 5 doubling
+    // classes — 30 min to 8 h) × outage windows (2 h after each sampled
+    // error). Spark-first: operators.RangeJoin.intervalOverlapMultiRes —
+    // the left side partitions into doubling length classes (≤ 2 bucket
+    // replicas each), the right replicates per class, and each
+    // overlapping pair is emitted ONCE by the bucket owning the
+    // intersection's start (max(lo₁,lo₂) lies in both intervals), so
+    // there is no post-dedup. Spark's own plan for this predicate is a
+    // BroadcastNestedLoopJoin over the cross product. The oracle checks
+    // with DuckDB's native inequality (IE) join; overlap durations are
+    // exact LONG arithmetic.
+    Entry("q148_interval_overlap_join", Some(
+      s"""WITH m AS (
+         |  SELECT event_id AS maint_id,
+         |         epoch_ns(ts) AS mlo,
+         |         epoch_ns(ts) + $M30 * (1 << (user_id % 5)) AS mhi
+         |  FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0
+         |), o AS (
+         |  SELECT event_id AS outage_id,
+         |         epoch_ns(ts) AS olo, epoch_ns(ts) + ${H6 / 3} AS ohi
+         |  FROM events WHERE event_type = 'error' AND user_id % 4 = 0
+         |)
+         |SELECT maint_id,
+         |       COUNT(*) AS n_outages,
+         |       CAST(SUM(LEAST(mhi, ohi) - GREATEST(mlo, olo)) AS BIGINT)
+         |         AS overlap_ns,
+         |       MIN(outage_id) AS first_outage
+         |FROM m JOIN o ON mlo <= ohi AND olo <= mhi
+         |GROUP BY 1 ORDER BY maint_id""".stripMargin)) { (s, d) =>
+      val ev = table(s, d, "events")
+      val maint = ev
+        .where(col("event_type") === "purchase" && col("user_id") % 3 === 0)
+        .select(col("event_id").as("maint_id"), col("ts").as("mlo"),
+          (col("ts") + lit(M30) *
+            expr("shiftleft(1L, cast(user_id % 5 as int))")).as("mhi"))
+      val outages = ev
+        .where(col("event_type") === "error" && col("user_id") % 4 === 0)
+        .select(col("event_id").as("outage_id"), col("ts").as("olo"),
+          (col("ts") + H6 / 3).as("ohi"))
+      graft.operators.RangeJoin
+        .intervalOverlapMultiRes(maint, "mlo", "mhi", outages, "olo", "ohi",
+          base = M30)
+        .groupBy(col("maint_id"))
+        .agg(count(lit(1)).as("n_outages"),
+          sum(least(col("mhi"), col("ohi")) - greatest(col("mlo"), col("olo")))
+            .as("overlap_ns"),
+          min(col("outage_id")).as("first_outage"))
+        .orderBy(col("maint_id"))
     }
   )
 }

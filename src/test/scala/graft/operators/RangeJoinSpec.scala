@@ -114,6 +114,63 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  private def bruteOverlap(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    a.where(col("alo") <= col("ahi")).crossJoin(b.where(col("blo") <= col("bhi")))
+      .where(col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def ovPairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("interval overlap matches brute force exactly, each pair exactly once") {
+    import spark.implicits._
+    val a = (0 until 150).map { i =>
+      val lo = h(i, 41L, 8000L); (i.toLong, lo, lo + h(i, 43L, 700L))
+    }.toDF("aid", "alo", "ahi")
+    // include inverted (lo > hi) rows: they must match nothing
+    val b = ((0 until 100).map { i =>
+      val lo = h(i, 47L, 8000L); (i.toLong, lo, lo + h(i, 53L, 500L))
+    } :+ ((999L, 5000L, 4000L))).toDF("bid", "blo", "bhi")
+    val want = bruteOverlap(a, b)
+    for (bk <- Seq(16L, 250L, 4000L)) {
+      val got = ovPairs(RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi", bk))
+      assert(got.size == got.toSet.size, s"duplicate pairs at bucket=$bk")
+      assert(got.toSet == want, s"bucket=$bk")
+    }
+    // inclusive touching endpoints overlap; disjoint-by-one do not
+    val ta = Seq((1L, 0L, 10L)).toDF("aid", "alo", "ahi")
+    val tb = Seq((1L, 10L, 20L), (2L, 11L, 20L)).toDF("bid", "blo", "bhi")
+    assert(ovPairs(RangeJoin.intervalOverlap(ta, "alo", "ahi", tb, "blo", "bhi", 4L))
+      .toSet == Set((1L, 1L)))
+  }
+
+  test("interval overlap multi-res: mixed-length sides stay exact, pairs unique") {
+    import spark.implicits._
+    // left lengths span 4 orders of magnitude (the class axis)
+    val a = ((0 until 60).map { i =>
+      val lo = h(i, 61L, 50000L); (i.toLong, lo, lo + h(i, 67L, 5L))
+    } ++ (60 until 90).map { i =>
+      val lo = h(i, 71L, 50000L); (i.toLong, lo, lo + 300L + h(i, 73L, 100L))
+    } ++ (90 until 100).map { i =>
+      val lo = h(i, 79L, 20000L); (i.toLong, lo, lo + 30000L)
+    }).toDF("aid", "alo", "ahi")
+    val b = (0 until 80).map { i =>
+      val lo = h(i, 83L, 50000L); (i.toLong, lo, lo + h(i, 89L, 800L))
+    }.toDF("bid", "blo", "bhi")
+    val want = bruteOverlap(a, b)
+    val got = ovPairs(RangeJoin.intervalOverlapMultiRes(
+      a, "alo", "ahi", b, "blo", "bhi", base = 8L))
+    assert(got.size == got.toSet.size, "length classes must partition the left side")
+    assert(got.toSet == want)
+    // knownMaxLen (loose AND violated) stays exact
+    for (bound <- Seq(30000L, 1L << 30, 100L)) {
+      val g = ovPairs(RangeJoin.intervalOverlapMultiRes(
+        a, "alo", "ahi", b, "blo", "bhi", base = 8L, knownMaxLen = Some(bound)))
+      assert(g.size == g.toSet.size && g.toSet == want, s"knownMaxLen=$bound")
+    }
+  }
+
   test("plans as a shuffled equi-join on the bucket, not a nested-loop join") {
     val p = points(50, 1000L)
     val iv = intervals(20, 1000L, maxLen = 100L)
