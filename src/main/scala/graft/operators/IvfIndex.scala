@@ -97,11 +97,19 @@ object IvfIndex {
     array(centroids.map(c => sqDist(col(vecCol), typedlit(c))): _*)
 
   /** Tag each row with its nearest centroid (`bucket`, int). */
-  def assign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
+  def assign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame =
+    assignWithDist(df, vecCol, centroids).drop("_adist")
+
+  /** [[assign]] keeping `_adist` (squared distance to the assigned
+    * centroid) — the drift-metric input: its corpus mean is "how well the
+    * fixed centroids still describe the data". */
+  private[graft] def assignWithDist(df: DataFrame, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
     reg(df)
     df.withColumn("_dl", distances(vecCol, centroids))
       .withColumn("bucket",
         expr("cast(array_position(_dl, array_min(_dl)) - 1 as int)"))
+      .withColumn("_adist", expr("array_min(_dl)"))
       .drop("_dl")
   }
 
@@ -129,8 +137,21 @@ object IvfIndex {
     centroids.zipWithIndex.map { case (c, b) => (b, c) }
       .toDF("bucket", "weights").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    assign(corpus.select(col(idCol), normalized(col(vecCol)).as("v")), "v", centroids)
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/corpus")
+    val assigned = assignWithDist(
+      corpus.select(col(idCol), normalized(col(vecCol)).as("v")), "v", centroids)
+      .persist()
+    try {
+      assigned.drop("_adist")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/corpus")
+      // drift BASELINE: the mean assigned-centroid distance of the corpus
+      // the index was built for. A bootstrap writeIndex (empty corpus)
+      // records nothing — the first maintenance fold becomes the baseline.
+      IndexStats.reset(path)
+      val st = assigned.agg(count(lit(1)), avg(col("_adist"))).head()
+      if (st.getLong(0) > 0L)
+        IndexStats.append(path, phase = "train", n = st.getLong(0),
+          meanSqdist = st.getDouble(1))
+    } finally { assigned.unpersist(); () }
   }
 
   /** The persisted centroid matrix, bucket-ordered (k×dim doubles). */
@@ -170,12 +191,46 @@ object IvfIndex {
     // passes them in — one fewer read+collect per micro-batch
     val centroids = knownCentroids.getOrElse(
       readCentroids(spark, path).map(_.toSeq).toSeq)
-    val newAssign = assign(
+    val newAssign = assignWithDist(
       upserts.select(col(idCol), normalized(col(vecCol)).as("v")), "v", centroids)
-    val touched = upserts.select(col(idCol))
-      .unionByName(deletes.select(col(idCol))).distinct()
-    upsertBucketLayout(spark, s"$path/corpus", idCol,
-      newAssign.select(col(idCol), col("v"), col("bucket")), touched)
+      .persist()
+    try {
+      val touched = upserts.select(col(idCol))
+        .unionByName(deletes.select(col(idCol))).distinct()
+      upsertBucketLayout(spark, s"$path/corpus", idCol,
+        newAssign.select(col(idCol), col("v"), col("bucket")), touched)
+      // DRIFT METRIC: mean assigned-centroid distance of this batch's
+      // upserts, appended to the index's stats log (one tiny agg over the
+      // already-persisted assignment + a driver-side file append — no
+      // extra Spark write job). A rising maintain-vs-train ratio says the
+      // fixed centroids no longer describe incoming data: recall will
+      // sag and a re-train + writeIndex rebuild is due (indexStats /
+      // CALL system.index_stats expose it; DriftProbe measures the
+      // correlation with actual recall).
+      val st = newAssign.agg(count(lit(1)), avg(col("_adist"))).head()
+      if (st.getLong(0) > 0L)
+        IndexStats.append(path, phase = "maintain", n = st.getLong(0),
+          meanSqdist = st.getDouble(1))
+    } finally { newAssign.unpersist(); () }
+  }
+
+  /** The index's drift-stats log: (seq, phase, n, mean_sqdist) rows —
+    * `train` = the rebuild baseline, `maintain` = one row per maintenance
+    * fold — plus each row's drift ratio vs the baseline (NaN before any
+    * baseline exists). Driver-side file read; no jobs. */
+  def indexStats(path: String): Seq[IndexStats.Row] = IndexStats.read(path)
+
+  /** Latest drift ratio: newest recorded mean / baseline mean (the first
+    * row with data). None until two usable rows exist. A ratio well above
+    * 1 (DriftProbe measures ≈2× at the recall cliff on the synthetic
+    * corpus) is the re-train signal. */
+  def driftRatio(path: String): Option[Double] = {
+    val rows = IndexStats.read(path)
+    for {
+      base <- rows.headOption.map(_.meanSqdist)
+      last <- rows.lastOption.map(_.meanSqdist)
+      if rows.size >= 2 && base > 0
+    } yield last / base
   }
 
   /** The shared touched-buckets-only rewrite under a `bucket=N/` parquet

@@ -40,7 +40,7 @@ object GraftProcedures {
   /** Declared procedure names, for `listProcedures` / error messages. */
   val names: Seq[String] =
     Seq("checkpoint", "checkpoint_if_needed", "compact", "vacuum", "clone",
-      "analyze", "optimize", "register_mview", "maintain_mview")
+      "analyze", "optimize", "register_mview", "maintain_mview", "index_stats")
 
   def load(catalogName: String, root: java.nio.file.Path,
       name: String): UnboundProcedure = {
@@ -216,6 +216,41 @@ object GraftProcedures {
             else from
           new GenericInternalRow(Array[Any](reached))
       }
+      case "index_stats" => procRows("index_stats",
+        "drift-stats log of a persisted ANN index layout under this " +
+          "catalog (IvfIndex.writeIndex / PqIndex.writeIvfPq directory, " +
+          "dotted path): one row per train/maintain event with the mean " +
+          "assigned-centroid squared distance of the vectors processed, " +
+          "plus each event's drift ratio vs the train baseline — the " +
+          "re-train advisory for fixed-centroid indexes",
+        params = Seq(in("index", StringType)),
+        out = StructType(Seq(
+          StructField("seq", LongType, nullable = false),
+          StructField("phase", StringType, nullable = false),
+          StructField("n", LongType, nullable = false),
+          StructField("mean_sqdist", org.apache.spark.sql.types.DoubleType,
+            nullable = false),
+          StructField("drift_ratio", org.apache.spark.sql.types.DoubleType,
+            nullable = true)))) {
+        row =>
+          val ix = row.getUTF8String(0).toString
+          val parts = ix.split('.')
+          require(parts.nonEmpty && parts.forall(p =>
+            p.nonEmpty && p != ".." && p != "." &&
+              !p.contains('/') && !p.contains('\\')),
+            s"'$ix' is not a valid dotted index name")
+          val dir = parts.foldLeft(root)(_.resolve(_))
+          require(java.nio.file.Files.isDirectory(dir.resolve("centroids")),
+            s"'$ix' is not an index layout (no centroids/ under it)")
+          val rows = graft.operators.IndexStats.read(dir.toString)
+          val base = rows.headOption.map(_.meanSqdist).filter(_ > 0)
+          rows.map { r =>
+            new GenericInternalRow(Array[Any](r.seq,
+              org.apache.spark.unsafe.types.UTF8String.fromString(r.phase),
+              r.n, r.meanSqdist,
+              base.map(b => r.meanSqdist / b).orNull)): InternalRow
+          }.toArray
+      }
       case other =>
         throw new UnsupportedOperationException(
           s"no such procedure $catalogName.system.$other " +
@@ -236,6 +271,12 @@ object GraftProcedures {
   private def proc(procName: String, desc: String,
       params: Seq[ProcedureParameter], out: StructType)(
       run: InternalRow => InternalRow): UnboundProcedure =
+    procRows(procName, desc, params, out)(row => Array(run(row)))
+
+  /** Multi-row variant of [[proc]] (driver-side LocalScan result). */
+  private def procRows(procName: String, desc: String,
+      params: Seq[ProcedureParameter], out: StructType)(
+      run: InternalRow => Array[InternalRow]): UnboundProcedure =
     new UnboundProcedure with BoundProcedure {
       override def name(): String = procName
       override def description(): String = desc
@@ -243,10 +284,10 @@ object GraftProcedures {
       override def parameters(): Array[ProcedureParameter] = params.toArray
       override def isDeterministic: Boolean = false // side-effecting
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        val resultRow = run(input)
+        val resultRows = run(input)
         val scan: Scan = new LocalScan {
           override def readSchema(): StructType = out
-          override def rows(): Array[InternalRow] = Array(resultRow)
+          override def rows(): Array[InternalRow] = resultRows
           override def description(): String = s"graft procedure $procName"
         }
         java.util.Collections.singletonList(scan).iterator()

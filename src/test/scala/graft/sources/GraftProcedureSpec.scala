@@ -234,6 +234,33 @@ class GraftProcedureSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gproc.opt")
   }
 
+  test("CALL index_stats reads the drift log of an index under the catalog") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    root
+    val emb = (0L until 64L)
+      .map(i => (i, Seq.tabulate(8)(j => math.sin(i * 8 + j + 1))))
+      .toDF("vec_id", "embedding")
+    val trained = graft.operators.IvfIndex.train(emb, "vec_id", "embedding",
+      k = 4, iters = 1).map(_.toSeq).toSeq
+    graft.operators.IvfIndex.writeIndex(emb, "vec_id", "embedding", trained,
+      root.resolve("ix").toString)
+    graft.operators.IvfIndex.maintainIndex(spark, root.resolve("ix").toString,
+      "vec_id", emb.where(col("vec_id") < 8), emb.limit(0).select(col("vec_id")))
+    val rows = spark.sql("CALL gproc.system.index_stats('ix')").collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getString(1)).toSeq === Seq("train", "maintain"))
+    assert(rows(0).getDouble(4) === 1.0, "the baseline's own drift ratio is 1")
+    assert(rows(1).getDouble(4) > 0.0)
+    // an in-distribution fold (a subset of the trained corpus) stays close
+    // to the baseline
+    assert(rows(1).getDouble(4) < 2.0, s"unexpected drift: ${rows(1)}")
+    // not an index layout -> loud failure
+    mkTable("notix")
+    val e = intercept[Exception](spark.sql("CALL gproc.system.index_stats('notix')"))
+    assert(e.getMessage.contains("not an index layout"))
+  }
+
   test("listProcedures surfaces the system namespace") {
     root
     val cat = spark.sessionState.catalogManager.catalog("gproc")
