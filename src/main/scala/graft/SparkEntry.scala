@@ -5,7 +5,7 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * The battery (147 queries as of round 13) is assembled from five modules:
+  * The battery (149 queries as of round 14) is assembled from five modules:
   *   - [[graft.queries.CoreOps]]    q01-q05, q73, q76-q77, q92, q101-q103,
   *     q106, q108-q109, q111, q115, q117-q118, q120-q121, q123, q125-q126,
   *     q128-q130, q132-q135, q137 (SPJ across compatible chunk sizes),
@@ -17,7 +17,10 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational, TimeSeries}
   *     answered from the maintained view, plan-asserted; q142 composite
   *     group key via the streaming sink, matched in any order; q143 the
   *     SQL-only lifecycle via CALL system.maintain_mview /
-  *     register_mview): the engine's own
+  *     register_mview), q149 (the rewrite under VERSION AS OF —
+  *     maintenance commits are pinned to base txn ids, so an aligned
+  *     historical snapshot reads the view's pinned version; a mid-batch
+  *     txn falls back, both plan-asserted): the engine's own
   *     operator semantics — scan order, MVCC upsert/delete, snapshot
   *     horizon, range pruning, the bucketed/ranged/z-order layouts, SQL
   *     DML (INSERT/INSERT OVERWRITE/DELETE/UPDATE/MERGE INTO/TRUNCATE —
@@ -52,13 +55,16 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational, TimeSeries}
   *     passage dedup, Zipf, embedding profile, packing/chunking/shuffle,
   *     trigram-LM scoring, PageRank, strict-order + conversion-window
   *     funnels).
-  *   - [[graft.queries.TimeSeries]] q144-q146: sensor-series
+  *   - [[graft.queries.TimeSeries]] q144-q146, q148: sensor-series
   *     regularization (the reference's own domain) — q144 resample +
   *     gap-fill with forward fill and linear interpolation
   *     ([[graft.operators.GapFill]]), q145 bucketized interval
   *     containment join ([[graft.operators.RangeJoin]] — one shuffled
   *     equi-join where Spark's own plan is a nested loop), q146 OHLC
-  *     downsampling.
+  *     downsampling, q148 interval-OVERLAP join (maintenance windows ×
+  *     outage windows, multi-resolution length classes, each pair owned
+  *     by the bucket holding the intersection start — exactly-once with
+  *     no post-dedup).
   */
 object SparkEntry {
   private lazy val battery: Seq[Q.Entry] =

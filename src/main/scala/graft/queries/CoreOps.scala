@@ -1827,6 +1827,91 @@ object CoreOps {
       val asof = s.sql(s"SELECT user_id, v FROM g147.t VERSION AS OF $baseTxn")
         .withColumn("src", lit(1))
       cur.unionByName(asof).orderBy(col("src"), col("user_id"))
+    },
+
+    // ---- MV rewrite under TIME TRAVEL (plans.MvRewriteRule, round 14) ----
+    // q141's rewrite extended to VERSION AS OF: maintenance commits are
+    // PINNED to base txn ids, so a view version ending exactly at the
+    // snapshot's txn answers the HISTORICAL aggregate (view.asOf(t) is the
+    // aggregate of base.asOf(t) verbatim). Scenario: txn 1 maintained
+    // alone, txns 2+3 maintained as ONE range, txn 4 maintained — the view
+    // has pinned versions at 1, 3, 4. The gate queries asOf(3) (aligned:
+    // MUST rewrite, plan-asserted view-only scan — and must answer the
+    // txn-3 state, not the current one) and asOf(2) (mid-batch: MUST fall
+    // back to base files, same oracle replay). Both states recomputed
+    // relationally by the oracle, hash-exact.
+    Entry("q149_mv_rewrite_asof", Some(
+      """WITH b AS (SELECT event_id, user_id, value FROM events WHERE event_id < 500),
+        |s2 AS (SELECT user_id AS grp,
+        |              CASE WHEN event_id < 100
+        |                   THEN CAST(value + 3.0 AS DECIMAL(18,4))
+        |                   ELSE CAST(value AS DECIMAL(18,4)) END AS v,
+        |              event_id
+        |       FROM b),
+        |v3 AS (SELECT 3 AS as_of, grp, CAST(sum(v) AS DOUBLE) AS sum_v,
+        |              count(*) AS cnt
+        |       FROM s2 WHERE NOT (event_id >= 200 AND event_id < 250)
+        |       GROUP BY grp),
+        |v2 AS (SELECT 2 AS as_of, grp, CAST(sum(v) AS DOUBLE) AS sum_v,
+        |              count(*) AS cnt
+        |       FROM s2 GROUP BY grp)
+        |SELECT as_of, grp, sum_v, cnt
+        |FROM (SELECT * FROM v3 UNION ALL SELECT * FROM v2)
+        |ORDER BY as_of, grp""".stripMargin)) { (s, d) =>
+      import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      val root = Q.fixture("q149-mvasof")
+      graft.core.Storage.deleteRecursively(root)
+      val dec = DecimalType(18, 4)
+      val base = MatDb.create(s, MatSchema(Seq(Dimension("event_id", 100)),
+        Seq(ValueCol("grp", LongType), ValueCol("v", dec))),
+        root.resolve("base").toString, "manifest")
+      val view = MatDb.create(s, MatSchema(Seq(Dimension("grp", 1000)),
+        Seq(ValueCol("sum_v", dec), ValueCol("cnt", LongType))),
+        root.resolve("view").toString, "manifest")
+      val e = table(s, d, "events")
+      val t1 = base.newTransaction()
+      t1.addRows(e.where(col("event_id") < 500).select(col("event_id"),
+        col("user_id").as("grp"), Q.dec4(col("value")).as("v")))
+      t1.commit()
+      graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, view, 0L, 1L, "grp")
+      val t2 = base.newTransaction()
+      t2.addRows(e.where(col("event_id") < 100).select(col("event_id"),
+        col("user_id").as("grp"), Q.dec4(col("value") + lit(3.0)).as("v")))
+      t2.commit()
+      val t3 = base.newTransaction()
+      t3.deleteRows(e.where(col("event_id").between(200, 249)).select(col("event_id")))
+      t3.commit()
+      // txns 2+3 folded as ONE range: the view has NO pinned version at 2
+      graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, view, 1L, 3L, "grp")
+      val t4 = base.newTransaction()
+      t4.addRows(e.where(col("event_id").between(500, 599)).select(col("event_id"),
+        (col("user_id") + lit(70000L)).as("grp"), Q.dec4(col("value")).as("v")))
+      t4.commit()
+      graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, view, 3L, 4L, "grp")
+      base.registerMaterializedView(root.resolve("view").toString)
+      def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+      def agg(df: org.apache.spark.sql.DataFrame, tag: Int) =
+        df.groupBy("grp").agg(sum("v").as("sum_v_dec"), count(lit(1)).as("cnt"))
+          .select(lit(tag).as("as_of"), col("grp"),
+            col("sum_v_dec").cast("double").as("sum_v"), col("cnt"))
+      val a3 = agg(base.asOf(3L), 3)
+      val s3 = scansOf(a3)
+      require(s3.nonEmpty && s3.forall(_.contains("/view/")),
+        s"asOf(3) is view-aligned and must rewrite; scans $s3")
+      val a2 = agg(base.asOf(2L), 2)
+      require(scansOf(a2).exists(_.contains("/base/")),
+        s"asOf(2) is mid-batch and must fall back to the base; scans ${scansOf(a2)}")
+      graft.plans.MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+      a3.unionByName(a2).orderBy(col("as_of"), col("grp"))
     }
   )
 }
