@@ -271,10 +271,13 @@ object IncrementalAgg {
             .union(delta.select(groupCols.map(g => oldGOf(g).as(g)): _*)
               .where(oldNotNull))
             .distinct())
-        val newAgg = base.asOf(toTxn)
+        // cached: BOTH write legs (the emptied-group tombstones and the
+        // new rows) reference this aggregate — uncached, the restricted
+        // base resolve would run twice inside the one commit write job
+        val newAgg = cached(base.asOf(toTxn)
           .join(broadcast(touched), groupCols, "left_semi")
           .groupBy(gCols: _*)
-          .agg(aggs.head, aggs.tail: _*)
+          .agg(aggs.head, aggs.tail: _*))
         val emptied = touched.join(newAgg.select(gCols: _*), groupCols, "left_anti")
         txn.deleteRows(emptied)
         txn.addRows(newAgg)
@@ -396,10 +399,12 @@ object IncrementalAgg {
             // along for free). Clean merged groups are
             // insert-only-or-interior — their count cannot reach zero, so
             // only dirty groups can empty.
-            val dirtyAgg = base.asOf(toTxn)
+            // cached for the same two-legs reason as the backfill path's
+            // newAgg: the dirty-group base resolve must run ONCE per batch
+            val dirtyAgg = cached(base.asOf(toTxn)
               .join(broadcast(dirty), groupCols, "left_semi")
               .groupBy(gCols: _*)
-              .agg(aggs.head, aggs.tail: _*)
+              .agg(aggs.head, aggs.tail: _*))
             val emptied = dirty.join(dirtyAgg.select(gCols: _*), groupCols, "left_anti")
             txn.deleteRows(emptied)
             // when EVERY touched group is dirty the merge leg is empty —

@@ -28,6 +28,18 @@ object IndexStats {
     ()
   }
 
+  /** Record an observed (count, mean) pair — the zero-extra-job path:
+    * the [[org.apache.spark.sql.Observation]] was attached to the
+    * assignment plan and its metrics rode the layout's own first action.
+    * An empty batch (n = 0) says nothing about drift and is skipped. */
+  def record(path: String, phase: String,
+      obs: org.apache.spark.sql.Observation): Unit = {
+    val m = obs.get
+    val n = m.get("n").collect { case l: Long => l }.getOrElse(0L)
+    val mean = m.get("m").collect { case d: Double => d }
+    if (n > 0L) mean.foreach(append(path, phase, n, _))
+  }
+
   def append(path: String, phase: String, n: Long, meanSqdist: Double): Unit = {
     val f = file(path)
     java.nio.file.Files.createDirectories(f.getParent)

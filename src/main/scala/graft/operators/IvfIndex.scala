@@ -137,21 +137,19 @@ object IvfIndex {
     centroids.zipWithIndex.map { case (c, b) => (b, c) }
       .toDF("bucket", "weights").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    val assigned = assignWithDist(
+    // drift BASELINE: the mean assigned-centroid distance of the corpus
+    // the index was built for, OBSERVED during the write action itself
+    // (zero extra jobs — the metric rides the pass that lays the corpus
+    // out). A bootstrap writeIndex (empty corpus) records nothing — the
+    // first maintenance fold becomes the baseline.
+    val obs = new org.apache.spark.sql.Observation()
+    assignWithDist(
       corpus.select(col(idCol), normalized(col(vecCol)).as("v")), "v", centroids)
-      .persist()
-    try {
-      assigned.drop("_adist")
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/corpus")
-      // drift BASELINE: the mean assigned-centroid distance of the corpus
-      // the index was built for. A bootstrap writeIndex (empty corpus)
-      // records nothing — the first maintenance fold becomes the baseline.
-      IndexStats.reset(path)
-      val st = assigned.agg(count(lit(1)), avg(col("_adist"))).head()
-      if (st.getLong(0) > 0L)
-        IndexStats.append(path, phase = "train", n = st.getLong(0),
-          meanSqdist = st.getDouble(1))
-    } finally { assigned.unpersist(); () }
+      .observe(obs, count(lit(1)).as("n"), avg(col("_adist")).as("m"))
+      .drop("_adist")
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/corpus")
+    IndexStats.reset(path)
+    IndexStats.record(path, phase = "train", obs)
   }
 
   /** The persisted centroid matrix, bucket-ordered (k×dim doubles). */
@@ -191,27 +189,24 @@ object IvfIndex {
     // passes them in — one fewer read+collect per micro-batch
     val centroids = knownCentroids.getOrElse(
       readCentroids(spark, path).map(_.toSeq).toSeq)
+    // DRIFT METRIC: mean assigned-centroid distance of this batch's
+    // upserts, OBSERVED during the layout's own actions (zero extra Spark
+    // jobs, zero extra persists — the observation node rides whichever
+    // evaluation of the assignment the rewrite runs first) and appended
+    // to the index's stats log driver-side. A rising maintain-vs-train
+    // ratio says the fixed centroids no longer describe incoming data:
+    // recall will sag and a re-train + writeIndex rebuild is due
+    // (indexStats / CALL system.index_stats expose it; DriftProbe
+    // measures the correlation with actual recall).
+    val obs = new org.apache.spark.sql.Observation()
     val newAssign = assignWithDist(
       upserts.select(col(idCol), normalized(col(vecCol)).as("v")), "v", centroids)
-      .persist()
-    try {
-      val touched = upserts.select(col(idCol))
-        .unionByName(deletes.select(col(idCol))).distinct()
-      upsertBucketLayout(spark, s"$path/corpus", idCol,
-        newAssign.select(col(idCol), col("v"), col("bucket")), touched)
-      // DRIFT METRIC: mean assigned-centroid distance of this batch's
-      // upserts, appended to the index's stats log (one tiny agg over the
-      // already-persisted assignment + a driver-side file append — no
-      // extra Spark write job). A rising maintain-vs-train ratio says the
-      // fixed centroids no longer describe incoming data: recall will
-      // sag and a re-train + writeIndex rebuild is due (indexStats /
-      // CALL system.index_stats expose it; DriftProbe measures the
-      // correlation with actual recall).
-      val st = newAssign.agg(count(lit(1)), avg(col("_adist"))).head()
-      if (st.getLong(0) > 0L)
-        IndexStats.append(path, phase = "maintain", n = st.getLong(0),
-          meanSqdist = st.getDouble(1))
-    } finally { newAssign.unpersist(); () }
+      .observe(obs, count(lit(1)).as("n"), avg(col("_adist")).as("m"))
+    val touched = upserts.select(col(idCol))
+      .unionByName(deletes.select(col(idCol))).distinct()
+    upsertBucketLayout(spark, s"$path/corpus", idCol,
+      newAssign.select(col(idCol), col("v"), col("bucket")), touched)
+    IndexStats.record(path, phase = "maintain", obs)
   }
 
   /** The index's drift-stats log: (seq, phase, n, mean_sqdist) rows —

@@ -231,21 +231,17 @@ object PqIndex {
       .toDF("bucket", "weights").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     writeCodebook(spark, cb, s"$path/codebook")
-    val assigned = IvfIndex.assignWithDist(
+    // drift baseline observed during the write action itself, as in
+    // IvfIndex.writeIndex — zero extra jobs
+    val obs = new org.apache.spark.sql.Observation()
+    IvfIndex.assignWithDist(
         corpus.select(col(idCol), col(vecCol),
           IvfIndex.normalized(col(vecCol)).as("_nv")), "_nv", centroids)
-      .persist()
-    try {
-      assigned
-        .select(col(idCol), codesCol(col(vecCol), cb).as("codes"), col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
-      // drift baseline, as in IvfIndex.writeIndex
-      IndexStats.reset(path)
-      val st = assigned.agg(count(lit(1)), avg(col("_adist"))).head()
-      if (st.getLong(0) > 0L)
-        IndexStats.append(path, phase = "train", n = st.getLong(0),
-          meanSqdist = st.getDouble(1))
-    } finally { assigned.unpersist(); () }
+      .observe(obs, count(lit(1)).as("n"), avg(col("_adist")).as("m"))
+      .select(col(idCol), codesCol(col(vecCol), cb).as("codes"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
+    IndexStats.reset(path)
+    IndexStats.record(path, phase = "train", obs)
   }
 
   /** IVF-ADC search with exact refine against a [[writeIvfPq]] layout:
@@ -280,23 +276,19 @@ object PqIndex {
     val vecCol = upserts.columns.find(_ != idCol).getOrElse(idCol)
     val centroids = IvfIndex.readCentroids(spark, path).map(_.toSeq).toSeq
     val cb = readCodebook(spark, s"$path/codebook")
-    val assigned = IvfIndex.assignWithDist(
+    // drift metric — same advisory as IvfIndex.maintainIndex (the PQ
+    // layout shares the coarse geometry, so the same mean applies),
+    // observed during the rewrite's own actions
+    val obs = new org.apache.spark.sql.Observation()
+    val newRows = IvfIndex.assignWithDist(
         upserts.select(col(idCol), col(vecCol),
           IvfIndex.normalized(col(vecCol)).as("_nv")), "_nv", centroids)
-      .persist()
-    try {
-      val newRows = assigned
-        .select(col(idCol), codesCol(col(vecCol), cb).as("codes"), col("bucket"))
-      val touched = upserts.select(col(idCol))
-        .unionByName(deletes.select(col(idCol))).distinct()
-      IvfIndex.upsertBucketLayout(spark, s"$path/codes", idCol, newRows, touched)
-      // drift metric — same advisory as IvfIndex.maintainIndex (the PQ
-      // layout shares the coarse geometry, so the same mean applies)
-      val st = assigned.agg(count(lit(1)), avg(col("_adist"))).head()
-      if (st.getLong(0) > 0L)
-        IndexStats.append(path, phase = "maintain", n = st.getLong(0),
-          meanSqdist = st.getDouble(1))
-    } finally { assigned.unpersist(); () }
+      .observe(obs, count(lit(1)).as("n"), avg(col("_adist")).as("m"))
+      .select(col(idCol), codesCol(col(vecCol), cb).as("codes"), col("bucket"))
+    val touched = upserts.select(col(idCol))
+      .unionByName(deletes.select(col(idCol))).distinct()
+    IvfIndex.upsertBucketLayout(spark, s"$path/codes", idCol, newRows, touched)
+    IndexStats.record(path, phase = "maintain", obs)
   }
 
   /** Persist a codebook as a (sub, code, weights) parquet table. */

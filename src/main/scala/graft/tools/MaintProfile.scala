@@ -12,9 +12,24 @@ import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
   * gate — a diagnostic. Usage:
   * SPARK_GRAFT_SF_DIR=... runMain graft.tools.MaintProfile */
 object MaintProfile {
+  private val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def listen(spark: SparkSession): Unit =
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        tasks.addAndGet(s.stageInfo.numTasks); ()
+      }
+    })
+
   private def t[A](label: String)(f: => A): A = {
-    val s = System.nanoTime(); val r = f
-    println(f"[maintprof] $label%-28s ${(System.nanoTime() - s) / 1e9}%.2f s")
+    val s = System.nanoTime(); val j0 = jobs.get(); val t0 = tasks.get()
+    val r = f
+    println(f"[maintprof] $label%-28s ${(System.nanoTime() - s) / 1e9}%.2f s  " +
+      f"jobs=${jobs.get() - j0}%3d tasks=${tasks.get() - t0}%5d")
     r
   }
 
@@ -28,6 +43,7 @@ object MaintProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    listen(spark)
 
     // ---- q123 shape: 3 base txns, 2 views, streaming maintenance ----------
     locally {
@@ -132,6 +148,26 @@ object MaintProfile {
         t3.deleteRows(emb.where(col("vec_id") % 11 === 3 && col("vec_id") % 7 =!= 1)
           .select(col("vec_id")))
         t3.commit()
+      }
+      // direct drive first (fresh index copy): isolates the fold work from
+      // streaming-engine overhead
+      val idx2 = root.resolve("index2").toString
+      graft.operators.IvfIndex.writeIndex(emb.limit(0), "vec_id", "embedding",
+        trained, idx2)
+      (1L to 3L).foreach { txn =>
+        val delta = t(s"ix: changesBetween($txn)") {
+          val d = base.changesBetween(txn - 1, txn).persist(); d.count(); d
+        }
+        t(s"ix: maintainIndex txn$txn") {
+          val ups = delta.where(col("op").isin("I", "U") && col("embedding").isNotNull)
+            .select(col("vec_id"), col("embedding"))
+          val dels = delta.where(col("op") === "D" ||
+              (col("op").isin("I", "U") && col("embedding").isNull))
+            .select(col("vec_id"))
+          graft.operators.IvfIndex.maintainIndex(spark, idx2, "vec_id", ups, dels,
+            Some(trained))
+        }
+        delta.unpersist()
       }
       t("ix: stream 3 batches") {
         val q = graft.streaming.Streams.indexMaintSink(
