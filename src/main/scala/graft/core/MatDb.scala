@@ -337,24 +337,51 @@ final class MatDb private (
     val touched = Scan.raw(spark, schema,
         segmentReadPaths(segs.filter(s => s.txnId > fromTxn && s.txnId <= toTxn)), Nil)
       .select(dims.map(col): _*).distinct()
-    def restricted(asOf: Long): DataFrame = Scan.dedup(
-      Scan.raw(spark, schema, segmentReadPaths(segs.filter(_.txnId <= asOf)), Nil)
-        .join(touched, dims, "left_semi"),
-      schema)
-    val o = restricted(fromTxn)
-      .select((dims.map(col) :+ lit(true).as("_o")) ++
-        schema.valueNames.map(v => col(v).as(s"_o_$v")): _*)
-    val n = restricted(toTxn).withColumn("_n", lit(true))
-    val joined = n.join(o, dims, "full_outer")
+    // SINGLE-PASS delta: one scan of the touched keys' history (≤ toTxn)
+    // and ONE aggregate resolving BOTH states — the new winner over all
+    // versions and the old winner over versions ≤ fromTxn (its max_by
+    // ordering key is null above the horizon, so absent-before keys
+    // resolve to null buffers, which doubles as the presence bit). The
+    // previous shape ran two restricted resolves + a full-outer join:
+    // touched history was READ twice and shuffled three times; this reads
+    // it once and shuffles once — at 100 TB the delta's read
+    // amplification halves, and per micro-batch it is ~3 fewer stages of
+    // fixed latency. All buffers stay primitive (per-column max_by, like
+    // Scan.dedup), so the aggregate remains a HashAggregate.
+    val all = Scan.raw(spark, schema,
+        segmentReadPaths(segs.filter(_.txnId <= toTxn)), Nil)
+      .join(touched, dims, "left_semi")
+    val ver = (least(col(Scan.TxnCol), lit(1L << 40)) * lit(1L << 22) +
+      least(col(Scan.SeqCol), lit((1L << 22) - 1))).as("_ver")
+    val withVer = all.withColumn("_ver", ver)
+      .withColumn("_over", when(col(Scan.TxnCol) <= fromTxn, col("_ver")))
+    val delRow = coalesce(col(Scan.DelCol), lit(false))
+    val aggs =
+      schema.valueNames.map(v => max_by(col(v), col("_ver")).as(v)) ++
+        schema.valueNames.map(v => max_by(col(v), col("_over")).as(s"_o_$v")) ++
+        Seq(max_by(delRow, col("_ver")).as("_dn"),
+          max_by(delRow, col("_over")).as("_do"))
+    val grouped = withVer.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // liveness: a key is present in a state iff it has a version there AND
+    // the winning version is not a tombstone. The new side always has a
+    // version (touched keys come from the range's own segments); the old
+    // side's _do is null exactly when no version ≤ fromTxn exists.
+    val oldLive = col("_do").isNotNull && !col("_do")
+    val newLive = !col("_dn")
     val anyDiff = schema.valueNames
       .map(v => !(col(v) <=> col(s"_o_$v")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val op = when(col("_o").isNull, "I")
-      .when(col("_n").isNull, "D")
-      .when(anyDiff, "U")
+    val op = when(!oldLive && newLive, "I")
+      .when(oldLive && !newLive, "D")
+      .when(oldLive && newLive && anyDiff, "U")
+    // D rows carry null value columns (the winner is the tombstone) and
+    // their pre-image in _old_*, exactly as the join formulation did
     val outCols = (col("op") +: (dims ++ schema.valueNames).map(col)) ++
-      (if (includeOld) schema.valueNames.map(v => col(s"_o_$v").as(s"_old_$v")) else Nil)
-    joined.withColumn("op", op)
+      (if (includeOld)
+        schema.valueNames.map(v =>
+          when(oldLive, col(s"_o_$v")).as(s"_old_$v"))
+      else Nil)
+    grouped.withColumn("op", op)
       .where(col("op").isNotNull)
       .select(outCols: _*)
   }
