@@ -109,7 +109,9 @@ object Bench {
           // main writes: pull each pass object's "name":value pairs
           val passBlock = txt.substring(txt.indexOf("\"passes\":") + 9)
           val objRe = java.util.regex.Pattern.compile("\\{([^{}]*)\\}")
-          val kvRe = java.util.regex.Pattern.compile("\"([^\"]+)\":([-0-9.eE]+)")
+          // tolerate whitespace around the colon: hand-merged artifacts
+          // (python json.dump) write "key": value
+          val kvRe = java.util.regex.Pattern.compile("\"([^\"]+)\"\\s*:\\s*([-0-9.eE]+)")
           val m = objRe.matcher(passBlock)
           val out = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
           while (m.find()) {

@@ -67,6 +67,33 @@ class ChangesSpec extends AnyFunSuite {
     assert(db.changesBetween(3L, 3L).count() === 0)
   }
 
+  test("delete-then-reinsert crosses the horizon as I; includeOld pre-images") {
+    val db = freshDb("redo")
+    val t4 = db.newTransaction()
+    t4.addRows(batch(Seq((2L, 999L)))) // re-insert the key txn3 deleted
+    t4.commit()
+    def rows(from: Long, to: Long): Map[Long, (String, Option[Long], Option[Long])] =
+      db.changesBetween(from, to, includeOld = true).collect().map { r =>
+        r.getLong(1) -> ((r.getString(0),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      }.toMap
+    // (3,4]: k2 was DELETED at the from-horizon — the old state is not
+    // live, so the re-insert is an I with a null pre-image (a tombstone
+    // carries nothing to retract)
+    assert(rows(3L, 4L) === Map(2L -> (("I", Some(999L), None))))
+    // (1,4]: k2 was live at 1 (v=20) — delete+reinsert inside the range
+    // collapses to ONE U carrying the horizon pre-image
+    assert(rows(1L, 4L).get(2L) === Some(("U", Some(999L), Some(20L))))
+    // (1,3]: the D row carries the deleted value as its pre-image and
+    // null value columns
+    assert(rows(1L, 3L).get(2L) === Some(("D", None, Some(20L))))
+    // U pre-image: k0 rewrote 0 -> 1 in txn2
+    assert(rows(1L, 2L).get(0L) === Some(("U", Some(1L), Some(0L))))
+    // I pre-image is null for never-seen keys
+    assert(rows(1L, 2L).get(20L) === Some(("I", Some(200L), None)))
+  }
+
   test("round trip: replica@from + changes = table@to (cdc apply law)") {
     val db = freshDb("rt")
     // replica seeded from snapshot@1
