@@ -5,7 +5,7 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * The battery (149 queries as of round 14) is assembled from five modules:
+  * The battery (150 queries as of round 14) is assembled from five modules:
   *   - [[graft.queries.CoreOps]]    q01-q05, q73, q76-q77, q92, q101-q103,
   *     q106, q108-q109, q111, q115, q117-q118, q120-q121, q123, q125-q126,
   *     q128-q130, q132-q135, q137 (SPJ across compatible chunk sizes),
@@ -20,7 +20,10 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational, TimeSeries}
   *     register_mview), q149 (the rewrite under VERSION AS OF —
   *     maintenance commits are pinned to base txn ids, so an aligned
   *     historical snapshot reads the view's pinned version; a mid-batch
-  *     txn falls back, both plan-asserted): the engine's own
+  *     txn falls back, both plan-asserted), q150 (EXPRESSION aggregates:
+  *     a declared derived column graft.mview.expr.<name> maintains
+  *     sum(a*b)-style aggregates and the rule matches the semantically
+  *     equal query expression, commuted operands included): the engine's own
   *     operator semantics — scan order, MVCC upsert/delete, snapshot
   *     horizon, range pruning, the bucketed/ranged/z-order layouts, SQL
   *     DML (INSERT/INSERT OVERWRITE/DELETE/UPDATE/MERGE INTO/TRUNCATE —

@@ -57,9 +57,13 @@ object IncrementalAgg {
     * BEFORE any view transaction opens, so nothing commits. */
   private def requireNoNullValues(delta: org.apache.spark.sql.DataFrame,
       valueCol: String): Unit =
-    require(delta.where(col("op").isin("I", "U") && col(valueCol).isNull)
+    requireNoNullValues(delta, col(valueCol), valueCol)
+
+  private def requireNoNullValues(delta: org.apache.spark.sql.DataFrame,
+      value: org.apache.spark.sql.Column, label: String): Unit =
+    require(delta.where(col("op").isin("I", "U") && value.isNull)
       .limit(1).isEmpty,
-      s"delta contains null $valueCol rows — the view's SUM would skip them " +
+      s"delta contains null $label rows — the view's SUM would skip them " +
         "while cnt counts them; coalesce or filter upstream (nothing was applied)")
 
   /** Fold the base table's delta `(fromTxn, toTxn]` into the view.
@@ -191,12 +195,32 @@ object IncrementalAgg {
     require(groupCols.nonEmpty && viewDb.schema.dimNames == groupCols,
       s"view must be keyed by (${groupCols.mkString(", ")}); " +
         s"got dims=${viewDb.schema.dimNames}")
+    // DERIVED view columns: `graft.mview.expr.<name> = <sql over base
+    // columns>` lets `sum_<name>` maintain an EXPRESSION aggregate
+    // (sum(a*b)-style). SUM is the only decomposable aggregate over an
+    // expression the delta algebra can retract exactly (the pre-image
+    // re-evaluates the same expression over _old_ values); min/max of an
+    // expression would need the dirty-group machinery on every batch, so
+    // they stay column-only.
+    val exprDecls: Map[String, String] =
+      graft.core.Storage.readProps(viewDb.root).collect {
+        case (k, v) if k.startsWith("graft.mview.expr.") =>
+          k.stripPrefix("graft.mview.expr.") -> v
+      }
     def srcOf(name: String, prefix: String): String = {
       val c = name.stripPrefix(prefix)
-      require(base.schema.columnNames.contains(c),
-        s"view column $name names no base column '$c'")
+      require(base.schema.columnNames.contains(c) ||
+        (prefix == "sum_" && exprDecls.contains(c)),
+        s"view column $name names no base column '$c'" +
+          (if (prefix == "sum_") " and declares no graft.mview.expr.* expression"
+           else " (min_/max_ support base columns only)"))
       c
     }
+    // the source VALUE of a sum column, evaluated over a frame presenting
+    // base-named columns (the delta's new side, the renamed pre-image
+    // frame, or the resolved base itself)
+    def valCol(c: String): org.apache.spark.sql.Column =
+      if (base.schema.columnNames.contains(c)) col(c) else expr(exprDecls(c))
     viewDb.schema.valueNames.foreach {
       case "cnt" => ()
       case n if n.startsWith("sum_") || n.startsWith("min_") || n.startsWith("max_") =>
@@ -218,7 +242,7 @@ object IncrementalAgg {
     val aggs: Seq[org.apache.spark.sql.Column] = viewDb.schema.values.map { v =>
       v.name match {
         case "cnt" => count(lit(1)).as("cnt")
-        case n if n.startsWith("sum_") => sum(col(srcOf(n, "sum_"))).cast(v.dataType).as(n)
+        case n if n.startsWith("sum_") => sum(valCol(srcOf(n, "sum_"))).cast(v.dataType).as(n)
         case n if n.startsWith("min_") => min(col(srcOf(n, "min_"))).cast(v.dataType).as(n)
         case n => max(col(srcOf(n, "max_"))).cast(v.dataType).as(n)
       }
@@ -263,7 +287,8 @@ object IncrementalAgg {
       if (!aligned) {
         // backfill path: the up-front probe job is fine here (rare, and
         // the absolute recompute dwarfs it)
-        ph("nullguard")(sumGuardCols.foreach(requireNoNullValues(delta, _)))
+        ph("nullguard")(sumGuardCols.foreach(c =>
+          requireNoNullValues(delta, valCol(c), c)))
         // restricted ABSOLUTE recompute of every touched group — the
         // always-correct fallback (fresh view backfill, range gaps)
         val touched = cached(
@@ -292,10 +317,17 @@ object IncrementalAgg {
         // retract leg: pre-images of U/D rows (a group-moving update
         // retracts from its old group here and applies to the new one
         // below); min/max sources contribute nothing to a retract — dirty
-        // groups recompute them from base
-        val retractLeg = delta.where(col("op").isin("U", "D") && oldNotNull)
-          .select(groupCols.map(g => oldGOf(g).as(g)) ++
-            (sumSrcs.map(c => (-col(s"_old_$c")).as(s"_d_$c")) ++
+        // groups recompute them from base. The pre-image frame renames
+        // _old_ values BACK to their base names (dims are version-
+        // invariant and keep theirs), so a declared expression evaluates
+        // verbatim over the OLD row — the exact value to retract.
+        val oldFrame = delta.where(col("op").isin("U", "D") && oldNotNull)
+          .select(groupCols.map(g => oldGOf(g).as(s"_g_$g")) ++
+            base.schema.dimNames.map(col) ++
+            base.schema.valueNames.map(v => col(s"_old_$v").as(v)): _*)
+        val retractLeg = oldFrame
+          .select(groupCols.map(g => col(s"_g_$g").as(g)) ++
+            (sumSrcs.map(c => (-valCol(c)).as(s"_d_$c")) ++
               mmSrcs.map(c => lit(null).cast(baseType(c)).as(s"_m_$c")) :+
               lit(-1L).as("_dc")): _*)
         // the non-null sum contract rides the write job as a row-level
@@ -305,11 +337,11 @@ object IncrementalAgg {
         // guarantee is unchanged: a null in the delta means nothing commits
         // (the claimed dir is swept by the next attempt's discardOrphanTxn).
         def guarded(c: String): org.apache.spark.sql.Column =
-          if (!sumGuardCols.contains(c)) col(c)
-          else when(col(c).isNull, raise_error(lit(
+          if (!sumGuardCols.contains(c)) valCol(c)
+          else when(valCol(c).isNull, raise_error(lit(
             s"delta contains null $c rows — the view's SUM would skip them " +
               "while cnt counts them; coalesce or filter upstream " +
-              "(nothing was committed)"))).otherwise(col(c))
+              "(nothing was committed)"))).otherwise(valCol(c))
         val applyLeg = delta.where(col("op").isin("I", "U") && newNotNull)
           .select(gCols ++
             (sumSrcs.map(c => guarded(c).as(s"_d_$c")) ++

@@ -168,12 +168,13 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       return None
     val entry = MvRegistry.lookup(core.canonicalized).getOrElse(return None)
     entry.viewRoots.iterator
-      .flatMap(r => tryView(r, entry, gs, aggExprs, cond))
+      .flatMap(r => tryView(r, entry, gs, aggExprs, cond, core))
       .nextOption()
   }
 
   private def tryView(viewRoot: String, entry: MvRegistry.Entry, gs: Seq[Attribute],
-      aggExprs: Seq[NamedExpression], cond: Option[Expression]): Option[LogicalPlan] = {
+      aggExprs: Seq[NamedExpression], cond: Option[Expression],
+      core: LogicalPlan): Option[LogicalPlan] = {
     val view =
       try MvRegistry.viewHandle(spark, viewRoot)
       catch { case _: Exception => return None } // dropped view: never block the query
@@ -215,6 +216,44 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // query tree must not collide)
     val vPlan = vDf.queryExecution.analyzed
     def vAttr(name: String): Option[Attribute] = vPlan.output.find(_.name == name)
+    // DERIVED view columns (`graft.mview.expr.<name>`): parse each
+    // declared SQL expression and resolve its column references against
+    // the MATCHED snapshot plan's own attributes, so a query aggregate
+    // over the same expression compares semantically (commutative
+    // operand order and alias ids normalize away in canonicalization).
+    // Only self-resolving expression trees qualify (column refs,
+    // literals, arithmetic, CAST); anything needing the full analyzer
+    // (function lookups) simply never matches — the query falls through
+    // to the base, maintenance is unaffected (it analyzes via expr()).
+    // fold constant subtrees so an analyzer-inserted literal cast on one
+    // side (SQL `1` is INT, widened to the column's LONG) cannot defeat
+    // the semantic comparison — ConstantFolding is an optimizer rule and
+    // has not run at resolution time on either side
+    def fold(e: Expression): Expression = e.transformUp {
+      case x if x.foldable && !x.isInstanceOf[Literal] =>
+        Literal.create(x.eval(), x.dataType)
+    }
+    val declExprs: Seq[(String, Expression)] = props.toSeq.collect {
+      case (k, sql) if k.startsWith("graft.mview.expr.") =>
+        k.stripPrefix("graft.mview.expr.") -> sql
+    }.flatMap { case (n, sql) =>
+      try {
+        // full analysis via a throwaway Project over the matched snapshot
+        // plan: attribute resolution against ITS output ids, implicit type
+        // coercion, and function lookup all come from Spark's own analyzer
+        val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+        val probe = Project(Seq(Alias(parsed, "_e")()), core)
+        spark.sessionState.analyzer.execute(probe) match {
+          case Project(Seq(a: Alias), _) if a.child.resolved =>
+            Some(n -> fold(a.child))
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+    }
+    def declOf(e: Expression): Option[String] = {
+      lazy val folded = fold(e)
+      declExprs.collectFirst { case (n, d) if folded.semanticEquals(d) => n }
+    }
     // base group attr exprId -> the view's column for it
     val gMap: Map[ExprId, Attribute] =
       gs.map(g => g.exprId -> vAttr(g.name).getOrElse(return None)).toMap
@@ -234,8 +273,16 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         case _ => None // sum(expr) has no maintained column
       }
+      // an EXPRESSION child matching a declared derived column reads that
+      // column (rolled up like any other sum when the grain is coarser)
+      def exprCol(c: Expression): Option[Expression] =
+        declOf(c).flatMap(n => vAttr("sum_" + n)).map { v =>
+          val e: Expression =
+            if (rollup) Sum(v).toAggregateExpression() else v
+          if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
+        }
       ae.aggregateFunction match {
-        case s: Sum   => col("sum_", s.child, Sum(_))
+        case s: Sum   => col("sum_", s.child, Sum(_)).orElse(exprCol(s.child))
         case m: Min   => col("min_", m.child, Min(_))
         case m: Max   => col("max_", m.child, Max(_))
         case c: Count => c.children match {
@@ -253,9 +300,12 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // for DECIMAL (the buffer sum is a widened decimal; casting our
         // exact sum_c up is lossless) and for integral inputs within 2^53
         // (integer-valued double additions are order-free there).
-        case a: Average => a.child match {
-          case c: Attribute =>
-            for { s <- vAttr("sum_" + c.name); n <- vAttr("cnt") } yield {
+        case a: Average => (a.child match {
+          case c: Attribute => vAttr("sum_" + c.name)
+          case c            => declOf(c).flatMap(n => vAttr("sum_" + n))
+        }) match {
+          case Some(sumAttr) =>
+            for { s <- Some(sumAttr); n <- vAttr("cnt") } yield {
               val Seq(sumBuf, cntBuf) = a.aggBufferAttributes
               // rollup: the buffer values are themselves sums over cells
               // (sum-of-sums / sum-of-cnts) — the same decomposition the
@@ -270,7 +320,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 case x: Attribute if x.exprId == cntBuf.exprId => sub(n, cntBuf.dataType)
               }
             }
-          case _ => None
+          case None => None
         }
         case _ => None
       }

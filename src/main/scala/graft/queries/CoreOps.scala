@@ -1912,6 +1912,75 @@ object CoreOps {
         s"asOf(2) is mid-batch and must fall back to the base; scans ${scansOf(a2)}")
       graft.plans.MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
       a3.unionByName(a2).orderBy(col("as_of"), col("grp"))
+    },
+
+    // ---- EXPRESSION-aggregate materialized view (round 14) ---------------
+    // The rewrite closed over sum(a*b)-style aggregates: the view declares
+    // a derived column (`graft.mview.expr.rev = 'v * (w + 1)'`), the
+    // maintenance algebra retracts the expression's pre-image by
+    // re-evaluating it over the renamed _old_ frame (a U that moves BOTH
+    // inputs retracts the old product and applies the new one), and the
+    // rule matches a query's sum over the semantically-equal expression —
+    // commuted operand order included — answering it from the view
+    // (plan-asserted). All-LONG arithmetic keeps the oracle hash-exact.
+    Entry("q150_mv_rewrite_expr", Some(
+      """WITH b AS (SELECT event_id, user_id FROM events WHERE event_id < 700),
+        |s1 AS (SELECT event_id, user_id % 40 AS grp,
+        |              CASE WHEN event_id < 150 THEN (user_id + 1) % 7
+        |                   ELSE user_id % 7 END AS w,
+        |              CASE WHEN event_id < 150 THEN user_id % 100 + 50
+        |                   ELSE user_id % 100 + 1 END AS v
+        |       FROM b),
+        |fin AS (SELECT grp, w, v FROM s1
+        |        WHERE NOT (event_id >= 300 AND event_id < 380))
+        |SELECT grp, CAST(sum(v * (w + 1)) AS BIGINT) AS rev, count(*) AS cnt
+        |FROM fin GROUP BY grp ORDER BY grp""".stripMargin)) { (s, d) =>
+      import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+      val root = Q.fixture("q150-mvexpr")
+      graft.core.Storage.deleteRecursively(root)
+      val base = MatDb.create(s, MatSchema(Seq(Dimension("event_id", 100)),
+        Seq(ValueCol("grp"), ValueCol("w"), ValueCol("v"))),
+        root.resolve("base").toString, "manifest")
+      val view = MatDb.create(s, MatSchema(Seq(Dimension("grp", 1000)),
+        Seq(ValueCol("sum_rev"), ValueCol("cnt"))),
+        root.resolve("view").toString, "manifest")
+      graft.core.Storage.writeProps(view.root,
+        graft.core.Storage.readProps(view.root) +
+          ("graft.mview.expr.rev" -> "v * (w + 1)"))
+      val e = table(s, d, "events")
+      val t1 = base.newTransaction()
+      t1.addRows(e.where(col("event_id") < 700).select(col("event_id"),
+        (col("user_id") % 40).as("grp"), (col("user_id") % 7).as("w"),
+        (col("user_id") % 100 + 1).as("v")))
+      t1.commit()
+      graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, view, 0L, 1L, "grp")
+      // the update moves BOTH expression inputs for event_id < 150
+      val t2 = base.newTransaction()
+      t2.addRows(e.where(col("event_id") < 150).select(col("event_id"),
+        (col("user_id") % 40).as("grp"), ((col("user_id") + 1) % 7).as("w"),
+        (col("user_id") % 100 + 50).as("v")))
+      t2.commit()
+      graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, view, 1L, 2L, "grp")
+      val t3 = base.newTransaction()
+      t3.deleteRows(e.where(col("event_id").between(300, 379)).select(col("event_id")))
+      t3.commit()
+      graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, view, 2L, 3L, "grp")
+      base.registerMaterializedView(root.resolve("view").toString)
+      // commuted operand order — canonicalization must still match
+      val agg = base.snapshot().groupBy("grp")
+        .agg(sum((col("w") + 1L) * col("v")).as("rev"), count(lit(1)).as("cnt"))
+      val scanned = agg.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(scanned.nonEmpty && scanned.forall(_.contains("/view/")),
+        s"expression mv-rewrite did not fire: scans $scanned")
+      graft.plans.MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+      agg.select(col("grp"), col("rev"), col("cnt")).orderBy(col("grp"))
     }
   )
 }

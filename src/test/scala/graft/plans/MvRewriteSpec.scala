@@ -293,6 +293,61 @@ class MvRewriteSpec extends AnyFunSuite {
     MvRegistry.dropRoot(other.root.toAbsolutePath.toString)
   }
 
+  test("declared EXPRESSION aggregates maintain and rewrite (sum(a*b)-style)") {
+    val root = Files.createTempDirectory("graft-mv-expr")
+    val base = MatDb.create(spark, MatSchema(Seq(Dimension("event_id", 100)),
+      Seq(ValueCol("grp"), ValueCol("w"), ValueCol("v"))),
+      root.resolve("base").toString, "manifest")
+    val view = MatDb.create(spark, MatSchema(Seq(Dimension("grp", 1000)),
+      Seq(ValueCol("sum_rev"), ValueCol("cnt"))),
+      root.resolve("view").toString, "manifest")
+    // the derived column: rev = v * (w + 1), declared on the VIEW
+    Storage.writeProps(view.root, Storage.readProps(view.root) +
+      ("graft.mview.expr.rev" -> "v * (w + 1)"))
+    val t1 = base.newTransaction()
+    t1.addRowsSeq(for (i <- 0L until 60L) yield Seq[Any](i, i % 6, i % 7, i + 1))
+    t1.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 0L, 1L, "grp")
+    // update moves BOTH expression inputs (v and w) for half the keys
+    val t2 = base.newTransaction()
+    t2.addRowsSeq(for (i <- 0L until 30L) yield Seq[Any](i, i % 6, (i + 1) % 7, i + 100L))
+    t2.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 1L, 2L, "grp")
+    val t3 = base.newTransaction()
+    t3.deleteRows(spark.range(40, 50).select(col("id").as("event_id")))
+    t3.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 2L, 3L, "grp")
+    base.registerMaterializedView(root.resolve("view").toString)
+
+    def truth(df: DataFrame): Seq[org.apache.spark.sql.Row] = {
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      try df.orderBy("grp").collect().toSeq
+      finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    }
+    // sum over the declared expression rewrites and matches a recompute
+    val q = base.snapshot().groupBy("grp")
+      .agg(sum(col("v") * (col("w") + 1L)).as("rev"), count(lit(1)).as("cnt"))
+    assert(scanRoots(q).forall(_.contains("/view/")),
+      s"expression sum must rewrite; scans ${scanRoots(q)}")
+    assert(q.orderBy("grp").collect().toSeq === truth(q))
+    // commuted operand order canonicalizes to the same declaration
+    val qc = base.snapshot().groupBy("grp")
+      .agg(sum((col("w") + 1L) * col("v")).as("rev"))
+    assert(scanRoots(qc).forall(_.contains("/view/")), "commuted form must match")
+    assert(qc.orderBy("grp").collect().toSeq === truth(qc))
+    // AVG over the expression derives from (sum_rev, cnt)
+    val qa = base.snapshot().groupBy("grp")
+      .agg(avg(col("v") * (col("w") + 1L)).as("a"))
+    assert(scanRoots(qa).forall(_.contains("/view/")), "expression avg must rewrite")
+    assert(qa.orderBy("grp").collect().toSeq === truth(qa))
+    // an UNDECLARED expression falls through to the base
+    val qx = base.snapshot().groupBy("grp")
+      .agg(sum(col("v") * (col("w") + 2L)).as("rev"))
+    assert(scanRoots(qx).exists(_.contains("/base/")),
+      "an undeclared expression must never rewrite")
+    MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+  }
+
   test("VERSION AS OF rewrites at aligned txns, falls back at mid-batch txns") {
     val (base, view, _, viewPath) = fixture("asof")
     // txn 1 maintained alone; txns 2+3 maintained as ONE range (2, 3] —
