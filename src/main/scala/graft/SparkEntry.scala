@@ -5,7 +5,7 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * The battery (150 queries as of round 14) is assembled from five modules:
+  * The battery (153 queries as of round 15) is assembled from five modules:
   *   - [[graft.queries.CoreOps]]    q01-q05, q73, q76-q77, q92, q101-q103,
   *     q106, q108-q109, q111, q115, q117-q118, q120-q121, q123, q125-q126,
   *     q128-q130, q132-q135, q137 (SPJ across compatible chunk sizes),
@@ -23,7 +23,16 @@ import graft.queries.{CoreOps, Curation, Pipeline, Q, Relational, TimeSeries}
   *     txn falls back, both plan-asserted), q150 (EXPRESSION aggregates:
   *     a declared derived column graft.mview.expr.<name> maintains
   *     sum(a*b)-style aggregates and the rule matches the semantically
-  *     equal query expression, commuted operands included): the engine's own
+  *     equal query expression, commuted operands included), q151 (CDC
+  *     across a REPLACE commit: a TRUNCATE inside the range is detected
+  *     from manifest metadata and the feed falls back to the exact
+  *     two-snapshot diff — D rows for wiped keys, replica law intact),
+  *     q152 (maintained count(col) as cnt_<col> + count(DISTINCT) over a
+  *     (group, value) helper view, all three count shapes answered from
+  *     ONE view, plan-asserted), q153 (EXPRESSION min/max in a maintained
+  *     view — the dirty boundary test evaluates the declared expression
+  *     over the renamed pre-image frame, so expression extrema are
+  *     exactly as incremental as column extrema): the engine's own
   *     operator semantics — scan order, MVCC upsert/delete, snapshot
   *     horizon, range pruning, the bucketed/ranged/z-order layouts, SQL
   *     DML (INSERT/INSERT OVERWRITE/DELETE/UPDATE/MERGE INTO/TRUNCATE —

@@ -328,12 +328,59 @@ final class MatDb private (
     * replaced values for U, the deleted values for D) — what an
     * incremental consumer needs to RETRACT the old contribution before
     * applying the new one ([[graft.operators.IncrementalAgg]]). Dimensions
-    * need no pre-image: they are the key, identical on both sides. */
+    * need no pre-image: they are the key, identical on both sides.
+    *
+    * REPLACE-kind commits (TRUNCATE / INSERT OVERWRITE / [[compact]]) in
+    * `(fromTxn, toTxn]` break the touched-keys formulation: the keys they
+    * wiped exist in NO range segment (a truncate is segment-less, an
+    * overwrite's removals are manifest-shaped), so the O(delta) path would
+    * silently emit no D rows for them and a replica would diverge. Under
+    * the MANIFEST protocol this is handled soundly: a metadata walk detects
+    * any replace above `fromTxn` (a checkpoint fold whose recorded boundary
+    * is <= `fromTxn` is exonerated — it reshaped only state the range never
+    * reads); both horizons then resolve EXACTLY through the manifest
+    * lineage (replaced-away segments stay readable until vacuum) and the
+    * delta comes from a full two-snapshot diff — O(state), the unavoidable
+    * price of a replace in range. If the pre-replace state was already
+    * vacuumed/pruned, this REFUSES with `IllegalStateException` rather than
+    * answer wrong — rebuild the consumer from a full snapshot. Under the
+    * RENAME protocol a replace physically destroys the replaced state at
+    * commit time, so nothing can be detected or resolved: the documented
+    * contract there is append-only history over the range (CDC consumers
+    * should use the manifest protocol). */
   def changesBetween(fromTxn: Long, toTxn: Long, includeOld: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
     require(fromTxn <= toTxn, s"changesBetween: from $fromTxn > to $toTxn")
     val dims = schema.dimNames
-    val segs = synchronized(committed)
+    val segs: Seq[SegmentId] = protocol match {
+      case Storage.ManifestProtocol =>
+        val mp = Storage.ManifestProtocol
+        val safe = mp.commitsAfter(root, fromTxn) match {
+          case Some(metas) =>
+            metas.forall(m => !m.isReplace || m.foldTxn.exists(_ <= fromTxn))
+          case None => false // metadata holes / pre-round-12 manifests
+        }
+        if (safe) synchronized(committed)
+        else {
+          def strict(t: Long, side: String): Seq[SegmentId] =
+            mp.listCommittedAsOfStrict(root, t).getOrElse(
+              throw new IllegalStateException(
+                s"changesBetween($fromTxn, $toTxn): a replace-kind commit " +
+                  "(TRUNCATE / INSERT OVERWRITE / compact) landed after txn " +
+                  s"$fromTxn and the $side state at txn $t is no longer " +
+                  "exactly reconstructible (history vacuumed or pruned) — " +
+                  "the delta would be incomplete; rebuild the consumer " +
+                  "from a full snapshot instead"))
+          val fromSet = strict(fromTxn, "old")
+          val toSet = strict(toTxn, "new")
+          // replaces only ABOVE toTxn leave the range itself append-only
+          // (fromSet survives into toSet verbatim): the O(delta) path still
+          // applies, just over the lineage-resolved sets
+          if (fromSet.forall(toSet.contains)) toSet
+          else return replaceRangeDiff(fromSet, toSet, includeOld)
+        }
+      case _ => synchronized(committed) // rename: append-only contract
+    }
     val touched = Scan.raw(spark, schema,
         segmentReadPaths(segs.filter(s => s.txnId > fromTxn && s.txnId <= toTxn)), Nil)
       .select(dims.map(col): _*).distinct()
@@ -382,6 +429,42 @@ final class MatDb private (
           when(oldLive, col(s"_o_$v")).as(s"_old_$v"))
       else Nil)
     grouped.withColumn("op", op)
+      .where(col("op").isNotNull)
+      .select(outCols: _*)
+  }
+
+  /** The replace-in-range CDC fallback: full-outer diff of the two exactly
+    * resolved snapshots. O(old state + new state) — the unavoidable price
+    * of a replace inside the range (its wiped keys exist in NO range
+    * segment, so only a state comparison can find them); everywhere else
+    * [[changesBetween]] stays O(touched keys). Emits the same minimal
+    * I/U/D contract: unchanged keys (null-safe value compare) emit
+    * nothing, D rows carry null values (and the deleted pre-image under
+    * `includeOld`). */
+  private def replaceRangeDiff(fromSet: Seq[SegmentId], toSet: Seq[SegmentId],
+      includeOld: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dims = schema.dimNames
+    val oldSnap = Scan.resolve(spark, schema, segmentReadPaths(fromSet), Nil, None)
+      .select(dims.map(col) ++
+        schema.valueNames.map(v => col(v).as(s"_o_$v")) :+
+        lit(true).as("_ol"): _*)
+    val newSnap = Scan.resolve(spark, schema, segmentReadPaths(toSet), Nil, None)
+      .select(dims.map(col) ++ schema.valueNames.map(col) :+
+        lit(true).as("_nl"): _*)
+    val joined = oldSnap.join(newSnap, dims, "full_outer")
+    val oldLive = col("_ol").isNotNull
+    val newLive = col("_nl").isNotNull
+    val anyDiff = schema.valueNames.map(v => !(col(v) <=> col(s"_o_$v")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val op = when(!oldLive && newLive, "I")
+      .when(oldLive && !newLive, "D")
+      .when(oldLive && newLive && anyDiff, "U")
+    val outCols = (col("op") +: (dims ++ schema.valueNames).map(col)) ++
+      (if (includeOld)
+        schema.valueNames.map(v => when(oldLive, col(s"_o_$v")).as(s"_old_$v"))
+      else Nil)
+    joined.withColumn("op", op)
       .where(col("op").isNotNull)
       .select(outCols: _*)
   }
@@ -564,6 +647,17 @@ final class MatDb private (
     * Returns the compaction transaction id. Aborts with
     * `ConcurrentModificationException` if a commit lands concurrently. */
   def compact(): Long = {
+    // a MAINTAINED VIEW's txn clock is pinned to its base's txn ids
+    // (IncrementalAgg.maintainAbsoluteMulti): compact() self-allocates
+    // watermark+1 — exactly lastMaintainedBaseTxn+1 — which would both
+    // corrupt the pinned-id maintenance protocol (the next genuine
+    // maintenance commit's pin collides) and FORGE the MV-rewrite
+    // alignment witness at the base's next txn. Use checkpoint()/optimize()
+    // for file maintenance on a view: their baseline reuses the folded
+    // horizon's own txn id, which stays a true alignment point.
+    require(!Storage.readProps(root).contains("graft.mview.base"),
+      "compact() on a maintained view would hijack its pinned txn clock " +
+        "(graft.mview.base stamp present); use optimize()/checkpoint() instead")
     val txn = newTransaction()
     // read through the TXN's snapshot (visible-at-open), not a fresh
     // db.snapshot(): the replace supersedes exactly what the txn saw, which
@@ -712,9 +806,15 @@ final class MatDb private (
         val newRetained = cur.filterNot(_.txnId <= horizon)
         try {
           synchronized {
-            committed = protocol
-              .replace(root, Seq(bid), (Seq(bid) ++ newRetained).sorted, cur,
-                prodTxn = (Seq(bid) ++ newRetained).map(_.txnId).max)
+            // replaceFold, not replace: the manifest records the fold
+            // boundary (the max FOLDED txn — tighter than the requested
+            // horizon, since nothing exists in (tid, horizon]), so a CDC
+            // reader whose range starts at-or-above it keeps its O(delta)
+            // path across this fold (changesBetween)
+            committed = Storage.ManifestProtocol
+              .replaceFold(root, Seq(bid), (Seq(bid) ++ newRetained).sorted, cur,
+                prodTxn = (Seq(bid) ++ newRetained).map(_.txnId).max,
+                foldTxn = tid)
               .toVector.sorted
           }
           published = true

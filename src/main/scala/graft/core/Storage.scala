@@ -612,9 +612,22 @@ object Storage {
         expectedBase: Seq[SegmentId], prodTxn: Long): Seq[SegmentId] =
       publish(root, newIds, replaceAll = true, visibleAfter, expectedBase, prodTxn)
 
+    /** [[replace]] for a CHECKPOINT FOLD: records `foldTxn` — the fold
+      * horizon — in the manifest, asserting this replace only RESHAPED the
+      * state at-or-below that txn equivalently (resolved baseline, erased
+      * tombstones all <= foldTxn) and removed nothing above it. A CDC
+      * reader whose `fromTxn >= foldTxn` can then keep its O(delta) path
+      * across the fold instead of degrading to the two-set diff
+      * ([[graft.core.MatDb.changesBetween]]). */
+    private[graft] def replaceFold(root: Path, newIds: Seq[SegmentId],
+        visibleAfter: Seq[SegmentId], expectedBase: Seq[SegmentId],
+        prodTxn: Long, foldTxn: Long): Seq[SegmentId] =
+      publish(root, newIds, replaceAll = true, visibleAfter, expectedBase,
+        prodTxn, foldTxn = Some(foldTxn))
+
     private def publish(root: Path, newIds: Seq[SegmentId], replaceAll: Boolean,
         intended: Seq[SegmentId], expectedBase: Seq[SegmentId] = Seq.empty,
-        prodTxn: Long = 0L): Seq[SegmentId] = {
+        prodTxn: Long = 0L, foldTxn: Option[Long] = None): Seq[SegmentId] = {
       stampCommitTs(root, this, newIds) // dirs are final-named, still invisible
       // this commit's touched chunk keys, recorded in the manifest so
       // serializable conflict detection is a METADATA read (walk the new
@@ -648,7 +661,7 @@ object Storage {
         // its chunks, not conflict-with-everything)
         val semanticReplace = replaceAll && target != (current ++ newIds).sorted
         if (tryWriteManifest(root, version, target, prod,
-            newIds, newChunks, semanticReplace)) {
+            newIds, newChunks, semanticReplace, foldTxn)) {
           writeLastPointer(root, version) // best-effort O(1)-open hint
           return target
         }
@@ -727,6 +740,50 @@ object Storage {
         // version would, so pruning a version never changes an answer
         case None => fallback
       }
+    }
+
+    /** [[listCommittedAsOf]] WITHOUT the silent fallback: Some(state) only
+      * when the resolution is provably exact; None means the true state at
+      * `txn` is NOT reconstructible (history vacuumed/pruned) — callers
+      * that would silently compute a WRONG answer from the fallback (the
+      * CDC delta across a replace) must refuse instead.
+      *
+      * Newest-first walk. A version can serve `txn` exactly when either
+      * its producing txn is <= `txn` (the state boundary itself), or it is
+      * a checkpoint fold whose recorded boundary is <= `txn`
+      * ([[replaceFold]]): the fold reshaped only the <= boundary prefix
+      * EQUIVALENTLY and removed nothing above it, so filtering its state
+      * by segment txn resolves `txn` exactly — this is what keeps CDC
+      * across a below-range fold working even after vacuum pruned the
+      * pre-fold manifests. Any other version only layers effects above
+      * `txn` (appends allocate above the watermark) or replaces state we
+      * must look below (overwrite/truncate/compact) — walk to its
+      * predecessor; a pruned predecessor is an unprovable hole → None.
+      * Walking past version 0 means `txn` predates the first commit. */
+    private[graft] def listCommittedAsOfStrict(root: Path, txn: Long)
+        : Option[Seq[SegmentId]] = {
+      var v = latestManifest(root) match {
+        case None    => return Some(Seq.empty) // never committed
+        case Some(p) => manifestVersion(p)
+      }
+      while (v >= 0) {
+        val p = manifestPath(root, v)
+        if (!Files.exists(p)) return None // pruned below an unresolved replace
+        val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        val prod = """"txn"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
+          .map(_.group(1).toLong)
+          .getOrElse((readManifest(p).map(_.txnId) :+ 0L).max)
+        val fold = """"fold"\s*:\s*(\d+)""".r
+          .findFirstMatchIn(text).map(_.group(1).toLong)
+        if (prod <= txn || fold.exists(_ <= txn)) {
+          val visible = readManifest(p).filter(_.txnId <= txn).sorted
+          return if (visible.forall(id => Files.isDirectory(readPath(root, id))))
+            Some(visible)
+          else None
+        }
+        v -= 1
+      }
+      Some(Seq.empty) // every version produced above txn: pre-first-commit
     }
 
     override def txnWatermark(root: Path): Long =
@@ -880,18 +937,20 @@ object Storage {
     private[core] def tryWriteManifest(root: Path, version: Long,
         visible: Seq[SegmentId], prodTxn: Long = 0L,
         newIds: Seq[SegmentId] = Seq.empty, newChunks: Seq[String] = Seq.empty,
-        isReplace: Boolean = false): Boolean = {
+        isReplace: Boolean = false, foldTxn: Option[Long] = None): Boolean = {
       val dir = logDir(root)
       Files.createDirectories(dir)
       val prod = (prodTxn +: visible.map(_.txnId)).max
       // commit-scoped fields first ("new_txns"/"chunks"/"replace" — what
-      // THIS version added, for metadata-only conflict detection), then the
-      // full visible set. Chunk dir names are [-_=a-zA-Z0-9/] only — no
-      // JSON escaping needed.
+      // THIS version added, for metadata-only conflict detection; "fold" —
+      // a checkpoint's horizon, see [[replaceFold]]), then the full visible
+      // set. Chunk dir names are [-_=a-zA-Z0-9/] only — no JSON escaping
+      // needed.
       val newTxns = newIds.map(_.txnId).distinct.sorted.mkString(", ")
       val chunks = newChunks.map(c => s""""$c"""").mkString(", ")
+      val fold = foldTxn.fold("")(h => s""""fold": $h, """)
       val body = visible.sorted.map(s => s"  [${s.txnId}, ${s.segNum}]").mkString(
-        s"""{"txn": $prod, "replace": $isReplace, "new_txns": [$newTxns], """ +
+        s"""{"txn": $prod, "replace": $isReplace, $fold"new_txns": [$newTxns], """ +
           s""""chunks": [$chunks], "segments": [\n""", ",\n", "\n]}\n")
       // the conditional put IS the commit — one winner per version name
       casStore(root).putIfAbsent(dir.resolve(f"$version%08x.json"), body)
@@ -900,12 +959,15 @@ object Storage {
     /** One committed manifest version's commit-scoped metadata: the txns it
       * added (with their segment ids, for key-digest lookup), the chunk
       * dirs they touched (None when written before chunk recording —
-      * round <= 11), and whether it was a replace (overwrite/truncate/
+      * round <= 11), whether it was a replace (overwrite/truncate/
       * compact — removes rows in arbitrary chunks, so conflict detection
-      * must treat it as touching EVERYTHING). */
+      * must treat it as touching EVERYTHING), and — for checkpoint folds —
+      * the fold horizon ([[replaceFold]]): a replace carrying `foldTxn = h`
+      * provably reshaped only the state at-or-below `h`, equivalently. */
     private[graft] final case class CommitMeta(version: Long, prodTxn: Long,
         newTxns: Seq[Long], newSegs: Seq[SegmentId],
-        chunks: Option[Set[String]], isReplace: Boolean)
+        chunks: Option[Set[String]], isReplace: Boolean,
+        foldTxn: Option[Long] = None)
 
     /** Commit metadata for every manifest version whose producing txn is
       * above `horizon`, newest first — the serializable conflict check's
@@ -936,10 +998,12 @@ object Storage {
           val chunks = """"chunks"\s*:\s*\[([^\]]*)\]""".r
             .findFirstMatchIn(text)
             .map(m => """"([^"]*)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSet)
+          val fold = """"fold"\s*:\s*(\d+)""".r
+            .findFirstMatchIn(text).map(_.group(1).toLong)
           (isReplace, newTxns) match {
             case (Some(r), Some(ts)) =>
               val segs = readManifest(p).filter(s => ts.contains(s.txnId))
-              out += CommitMeta(v, prod, ts, segs, chunks, r)
+              out += CommitMeta(v, prod, ts, segs, chunks, r, fold)
             case _ => complete = false // pre-round-12 manifest in range
           }
           v -= 1

@@ -146,7 +146,14 @@ object IncrementalAgg {
   /** [[maintainAbsolute]] generalized: the VIEW SCHEMA is the aggregate
     * spec. The view's dimension is the group column; every value column
     * declares its aggregate by NAME — `sum_<col>`, `min_<col>`,
-    * `max_<col>` over base columns, or `cnt` (row count).
+    * `max_<col>` (sum / extremum), `cnt_<col>` (count of NON-NULL values —
+    * SQL `count(col)`), or `cnt` (row count). Each `<col>` is a base
+    * column or a DERIVED expression declared as `graft.mview.expr.<name>`
+    * ([[ViewSpec]]): sums and non-null counts retract exactly by
+    * re-evaluating the declared expression over the renamed pre-image
+    * frame; expression extrema share the column extrema's dirty-group
+    * machinery (the boundary test evaluates the expression over the same
+    * pre-image frame), so they are exactly as incremental.
     *
     * SELF-MAINTAINING: when the view is exactly caught up to `fromTxn`
     * (the steady streaming state), `sum_`/`cnt` rows are derived from
@@ -180,6 +187,126 @@ object IncrementalAgg {
     maintainAbsoluteMultiKeys(base, viewDb, fromTxn, toTxn, Seq(groupCol),
       precomputedDelta, forceAbsolute)
 
+  /** The parsed aggregate spec of a maintained view — shared by the
+    * incremental fold, the restricted absolute recompute, and the full
+    * [[rebuild]]. The VIEW SCHEMA is the spec: dimension columns are the
+    * group key; each value column declares its aggregate by NAME —
+    * `sum_<c>` / `min_<c>` / `max_<c>` (sum / extremum of a base column or
+    * a DERIVED expression), `cnt_<c>` (count of NON-NULL values of a base
+    * column or derived expression), or `cnt` (row count). DERIVED sources:
+    * `graft.mview.expr.<name> = <sql over base columns>` table properties —
+    * the expression re-evaluates verbatim over any frame presenting
+    * base-named columns (the delta's new side, the renamed pre-image
+    * frame, or the resolved base itself), which is exactly what makes its
+    * retract leg exact. */
+  private final class ViewSpec(base: MatDb, viewDb: MatDb) {
+    val exprDecls: Map[String, String] =
+      graft.core.Storage.readProps(viewDb.root).collect {
+        case (k, v) if k.startsWith("graft.mview.expr.") =>
+          k.stripPrefix("graft.mview.expr.") -> v
+      }
+    def srcOf(name: String, prefix: String): String = {
+      val c = name.stripPrefix(prefix)
+      require(base.schema.columnNames.contains(c) || exprDecls.contains(c),
+        s"view column $name names no base column '$c' and declares no " +
+          "graft.mview.expr.* expression")
+      c
+    }
+    /** The source VALUE of an aggregate column, over a frame presenting
+      * base-named columns. */
+    def valCol(c: String): org.apache.spark.sql.Column =
+      if (base.schema.columnNames.contains(c)) col(c) else expr(exprDecls(c))
+    def validate(): Unit = viewDb.schema.valueNames.foreach {
+      case "cnt" => ()
+      case n if n.startsWith("sum_") || n.startsWith("min_") ||
+          n.startsWith("max_") || n.startsWith("cnt_") =>
+        srcOf(n, n.take(4)); ()
+      case other => throw new IllegalArgumentException(
+        s"view value column '$other' declares no aggregate " +
+          "(expected sum_<col>, min_<col>, max_<col>, cnt_<col>, or cnt)")
+    }
+    /** Distinct sources per aggregate family. */
+    def sumSrcs: Seq[String] = viewDb.schema.valueNames
+      .filter(_.startsWith("sum_")).map(_.stripPrefix("sum_")).distinct
+    def cntSrcs: Seq[String] = viewDb.schema.valueNames
+      .filter(_.startsWith("cnt_")).map(_.stripPrefix("cnt_")).distinct
+    def mmSrcs: Seq[String] = viewDb.schema.valueNames
+      .collect { case n if n.startsWith("min_") || n.startsWith("max_") => n.drop(4) }
+      .distinct
+    /** Absolute aggregate columns (GROUP BY over base-named rows). With
+      * `guardSums` the non-null sum contract rides the aggregate itself as
+      * a row-level raise_error (for paths with no separate probe job). */
+    def aggs(guardSums: Boolean = false): Seq[org.apache.spark.sql.Column] = {
+      def sumSrc(c: String) =
+        if (!guardSums) valCol(c)
+        else when(valCol(c).isNull, raise_error(lit(
+          s"delta contains null $c rows — the view's SUM would skip them " +
+            "while cnt counts them; coalesce or filter upstream " +
+            "(nothing was committed)"))).otherwise(valCol(c))
+      viewDb.schema.values.map { v =>
+        v.name match {
+          case "cnt" => count(lit(1)).as("cnt")
+          case n if n.startsWith("sum_") =>
+            sum(sumSrc(srcOf(n, "sum_"))).cast(v.dataType).as(n)
+          case n if n.startsWith("cnt_") =>
+            count(valCol(srcOf(n, "cnt_"))).cast(v.dataType).as(n)
+          case n if n.startsWith("min_") =>
+            min(valCol(srcOf(n, "min_"))).cast(v.dataType).as(n)
+          case n => max(valCol(srcOf(n, "max_"))).cast(v.dataType).as(n)
+        }
+      }
+    }
+  }
+
+  /** The maintenance stamp — the soundness token the MV auto-rewrite
+    * verifies ([[graft.plans.MvRewriteRule]]): "this table is a maintained
+    * view of <base>, exactly through <toTxn>". */
+  private def stampMaintained(base: MatDb, viewDb: MatDb, toTxn: Long,
+      groupCols: Seq[String]): Unit =
+    graft.core.Storage.writeProps(viewDb.root,
+      graft.core.Storage.readProps(viewDb.root) ++ Map(
+        "graft.mview.base" -> base.root.toAbsolutePath.toString,
+        "graft.mview.txn" -> toTxn.toString))
+
+  /** FULL REBUILD of a maintained view at base txn `toTxn` — the recovery
+    * path when the incremental delta is NOT reconstructible: a replace-kind
+    * base commit (TRUNCATE / INSERT OVERWRITE / compact) landed inside the
+    * range and its pre-state was already vacuumed, so
+    * [[graft.core.MatDb.changesBetween]] refuses. One absolute aggregate of
+    * `base.asOf(toTxn)` REPLACES the view's contents in a single
+    * transaction PINNED to `toTxn`, so the pinned-clock alignment
+    * (`view.asOf(baseTxn)`) and at-least-once replay contracts survive the
+    * rebuild unchanged; the maintenance stamp is re-written afterward.
+    * O(base) — the price already paid for losing the delta. Returns the
+    * view txn applied (== toTxn), or the watermark when the range already
+    * landed (replay). */
+  def rebuild(base: MatDb, viewDb: MatDb, toTxn: Long,
+      groupCols: Seq[String]): Long = {
+    require(groupCols.nonEmpty && viewDb.schema.dimNames == groupCols,
+      s"view must be keyed by (${groupCols.mkString(", ")}); " +
+        s"got dims=${viewDb.schema.dimNames}")
+    val spec = new ViewSpec(base, viewDb)
+    spec.validate()
+    viewDb.refresh()
+    val watermark = viewDb.txnWatermark
+    if (watermark >= toTxn) return watermark
+    viewDb.discardOrphanTxn(toTxn)
+    val txn = viewDb.newPinnedTransaction(toTxn)
+    try {
+      val newNotNull = groupCols.map(col(_).isNotNull).reduce(_ && _)
+      val aggs = spec.aggs(guardSums = true)
+      txn.addRows(base.asOf(toTxn).where(newNotNull)
+        .groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
+      txn.commitReplacing()
+    } catch {
+      case e: Throwable if isNullGuard(e) =>
+        try txn.rollback() catch { case _: Throwable => () }
+        throw new IllegalArgumentException(nullGuardMessage(e), e)
+    }
+    stampMaintained(base, viewDb, toTxn, groupCols)
+    toTxn
+  }
+
   /** [[maintainAbsoluteMulti]] with a COMPOSITE group key: the view's
     * dimensions are several base columns (`GROUP BY src, day` → view dims
     * (src, day)), each a base dimension or LONG value column. Same
@@ -195,40 +322,9 @@ object IncrementalAgg {
     require(groupCols.nonEmpty && viewDb.schema.dimNames == groupCols,
       s"view must be keyed by (${groupCols.mkString(", ")}); " +
         s"got dims=${viewDb.schema.dimNames}")
-    // DERIVED view columns: `graft.mview.expr.<name> = <sql over base
-    // columns>` lets `sum_<name>` maintain an EXPRESSION aggregate
-    // (sum(a*b)-style). SUM is the only decomposable aggregate over an
-    // expression the delta algebra can retract exactly (the pre-image
-    // re-evaluates the same expression over _old_ values); min/max of an
-    // expression would need the dirty-group machinery on every batch, so
-    // they stay column-only.
-    val exprDecls: Map[String, String] =
-      graft.core.Storage.readProps(viewDb.root).collect {
-        case (k, v) if k.startsWith("graft.mview.expr.") =>
-          k.stripPrefix("graft.mview.expr.") -> v
-      }
-    def srcOf(name: String, prefix: String): String = {
-      val c = name.stripPrefix(prefix)
-      require(base.schema.columnNames.contains(c) ||
-        (prefix == "sum_" && exprDecls.contains(c)),
-        s"view column $name names no base column '$c'" +
-          (if (prefix == "sum_") " and declares no graft.mview.expr.* expression"
-           else " (min_/max_ support base columns only)"))
-      c
-    }
-    // the source VALUE of a sum column, evaluated over a frame presenting
-    // base-named columns (the delta's new side, the renamed pre-image
-    // frame, or the resolved base itself)
-    def valCol(c: String): org.apache.spark.sql.Column =
-      if (base.schema.columnNames.contains(c)) col(c) else expr(exprDecls(c))
-    viewDb.schema.valueNames.foreach {
-      case "cnt" => ()
-      case n if n.startsWith("sum_") || n.startsWith("min_") || n.startsWith("max_") =>
-        srcOf(n, n.take(4)); ()
-      case other => throw new IllegalArgumentException(
-        s"view value column '$other' declares no aggregate " +
-          "(expected sum_<col>, min_<col>, max_<col>, or cnt)")
-    }
+    val spec = new ViewSpec(base, viewDb)
+    import spec.valCol
+    spec.validate()
     // one watermark read decides replay vs apply: maintenance commits are
     // pinned to their range's end txn, so "watermark >= toTxn" is exactly
     // "this range already landed" (refresh first — the handle chases other
@@ -239,14 +335,7 @@ object IncrementalAgg {
     // a crashed prior attempt may have flushed (never committed) segments
     // at the pinned id — clear them or flush aborts on the claimed dir
     ph("discardOrphan")(viewDb.discardOrphanTxn(toTxn))
-    val aggs: Seq[org.apache.spark.sql.Column] = viewDb.schema.values.map { v =>
-      v.name match {
-        case "cnt" => count(lit(1)).as("cnt")
-        case n if n.startsWith("sum_") => sum(valCol(srcOf(n, "sum_"))).cast(v.dataType).as(n)
-        case n if n.startsWith("min_") => min(col(srcOf(n, "min_"))).cast(v.dataType).as(n)
-        case n => max(col(srcOf(n, "max_"))).cast(v.dataType).as(n)
-      }
-    }
+    val aggs: Seq[org.apache.spark.sql.Column] = spec.aggs()
     // the change scan is the expensive leg (two restricted dedups + a
     // full-outer join) and every downstream reference would re-run it:
     // null guards, the group classification, the anti-join. Persist it for
@@ -267,8 +356,7 @@ object IncrementalAgg {
       df.persist(); cachedFrames += df; df
     }
     try {
-      val sumGuardCols = viewDb.schema.valueNames.filter(_.startsWith("sum_"))
-        .map(_.stripPrefix("sum_")).distinct
+      val sumGuardCols = spec.sumSrcs
       // per group column: dimensions are version-invariant (old == new);
       // value columns read their pre-image from the delta's _old_ side
       def oldGOf(g: String): org.apache.spark.sql.Column =
@@ -284,6 +372,14 @@ object IncrementalAgg {
       val aligned = !forceAbsolute && watermark == fromTxn &&
         (hasMinMax || viewDb.schema.valueNames.contains("cnt"))
       val txn = viewDb.newPinnedTransaction(toTxn)
+      // the isNullGuard catch must cover EVERYTHING that can evaluate the
+      // guarded legs — the dirty/mergeable probe job (flags collect)
+      // evaluates the same cached frames as the write job, so the inlined
+      // raise_error can fire there too; catching only around txn.commit()
+      // would surface a raw wrapped SparkException from the probe with no
+      // immediate rollback (the next attempt's discardOrphanTxn would have
+      // to sweep the claimed dir)
+      try {
       if (!aligned) {
         // backfill path: the up-front probe job is fine here (rare, and
         // the absolute recompute dwarfs it)
@@ -307,13 +403,20 @@ object IncrementalAgg {
         txn.deleteRows(emptied)
         txn.addRows(newAgg)
       } else {
-        val sumSrcs = viewDb.schema.valueNames.filter(_.startsWith("sum_"))
-          .map(_.stripPrefix("sum_")).distinct
-        val mmSrcs = viewDb.schema.valueNames
-          .collect { case n if n.startsWith("min_") || n.startsWith("max_") => n.drop(4) }
-          .distinct
-        def baseType(c: String) =
-          base.schema.toStructType.fields.find(_.name == c).get.dataType
+        val sumSrcs = spec.sumSrcs
+        val cntSrcs = spec.cntSrcs
+        val mmSrcs = spec.mmSrcs
+        // a leg source's raw type: the base column's, or — for a declared
+        // expression — its analyzed type over the delta's base-named new
+        // side (analysis only, no job); both legs of the union must agree
+        def legType(c: String) =
+          base.schema.toStructType.fields.find(_.name == c).map(_.dataType)
+            .getOrElse(delta.select(valCol(c)).schema.head.dataType)
+        // a cnt_<col> counts NON-NULL source values: its delta is ±1 per
+        // row where the (possibly derived) source evaluates non-null —
+        // exactly retractable, like a sum of indicator values
+        def cntDelta(c: String, sign: Int): org.apache.spark.sql.Column =
+          when(valCol(c).isNotNull, lit(sign.toLong)).otherwise(lit(0L))
         // retract leg: pre-images of U/D rows (a group-moving update
         // retracts from its old group here and applies to the new one
         // below); min/max sources contribute nothing to a retract — dirty
@@ -328,7 +431,8 @@ object IncrementalAgg {
         val retractLeg = oldFrame
           .select(groupCols.map(g => col(s"_g_$g").as(g)) ++
             (sumSrcs.map(c => (-valCol(c)).as(s"_d_$c")) ++
-              mmSrcs.map(c => lit(null).cast(baseType(c)).as(s"_m_$c")) :+
+              cntSrcs.map(c => cntDelta(c, -1).as(s"_dk_$c")) ++
+              mmSrcs.map(c => lit(null).cast(legType(c)).as(s"_m_$c")) :+
               lit(-1L).as("_dc")): _*)
         // the non-null sum contract rides the write job as a row-level
         // raise_error instead of a separate up-front probe job (steady-path
@@ -345,9 +449,11 @@ object IncrementalAgg {
         val applyLeg = delta.where(col("op").isin("I", "U") && newNotNull)
           .select(gCols ++
             (sumSrcs.map(c => guarded(c).as(s"_d_$c")) ++
-              mmSrcs.map(c => col(c).as(s"_m_$c")) :+
+              cntSrcs.map(c => cntDelta(c, 1).as(s"_dk_$c")) ++
+              mmSrcs.map(c => valCol(c).as(s"_m_$c")) :+
               lit(1L).as("_dc")): _*)
         val groupAggs = sumSrcs.map(c => sum(col(s"_d_$c")).as(s"_d_$c")) ++
+          cntSrcs.map(c => sum(col(s"_dk_$c")).as(s"_dk_$c")) ++
           mmSrcs.flatMap(c => Seq(min(col(s"_m_$c")).as(s"_mn_$c"),
             max(col(s"_m_$c")).as(s"_mx_$c"))) :+
           sum(col("_dc")).as("_dc")
@@ -367,9 +473,15 @@ object IncrementalAgg {
         lazy val dirty = cached {
           val mmViewCols = viewDb.schema.valueNames
             .filter(n => n.startsWith("min_") || n.startsWith("max_"))
-          val retractVals = delta.where(col("op").isin("U", "D") && oldNotNull)
-            .select(groupCols.map(g => oldGOf(g).as(g)) ++
-              mmSrcs.map(c => col(s"_old_$c").as(s"_o_$c")): _*)
+          // retracted extremum candidates come from the SAME renamed
+          // pre-image frame the sum retract uses, so a DECLARED EXPRESSION
+          // extremum evaluates its boundary test exactly like a column —
+          // this is what makes expression min/max exactly as incremental
+          // as column min/max (the dirty classification stays the only
+          // base-read trigger either way)
+          val retractVals = oldFrame
+            .select(groupCols.map(g => col(s"_g_$g").as(g)) ++
+              mmSrcs.map(c => valCol(c).as(s"_o_$c")): _*)
           val mmView = viewDb.snapshot()
             .select(gCols ++ (mmViewCols.map(col) :+ lit(true).as("_present")): _*)
           val boundary = mmViewCols.map { n =>
@@ -395,6 +507,9 @@ object IncrementalAgg {
         val mergedCols = viewDb.schema.values.map { v =>
           v.name match {
             case "cnt" => (coalesce(col("_cur_cnt"), lit(0L)) + col("_dc")).as("cnt")
+            case n if n.startsWith("cnt_") =>
+              (coalesce(col(s"_cur_$n"), lit(0L)) +
+                col(s"_dk_${n.stripPrefix("cnt_")}")).cast(v.dataType).as(n)
             case n if n.startsWith("sum_") =>
               // decimal addition widens precision; cast back to the view's
               // declared type so segments stay byte-compatible
@@ -446,26 +561,21 @@ object IncrementalAgg {
           }
         }
       }
-      try ph("commit")(txn.commit())
-      catch {
-        // the inlined null guard fired inside the write job: surface the
-        // documented contract violation (and leave nothing behind — the
-        // rollback sweeps the claimed segment dir immediately instead of
-        // waiting for the next attempt's discardOrphanTxn)
+      ph("commit")(txn.commit())
+      } catch {
+        // the inlined null guard fired inside the probe or write job:
+        // surface the documented contract violation (and leave nothing
+        // behind — the rollback sweeps the claimed segment dir immediately
+        // instead of waiting for the next attempt's discardOrphanTxn)
         case e: Throwable if isNullGuard(e) =>
           try txn.rollback() catch { case _: Throwable => () }
           throw new IllegalArgumentException(nullGuardMessage(e), e)
       }
-      // maintenance stamp — the soundness token the MV auto-rewrite
-      // verifies ([[graft.plans.MvRewriteRule]]): "this table is a
-      // maintained view of <base>, exactly through <toTxn>". Written AFTER
-      // the commit; a crash in between only delays the stamp (and thus the
+      // maintenance stamp ([[stampMaintained]]) — written AFTER the
+      // commit; a crash in between only delays the stamp (and thus the
       // rewrite) until the next batch — never unsound, since the rule
       // requires exact txn equality.
-      ph("stamp")(graft.core.Storage.writeProps(viewDb.root,
-        graft.core.Storage.readProps(viewDb.root) ++ Map(
-          "graft.mview.base" -> base.root.toAbsolutePath.toString,
-          "graft.mview.txn" -> toTxn.toString)))
+      ph("stamp")(stampMaintained(base, viewDb, toTxn, groupCols))
       txn.id.getOrElse(toTxn)
     } finally {
       cachedFrames.foreach(_.unpersist())

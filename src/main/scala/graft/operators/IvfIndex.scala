@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * cluster) the same index hits 0.9+ at nprobe=2; the spec asserts the
   * measured floors and their monotone improvement with nprobe.
   */
-object IvfIndex {
+object IvfIndex extends org.apache.spark.internal.Logging {
 
   // codegen'd vector kernels (graft.functions.VectorOps): identical left
   // fold as the HOF forms they replaced, ~no boxing, stays in codegen.
@@ -157,6 +157,46 @@ object IvfIndex {
     spark.read.parquet(s"$path/centroids").orderBy(col("bucket"))
       .collect().map(_.getSeq[Double](1).toArray)
 
+  /** Fingerprint of the persisted centroid layout — ONE driver-side stat
+    * walk of the (two-file) `centroids/` directory. A rebuild
+    * ([[writeIndex]] / `CALL system.retrain_index`) rewrites the directory,
+    * moving the fingerprint; a long-lived maintenance stream compares it
+    * per batch and re-reads the centroids instead of assigning vectors
+    * with stale geometry. */
+  def centroidStamp(path: String): Long = {
+    val dir = java.nio.file.Paths.get(path, "centroids")
+    if (!java.nio.file.Files.isDirectory(dir)) return Long.MinValue
+    val s = java.nio.file.Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis ^
+          (java.nio.file.Files.size(p) << 20))
+        .foldLeft(0L)(_ ^ _)
+    } finally s.close()
+  }
+
+  /** Maintained-through base txn marker (`<index>/maint_txn`) — the
+    * streaming maintenance sink's range bookkeeping
+    * ([[graft.streaming.Streams.indexMaintSink]]): with it, an EMPTY
+    * micro-batch (a segment-less TRUNCATE advanced the base's clock) still
+    * advances the index. Written AFTER each fold; a crash in between only
+    * replays the fold, which is per-id absolute and converges. */
+  def readMaintTxn(path: String): Option[Long] = {
+    val f = java.nio.file.Paths.get(path, "maint_txn")
+    if (!java.nio.file.Files.exists(f)) None
+    else scala.util.Try(new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+  }
+
+  def writeMaintTxn(path: String, txn: Long): Unit = {
+    val f = java.nio.file.Paths.get(path, "maint_txn")
+    java.nio.file.Files.createDirectories(f.getParent)
+    java.nio.file.Files.write(f,
+      String.valueOf(txn).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
   /** INDEX MAINTENANCE under DML — fold an upsert/delete delta into a
     * [[writeIndex]] layout WITHOUT a rebuild, rewriting ONLY the buckets
     * the delta touches. Centroids stay fixed: they are the index's
@@ -207,6 +247,10 @@ object IvfIndex {
     upsertBucketLayout(spark, s"$path/corpus", idCol,
       newAssign.select(col(idCol), col("v"), col("bucket")), touched)
     IndexStats.record(path, phase = "maintain", obs)
+    // close the advisory loop: the log alone only OBSERVES drift — warn
+    // loudly (driver log) the moment the ratio crosses the threshold, so
+    // an operator sees the re-train signal without polling index_stats
+    driftAdvisory(path).foreach(logWarning(_))
   }
 
   /** The index's drift-stats log: (seq, phase, n, mean_sqdist) rows —
@@ -226,6 +270,53 @@ object IvfIndex {
       last <- rows.lastOption.map(_.meanSqdist)
       if rows.size >= 2 && base > 0
     } yield last / base
+  }
+
+  /** Advisory threshold for [[driftAdvisory]] (`graft.index.drift.warn`
+    * system property, default 4× — comfortably above the ~1 in-distribution
+    * noise band DriftProbe measured, well below the ~71× of a hard shift). */
+  def driftWarnThreshold: Double =
+    sys.props.get("graft.index.drift.warn").map(_.toDouble).getOrElse(4.0)
+
+  /** The RE-TRAIN ADVISORY: Some(message) when the latest drift ratio
+    * crossed [[driftWarnThreshold]] — incoming vectors no longer match the
+    * trained centroids, recall is degrading, and a re-train + rebuild
+    * ([[retrain]] / `CALL system.retrain_index`) is due. [[maintainIndex]]
+    * logs it after every fold, closing the loop the stats log only
+    * observed before. */
+  def driftAdvisory(path: String): Option[String] = {
+    val t = driftWarnThreshold
+    driftRatio(path).filter(_ >= t).map(r =>
+      f"graft ANN index at $path: drift ratio $r%.2f >= $t%.2f — incoming " +
+        "vectors no longer match the trained centroids and recall is " +
+        "degrading; re-train and rebuild (IvfIndex.retrain / " +
+        "CALL system.retrain_index)")
+  }
+
+  /** Re-train + rebuild — the drift advisory's remedy: fresh spherical
+    * k-means centroids over the index's CURRENT corpus (same k unless
+    * overridden), then a full [[writeIndex]] rebuild under the new
+    * geometry. The corpus is STAGED to a temp sibling first because the
+    * rebuild overwrites the very layout it reads (one extra corpus pass —
+    * a rebuild is O(corpus) regardless; no driver materialization). The
+    * stats log resets with a fresh baseline (writeIndex), so the drift
+    * ratio returns to ~1; the `maint_txn` marker is untouched — the
+    * rebuild re-buckets exactly the rows the index already held. */
+  def retrain(spark: org.apache.spark.sql.SparkSession, path: String,
+      iters: Int = 5, kOverride: Option[Int] = None): Unit = {
+    val corpusPath = s"$path/corpus"
+    val k = kOverride.getOrElse(readCentroids(spark, path).length)
+    val tmp = java.nio.file.Paths.get(s"$path/corpus.retrain.tmp")
+    graft.core.Storage.deleteRecursively(tmp)
+    val live = spark.read.parquet(corpusPath)
+    val idCol = live.columns.find(c => c != "v" && c != "bucket").getOrElse(
+      throw new IllegalStateException(s"no id column in index corpus at $corpusPath"))
+    live.select(col(idCol), col("v")).write.parquet(tmp.toString)
+    try {
+      val staged = spark.read.parquet(tmp.toString)
+      val centroids = train(staged, idCol, "v", k, iters).map(_.toSeq).toSeq
+      writeIndex(staged, idCol, "v", centroids, path)
+    } finally graft.core.Storage.deleteRecursively(tmp)
   }
 
   /** The shared touched-buckets-only rewrite under a `bucket=N/` parquet

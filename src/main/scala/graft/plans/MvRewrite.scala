@@ -49,9 +49,22 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *      `base.asOf(t)` — this serves `VERSION AS OF` dashboards and
   *      current snapshots the view has since advanced past);
   *   3. every aggregate in the query maps onto a view column — `sum(c)` →
-  *      `sum_c`, `min(c)` → `min_c`, `max(c)` → `max_c`, `count(*)`/
-  *      `count(1)` → `cnt` — with no DISTINCT and no FILTER clause, and the
-  *      single grouping expression is the view's dimension column.
+  *      `sum_c`, `min(c)` → `min_c`, `max(c)` → `max_c`, `count(c)` →
+  *      `cnt_c`, `count(*)`/`count(1)` → `cnt`, declared expressions
+  *      (`graft.mview.expr.<n>`) → `sum_n`/`min_n`/`max_n`/`cnt_n` — with
+  *      no FILTER clause and no DISTINCT, except `count(DISTINCT d)` over
+  *      a helper view keyed by (…group cols…, d): one live view row per
+  *      (group, value) combination, so the distinct count is a plain
+  *      COUNT of view rows at the rolled-up grain (null-insensitive by
+  *      SQL definition, matching the view's null-exclusion).
+  *
+  * Null contract (inherited from the VIEW's own declaration —
+  * [[graft.operators.IncrementalAgg.maintainAbsoluteMultiKeys]]): rows
+  * with a null in any view dimension are excluded from the view, so
+  * declaring a view over a nullable group column already changes what the
+  * view holds; the rewrite trusts that declaration (group columns are
+  * effectively non-null — coalesce or filter upstream) rather than
+  * re-litigating it per query.
   * Predicate-pushed snapshots never register, so they never rewrite; a
   * time-travel snapshot BELOW every aligned view version fails the
   * alignment witness. A stale or foreign view fails check 1/2 and the
@@ -180,9 +193,9 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       catch { case _: Exception => return None } // dropped view: never block the query
     // group attrs must be the view's dimensions (any order) — exactly, or
     // a PROPER SUBSET for the rollup path: sum/min/max are decomposable
-    // (sum of per-cell sums == total sum; likewise min/max) and count(*)
-    // rolls up as the sum of per-cell counts, so a coarser GROUP BY
-    // re-aggregates the VIEW — still O(view rows), never the base.
+    // (sum of per-cell sums == total sum; likewise min/max) and count(*)/
+    // count(col) roll up as the sum of per-cell counts, so a coarser
+    // GROUP BY re-aggregates the VIEW — still O(view rows), never the base.
     val gNames = gs.map(_.name).toSet
     val rollup = !(view.schema.dimNames.toSet == gNames &&
       view.schema.dimNames.size == gs.size)
@@ -206,10 +219,17 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //      serves it from its aligned version. A snapshot txn the view has
     //      no commit at (mid-batch txn, or view history checkpointed/pruned
     //      below it — the version-max test fails on the fallback's filtered
-    //      set) falls through to the base.
+    //      set) falls through to the base. The pinned case additionally
+    //      requires snapTxn <= stampTxn: the stamp is the only PROOF of
+    //      maintenance, and it vouches for history through stampTxn only —
+    //      a view commit pinned ABOVE the stamp is not a maintenance commit
+    //      (e.g. a self-allocated compact() landing at exactly
+    //      lastMaintainedBaseTxn+1 would otherwise forge the witness and
+    //      serve PRE-txn aggregates for a base snapshot at that txn).
     val vDf =
       if (stampTxn == entry.snapTxn) view.snapshot()
-      else if (view.hasCommitExactlyAt(entry.snapTxn)) view.asOf(entry.snapTxn)
+      else if (entry.snapTxn <= stampTxn && view.hasCommitExactlyAt(entry.snapTxn))
+        view.asOf(entry.snapTxn)
       else return None
 
     // fresh plan per rewrite (fresh attribute ids — two rewrites in one
@@ -259,10 +279,29 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       gs.map(g => g.exprId -> vAttr(g.name).getOrElse(return None)).toMap
 
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined) return None
+      if (ae.filter.isDefined) return None
+      // COUNT(DISTINCT c) over a HELPER VIEW keyed by (…group cols…, c):
+      // the view holds exactly one live row per (group, value) combination
+      // (emptied cells are deleted when their cnt reaches 0), so the
+      // distinct count is a plain COUNT of view rows per rolled-up group —
+      // null-insensitive on both sides (SQL count(distinct) skips nulls;
+      // the view excludes null-dimension rows). Any other DISTINCT
+      // aggregate has no maintained decomposition.
+      if (ae.isDistinct) return ae.aggregateFunction match {
+        case c: Count => c.children match {
+          case Seq(a: Attribute) if rollup && !gNames.contains(a.name) &&
+              view.schema.dimNames.contains(a.name) =>
+            vAttr(a.name).map { v =>
+              val e: Expression = Count(Seq(v)).toAggregateExpression()
+              if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
+            }
+          case _ => None
+        }
+        case _ => None
+      }
       // exact grain: the view row IS the group — read the column.
       // rollup grain: re-aggregate the view's cells — sum/min/max are
-      // decomposable, count(*) is the sum of per-cell counts.
+      // decomposable, count(*)/count(col) are sums of per-cell counts.
       def col(prefix: String, c: Expression,
           roll: Attribute => AggregateFunction): Option[Expression] = c match {
         case a: Attribute =>
@@ -271,26 +310,34 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               if (rollup) roll(v).toAggregateExpression() else v
             if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
           }
-        case _ => None // sum(expr) has no maintained column
+        case _ => None // no maintained column for this expression shape
       }
       // an EXPRESSION child matching a declared derived column reads that
-      // column (rolled up like any other sum when the grain is coarser)
-      def exprCol(c: Expression): Option[Expression] =
-        declOf(c).flatMap(n => vAttr("sum_" + n)).map { v =>
+      // column (re-aggregated like any column when the grain is coarser)
+      def exprCol(prefix: String, c: Expression,
+          roll: Attribute => AggregateFunction): Option[Expression] =
+        declOf(c).flatMap(n => vAttr(prefix + n)).map { v =>
           val e: Expression =
-            if (rollup) Sum(v).toAggregateExpression() else v
+            if (rollup) roll(v).toAggregateExpression() else v
           if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
         }
       ae.aggregateFunction match {
-        case s: Sum   => col("sum_", s.child, Sum(_)).orElse(exprCol(s.child))
+        case s: Sum   => col("sum_", s.child, Sum(_))
+          .orElse(exprCol("sum_", s.child, Sum(_)))
         case m: Min   => col("min_", m.child, Min(_))
+          .orElse(exprCol("min_", m.child, Min(_)))
         case m: Max   => col("max_", m.child, Max(_))
+          .orElse(exprCol("max_", m.child, Max(_)))
         case c: Count => c.children match {
           case Seq(l: Literal) if l.value != null =>
             vAttr("cnt").map { v =>
               if (rollup) Cast(Sum(v).toAggregateExpression(), ae.dataType)
               else v
             }
+          // COUNT(col) — non-null count: maintained as cnt_<col>, rolled
+          // up as the sum of per-cell counts like cnt
+          case Seq(child) =>
+            col("cnt_", child, Sum(_)).orElse(exprCol("cnt_", child, Sum(_)))
           case _ => None
         }
         // AVG derives from the maintained pair (sum_c, cnt) by substituting

@@ -1981,6 +1981,194 @@ object CoreOps {
         s"expression mv-rewrite did not fire: scans $scanned")
       graft.plans.MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
       agg.select(col("grp"), col("rev"), col("cnt")).orderBy(col("grp"))
+    },
+
+    // ---- CDC across a REPLACE commit (the changesBetween guard) --------
+    // A TRUNCATE inside the range wipes keys WITHOUT touching any range
+    // segment (it is segment-less — its removals are manifest-shaped), so
+    // the O(delta) touched-keys path can never see them: pre-round-15 the
+    // feed silently emitted no D rows and a replica diverged. The guard
+    // detects the replace from one backward manifest-metadata walk and
+    // falls back to the exact two-snapshot diff (pre-replace state stays
+    // readable until vacuum), so the feed still carries every D row, U
+    // for wiped-then-reinserted keys, and stays silent on equal values.
+    // The oracle replays the truncate+reinsert lifecycle relationally.
+    Entry("q151_cdc_replace", Some(
+      """WITH seed AS (SELECT user_id, arg_max(value, event_id) AS v
+        |              FROM events WHERE user_id < 60 GROUP BY user_id),
+        |ch AS (
+        |  SELECT 'U' AS op, user_id, CAST(-5.0 AS DOUBLE) AS v
+        |  FROM seed WHERE user_id BETWEEN 20 AND 39
+        |  UNION ALL
+        |  SELECT 'I', 100001, CAST(8.0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT 'D', user_id, CAST(NULL AS DOUBLE)
+        |  FROM seed WHERE user_id < 20 OR user_id >= 40)
+        |SELECT op, CAST(user_id AS BIGINT) AS user_id, v FROM ch
+        |ORDER BY user_id, op""".stripMargin)) { (s, d) =>
+      import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+      val dir = Q.fixture("q151-cdc-replace")
+      graft.core.Storage.deleteRecursively(dir)
+      val sch = MatSchema(Seq(Dimension("user_id", 1000)),
+        Seq(ValueCol("v", org.apache.spark.sql.types.DoubleType)))
+      val db = MatDb.create(s, sch, dir.toString, "manifest")
+      val seed = table(s, d, "events").where(col("user_id") < 60)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      val t1 = db.newTransaction(); t1.addRows(seed); t1.commit()
+      db.overwrite(seed.limit(0)) // txn 2: TRUNCATE (segment-less replace)
+      val t3 = db.newTransaction()
+      t3.addRows(seed.where(col("user_id").between(20, 39))
+        .withColumn("v", lit(-5.0)))
+      t3.addRows(s.range(1).select(lit(100001L).as("user_id"), lit(8.0).as("v")))
+      t3.commit()
+      db.changesBetween(1L, 3L).orderBy(col("user_id"), col("op"))
+    },
+
+    // ---- maintained count(col) + count(DISTINCT) with MV rewrite -------
+    // A helper view keyed by (grp, u) maintains `cnt_w` (non-null count of
+    // a NULLABLE column — SQL count(w), which count(*) cannot stand in
+    // for) and `cnt`. One view then answers THREE aggregate shapes at the
+    // coarser GROUP BY grp: count(w) = sum of per-cell cnt_w, count(*) =
+    // sum of per-cell cnt, and count(DISTINCT u) = a plain COUNT of view
+    // rows (one live row per (grp, u) combination; emptied cells are
+    // deleted by maintenance). Plan-asserted view-only read; the oracle
+    // recomputes the post-churn state relationally.
+    Entry("q152_mview_count_distinct", Some(
+      """WITH b AS (SELECT event_id, user_id FROM events WHERE event_id < 700),
+        |s1 AS (SELECT event_id, user_id % 8 AS grp,
+        |              CASE WHEN event_id < 150 THEN (user_id + 1) % 7
+        |                   ELSE user_id % 7 END AS u,
+        |              CASE WHEN event_id < 150 THEN
+        |                     (CASE WHEN user_id % 3 = 0 THEN NULL
+        |                           ELSE user_id % 100 + 9 END)
+        |                   ELSE (CASE WHEN user_id % 4 = 0 THEN NULL
+        |                              ELSE user_id % 100 END) END AS w
+        |       FROM b),
+        |fin AS (SELECT grp, u, w FROM s1
+        |        WHERE NOT (event_id >= 300 AND event_id < 380))
+        |SELECT grp, CAST(count(w) AS BIGINT) AS cw,
+        |       CAST(count(DISTINCT u) AS BIGINT) AS du, count(*) AS cnt
+        |FROM fin GROUP BY grp ORDER BY grp""".stripMargin)) { (s, d) =>
+      import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+      val root = Q.fixture("q152-mvcd")
+      graft.core.Storage.deleteRecursively(root)
+      val base = MatDb.create(s, MatSchema(Seq(Dimension("event_id", 100)),
+        Seq(ValueCol("grp"), ValueCol("u"), ValueCol("w"))),
+        root.resolve("base").toString, "manifest")
+      val view = MatDb.create(s, MatSchema(
+        Seq(Dimension("grp", 1000), Dimension("u", 10)),
+        Seq(ValueCol("cnt_w"), ValueCol("cnt"))),
+        root.resolve("view").toString, "manifest")
+      val e = table(s, d, "events")
+      val t1 = base.newTransaction()
+      t1.addRows(e.where(col("event_id") < 700).select(col("event_id"),
+        (col("user_id") % 8).as("grp"), (col("user_id") % 7).as("u"),
+        when(col("user_id") % 4 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id") % 100).as("w")))
+      t1.commit()
+      graft.operators.IncrementalAgg.maintainAbsoluteMultiKeys(
+        base, view, 0L, 1L, Seq("grp", "u"))
+      // the update MOVES u (cells empty and appear) and flips w nullity
+      val t2 = base.newTransaction()
+      t2.addRows(e.where(col("event_id") < 150).select(col("event_id"),
+        (col("user_id") % 8).as("grp"), ((col("user_id") + 1) % 7).as("u"),
+        when(col("user_id") % 3 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id") % 100 + 9).as("w")))
+      t2.commit()
+      graft.operators.IncrementalAgg.maintainAbsoluteMultiKeys(
+        base, view, 1L, 2L, Seq("grp", "u"))
+      val t3 = base.newTransaction()
+      t3.deleteRows(e.where(col("event_id").between(300, 379)).select(col("event_id")))
+      t3.commit()
+      graft.operators.IncrementalAgg.maintainAbsoluteMultiKeys(
+        base, view, 2L, 3L, Seq("grp", "u"))
+      base.registerMaterializedView(root.resolve("view").toString)
+      val agg = base.snapshot().groupBy("grp")
+        .agg(count(col("w")).as("cw"), count_distinct(col("u")).as("du"),
+          count(lit(1)).as("cnt"))
+      val scanned = agg.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(scanned.nonEmpty && scanned.forall(_.contains("/view/")),
+        s"count(col)/count(distinct) mv-rewrite did not fire: scans $scanned")
+      graft.plans.MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+      agg.select(col("grp"), col("cw"), col("du"), col("cnt")).orderBy(col("grp"))
+    },
+
+    // ---- EXPRESSION min/max in a maintained view, with MV rewrite ------
+    // q150's sibling: the same declared expression (`rev = v * (w + 1)`)
+    // now also maintains `min_rev`/`max_rev`. The txn-2 churn RETIRES
+    // extremes (v jumps by +49 for half the keys), driving the dirty-group
+    // boundary test, which evaluates the declared expression over the
+    // renamed pre-image frame — expression extrema are exactly as
+    // incremental as column extrema. Plan-asserted view-only read.
+    Entry("q153_mview_expr_extrema", Some(
+      """WITH b AS (SELECT event_id, user_id FROM events WHERE event_id < 700),
+        |s1 AS (SELECT event_id, user_id % 40 AS grp,
+        |              CASE WHEN event_id < 150 THEN (user_id + 1) % 7
+        |                   ELSE user_id % 7 END AS w,
+        |              CASE WHEN event_id < 150 THEN user_id % 100 + 50
+        |                   ELSE user_id % 100 + 1 END AS v
+        |       FROM b),
+        |fin AS (SELECT grp, w, v FROM s1
+        |        WHERE NOT (event_id >= 300 AND event_id < 380))
+        |SELECT grp, CAST(min(v * (w + 1)) AS BIGINT) AS mn,
+        |       CAST(max(v * (w + 1)) AS BIGINT) AS mx,
+        |       CAST(sum(v * (w + 1)) AS BIGINT) AS rev
+        |FROM fin GROUP BY grp ORDER BY grp""".stripMargin)) { (s, d) =>
+      import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+      val root = Q.fixture("q153-mvxmm")
+      graft.core.Storage.deleteRecursively(root)
+      val base = MatDb.create(s, MatSchema(Seq(Dimension("event_id", 100)),
+        Seq(ValueCol("grp"), ValueCol("w"), ValueCol("v"))),
+        root.resolve("base").toString, "manifest")
+      val view = MatDb.create(s, MatSchema(Seq(Dimension("grp", 1000)),
+        Seq(ValueCol("min_rev"), ValueCol("max_rev"),
+          ValueCol("sum_rev"), ValueCol("cnt"))),
+        root.resolve("view").toString, "manifest")
+      graft.core.Storage.writeProps(view.root,
+        graft.core.Storage.readProps(view.root) +
+          ("graft.mview.expr.rev" -> "v * (w + 1)"))
+      val e = table(s, d, "events")
+      val t1 = base.newTransaction()
+      t1.addRows(e.where(col("event_id") < 700).select(col("event_id"),
+        (col("user_id") % 40).as("grp"), (col("user_id") % 7).as("w"),
+        (col("user_id") % 100 + 1).as("v")))
+      t1.commit()
+      graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, view, 0L, 1L, "grp")
+      val t2 = base.newTransaction()
+      t2.addRows(e.where(col("event_id") < 150).select(col("event_id"),
+        (col("user_id") % 40).as("grp"), ((col("user_id") + 1) % 7).as("w"),
+        (col("user_id") % 100 + 50).as("v")))
+      t2.commit()
+      graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, view, 1L, 2L, "grp")
+      val t3 = base.newTransaction()
+      t3.deleteRows(e.where(col("event_id").between(300, 379)).select(col("event_id")))
+      t3.commit()
+      graft.operators.IncrementalAgg.maintainAbsoluteMulti(base, view, 2L, 3L, "grp")
+      base.registerMaterializedView(root.resolve("view").toString)
+      val agg = base.snapshot().groupBy("grp")
+        .agg(min(col("v") * (col("w") + 1L)).as("mn"),
+          max(col("v") * (col("w") + 1L)).as("mx"),
+          sum(col("v") * (col("w") + 1L)).as("rev"))
+      val scanned = agg.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(scanned.nonEmpty && scanned.forall(_.contains("/view/")),
+        s"expression min/max mv-rewrite did not fire: scans $scanned")
+      graft.plans.MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+      agg.select(col("grp"), col("mn"), col("mx"), col("rev")).orderBy(col("grp"))
     }
   )
 }

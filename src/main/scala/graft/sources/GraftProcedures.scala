@@ -40,7 +40,8 @@ object GraftProcedures {
   /** Declared procedure names, for `listProcedures` / error messages. */
   val names: Seq[String] =
     Seq("checkpoint", "checkpoint_if_needed", "compact", "vacuum", "clone",
-      "analyze", "optimize", "register_mview", "maintain_mview", "index_stats")
+      "analyze", "optimize", "register_mview", "maintain_mview", "index_stats",
+      "retrain_index")
 
   def load(catalogName: String, root: java.nio.file.Path,
       name: String): UnboundProcedure = {
@@ -250,6 +251,30 @@ object GraftProcedures {
               r.n, r.meanSqdist,
               base.map(b => r.meanSqdist / b).orNull)): InternalRow
           }.toArray
+      }
+      case "retrain_index" => proc("retrain_index",
+        "re-train + rebuild a persisted ANN index under this catalog " +
+          "(IvfIndex.retrain): fresh spherical k-means centroids over the " +
+          "index's current corpus, full bucket-layout rebuild under the " +
+          "new geometry, drift-stats baseline reset — the remedy the " +
+          "drift advisory (index_stats ratio >= the warn threshold) " +
+          "prescribes. Returns the rebuilt index's bucket count",
+        params = Seq(in("index", StringType)),
+        out = StructType(Seq(StructField("buckets", IntegerType, nullable = false)))) {
+        row =>
+          val ix = row.getUTF8String(0).toString
+          val parts = ix.split('.')
+          require(parts.nonEmpty && parts.forall(p =>
+            p.nonEmpty && p != ".." && p != "." &&
+              !p.contains('/') && !p.contains('\\')),
+            s"'$ix' is not a valid dotted index name")
+          val dir = parts.foldLeft(root)(_.resolve(_))
+          require(java.nio.file.Files.isDirectory(dir.resolve("centroids")),
+            s"'$ix' is not an index layout (no centroids/ under it)")
+          val spark = SparkSession.active
+          graft.operators.IvfIndex.retrain(spark, dir.toString)
+          new GenericInternalRow(Array[Any](
+            graft.operators.IvfIndex.readCentroids(spark, dir.toString).length))
       }
       case other =>
         throw new UnsupportedOperationException(

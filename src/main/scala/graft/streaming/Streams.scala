@@ -318,24 +318,49 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val range = batch.agg(min(col("_txn_id")).as("lo"), max(col("_txn_id")).as("hi"))
-          .collect()(0)
-        if (!range.isNullAt(0)) {
-          // maintenance commits are PINNED to the range's end txn, so a
-          // crash-replayed batch is detected per view by one watermark
-          // read; when EVERY view already covers this range (whole-batch
-          // replay), skip the change scan entirely
-          val hi = range.getLong(1)
-          val pending = views.filter { case (v, _) => v.refresh(); v.txnWatermark < hi }
-          if (pending.nonEmpty) {
-            if (base == null) base = MatDb.open(batch.sparkSession, basePath)
-            else base.refresh()
+        // The batch is the TRIGGER, not the data: maintenance ranges come
+        // from the tables' own txn clocks — each view's watermark (what it
+        // is provably maintained through; its commits are PINNED to base
+        // txn ids) up to the base's current watermark. Row-derived ranges
+        // would silently skip SEGMENT-LESS commits (a TRUNCATE, an
+        // overwrite that only removed keys): those contribute no rows to
+        // any batch, yet they advance the base's txn clock and WIPE keys
+        // the views must retract — the stream still fires an (empty) batch
+        // for them because the source's offset is the watermark. This also
+        // drops the old per-batch range-collect job: zero jobs run against
+        // the batch frame itself. Crash replay stays exactly-once per view
+        // (the pinned-commit watermark test, as before).
+        if (base == null) base = MatDb.open(batch.sparkSession, basePath)
+        else base.refresh()
+        val hi = base.txnWatermark
+        val pending = views.filter { case (v, _) => v.refresh(); v.txnWatermark < hi }
+        if (pending.nonEmpty) {
+          {
             // ONE change scan per batch, shared by every view: the delta is
-            // view-independent (two restricted dedups + a full-outer join —
-            // the dominant fixed cost), persisted for the batch and released
+            // view-independent (one restricted single-pass resolve — the
+            // dominant fixed cost), persisted for the batch and released
             // after the last view committed. O(batch) rows, never O(base).
-            val delta = base.changesBetween(
-              range.getLong(0) - 1L, hi, includeOld = true).persist()
+            // Views advance in lockstep, so the shared range starts at the
+            // MINIMUM pending watermark; a laggard view (fresh, or behind
+            // after a crash) sees a superset delta and its non-aligned
+            // absolute recompute handles it.
+            val lo = pending.map(_._1.txnWatermark).min
+            val delta =
+              try base.changesBetween(lo, hi, includeOld = true).persist()
+              catch {
+                case e: IllegalStateException
+                    if Option(e.getMessage).exists(_.contains("replace-kind commit")) =>
+                  // a replace landed in range and its pre-state is already
+                  // vacuumed: the incremental delta is unrecoverable —
+                  // REBUILD each pending view absolutely at `hi` (one
+                  // pinned replace per view; alignment and replay
+                  // contracts survive the rebuild)
+                  pending.foreach { case (viewDb, groupCols) =>
+                    graft.operators.IncrementalAgg.rebuild(base, viewDb, hi, groupCols)
+                  }
+                  null
+              }
+            if (delta != null)
             // GROUPED maintenance: every pending view of the batch folds
             // CONCURRENTLY (one driver thread per view, Spark schedules the
             // jobs side by side), so the batch pays ONE view-maintenance
@@ -351,11 +376,29 @@ object Streams {
               import scala.concurrent.{Await, Future}
               import scala.concurrent.duration.Duration
               implicit val ec: scala.concurrent.ExecutionContext = MaintPool.ec
+              // each fold is Try-wrapped so the Await DRAINS every fold
+              // before anything propagates: a fail-fast Await would return
+              // while sibling folds are still mid-commit, and the streaming
+              // engine's batch RETRY would then run a second
+              // maintainAbsoluteMultiKeys concurrently with the straggler —
+              // its discardOrphanTxn(toTxn) could sweep the straggler's
+              // flushed-but-uncommitted segments mid-commit, violating the
+              // single-writer contract (and the finally would unpersist the
+              // shared delta under the stragglers). With the drain, no fold
+              // is in flight when foreachBatch returns; the first failure
+              // rethrows after all siblings finished.
+              // every fold gets the SHARED range (lo, hi]: a view exactly at
+              // lo takes the aligned delta-merge; a view AHEAD of lo (its
+              // watermark > lo — the delta-merge would double-apply rows it
+              // already holds, so alignment correctly fails) recomputes its
+              // touched groups absolutely — idempotent, and in steady state
+              // all views sit at the same watermark anyway
               val folds = pending.map { case (viewDb, groupCols) => Future {
-                graft.operators.IncrementalAgg.maintainAbsoluteMultiKeys(base, viewDb,
-                  range.getLong(0) - 1L, hi, groupCols, Some(delta))
+                scala.util.Try(
+                  graft.operators.IncrementalAgg.maintainAbsoluteMultiKeys(base, viewDb,
+                    lo, hi, groupCols, Some(delta)))
               }}
-              Await.result(Future.sequence(folds), Duration.Inf)
+              Await.result(Future.sequence(folds), Duration.Inf).foreach(_.get)
             } finally { delta.unpersist(); () }
           }
         }
@@ -380,31 +423,68 @@ object Streams {
     * batch recomputes the same deterministic delta (`changesBetween` is
     * pinned by txn ids) and rewrites the same buckets to the same content
     * — at-least-once `foreachBatch` delivery converges to the exact
-    * post-DML index. Single index writer, like every fixture layout. */
+    * post-DML index. Single index writer, like every fixture layout.
+    *
+    * Range bookkeeping: the index records its maintained-through base txn
+    * in `<index>/maint_txn`, and each batch folds (recorded, base
+    * watermark] — the batch is only the TRIGGER, so a SEGMENT-LESS base
+    * commit (TRUNCATE) still reaches the index through its empty batch; a
+    * first batch on a pre-marker index falls back to the batch's own row
+    * range once. If the incremental delta is unrecoverable (a replace in
+    * range whose pre-state was vacuumed — `changesBetween` refuses), the
+    * index is REBUILT from the current base corpus with the SAME centroids
+    * (geometry preserved; `writeIndex` re-seeds the drift baseline).
+    *
+    * Centroids are re-read whenever the persisted centroid layout changes
+    * (one driver-side stat per batch): a drift-triggered re-train +
+    * rebuild (`CALL system.retrain_index`) while this stream runs would
+    * otherwise leave every later batch assigning vectors with the STALE
+    * geometry — buckets silently diverging from the on-disk centroids. */
   def indexMaintSink(stream: DataFrame, basePath: String, indexPath: String,
       vecCol: String, checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     var base: MatDb = null // driver-side foreachBatch state, one per stream
-    var centroids: Seq[Seq[Double]] = null // fixed geometry: read once per stream
+    var centroids: Seq[Seq[Double]] = null
+    var centroidStamp: Long = Long.MinValue // layout fingerprint of the read
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val range = batch.agg(min(col("_txn_id")).as("lo"), max(col("_txn_id")).as("hi"))
-          .collect()(0)
-        if (!range.isNullAt(0)) {
-          if (base == null) base = MatDb.open(batch.sparkSession, basePath)
-          else base.refresh()
-          if (centroids == null)
+        if (base == null) base = MatDb.open(batch.sparkSession, basePath)
+        else base.refresh()
+        val idCol = base.schema.dimNames.head
+        require(base.schema.dimNames == Seq(idCol),
+          s"indexMaintSink: the base table must be keyed by one id dimension, " +
+            s"got ${base.schema.dimNames}")
+        val hi = base.txnWatermark
+        val marker = graft.operators.IvfIndex.readMaintTxn(indexPath)
+        val lo = marker.orElse {
+          // pre-marker index, first batch: derive the range from the batch
+          // rows once (the old semantics); an empty first batch says
+          // nothing — wait for one with rows
+          val r = batch.agg(min(col("_txn_id")).as("lo")).collect()(0)
+          if (r.isNullAt(0)) None else Some(r.getLong(0) - 1L)
+        }
+        lo.filter(_ < hi).foreach { lo =>
+          val stamp = graft.operators.IvfIndex.centroidStamp(indexPath)
+          if (centroids == null || stamp != centroidStamp) {
             centroids = graft.operators.IvfIndex
               .readCentroids(batch.sparkSession, indexPath).map(_.toSeq).toSeq
-          val idCol = base.schema.dimNames.head
-          require(base.schema.dimNames == Seq(idCol),
-            s"indexMaintSink: the base table must be keyed by one id dimension, " +
-              s"got ${base.schema.dimNames}")
-          val delta = base.changesBetween(
-            range.getLong(0) - 1L, range.getLong(1)).persist()
-          try {
+            centroidStamp = stamp
+          }
+          val delta =
+            try base.changesBetween(lo, hi).persist()
+            catch {
+              case e: IllegalStateException
+                  if Option(e.getMessage).exists(_.contains("replace-kind commit")) =>
+                graft.operators.IvfIndex.writeIndex(
+                  base.asOf(hi).where(col(vecCol).isNotNull)
+                    .select(col(idCol), col(vecCol)),
+                  idCol, vecCol, centroids, indexPath)
+                graft.operators.IvfIndex.writeMaintTxn(indexPath, hi)
+                null
+            }
+          if (delta != null) try {
             val upserts = delta.where(col("op").isin("I", "U") && col(vecCol).isNotNull)
               .select(col(idCol), col(vecCol))
             val deletes = delta.where(col("op") === "D" ||
@@ -413,6 +493,7 @@ object Streams {
             graft.operators.IvfIndex.maintainIndex(
               batch.sparkSession, indexPath, idCol, upserts, deletes,
               Some(centroids))
+            graft.operators.IvfIndex.writeMaintTxn(indexPath, hi)
           } finally { delta.unpersist(); () }
         }
         ()

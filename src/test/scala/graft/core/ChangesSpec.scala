@@ -94,6 +94,133 @@ class ChangesSpec extends AnyFunSuite {
     assert(rows(1L, 2L).get(20L) === Some(("I", Some(200L), None)))
   }
 
+  // ---- replace-kind commits in / around the range --------------------------
+  //
+  // A TRUNCATE / INSERT OVERWRITE / compact() inside (from, to] wipes keys
+  // WITHOUT touching any range segment (segment-less or manifest-shaped
+  // removal), so the O(delta) touched-keys path can never see them: the
+  // guard must detect the replace from manifest metadata and fall back to
+  // the two-snapshot diff (or refuse loudly once history is vacuumed).
+  // Manifest protocol throughout — under renames the replaced state is
+  // physically destroyed at commit time (documented append-only contract).
+
+  private def manifestDb(name: String): MatDb = {
+    val dir = Files.createTempDirectory(s"graft-changes-$name")
+    MatDb.create(spark, schema, dir.toString, "manifest")
+  }
+
+  private def opsByKey(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (String, Option[Long])] =
+    df.collect().map(r => r.getLong(1) -> ((r.getString(0),
+      if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+
+  private def roundTrip(db: MatDb, from: Long, to: Long, name: String): Unit = {
+    val dir = Files.createTempDirectory(s"graft-changes-replica-$name")
+    val replica = MatDb.create(spark, schema, dir.toString)
+    val s = replica.newTransaction(); s.addRows(db.asOf(from)); s.commit()
+    val delta = db.changesBetween(from, to).cache()
+    try {
+      val txn = replica.newTransaction()
+      txn.deleteRows(delta.where(col("op") === "D").select(col("k")))
+      txn.addRows(delta.where(col("op") =!= "D"))
+      txn.commit()
+    } finally delta.unpersist()
+    val want = db.asOf(to).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = replica.snapshot().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want, s"replica@$from + changes($from,$to] must equal table@$to")
+  }
+
+  test("TRUNCATE in range: wiped keys emit D rows; replica law holds") {
+    val db = manifestDb("trunc")
+    val t1 = db.newTransaction()
+    t1.addRows(batch((0L until 5L).map(i => (i, i * 10L)))); t1.commit() // txn1
+    db.overwrite(batch(Nil).limit(0))                                    // txn2: truncate
+    val t3 = db.newTransaction()
+    t3.addRows(batch(Seq((3L, 333L), (20L, 200L)))); t3.commit()         // txn3
+    val ops = opsByKey(db.changesBetween(1L, 3L))
+    assert(ops === Map(
+      0L -> (("D", None)), 1L -> (("D", None)), 2L -> (("D", None)),
+      4L -> (("D", None)),            // wiped by the truncate, untouched since
+      3L -> (("U", Some(333L))),      // wiped then re-inserted with a new value
+      20L -> (("I", Some(200L)))))
+    roundTrip(db, 1L, 3L, "trunc")
+    // range ABOVE the truncate: plain O(delta) path, old state is empty
+    assert(opsByKey(db.changesBetween(2L, 3L)) ===
+      Map(3L -> (("I", Some(333L))), 20L -> (("I", Some(200L)))))
+  }
+
+  test("INSERT OVERWRITE in range: removed keys emit D, kept-equal keys stay silent") {
+    val db = manifestDb("ovw")
+    val t1 = db.newTransaction()
+    t1.addRows(batch(Seq((0L, 1L), (1L, 2L), (2L, 3L)))); t1.commit() // txn1
+    // overwrite keeps k1 at the SAME value, changes k2, drops k0, adds k7
+    db.overwrite(batch(Seq((1L, 2L), (2L, 99L), (7L, 70L))))          // txn2
+    val ops = opsByKey(db.changesBetween(1L, 2L))
+    assert(ops === Map(
+      0L -> (("D", None)),
+      2L -> (("U", Some(99L))),
+      7L -> (("I", Some(70L)))))
+    // pre-images ride the two-set path too
+    val withOld = db.changesBetween(1L, 2L, includeOld = true).collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(withOld === Map(0L -> Some(1L), 2L -> Some(3L), 7L -> None))
+    roundTrip(db, 1L, 2L, "ovw")
+  }
+
+  test("compact() in range: folded-away tombstones still emit D rows") {
+    val db = manifestDb("compact")
+    val t1 = db.newTransaction()
+    t1.addRows(batch((0L until 5L).map(i => (i, i)))); t1.commit() // txn1
+    val t2 = db.newTransaction()
+    t2.deleteRows(keyBatch(Seq(1L))); t2.commit()                  // txn2: tombstone k1
+    db.compact()                                                   // txn3: erases the tombstone
+    val t4 = db.newTransaction()
+    t4.addRows(batch(Seq((9L, 90L)))); t4.commit()                 // txn4
+    val ops = opsByKey(db.changesBetween(1L, 4L))
+    assert(ops === Map(1L -> (("D", None)), 9L -> (("I", Some(90L)))))
+    roundTrip(db, 1L, 4L, "compact")
+  }
+
+  test("checkpoint BELOW the range keeps the O(delta) path, even after vacuum") {
+    val db = manifestDb("ckptlow")
+    val t1 = db.newTransaction()
+    t1.addRows(batch((0L until 5L).map(i => (i, i)))); t1.commit() // txn1
+    val t2 = db.newTransaction()
+    t2.addRows(batch(Seq((7L, 70L)))); t2.commit()                 // txn2
+    assert(db.checkpoint(1L) === 1L) // fold txn1 into a baseline
+    // the fold's recorded boundary (txn 1) exonerates it for from >= 1 —
+    // and the answer must survive vacuuming the pre-fold history, because
+    // the O(delta) path never needs it (the baseline carries txn 1 itself)
+    db.vacuum()
+    assert(opsByKey(db.changesBetween(1L, 2L)) === Map(7L -> (("I", Some(70L)))))
+    assert(db.changesBetween(2L, 2L).count() === 0)
+  }
+
+  test("checkpoint INSIDE the range: erased tombstones emit D via the two-set diff") {
+    val db = manifestDb("ckptin")
+    val t1 = db.newTransaction()
+    t1.addRows(batch((0L until 5L).map(i => (i, i)))); t1.commit() // txn1
+    val t2 = db.newTransaction()
+    t2.deleteRows(keyBatch(Seq(0L))); t2.commit()                  // txn2: tombstone k0
+    assert(db.checkpoint(2L) === 2L) // folds txn1+txn2, erases the tombstone
+    val t3 = db.newTransaction()
+    t3.addRows(batch(Seq((9L, 90L)))); t3.commit()                 // txn3
+    val ops = opsByKey(db.changesBetween(1L, 3L))
+    assert(ops === Map(0L -> (("D", None)), 9L -> (("I", Some(90L)))))
+    roundTrip(db, 1L, 3L, "ckptin")
+  }
+
+  test("replace in range with vacuumed history refuses loudly") {
+    val db = manifestDb("refuse")
+    val t1 = db.newTransaction()
+    t1.addRows(batch((0L until 5L).map(i => (i, i)))); t1.commit() // txn1
+    db.overwrite(batch(Seq((9L, 90L))))                            // txn2: replace
+    db.vacuum() // pre-replace state gone: the true delta is unrecoverable
+    val e = intercept[IllegalStateException](db.changesBetween(1L, 2L).collect())
+    assert(e.getMessage.contains("replace-kind commit"))
+    assert(e.getMessage.contains("rebuild"))
+  }
+
   test("round trip: replica@from + changes = table@to (cdc apply law)") {
     val db = freshDb("rt")
     // replica seeded from snapshot@1

@@ -299,6 +299,139 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!viewState(view).contains(99L), "orphan segment rows must not surface")
   }
 
+  test("cnt_<col> maintains count(col) through null flips, updates, deletes") {
+    import spark.implicits._
+    // base value column c is NULLABLE — exactly what cnt_c exists for
+    // (cnt counts rows, cnt_c counts non-null c values)
+    val base = MatDb.create(spark,
+      MatSchema(Seq(Dimension("k", 100)),
+        Seq(ValueCol("g", LongType), ValueCol("c", LongType))),
+      Files.createTempDirectory("graft-iagg-cnt-base").toString, "manifest")
+    val view = MatDb.create(spark,
+      MatSchema(Seq(Dimension("g", 100)),
+        Seq(ValueCol("cnt_c", LongType), ValueCol("cnt", LongType))),
+      Files.createTempDirectory("graft-iagg-cnt-view").toString, "manifest")
+    def df(rows: Seq[(Long, Long, Option[Long])]) =
+      rows.toDF("k", "g", "c")
+    def recomputeAll(): Set[(Long, Long, Long)] =
+      base.snapshot().groupBy(col("g"))
+        .agg(count(col("c")).as("cnt_c"), count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def viewAll(): Set[(Long, Long, Long)] =
+      view.snapshot().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // txn1: mixed null/non-null seed
+    val t1 = base.newTransaction()
+    t1.addRows(df(Seq((1L, 1L, Some(10L)), (2L, 1L, None), (3L, 2L, Some(7L)),
+      (4L, 2L, Some(8L)), (5L, 3L, None))))
+    t1.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 0L, 1L, "g")
+    assert(viewAll() === recomputeAll())
+    assert(viewAll().contains((3L, 0L, 1L)), "all-null group: cnt_c 0, cnt 1")
+    // txn2: null -> non-null flip (k2), non-null -> null flip (k3), and a
+    // group move (k4 to g=9) — every cnt_c retract/apply combination
+    val t2 = base.newTransaction()
+    t2.addRows(df(Seq((2L, 1L, Some(99L)), (3L, 2L, None), (4L, 9L, Some(8L)))))
+    t2.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 1L, 2L, "g")
+    assert(viewAll() === recomputeAll())
+    // txn3: delete a non-null holder and the all-null group's only row
+    val t3 = base.newTransaction()
+    t3.deleteRows(Seq(1L, 5L).toDF("k")); t3.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 2L, 3L, "g")
+    assert(viewAll() === recomputeAll())
+    assert(!viewAll().exists(_._1 == 3L), "the emptied group leaves the view")
+    // one-shot backfill over the same history agrees (absolute path)
+    val view2 = MatDb.create(spark,
+      MatSchema(Seq(Dimension("g", 100)),
+        Seq(ValueCol("cnt_c", LongType), ValueCol("cnt", LongType))),
+      Files.createTempDirectory("graft-iagg-cnt-view2").toString, "manifest")
+    IncrementalAgg.maintainAbsoluteMulti(base, view2, 0L, 3L, "g")
+    assert(view2.snapshot().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === viewAll())
+  }
+
+  test("EXPRESSION min/max maintain through extremum retirement (dirty path)") {
+    import spark.implicits._
+    val base = MatDb.create(spark,
+      MatSchema(Seq(Dimension("k", 100)),
+        Seq(ValueCol("g", LongType), ValueCol("a", LongType), ValueCol("b", LongType))),
+      Files.createTempDirectory("graft-iagg-xmm-base").toString, "manifest")
+    val view = MatDb.create(spark,
+      MatSchema(Seq(Dimension("g", 100)),
+        Seq(ValueCol("min_ab", LongType), ValueCol("max_ab", LongType),
+          ValueCol("sum_ab", LongType), ValueCol("cnt", LongType))),
+      Files.createTempDirectory("graft-iagg-xmm-view").toString, "manifest")
+    graft.core.Storage.writeProps(view.root,
+      graft.core.Storage.readProps(view.root) + ("graft.mview.expr.ab" -> "a * b"))
+    def df(rows: Seq[(Long, Long, Long, Long)]) = rows.toDF("k", "g", "a", "b")
+    def recomputeAll(): Set[(Long, Long, Long, Long, Long)] =
+      base.snapshot().groupBy(col("g"))
+        .agg(min(col("a") * col("b")).as("mn"), max(col("a") * col("b")).as("mx"),
+          sum(col("a") * col("b")).as("sm"), count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    def viewAll(): Set[(Long, Long, Long, Long, Long)] =
+      view.snapshot().collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // g1: products {2*3=6, 4*5=20}; g2: {10*1=10, 2*2=4}
+    val t1 = base.newTransaction()
+    t1.addRows(df(Seq((1L, 1L, 2L, 3L), (2L, 1L, 4L, 5L),
+      (3L, 2L, 10L, 1L), (4L, 2L, 2L, 2L))))
+    t1.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 0L, 1L, "g")
+    assert(viewAll() === recomputeAll())
+    // txn2: RETIRE g1's max holder downward (4*5=20 -> 1*1=1: the dirty
+    // boundary test must evaluate a*b over the PRE-IMAGE to notice) and
+    // g2's min holder upward (2*2=4 -> 50*1=50); both expression inputs move
+    val t2 = base.newTransaction()
+    t2.addRows(df(Seq((2L, 1L, 1L, 1L), (4L, 2L, 50L, 1L))))
+    t2.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 1L, 2L, "g")
+    assert(viewAll() === recomputeAll())
+    // txn3: INTERIOR churn (g1 gains product 4, inside (1,6)) — the clean
+    // merge path — plus a delete emptying g2 entirely
+    val t3 = base.newTransaction()
+    t3.addRows(df(Seq((5L, 1L, 2L, 2L))))
+    t3.deleteRows(Seq(3L, 4L).toDF("k"))
+    t3.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 2L, 3L, "g")
+    assert(viewAll() === recomputeAll())
+    assert(!viewAll().exists(_._1 == 2L))
+  }
+
+  test("rebuild: pinned replace recovers a view when the delta is unrecoverable") {
+    import spark.implicits._
+    val base = newBase(); val view = newView()
+    def df(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("k", "g", "vs").select(col("k"), col("g"), col("vs").cast(dec).as("v"))
+    val t1 = base.newTransaction()
+    t1.addRows(df((0L until 12L).map(k => (k, k % 3, s"$k.0000")))); t1.commit()
+    IncrementalAgg.maintainAbsolute(base, view, 0L, 1L, "g", "v")
+    // TRUNCATE the base (txn2), re-seed (txn3), vacuum the pre-truncate
+    // history away: the incremental delta over (1, 3] is now unrecoverable
+    base.overwrite(df(Nil).limit(0))
+    val t3 = base.newTransaction()
+    t3.addRows(df(Seq((1L, 1L, "5.0000"), (20L, 7L, "9.0000")))); t3.commit()
+    base.vacuum()
+    intercept[IllegalStateException](
+      base.changesBetween(1L, 3L, includeOld = true).collect())
+    // the recovery: one absolute pinned replace at the range end
+    assert(IncrementalAgg.rebuild(base, view, 3L, Seq("g")) === 3L)
+    assert(viewState(view) === recompute(base))
+    assert(!viewState(view).contains(0L), "pre-truncate groups are gone")
+    // pinned clock intact: the rebuild IS the view's state at base txn 3,
+    // and a replayed rebuild is skipped by watermark
+    assert(view.txnWatermark === 3L)
+    assert(IncrementalAgg.rebuild(base, view, 3L, Seq("g")) === 3L)
+    assert(viewState(view) === recompute(base))
+    // the maintenance stamp survives, so later incremental folds resume
+    val t4 = base.newTransaction()
+    t4.addRows(df(Seq((21L, 7L, "1.0000")))); t4.commit()
+    IncrementalAgg.maintainAbsolute(base, view, 3L, 4L, "g", "v")
+    assert(viewState(view) === recompute(base))
+  }
+
   test("an unaligned view (fresh from a later range) falls back to absolute recompute") {
     import spark.implicits._
     val base = newBase(); val view = newView()

@@ -407,6 +407,159 @@ class MvRewriteSpec extends AnyFunSuite {
     MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
   }
 
+  test("the alignment witness trusts pinned history only AT OR BELOW the stamp") {
+    val (base, view, _, viewPath) = fixture("forge")
+    val t1 = base.newTransaction()
+    t1.addRowsSeq(for (i <- 0L until 12L) yield Seq[Any](i, i % 3, i))
+    t1.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 0L, 1L, "grp") // stamp txn = 1
+    base.registerMaterializedView(viewPath)
+    // compact() on a maintained view is REFUSED outright: it would
+    // self-allocate watermark+1 — the base's next txn id — hijacking the
+    // pinned maintenance clock and forging the witness
+    val e = intercept[IllegalArgumentException](view.compact())
+    assert(e.getMessage.contains("maintained view"))
+    // simulate the forgery anyway (an out-of-band writer pinning the
+    // view's next id): the view now HAS a commit exactly at txn 2, but the
+    // stamp only vouches through txn 1 — a base snapshot at txn 2 must
+    // fall back to the base, not read pre-txn-2 aggregates from the view
+    val rogue = view.newPinnedTransaction(2L)
+    rogue.addRowsSeq(Seq(Seq[Any](0L, 999L, 1L))) // (grp, sum_v, cnt)
+    rogue.commit()
+    assert(view.hasCommitExactlyAt(2L), "forgery precondition")
+    val t2 = base.newTransaction()
+    t2.addRowsSeq(Seq(Seq[Any](100L, 0L, 7L))); t2.commit() // base txn 2
+    val q = base.snapshot().groupBy("grp").agg(sum("v").as("s"))
+    assert(scanRoots(q).exists(_.contains("/base/")),
+      "snapTxn above the stamp must never rewrite (forged witness)")
+    MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+  }
+
+  test("count(col) rewrites via cnt_<col> at exact grain and rolls up as a sum") {
+    val root = Files.createTempDirectory("graft-mv-cntcol")
+    val base = MatDb.create(spark, MatSchema(Seq(Dimension("event_id", 100)),
+      Seq(ValueCol("grp"), ValueCol("src"), ValueCol("w"))),
+      root.resolve("base").toString, "manifest")
+    val view = MatDb.create(spark, MatSchema(
+      Seq(Dimension("grp", 1000), Dimension("src", 10)),
+      Seq(ValueCol("cnt_w"), ValueCol("cnt"))),
+      root.resolve("view").toString, "manifest")
+    // w NULLABLE: count(w) != count(*) — exactly what cnt_w maintains
+    val t1 = base.newTransaction()
+    t1.addRowsSeq(for (i <- 0L until 60L) yield
+      Seq[Any](i, i % 6, i % 3, if (i % 4 == 0) null else i))
+    t1.commit()
+    IncrementalAgg.maintainAbsoluteMultiKeys(base, view, 0L, 1L, Seq("grp", "src"))
+    base.registerMaterializedView(root.resolve("view").toString)
+    def truth(df: DataFrame) = {
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      try df.collect().toSeq
+      finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    }
+    // exact grain: count(w) reads cnt_w verbatim
+    val q = base.snapshot().groupBy("grp", "src")
+      .agg(count(col("w")).as("cw"), count(lit(1)).as("c")).orderBy("grp", "src")
+    assert(scanRoots(q).nonEmpty && scanRoots(q).forall(_.contains("/view/")),
+      s"count(col) must rewrite, got ${scanRoots(q)}")
+    assert(q.collect().toSeq === truth(q))
+    // rollup grain: count(w) = sum of per-cell cnt_w
+    val qr = base.snapshot().groupBy("grp")
+      .agg(count(col("w")).as("cw")).orderBy("grp")
+    assert(scanRoots(qr).forall(_.contains("/view/")), "rollup count(col)")
+    assert(qr.collect().toSeq === truth(qr))
+    // fallback: a column with no maintained cnt_ goes to the base
+    val qx = base.snapshot().groupBy("grp", "src").agg(count(col("event_id")).as("ce"))
+    assert(scanRoots(qx).exists(_.contains("/base/")),
+      "count of an unmaintained column must not rewrite")
+    MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+  }
+
+  test("count(DISTINCT d) rewrites over a (group, d) helper view as a row count") {
+    val root = Files.createTempDirectory("graft-mv-cd")
+    val base = MatDb.create(spark, MatSchema(Seq(Dimension("event_id", 100)),
+      Seq(ValueCol("grp"), ValueCol("user_id"))),
+      root.resolve("base").toString, "manifest")
+    // the helper view: keyed by (grp, user_id), one live row per live
+    // combination (cnt reaching 0 deletes the cell)
+    val helper = MatDb.create(spark, MatSchema(
+      Seq(Dimension("grp", 1000), Dimension("user_id", 1000)),
+      Seq(ValueCol("cnt"))),
+      root.resolve("view").toString, "manifest")
+    val t1 = base.newTransaction()
+    t1.addRowsSeq(for (i <- 0L until 60L) yield Seq[Any](i, i % 6, i % 10))
+    t1.commit()
+    IncrementalAgg.maintainAbsoluteMultiKeys(base, helper, 0L, 1L, Seq("grp", "user_id"))
+    // churn: k0 moves to user 999 (new distinct value in grp 0); delete
+    // every row of user 5 (may empty (grp, 5) cells)
+    val t2 = base.newTransaction()
+    t2.addRowsSeq(Seq(Seq[Any](0L, 0L, 999L)))
+    t2.deleteRows(spark.range(0, 60).where(col("id") % 10 === 5)
+      .select(col("id").as("event_id")))
+    t2.commit()
+    IncrementalAgg.maintainAbsoluteMultiKeys(base, helper, 1L, 2L, Seq("grp", "user_id"))
+    base.registerMaterializedView(root.resolve("view").toString)
+    def truth(df: DataFrame) = {
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      try df.collect().toSeq
+      finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    }
+    val q = base.snapshot().groupBy("grp")
+      .agg(countDistinct(col("user_id")).as("u")).orderBy("grp")
+    assert(scanRoots(q).nonEmpty && scanRoots(q).forall(_.contains("/view/")),
+      s"count(distinct) must rewrite over the helper view, got ${scanRoots(q)}")
+    assert(q.collect().toSeq === truth(q))
+    // count(DISTINCT grp) grouped by grp (the distinct column IS a group
+    // column) has no helper decomposition here — falls back
+    val qx = base.snapshot().groupBy("grp").agg(countDistinct(col("grp")).as("g"))
+    assert(scanRoots(qx).exists(_.contains("/base/")))
+    MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+  }
+
+  test("declared EXPRESSION min/max rewrite like columns (and roll up)") {
+    val root = Files.createTempDirectory("graft-mv-xmm")
+    val base = MatDb.create(spark, MatSchema(Seq(Dimension("event_id", 100)),
+      Seq(ValueCol("grp"), ValueCol("src"), ValueCol("w"), ValueCol("v"))),
+      root.resolve("base").toString, "manifest")
+    val view = MatDb.create(spark, MatSchema(
+      Seq(Dimension("grp", 1000), Dimension("src", 10)),
+      Seq(ValueCol("min_rev"), ValueCol("max_rev"), ValueCol("cnt"))),
+      root.resolve("view").toString, "manifest")
+    Storage.writeProps(view.root, Storage.readProps(view.root) +
+      ("graft.mview.expr.rev" -> "v * (w + 1)"))
+    val t1 = base.newTransaction()
+    t1.addRowsSeq(for (i <- 0L until 60L) yield Seq[Any](i, i % 6, i % 3, i % 7, i + 1))
+    t1.commit()
+    IncrementalAgg.maintainAbsoluteMultiKeys(base, view, 0L, 1L, Seq("grp", "src"))
+    // retire extremes (the dirty path) before asserting rewrite equality
+    val t2 = base.newTransaction()
+    t2.addRowsSeq(for (i <- 0L until 20L) yield Seq[Any](i, i % 6, i % 3, (i + 1) % 7, 1000L - i))
+    t2.commit()
+    IncrementalAgg.maintainAbsoluteMultiKeys(base, view, 1L, 2L, Seq("grp", "src"))
+    base.registerMaterializedView(root.resolve("view").toString)
+    def truth(df: DataFrame) = {
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      try df.collect().toSeq
+      finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    }
+    val q = base.snapshot().groupBy("grp", "src")
+      .agg(min(col("v") * (col("w") + 1L)).as("mn"),
+        max(col("v") * (col("w") + 1L)).as("mx")).orderBy("grp", "src")
+    assert(scanRoots(q).nonEmpty && scanRoots(q).forall(_.contains("/view/")),
+      s"expression min/max must rewrite, got ${scanRoots(q)}")
+    assert(q.collect().toSeq === truth(q))
+    // rollup: min of per-cell minima / max of per-cell maxima
+    val qr = base.snapshot().groupBy("grp")
+      .agg(min(col("v") * (col("w") + 1L)).as("mn"),
+        max(col("v") * (col("w") + 1L)).as("mx")).orderBy("grp")
+    assert(scanRoots(qr).forall(_.contains("/view/")), "expression extrema rollup")
+    assert(qr.collect().toSeq === truth(qr))
+    // an undeclared expression falls through
+    val qx = base.snapshot().groupBy("grp", "src")
+      .agg(min(col("v") * (col("w") + 2L)).as("mn"))
+    assert(scanRoots(qx).exists(_.contains("/base/")))
+    MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+  }
+
   test("registry is LRU (recent snapshots stay rewritable); dropped views free handles") {
     val (base, view, _, viewPath) = fixture("lru")
     seedAndMaintain(base, view)
