@@ -148,6 +148,10 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       .observe(obs, count(lit(1)).as("n"), avg(col("_adist")).as("m"))
       .drop("_adist")
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/corpus")
+    // a rebuild supersedes any pending maintenance generations of the old
+    // layout — clear them or reads would resolve stale deltas over it
+    graft.core.Storage.deleteRecursively(
+      java.nio.file.Paths.get(s"$path/corpus_deltas"))
     IndexStats.reset(path)
     IndexStats.record(path, phase = "train", obs)
   }
@@ -308,10 +312,13 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     val k = kOverride.getOrElse(readCentroids(spark, path).length)
     val tmp = java.nio.file.Paths.get(s"$path/corpus.retrain.tmp")
     graft.core.Storage.deleteRecursively(tmp)
-    val live = spark.read.parquet(corpusPath)
-    val idCol = live.columns.find(c => c != "v" && c != "bucket").getOrElse(
-      throw new IllegalStateException(s"no id column in index corpus at $corpusPath"))
-    live.select(col(idCol), col("v")).write.parquet(tmp.toString)
+    val idCol = spark.read.parquet(corpusPath).columns
+      .find(c => c != "v" && c != "bucket").getOrElse(
+        throw new IllegalStateException(s"no id column in index corpus at $corpusPath"))
+    // resolved through pending maintenance generations — the retrain must
+    // see the corpus as maintained, not the stale base
+    readLayout(spark, corpusPath, idCol)
+      .select(col(idCol), col("v")).write.parquet(tmp.toString)
     try {
       val staged = spark.read.parquet(tmp.toString)
       val centroids = train(staged, idCol, "v", k, iters).map(_.toSeq).toSeq
@@ -319,15 +326,149 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     } finally graft.core.Storage.deleteRecursively(tmp)
   }
 
-  /** The shared touched-buckets-only rewrite under a `bucket=N/` parquet
+  // ---- LSM-style bucket-layout maintenance --------------------------------
+  //
+  // Round 14's maintenance rewrote every TOUCHED BUCKET whole: write
+  // amplification per batch = the full bytes of each touched bucket — at
+  // 100 TB with k=4096 (~25 GB/bucket) a one-id delta rewrote 25 GB. The
+  // engine already owns the right algebra for exactly this (its tables:
+  // immutable segments + tombstones + newest-wins + compaction), applied
+  // here to the index layout:
+  //   - each maintenance fold APPENDS one delta generation
+  //     `<layout>_deltas/d<gen%08d>/bucket=N/…` — the delta's new rows
+  //     (`_del = false`) into their NEW buckets plus an id-tombstone row
+  //     (`_del = true`, null payload) into every bucket the id LEFT — so
+  //     bytes written ∝ delta, never ∝ bucket;
+  //   - reads resolve newest-generation-wins PER (bucket, id)
+  //     ([[readLayout]]): pruning to probed buckets BEFORE resolution is
+  //     sound because a moved/deleted id always left a tombstone behind in
+  //     its old bucket;
+  //   - once pending generations reach `graft.index.delta.maxpending`
+  //     (default 8), [[compactLayout]] folds base+deltas into a fresh
+  //     base — the whole-corpus rewrite now amortized over N folds.
+  // Crash safety: a generation is written to `d<gen>.tmp` and atomically
+  // renamed ([[deltaGens]] ignores `.tmp`); re-applying deltas over an
+  // already-compacted base is idempotent (tombstoned ids are absent,
+  // moved/updated ids carry identical payloads), so compaction deletes
+  // the delta dirs LAST and a crash anywhere replays harmlessly.
+
+  private val DeltaGen = """^d([0-9a-f]{8})$""".r
+
+  private def deltasDir(layoutPath: String): java.nio.file.Path =
+    java.nio.file.Paths.get(layoutPath + "_deltas")
+
+  /** Committed delta generation directories, generation order. */
+  private[operators] def deltaGens(layoutPath: String): Seq[java.nio.file.Path] = {
+    val dir = deltasDir(layoutPath)
+    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.toSeq
+        .filter(p => DeltaGen.matches(p.getFileName.toString))
+        .sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+  }
+
+  /** Resolved read of a maintained bucket layout: base ∪ pending delta
+    * generations, newest generation wins per (bucket, id), tombstones
+    * drop. `buckets` prunes partitions BEFORE resolution. With NO pending
+    * deltas (a fresh [[writeIndex]], or right after [[compactLayout]])
+    * this is a plain partition-pruned parquet read — zero extra shuffles;
+    * with pending deltas the resolve is one HashAggregate over the PROBED
+    * buckets' rows only. */
+  def readLayout(spark: org.apache.spark.sql.SparkSession, layoutPath: String,
+      idCol: String, buckets: Option[Seq[Int]] = None): DataFrame = {
+    def prune(df: DataFrame): DataFrame =
+      buckets.fold(df)(bs => df.where(col("bucket").isin(bs: _*)))
+    val base = prune(spark.read.parquet(layoutPath))
+    val gens = deltaGens(layoutPath)
+    if (gens.isEmpty) base
+    else {
+      // one read per generation root (each is its own bucket-partitioned
+      // tree — a multi-root read trips partition-structure inference);
+      // the union collapses into one scan stage and the bucket filter
+      // pushes into every leg
+      val deltas = prune(gens.map(g => spark.read.parquet(g.toString))
+        .reduce(_ unionByName _))
+      val all = base.withColumn("_gen", lit(0L)).withColumn("_del", lit(false))
+        .unionByName(deltas)
+      val dataCols = base.columns.filterNot(c => c == idCol || c == "bucket").toSeq
+      val aggs = dataCols.map(c => max_by(col(c), col("_gen")).as(c)) :+
+        max_by(col("_del"), col("_gen")).as("_del")
+      all.groupBy(col("bucket"), col(idCol))
+        .agg(aggs.head, aggs.tail: _*)
+        .where(!col("_del"))
+        .select(base.columns.map(col).toSeq: _*)
+    }
+  }
+
+  /** The resolved live (id, bucket) pairs only — the maintenance fold's
+    * old-bucket lookup. Column-pruned: parquet reads just the id bytes of
+    * the base (never the vectors/codes); delta generations are O(deltas). */
+  private def readLayoutIds(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, idCol: String): DataFrame = {
+    val base = spark.read.parquet(layoutPath)
+      .select(col(idCol), col("bucket"), lit(0L).as("_gen"), lit(false).as("_del"))
+    val gens = deltaGens(layoutPath)
+    val all = if (gens.isEmpty) base else base.unionByName(
+      gens.map(g => spark.read.parquet(g.toString)).reduce(_ unionByName _)
+        .select(col(idCol), col("bucket"), col("_gen"), col("_del")))
+    all.groupBy(col("bucket"), col(idCol))
+      .agg(max_by(col("_del"), col("_gen")).as("_del"))
+      .where(!col("_del"))
+      .select(col(idCol), col("bucket"))
+  }
+
+  /** Pending generations allowed before [[compactLayout]] auto-triggers. */
+  private[operators] def maxPendingGens: Int =
+    sys.props.get("graft.index.delta.maxpending").map(_.toInt).getOrElse(8)
+
+  /** Fold base + pending delta generations into a fresh base layout (the
+    * amortized whole-corpus rewrite): resolved rows land in a temp
+    * sibling, bucket directories swap atomically one by one, buckets
+    * emptied by tombstones are removed, and the delta dirs are deleted
+    * LAST (re-application over the compacted base is idempotent — crash
+    * anywhere is harmless). */
+  def compactLayout(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, idCol: String): Unit = {
+    if (deltaGens(layoutPath).isEmpty) return
+    val tmp = java.nio.file.Paths.get(s"$layoutPath.compact.tmp")
+    graft.core.Storage.deleteRecursively(tmp)
+    readLayout(spark, layoutPath, idCol)
+      .write.partitionBy("bucket").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    def bucketDirs(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+      if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("bucket="))
+        finally s.close()
+      }
+    val live = java.nio.file.Paths.get(layoutPath)
+    val fresh = bucketDirs(tmp).map(_.getFileName.toString).toSet
+    bucketDirs(tmp).foreach { b =>
+      val target = live.resolve(b.getFileName.toString)
+      graft.core.Storage.deleteRecursively(target)
+      java.nio.file.Files.move(b, target)
+    }
+    // buckets absent from the fold were emptied entirely by tombstones
+    bucketDirs(live).filterNot(b => fresh.contains(b.getFileName.toString))
+      .foreach(graft.core.Storage.deleteRecursively)
+    graft.core.Storage.deleteRecursively(deltasDir(layoutPath))
+    graft.core.Storage.deleteRecursively(tmp)
+  }
+
+  /** The shared O(delta) maintenance fold under a `bucket=N/` parquet
     * layout ([[maintainIndex]] for normalized vectors,
-    * [[PqIndex.maintainIvfPq]] for PQ codes): replace every `touched` id
-    * with its `newRows` version (which carry a `bucket` column), rewriting
-    * ONLY the buckets either side touches — old-bucket lookup is a
-    * column-pruned scan of the layout's id column. The rewrite lands in a
-    * temp sibling and swaps per-bucket directories (the source buckets are
-    * being read by the same plan); a bucket emptied entirely disappears.
-    * Bootstraps an EMPTY layout: the first delta becomes the corpus. */
+    * [[PqIndex.maintainIvfPq]] for PQ codes): append ONE delta generation
+    * holding the `newRows` versions (which carry a `bucket` column) plus
+    * tombstones into every bucket a `touched` id leaves — bytes written
+    * ∝ delta; reads resolve through [[readLayout]]. Auto-compacts at
+    * [[maxPendingGens]] pending generations. Bootstraps an EMPTY layout:
+    * the first delta becomes the corpus. */
   private[operators] def upsertBucketLayout(
       spark: org.apache.spark.sql.SparkSession, layoutPath: String,
       idCol: String, newRowsIn: DataFrame, touchedIn: DataFrame): Unit = {
@@ -343,43 +484,41 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     }
     if (empty) {
       newRowsIn.write.mode("overwrite").partitionBy("bucket").parquet(layoutPath)
+      graft.core.Storage.deleteRecursively(deltasDir(layoutPath))
       return
     }
-    // both inputs are referenced twice (the bucket-set collects AND the
-    // replacement write) — persist for the duration so the delta
-    // assignment / encode runs once, not per reference
-    val newRows = newRowsIn.persist()
-    val touched = touchedIn.persist()
-    try {
-      val corpus = spark.read.parquet(layoutPath)
-      // ONE job for the touched-bucket set: old buckets (column-pruned id
-      // scan semi-joined against the touched ids) unioned with the delta's
-      // new buckets — two separate collects would pay two job round-trips
-      // per maintenance batch
-      val rewrite = corpus.select(col(idCol), col("bucket"))
-        .join(broadcast(touched), Seq(idCol), "left_semi")
-        .select(col("bucket"))
-        .unionByName(newRows.select(col("bucket")))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted
-      if (rewrite.nonEmpty) {
-        val replacement = corpus.where(col("bucket").isin(rewrite: _*))
-          .join(broadcast(touched), Seq(idCol), "left_anti")
-          .unionByName(newRows)
-        val tmp = java.nio.file.Paths.get(s"$layoutPath.maintain.tmp")
-        graft.core.Storage.deleteRecursively(tmp)
-        replacement.write.partitionBy("bucket").parquet(tmp.toString)
-        rewrite.foreach { b =>
-          val live = java.nio.file.Paths.get(s"$layoutPath/bucket=$b")
-          val fresh = tmp.resolve(s"bucket=$b")
-          graft.core.Storage.deleteRecursively(live)
-          if (java.nio.file.Files.isDirectory(fresh)) {
-            java.nio.file.Files.move(fresh, live)
-            ()
-          }
-        }
-        graft.core.Storage.deleteRecursively(tmp)
-      }
-    } finally { newRows.unpersist(); touched.unpersist(); () }
+    val gen = deltaGens(layoutPath).lastOption
+      .map(_.getFileName.toString match {
+        case DeltaGen(g) => java.lang.Long.parseLong(g, 16) + 1L
+        case _           => 1L // unreachable: deltaGens filters by the regex
+      })
+      .getOrElse(1L)
+    val schema = spark.read.parquet(layoutPath).schema
+    val dataFields = schema.fields.filterNot(f => f.name == idCol || f.name == "bucket")
+    // tombstones: every bucket a touched id currently LIVES in, minus the
+    // bucket its new version lands in (a pure delete has no new version);
+    // payload columns are null — the id + bucket + generation is the fact
+    val newBuckets = newRowsIn.select(col(idCol), col("bucket").as("_nb"))
+    val tomb = readLayoutIds(spark, layoutPath, idCol)
+      .join(broadcast(touchedIn), Seq(idCol), "left_semi")
+      .join(broadcast(newBuckets), Seq(idCol), "left")
+      .where(col("_nb").isNull || col("_nb") =!= col("bucket"))
+      .select(col(idCol) +:
+        dataFields.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)) :+
+        col("bucket"): _*)
+    val generation = newRowsIn
+      .select((col(idCol) +: dataFields.toSeq.map(f => col(f.name)) :+ col("bucket")) :+
+        lit(false).as("_del"): _*)
+      .unionByName(tomb.withColumn("_del", lit(true)))
+      .withColumn("_gen", lit(gen))
+    val tmpDir = deltasDir(layoutPath).resolve(f"d$gen%08x.tmp")
+    val finalDir = deltasDir(layoutPath).resolve(f"d$gen%08x")
+    graft.core.Storage.deleteRecursively(tmpDir)
+    graft.core.Storage.deleteRecursively(finalDir)
+    generation.write.partitionBy("bucket").parquet(tmpDir.toString)
+    java.nio.file.Files.move(tmpDir, finalDir)
+    if (deltaGens(layoutPath).size >= maxPendingGens)
+      compactLayout(spark, layoutPath, idCol)
   }
 
   /** Top-k cosine search against a [[writeIndex]] layout. The probed
@@ -396,8 +535,9 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       queries.select(col(idCol).as("qid"), normalized(col(vecCol)).as("qv")),
       "qv", centroids, nprobe)
     val probed = q.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
-    val cand = spark.read.parquet(s"$path/corpus")
-      .where(col("bucket").isin(probed: _*))
+    // resolved read: partition-pruned to the probed buckets BEFORE the
+    // (pending-deltas-only) newest-wins resolve — see readLayout
+    val cand = readLayout(spark, s"$path/corpus", idCol, Some(probed))
     broadcast(q).join(cand, Seq("bucket"))
       .where(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol), dot(col("qv"), col("v")).as("score"))

@@ -240,6 +240,9 @@ object PqIndex {
       .observe(obs, count(lit(1)).as("n"), avg(col("_adist")).as("m"))
       .select(col(idCol), codesCol(col(vecCol), cb).as("codes"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
+    // a rebuild supersedes pending maintenance generations (IvfIndex LSM)
+    graft.core.Storage.deleteRecursively(
+      java.nio.file.Paths.get(s"$path/codes_deltas"))
     IndexStats.reset(path)
     IndexStats.record(path, phase = "train", obs)
   }
@@ -258,8 +261,9 @@ object PqIndex {
       queries.select(col(idCol).as("qid"), col(vecCol).as("_qraw"),
         IvfIndex.normalized(col(vecCol)).as("_qn")), "_qn", centroids, nprobe)
     val probed = probes.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
-    val encodedAssigned = spark.read.parquet(s"$path/codes")
-      .where(col("bucket").isin(probed: _*))
+    // resolved read: partition-pruned, newest-wins over pending
+    // maintenance generations (IvfIndex.readLayout)
+    val encodedAssigned = IvfIndex.readLayout(spark, s"$path/codes", idCol, Some(probed))
     ivfAdcSearchRefined(encodedAssigned, corpus,
       probes.select(col("qid"), col("_qraw"), col("bucket")),
       idCol, vecCol, "_qraw", cb, k, shortlist)

@@ -1164,9 +1164,19 @@ case class GraftCatalogDedupRule(spark: SparkSession) extends Rule[LogicalPlan] 
 
   /** The SQL leg of the MV auto-rewrite: register this read's plan so a
     * GROUP BY above it can be answered from a declared maintained view
-    * ([[graft.plans.MvRewriteRule]]). Current snapshots only. */
-  private def registerMviews(key: LogicalPlan, g: GraftV2Table): Unit =
-    if (g.writeDir.isDefined) {
+    * ([[graft.plans.MvRewriteRule]]). Registers CURRENT snapshots (root
+    * from `writeDir`) and `VERSION AS OF` relations too (root derived from
+    * the pinned segment directories — historical relations are read-only
+    * and carry no writeDir): maintenance commits are PINNED to base txn
+    * ids, so a view version at exactly the relation's txn serves the
+    * historical aggregate verbatim, and the rule's per-query alignment
+    * witness (pinned commit at the snapshot txn, at-or-below the
+    * maintenance stamp) decides soundness — a mid-batch txn simply falls
+    * through to the base, same as the DataFrame `asOf` path (q149). */
+  private def registerMviews(key: LogicalPlan, g: GraftV2Table): Unit = {
+    val root = g.writeDir.orElse(g.segmentPaths.headOption.map(p =>
+      java.nio.file.Paths.get(p).getParent.toString))
+    root.foreach { r =>
       val mv = g.tableProps.getOrElse("graft.mviews", "")
         .split('\t').toSeq.filter(_.nonEmpty)
       if (mv.nonEmpty) {
@@ -1175,10 +1185,11 @@ case class GraftCatalogDedupRule(spark: SparkSession) extends Rule[LogicalPlan] 
             java.nio.file.Paths.get(p).getFileName.toString))
           .map(_._1.txnId).foldLeft(0L)(math.max)
         graft.plans.MvRegistry.register(key.canonicalized,
-          graft.plans.MvRegistry.Entry(java.nio.file.Paths.get(g.writeDir.get)
+          graft.plans.MvRegistry.Entry(java.nio.file.Paths.get(r)
             .toAbsolutePath.toString, snapTxn, mv))
       }
     }
+  }
 
   /** The graft table behind a relation: direct, or wrapped in Spark's
     * [[org.apache.spark.sql.connector.write.RowLevelOperationTable]] (the
@@ -1238,12 +1249,12 @@ case class GraftCatalogDedupRule(spark: SparkSession) extends Rule[LogicalPlan] 
       else Alias(agg.output.find(_.name == a.name).get, a.name)(exprId = a.exprId)
     }
     val wrapped = Project(restored, live)
-    // the SQL leg of the MV auto-rewrite: a CURRENT catalog snapshot of a
-    // table with declared materialized views registers its resolve wrap,
-    // so `SELECT g, sum(v) FROM cat.t GROUP BY g` rewrites exactly like
-    // the DataFrame path (MvRewriteRule looks through the SubqueryAlias
-    // SQL puts above this wrap). VERSION AS OF relations have no writeDir
-    // and never register — same freshness rule as MatDb.snapshot.
+    // the SQL leg of the MV auto-rewrite: a catalog snapshot of a table
+    // with declared materialized views registers its resolve wrap, so
+    // `SELECT g, sum(v) FROM cat.t GROUP BY g` rewrites exactly like the
+    // DataFrame path (MvRewriteRule looks through the SubqueryAlias SQL
+    // puts above this wrap) — VERSION AS OF relations included, keyed by
+    // their own pinned txn (see registerMviews).
     rel.table match {
       case g: GraftV2Table => registerMviews(wrapped, g)
       case _               => ()

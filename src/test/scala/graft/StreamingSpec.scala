@@ -460,6 +460,130 @@ class StreamingSpec extends AnyFunSuite {
     assert(view.asOf(1L).count() === 3L)
   }
 
+  test("view-maintenance sink: a segment-less TRUNCATE reaches the view; vacuumed history rebuilds") {
+    import spark.implicits._
+    import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val dec = DecimalType(18, 4)
+    val basePath = Files.createTempDirectory("graft-vtrunc-base").toString
+    val base = MatDb.create(spark,
+      MatSchema(Seq(Dimension("k", 100)),
+        Seq(ValueCol("g", LongType), ValueCol("v", dec))), basePath, "manifest")
+    val view = MatDb.create(spark,
+      MatSchema(Seq(Dimension("g", 100)),
+        Seq(ValueCol("sum_v", dec), ValueCol("cnt", LongType))),
+      Files.createTempDirectory("graft-vtrunc-view").toString, "manifest")
+    val checkpoint = Files.createTempDirectory("graft-vtrunc-ckpt").toString
+    def df(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("k", "g", "vs").select($"k", $"g", $"vs".cast(dec).as("v"))
+    def recompute() = base.snapshot().groupBy($"g")
+      .agg(sum($"v").cast(dec).as("s"), count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getDecimal(1).toPlainString, r.getLong(2)))).toMap
+    def viewState() = view.snapshot().collect()
+      .map(r => r.getLong(0) -> ((r.getDecimal(1).toPlainString, r.getLong(2)))).toMap
+    def runOnce(): Unit = {
+      val q = Streams.viewMaintSink(
+        spark.readStream.format("graft-stream").load(basePath),
+        basePath, view, "g", "v", checkpoint).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val t1 = base.newTransaction()
+    t1.addRows(df((0L until 12L).map(k => (k, k % 3, s"$k.2500")))); t1.commit()
+    runOnce()
+    assert(viewState() === recompute())
+    // TRUNCATE + re-seed: the truncate contributes NO rows to any batch
+    // (segment-less replace), yet every pre-truncate group must retract —
+    // the watermark-driven sink sees it and the replace guard resolves the
+    // wiped keys through the two-snapshot diff
+    base.overwrite(df(Nil).limit(0))
+    val t3 = base.newTransaction()
+    t3.addRows(df(Seq((1L, 1L, "5.0000"), (50L, 9L, "2.0000")))); t3.commit()
+    runOnce()
+    assert(viewState() === recompute(),
+      "the truncate's retractions must reach the view")
+    assert(viewState().keySet === Set(1L, 9L))
+    // TRUNCATE again, then VACUUM the pre-truncate history away BEFORE the
+    // sink sees it: the incremental delta is unrecoverable — the sink must
+    // REBUILD the view absolutely (pinned replace) instead of failing
+    base.overwrite(df(Nil).limit(0))
+    val t5 = base.newTransaction()
+    t5.addRows(df(Seq((2L, 2L, "7.0000")))); t5.commit()
+    base.vacuum()
+    intercept[IllegalStateException](
+      base.changesBetween(view.txnWatermark, base.txnWatermark).collect())
+    runOnce()
+    assert(viewState() === recompute(), "refusal must fall back to a rebuild")
+    assert(viewState().keySet === Set(2L))
+    assert(view.txnWatermark === base.txnWatermark,
+      "the rebuild is pinned to the base's clock")
+    // and the next ordinary append maintains incrementally again
+    val t6 = base.newTransaction()
+    t6.addRows(df(Seq((3L, 2L, "1.0000")))); t6.commit()
+    runOnce()
+    assert(viewState() === recompute())
+  }
+
+  test("view-maintenance sink: one failing view's folds drain; siblings commit") {
+    import spark.implicits._
+    import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val dec = DecimalType(18, 4)
+    val basePath = Files.createTempDirectory("graft-vfail-base").toString
+    val base = MatDb.create(spark,
+      MatSchema(Seq(Dimension("k", 100)),
+        Seq(ValueCol("g", LongType), ValueCol("h", LongType), ValueCol("v", dec))),
+      basePath, "manifest")
+    // view A maintains cnt only (immune to a null v); view B maintains
+    // sum_v, whose non-null contract a poisoned row violates — one batch,
+    // one failing fold, one healthy sibling
+    val viewA = MatDb.create(spark,
+      MatSchema(Seq(Dimension("g", 100)), Seq(ValueCol("cnt", LongType))),
+      Files.createTempDirectory("graft-vfail-a").toString, "manifest")
+    val viewB = MatDb.create(spark,
+      MatSchema(Seq(Dimension("h", 100)),
+        Seq(ValueCol("sum_v", dec), ValueCol("cnt", LongType))),
+      Files.createTempDirectory("graft-vfail-b").toString, "manifest")
+    val checkpoint = Files.createTempDirectory("graft-vfail-ckpt").toString
+    def df(rows: Seq[(Long, Long, Long, Option[String])]) =
+      rows.toDF("k", "g", "h", "vs").select($"k", $"g", $"h", $"vs".cast(dec).as("v"))
+    def runOnce(): Unit = {
+      val q = Streams.viewMaintSinkKeys(
+        spark.readStream.format("graft-stream").load(basePath),
+        basePath, Seq(viewA -> Seq("g"), viewB -> Seq("h")), checkpoint).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val t1 = base.newTransaction()
+    t1.addRows(df((0L until 8L).map(k => (k, k % 2, k % 4, Some(s"$k.0000"))))); t1.commit()
+    runOnce()
+    assert(viewA.snapshot().count() === 2L && viewB.snapshot().count() === 4L)
+    // txn 2 poisons B's sum contract (a null v row) — B's fold must fail
+    // LOUDLY, A's fold must still commit, and the drain must finish every
+    // fold before the error surfaces (no mid-flight unpersist/retry race)
+    val t2 = base.newTransaction()
+    t2.addRows(df(Seq((100L, 0L, 0L, None), (101L, 1L, 1L, Some("3.0000")))))
+    t2.commit()
+    val err = intercept[Exception](runOnce())
+    def anyNullGuard(e: Throwable): Boolean =
+      e != null && (Option(e.getMessage).exists(_.contains("null")) ||
+        anyNullGuard(e.getCause))
+    assert(anyNullGuard(err), s"the poisoned fold's error must surface: $err")
+    viewA.refresh(); viewB.refresh()
+    assert(viewA.txnWatermark === 2L, "the healthy sibling must have committed")
+    assert(viewB.txnWatermark === 1L, "the poisoned view must not advance")
+    // repair: delete the poisoned row; the replayed range folds B forward
+    val t3 = base.newTransaction()
+    t3.deleteRows(Seq(100L).toDF("k")); t3.commit()
+    runOnce()
+    viewA.refresh(); viewB.refresh()
+    assert(viewA.txnWatermark === 3L && viewB.txnWatermark === 3L)
+    val wantB = base.snapshot().groupBy($"h")
+      .agg(sum($"v").cast(dec).as("s"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString, r.getLong(2))).toSet
+    val gotB = viewB.snapshot().collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).toPlainString, r.getLong(2))).toSet
+    assert(gotB === wantB)
+  }
+
   test("index-maintenance sink: the persisted IVF index follows the table's DML") {
     import graft.operators.IvfIndex
     import org.apache.spark.sql.types.{ArrayType, FloatType}
@@ -494,7 +618,8 @@ class StreamingSpec extends AnyFunSuite {
         .select(col("qid"), col("vec_id"), col("score"), col("rn"))
       assert(fromIndex.except(expected).count() === 0L)
       assert(expected.except(fromIndex).count() === 0L)
-      assert(spark.read.parquet(s"$idxPath/corpus").count() === live.count())
+      assert(IvfIndex.readLayout(spark, s"$idxPath/corpus", "vec_id").count()
+        === live.count())
     }
 
     // txn 1: seed from scratch (the bootstrap path — empty corpus)
@@ -517,13 +642,28 @@ class StreamingSpec extends AnyFunSuite {
     t3.commit()
     runOnce() // restart from checkpoint — picks up ONLY txns 2 and 3
     assertFollows()
-    val ids = spark.read.parquet(s"$idxPath/corpus")
+    val ids = IvfIndex.readLayout(spark, s"$idxPath/corpus", "vec_id")
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(!ids.contains(5L), "a null-vector upsert must leave the index")
     assert(!ids.contains(14L), "deleted ids must leave the index") // 14 = 11+3
     // replaying the LAST batch converges (per-id absolute maintenance)
     runOnce()
     assertFollows()
+
+    // a TRUNCATE is SEGMENT-LESS — it contributes no rows to any batch,
+    // yet the index must retire every vector: the sink's watermark-driven
+    // range (maint_txn marker -> base watermark) picks it up through the
+    // empty batch, and changesBetween's replace guard resolves the wiped
+    // keys via the two-snapshot diff
+    base.overwrite(emb.limit(0))
+    val t5 = base.newTransaction()
+    t5.addRows(emb.where(col("vec_id") >= 300 && col("vec_id") < 320)); t5.commit()
+    runOnce()
+    assertFollows()
+    val after = IvfIndex.readLayout(spark, s"$idxPath/corpus", "vec_id")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(after === (300L until 320L).toSet,
+      "after the truncate only the re-seeded vectors may remain")
   }
 
   test("cdc apply sink fails loudly on a duplicate (key, ord) pair") {

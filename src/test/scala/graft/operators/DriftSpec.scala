@@ -37,6 +37,49 @@ class DriftSpec extends AnyFunSuite {
       s"a rebuild must restore recall: ${rebuilt.last}")
   }
 
+  test("the advisory fires on shift and retrain() restores the geometry") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // deterministic two-cluster corpus: unit vectors near axis `axis` with
+    // a small repeating jitter (no RNG — replay-stable)
+    def vecs(ids: Range, axis: Int): org.apache.spark.sql.DataFrame =
+      ids.map { i =>
+        val a = Array.fill(4)(0.001 * (i % 7))
+        a(axis) = 1.0
+        (i.toLong, a.toSeq)
+      }.toDF("vec_id", "embedding")
+    val none = vecs(0 until 0, 0).select(col("vec_id"))
+    val path = java.nio.file.Files.createTempDirectory("graft-drift-adv").toString
+    val corpusA = vecs(0 until 40, 0)
+    val centroids = IvfIndex.train(corpusA, "vec_id", "embedding", k = 2, iters = 3)
+      .map(_.toSeq).toSeq
+    IvfIndex.writeIndex(corpusA, "vec_id", "embedding", centroids, path)
+    // in-distribution fold: same jitter law -> ratio ~ 1, advisory silent
+    IvfIndex.maintainIndex(spark, path, "vec_id", vecs(40 until 50, 0), none)
+    assert(IvfIndex.driftAdvisory(path).isEmpty,
+      s"in-distribution fold must not trip the advisory: ${IvfIndex.driftRatio(path)}")
+    // SHIFT: vectors on an orthogonal axis — sqdist to every trained
+    // centroid is ~2, far above the jitter-scale baseline
+    IvfIndex.maintainIndex(spark, path, "vec_id", vecs(100 until 140, 2), none)
+    assert(IvfIndex.driftRatio(path).exists(_ >= IvfIndex.driftWarnThreshold))
+    val advisory = IvfIndex.driftAdvisory(path)
+    assert(advisory.exists(_.contains("retrain")),
+      s"the shift must produce a re-train advisory, got $advisory")
+    // the remedy: retrain() re-trains on the CURRENT (maintained) corpus
+    // and rebuilds — baseline resets, advisory clears
+    IvfIndex.retrain(spark, path, iters = 3)
+    assert(IvfIndex.driftAdvisory(path).isEmpty, "retrain must reset the baseline")
+    assert(IvfIndex.deltaGens(s"$path/corpus").isEmpty, "a rebuild leaves no deltas")
+    // post-shift data is now IN distribution for the new geometry
+    IvfIndex.maintainIndex(spark, path, "vec_id", vecs(140 until 150, 2), none)
+    assert(IvfIndex.driftRatio(path).forall(_ < IvfIndex.driftWarnThreshold),
+      s"the new geometry must absorb post-shift folds: ${IvfIndex.driftRatio(path)}")
+    // and the rebuilt index still answers: the shifted ids are findable
+    val got = IvfIndex.searchIndex(spark, path, vecs(100 until 102, 2),
+      "vec_id", "embedding", nprobe = 2, k = 3)
+    assert(got.count() > 0)
+  }
+
   test("stats log: write resets, maintains append, ratio needs a baseline") {
     val dir = java.nio.file.Files.createTempDirectory("graft-idxstats").toString
     assert(IvfIndex.driftRatio(dir).isEmpty)

@@ -123,11 +123,18 @@ class IvfSpec extends AnyFunSuite {
         } finally s.close()
       }
     }
-    val before = untouched.map(files)
+    val beforeAll = (0 until 8).map(b => b -> files(b)).toMap
 
     IvfIndex.maintainIndex(spark, path, "vec_id", upserts, deletes)
 
-    untouched.foreach(b => assert(files(b) === before.get,
+    // O(delta) writes: the maintenance fold APPENDS a delta generation —
+    // EVERY base bucket keeps its files byte-identical, touched or not
+    // (round 14 rewrote each touched bucket whole)
+    (0 until 8).foreach(b => assert(files(b) === beforeAll(b),
+      s"base bucket $b must keep its files under delta maintenance"))
+    assert(IvfIndex.deltaGens(s"$path/corpus").size === 1,
+      "one maintenance fold = one pending delta generation")
+    untouched.foreach(b => assert(files(b) === beforeAll(b),
       s"untouched bucket $b must keep its files"))
 
     val queries = postDml.where(col("vec_id") < 3)
@@ -147,15 +154,88 @@ class IvfSpec extends AnyFunSuite {
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(!all.exists(id => id % 11 == 3 && id % 7 != 1),
       "deleted ids must not surface as candidates")
-    // the maintained corpus row count matches the post-DML corpus exactly
-    assert(spark.read.parquet(s"$path/corpus").count() === postDml.count())
+    // the RESOLVED corpus row count matches the post-DML corpus exactly
+    assert(IvfIndex.readLayout(spark, s"$path/corpus", "vec_id").count()
+      === postDml.count())
     // and an upserted id's stored vector is its NEW normalized vector
     val movedId = upserts.select(col("vec_id")).orderBy(col("vec_id")).head().getLong(0)
-    val stored = spark.read.parquet(s"$path/corpus")
+    val stored = IvfIndex.readLayout(spark, s"$path/corpus", "vec_id")
       .where(col("vec_id") === movedId).select(col("v")).head().getSeq[Double](0)
     val fresh = upserts.where(col("vec_id") === movedId)
       .select(IvfIndex.normalized(col("embedding")).as("v")).head().getSeq[Double](0)
     assert(stored === fresh, "the upserted vector must replace the old version")
+
+    // COMPACTION folds base+deltas into a fresh base: pending generations
+    // disappear, the plain base read equals the resolved state, and the
+    // search answers are unchanged
+    val preCompact = fromIndex.collect().toSet
+    IvfIndex.compactLayout(spark, s"$path/corpus", "vec_id")
+    assert(IvfIndex.deltaGens(s"$path/corpus").isEmpty, "compaction clears deltas")
+    assert(spark.read.parquet(s"$path/corpus").count() === postDml.count())
+    val postCompact = IvfIndex
+      .searchIndex(spark, path, queries, "vec_id", "embedding", nprobe = 3, k = 5)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn")).collect().toSet
+    assert(postCompact === preCompact, "compaction must not change answers")
+    assert(!all.exists(id => id % 11 == 3 && id % 7 != 1)) // still no deleted ids
+  }
+
+  test("delta maintenance writes O(delta) bytes; repeated folds auto-compact") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .map(_.toSeq).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-lsm").toString
+    IvfIndex.writeIndex(emb, "vec_id", "embedding", centroids, path)
+    def treeBytes(p: String): Long = {
+      val d = JP.get(p)
+      if (!JF.isDirectory(d)) 0L
+      else {
+        val s = JF.walk(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(JF.isRegularFile(_)).map(JF.size).sum
+        } finally s.close()
+      }
+    }
+    val baseBytes = treeBytes(s"$path/corpus")
+    // a 3-id fold must write a small delta generation, not bucket-scale bytes
+    val tiny = emb.where(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id"), expr("transform(embedding, x -> -x)").as("embedding"))
+    IvfIndex.maintainIndex(spark, path, "vec_id", tiny, tiny.limit(0).select(col("vec_id")))
+    val deltaBytes = treeBytes(s"$path/corpus_deltas")
+    assert(deltaBytes > 0L && deltaBytes < baseBytes / 4,
+      s"delta generation ($deltaBytes B) must be far below the corpus ($baseBytes B)")
+    // drive folds past the pending threshold under a tiny override: the
+    // layout auto-compacts and stays correct
+    val saved = sys.props.get("graft.index.delta.maxpending")
+    sys.props("graft.index.delta.maxpending") = "3"
+    try {
+      (0 until 4).foreach { i =>
+        val up = emb.where(col("vec_id") === (10L + i))
+          .select(col("vec_id"), expr("transform(embedding, x -> -x)").as("embedding"))
+        IvfIndex.maintainIndex(spark, path, "vec_id", up, up.limit(0).select(col("vec_id")))
+      }
+      assert(IvfIndex.deltaGens(s"$path/corpus").size < 3,
+        "pending generations must fold once the threshold trips")
+    } finally {
+      saved match {
+        case Some(v) => sys.props("graft.index.delta.maxpending") = v
+        case None    => sys.props.remove("graft.index.delta.maxpending"); ()
+      }
+    }
+    // end state equals the post-DML ground truth exactly
+    val postDml = emb.select(col("vec_id"),
+      when(col("vec_id").isin(1L, 2L, 3L, 10L, 11L, 12L, 13L),
+        expr("transform(embedding, x -> -x)")).otherwise(col("embedding")).as("embedding"))
+    val got = IvfIndex
+      .searchIndex(spark, path, postDml.where(col("vec_id") < 3), "vec_id",
+        "embedding", nprobe = 8, k = 5)
+      .select(col("qid"), col("vec_id"), col("rn"))
+    val want = IvfIndex
+      .searchTopK(postDml, postDml.where(col("vec_id") < 3), "vec_id",
+        "embedding", centroids, nprobe = 8, k = 5)
+      .select(col("qid"), col("vec_id"), col("rn"))
+    assert(got.except(want).count() === 0L && want.except(got).count() === 0L)
   }
 }
 

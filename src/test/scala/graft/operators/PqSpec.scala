@@ -213,6 +213,14 @@ class PqSpec extends AnyFunSuite {
       s"untouched bucket $b must keep its files"))
     assert(fromIndex(postDml).except(inMemory(postDml)).count() === 0L)
     assert(inMemory(postDml).except(fromIndex(postDml)).count() === 0L)
+    // the RESOLVED layout (base + pending delta generations) matches the
+    // post-DML corpus; the base alone still holds superseded rows until
+    // compaction folds them away
+    assert(IvfIndex.readLayout(spark, s"$path/codes", "vec_id").count()
+      === postDml.count())
+    IvfIndex.compactLayout(spark, s"$path/codes", "vec_id")
     assert(spark.read.parquet(s"$path/codes").count() === postDml.count())
+    assert(fromIndex(postDml).except(inMemory(postDml)).count() === 0L,
+      "answers must survive layout compaction")
   }
 }

@@ -241,14 +241,17 @@ class MvRewriteSpec extends AnyFunSuite {
       finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
     assert(q.orderBy("grp").collect().toSeq === plain)
 
-    // SQL filter on the group column rides along; VERSION AS OF never does
+    // SQL filter on the group column rides along; VERSION AS OF at an
+    // ALIGNED maintenance txn rewrites to the view's pinned version too
+    // (round 15 — the dedicated SQL-VERSION-AS-OF test pins aligned vs
+    // mid-batch and value equality)
     val f = spark.sql(
       "SELECT grp, sum(v) AS s FROM gmv.t WHERE grp < 3 GROUP BY grp")
     assert(scanRoots(f).forall(_.contains("t_view")) && f.count() === 3)
     val tt = spark.sql(
       "SELECT grp, sum(v) AS s FROM gmv.t VERSION AS OF 2 GROUP BY grp")
-    assert(scanRoots(tt).isEmpty, // not rewritten: stays a DSv2 scan
-      "a time-travel catalog read must never rewrite")
+    assert(scanRoots(tt).nonEmpty && scanRoots(tt).forall(_.contains("t_view")),
+      "an aligned time-travel catalog read rewrites to the view's pinned version")
     MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
   }
 
@@ -557,6 +560,51 @@ class MvRewriteSpec extends AnyFunSuite {
     val qx = base.snapshot().groupBy("grp", "src")
       .agg(min(col("v") * (col("w") + 2L)).as("mn"))
     assert(scanRoots(qx).exists(_.contains("/base/")))
+    MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+  }
+
+  test("SQL VERSION AS OF rewrites at aligned txns and falls back mid-batch (catalog path)") {
+    val root = Files.createTempDirectory("graft-mv-sqlasof")
+    val base = MatDb.create(spark, baseSchema,
+      root.resolve("b").toString, "manifest")
+    val view = MatDb.create(spark, MatSchema(Seq(Dimension("grp", 1000)),
+      Seq(ValueCol("sum_v"), ValueCol("cnt"))),
+      root.resolve("bview").toString, "manifest")
+    // txn 1 maintained alone; txns 2+3 maintained as ONE range — the view
+    // has pinned versions at 1 and 3, not at 2
+    val t1 = base.newTransaction()
+    t1.addRowsSeq(for (i <- 0L until 60L) yield Seq[Any](i, i % 6, i * 10L))
+    t1.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 0L, 1L, "grp")
+    val t2 = base.newTransaction()
+    t2.addRowsSeq(Seq(Seq[Any](1000L, 99L, 7L))); t2.commit()
+    val t3 = base.newTransaction()
+    t3.addRowsSeq(Seq(Seq[Any](1001L, 98L, 9L))); t3.commit()
+    IncrementalAgg.maintainAbsoluteMulti(base, view, 1L, 3L, "grp")
+    base.registerMaterializedView(root.resolve("bview").toString)
+    val cat = "g15sqlasof"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    def q(version: Long) = spark.sql(
+      s"SELECT grp, sum(v) AS s, count(*) AS c FROM $cat.b VERSION AS OF $version " +
+        "GROUP BY grp ORDER BY grp")
+    // aligned txn 1: the SQL time-travel read is answered from the view's
+    // pinned version (a rewritten plan reads the view as a parquet
+    // LogicalRelation; an unrewritten one stays a DSv2 scan — scanRoots
+    // empty), and the txn-1 answers are exact
+    val q1 = q(1L)
+    assert(scanRoots(q1).nonEmpty && scanRoots(q1).forall(_.contains("/bview/")),
+      s"SQL VERSION AS OF at an aligned txn must rewrite: ${scanRoots(q1)}")
+    val rows1 = q1.collect()
+    assert(rows1.map(_.getLong(0)).toSeq === (0L until 6L))
+    assert(!rows1.exists(_.getLong(0) == 99L), "txn-2 rows must not leak into txn 1")
+    // mid-batch txn 2: no pinned view version — the DSv2 base scan answers
+    val q2 = q(2L)
+    assert(scanRoots(q2).isEmpty,
+      s"a mid-batch txn must fall back to the DSv2 base scan: ${scanRoots(q2)}")
+    assert(q2.collect().exists(_.getLong(0) == 99L))
+    // aligned txn 3 rewrites again
+    assert(scanRoots(q(3L)).nonEmpty && scanRoots(q(3L)).forall(_.contains("/bview/")))
     MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
   }
 
