@@ -254,8 +254,11 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     // close the advisory loop: the log alone only OBSERVES drift — warn
     // loudly (driver log) the moment the ratio crosses the threshold, so
     // an operator sees the re-train signal without polling index_stats
-    driftAdvisory(path).foreach(logWarning(_))
+    driftAdvisory(path).foreach(logDriftAdvisory)
   }
+
+  /** The advisory's log sink (shared with [[PqIndex.maintainIvfPq]]). */
+  private[operators] def logDriftAdvisory(msg: String): Unit = logWarning(msg)
 
   /** The index's drift-stats log: (seq, phase, n, mean_sqdist) rows —
     * `train` = the rebuild baseline, `maintain` = one row per maintenance

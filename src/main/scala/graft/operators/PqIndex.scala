@@ -293,6 +293,9 @@ object PqIndex {
       .unionByName(deletes.select(col(idCol))).distinct()
     IvfIndex.upsertBucketLayout(spark, s"$path/codes", idCol, newRows, touched)
     IndexStats.record(path, phase = "maintain", obs)
+    // same advisory loop as IvfIndex.maintainIndex: warn loudly the moment
+    // the maintain/train ratio crosses the threshold
+    IvfIndex.driftAdvisory(path).foreach(IvfIndex.logDriftAdvisory)
   }
 
   /** Persist a codebook as a (sub, code, weights) parquet table. */

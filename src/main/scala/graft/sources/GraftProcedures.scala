@@ -211,10 +211,20 @@ object GraftProcedures {
           val to = baseDb.txnWatermark
           val from = viewDb.txnWatermark // pinned clock = last maintained base txn
           val reached =
-            if (to > from)
-              graft.operators.IncrementalAgg.maintainAbsoluteMultiKeys(
+            if (to <= from) from
+            else
+              try graft.operators.IncrementalAgg.maintainAbsoluteMultiKeys(
                 baseDb, viewDb, from, to, viewDb.schema.dimNames)
-            else from
+              catch {
+                // a replace-kind base commit in range whose pre-state was
+                // vacuumed: the incremental delta is unrecoverable —
+                // REBUILD absolutely (one pinned replace), same recovery
+                // the streaming sink performs
+                case e: IllegalStateException
+                    if Option(e.getMessage).exists(_.contains("replace-kind commit")) =>
+                  graft.operators.IncrementalAgg.rebuild(
+                    baseDb, viewDb, to, viewDb.schema.dimNames)
+              }
           new GenericInternalRow(Array[Any](reached))
       }
       case "index_stats" => procRows("index_stats",

@@ -400,6 +400,31 @@ object Streams {
               }}
               Await.result(Future.sequence(folds), Duration.Inf).foreach(_.get)
             } finally { delta.unpersist(); () }
+            // FILE MAINTENANCE for the views themselves: every maintenance
+            // commit adds a segment set, so a long-lived view accumulates
+            // one commit per micro-batch FOREVER — at 100 TB that is the
+            // small-files + O(commits-ever) metadata problem the table
+            // engine already solves with checkpointIfNeeded. Opt-in knob
+            // (`graft.mview.checkpoint.maxsegments`, default 0 = off;
+            // retained txns via `.retain`, default 16): once a view
+            // crosses the threshold, history below the retention folds
+            // into one baseline — the fold reuses the folded horizon's own
+            // (pinned) txn id, so the maintenance clock, replay detection,
+            // and the MV-rewrite alignment witness at that txn all
+            // survive; time travel below the fold is reclaimed (asOf
+            // rewrites there fail closed to the base, never wrong). Runs
+            // AFTER all folds completed, under the sink's single-writer
+            // contract — the one serialization point the checkpoint
+            // concurrency rules bless.
+            val maxSegs = sys.props.get("graft.mview.checkpoint.maxsegments")
+              .map(_.toInt).getOrElse(0)
+            if (maxSegs > 0) {
+              val retain = sys.props.get("graft.mview.checkpoint.retain")
+                .map(_.toInt).getOrElse(16)
+              pending.foreach { case (v, _) =>
+                v.checkpointIfNeeded(maxSegs, retain); ()
+              }
+            }
           }
         }
         ()

@@ -523,6 +523,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(viewState() === recompute())
   }
 
+  test("view-maintenance sink: opt-in checkpointing bounds the view's commit history") {
+    import spark.implicits._
+    import graft.core.{Dimension, MatDb, MatSchema, ValueCol}
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val dec = DecimalType(18, 4)
+    val basePath = Files.createTempDirectory("graft-vckpt-base").toString
+    val base = MatDb.create(spark,
+      MatSchema(Seq(Dimension("k", 100)),
+        Seq(ValueCol("g", LongType), ValueCol("v", dec))), basePath, "manifest")
+    val view = MatDb.create(spark,
+      MatSchema(Seq(Dimension("g", 100)),
+        Seq(ValueCol("sum_v", dec), ValueCol("cnt", LongType))),
+      Files.createTempDirectory("graft-vckpt-view").toString, "manifest")
+    val checkpoint = Files.createTempDirectory("graft-vckpt-ckpt").toString
+    def df(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("k", "g", "vs").select($"k", $"g", $"vs".cast(dec).as("v"))
+    def runOnce(): Unit = {
+      val q = Streams.viewMaintSink(
+        spark.readStream.format("graft-stream").load(basePath),
+        basePath, view, "g", "v", checkpoint).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val saved = sys.props.get("graft.mview.checkpoint.maxsegments")
+    sys.props("graft.mview.checkpoint.maxsegments") = "4"
+    sys.props("graft.mview.checkpoint.retain") = "2"
+    try {
+      // 10 base commits, each its own maintenance fold: WITHOUT the knob
+      // the view would hold ~10 commit sets; the policy folds history
+      // below the retention into one baseline as it crosses the threshold
+      (0 until 10).foreach { i =>
+        val t = base.newTransaction()
+        t.addRows(df(Seq((i.toLong, i.toLong % 3, s"$i.0000")))); t.commit()
+        runOnce()
+      }
+      view.refresh()
+      val txns = view.committedSegments.map(_.txnId).distinct
+      assert(txns.size <= 5,
+        s"view history must stay bounded under the checkpoint policy: $txns")
+      val want = base.snapshot().groupBy($"g")
+        .agg(sum($"v").cast(dec).as("s"), count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString,
+          r.getLong(2))).toSet
+      val got = view.snapshot().collect()
+        .map(r => (r.getLong(0), r.getDecimal(1).toPlainString, r.getLong(2))).toSet
+      assert(got === want, "the folded view must still equal a recompute")
+      // the folded baseline reuses its horizon's own pinned txn id: the
+      // maintenance clock stays monotone and the next fold still lands
+      val t = base.newTransaction()
+      t.addRows(df(Seq((100L, 9L, "1.0000")))); t.commit()
+      runOnce()
+      view.refresh()
+      assert(view.txnWatermark === base.txnWatermark)
+      assert(view.snapshot().where($"g" === 9L).count() === 1)
+    } finally {
+      saved match {
+        case Some(v) => sys.props("graft.mview.checkpoint.maxsegments") = v
+        case None => sys.props.remove("graft.mview.checkpoint.maxsegments"); ()
+      }
+      sys.props.remove("graft.mview.checkpoint.retain")
+      ()
+    }
+  }
+
   test("view-maintenance sink: one failing view's folds drain; siblings commit") {
     import spark.implicits._
     import graft.core.{Dimension, MatDb, MatSchema, ValueCol}

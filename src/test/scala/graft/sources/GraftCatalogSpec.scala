@@ -720,6 +720,45 @@ class GraftCatalogSpec extends AnyFunSuite {
     Seq("cbo_fact", "cbo_d1", "cbo_d2").foreach(t => spark.sql(s"DROP TABLE gcat.$t"))
   }
 
+  test("CALL maintain_mview rebuilds when the incremental delta is unrecoverable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    // base keyed by k with group g and value v; the view is its aggregate
+    val bschema = MatSchema(Seq(Dimension("k", 100)),
+      Seq(ValueCol("g", org.apache.spark.sql.types.LongType),
+        ValueCol("v", org.apache.spark.sql.types.LongType)))
+    val base = MatDb.create(spark, bschema,
+      root.resolve("mvreb").toString, "manifest")
+    val view = MatDb.create(spark, MatSchema(Seq(Dimension("g", 100)),
+      Seq(ValueCol("sum_v", org.apache.spark.sql.types.LongType),
+        ValueCol("cnt", org.apache.spark.sql.types.LongType))),
+      root.resolve("mvreb_view").toString, "manifest")
+    val t1 = base.newTransaction()
+    t1.addRows((0L until 12L).map(k => (k, k % 3, k)).toDF("k", "g", "v")); t1.commit()
+    spark.sql("CALL gcat.system.maintain_mview('mvreb', 'mvreb_view')").collect()
+    view.refresh() // the CALL maintained through its own handle
+    assert(view.snapshot().count() === 3)
+    // TRUNCATE (segment-less replace) + re-seed + vacuum: the incremental
+    // range (1, 3] is unrecoverable — the procedure must fall back to the
+    // absolute pinned rebuild instead of failing
+    spark.sql("TRUNCATE TABLE gcat.mvreb")
+    base.refresh() // chase the catalog's truncate commit (txn-id floor too)
+    val t3 = base.newTransaction()
+    t3.addRows(Seq((1L, 1L, 5L), (20L, 7L, 9L)).toDF("k", "g", "v")); t3.commit()
+    base.vacuum()
+    val reached = spark.sql(
+      "CALL gcat.system.maintain_mview('mvreb', 'mvreb_view')").collect()(0).getLong(0)
+    assert(reached === base.txnWatermark)
+    view.refresh()
+    val want = base.snapshot().groupBy(col("g"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = view.snapshot().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, "the rebuild must restore the exact aggregate")
+    assert(got.map(_._1) === Set(1L, 7L), "pre-truncate groups are gone")
+  }
+
   test("storage-partitioned join: chunk-aligned graft tables join with zero exchanges") {
     root
     Seq("spj_a", "spj_b", "spj_c", "spj_i").foreach(t => spark.sql(s"DROP TABLE IF EXISTS gcat.$t"))
