@@ -269,8 +269,16 @@ object Pipeline {
          |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
       val norm = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      // localCheckpoint before the global sort: the RangePartitioner's
+      // sampling pass otherwise re-evaluates the whole projection — two
+      // regex normalizations over EVERY document's full text just to learn
+      // doc_id boundaries. Materializing the (narrow: id + two hashes)
+      // result first makes the sample and the sort read ~60 B/row instead
+      // of re-reading and re-normalizing the corpus (the q32 dictionary
+      // pattern; at sf1 this was the battery's worst scale ratio).
       table(s, d, "documents").select(
         col("doc_id"), md5(norm).as("fp_md5"), h56(norm).as("fp56"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     },
 
