@@ -421,8 +421,13 @@ object Streams {
             if (maxSegs > 0) {
               val retain = sys.props.get("graft.mview.checkpoint.retain")
                 .map(_.toInt).getOrElse(16)
+              // manifest-protocol views only: checkpoint's atomic fold
+              // needs the conditional-put publish (a rename-protocol view
+              // simply skips — the knob must never crash the stream)
               pending.foreach { case (v, _) =>
-                v.checkpointIfNeeded(maxSegs, retain); ()
+                if (v.protocol == graft.core.Storage.ManifestProtocol) {
+                  v.checkpointIfNeeded(maxSegs, retain); ()
+                }
               }
             }
           }
