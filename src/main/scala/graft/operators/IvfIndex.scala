@@ -407,17 +407,25 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     }
   }
 
-  /** The resolved live (id, bucket) pairs only — the maintenance fold's
-    * old-bucket lookup. Column-pruned: parquet reads just the id bytes of
-    * the base (never the vectors/codes); delta generations are O(deltas). */
+  /** The resolved live (id, bucket) pairs of the TOUCHED ids only — the
+    * maintenance fold's old-bucket lookup. The touched semi-join sits
+    * BELOW the newest-wins resolve (per-id resolution only needs that
+    * id's own rows), so the base contributes a column-pruned id scan
+    * streamed through one broadcast join — the resolve aggregate then
+    * shuffles O(touched ids), never the corpus. Resolving first and
+    * joining after would hash-shuffle every corpus id per fold — at
+    * 100 TB with k=4096 that is a full-corpus exchange per micro-batch. */
   private def readLayoutIds(spark: org.apache.spark.sql.SparkSession,
-      layoutPath: String, idCol: String): DataFrame = {
-    val base = spark.read.parquet(layoutPath)
+      layoutPath: String, idCol: String, touched: DataFrame): DataFrame = {
+    def restrict(df: DataFrame): DataFrame =
+      df.join(broadcast(touched), Seq(idCol), "left_semi")
+    val base = restrict(spark.read.parquet(layoutPath)
+      .select(col(idCol), col("bucket")))
       .select(col(idCol), col("bucket"), lit(0L).as("_gen"), lit(false).as("_del"))
     val gens = deltaGens(layoutPath)
     val all = if (gens.isEmpty) base else base.unionByName(
-      gens.map(g => spark.read.parquet(g.toString)).reduce(_ unionByName _)
-        .select(col(idCol), col("bucket"), col("_gen"), col("_del")))
+      restrict(gens.map(g => spark.read.parquet(g.toString)).reduce(_ unionByName _)
+        .select(col(idCol), col("bucket"), col("_gen"), col("_del"))))
     all.groupBy(col("bucket"), col(idCol))
       .agg(max_by(col("_del"), col("_gen")).as("_del"))
       .where(!col("_del"))
@@ -502,8 +510,7 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     // bucket its new version lands in (a pure delete has no new version);
     // payload columns are null — the id + bucket + generation is the fact
     val newBuckets = newRowsIn.select(col(idCol), col("bucket").as("_nb"))
-    val tomb = readLayoutIds(spark, layoutPath, idCol)
-      .join(broadcast(touchedIn), Seq(idCol), "left_semi")
+    val tomb = readLayoutIds(spark, layoutPath, idCol, touchedIn)
       .join(broadcast(newBuckets), Seq(idCol), "left")
       .where(col("_nb").isNull || col("_nb") =!= col("bucket"))
       .select(col(idCol) +:
