@@ -526,9 +526,24 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     graft.core.Storage.deleteRecursively(tmpDir)
     graft.core.Storage.deleteRecursively(finalDir)
     generation.write.partitionBy("bucket").parquet(tmpDir.toString)
-    java.nio.file.Files.move(tmpDir, finalDir)
-    if (deltaGens(layoutPath).size >= maxPendingGens)
-      compactLayout(spark, layoutPath, idCol)
+    // an ALL-SILENT fold (empty upserts and deletes — e.g. a micro-batch
+    // whose delta netted to same-value rewrites) produces a data-file-less
+    // directory; committing it would poison every later read (parquet
+    // schema inference fails on an empty root). Checked driver-side on the
+    // just-written tree — no extra Spark job.
+    val hasData = {
+      val s = java.nio.file.Files.walk(tmpDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+      } finally s.close()
+    }
+    if (!hasData) graft.core.Storage.deleteRecursively(tmpDir)
+    else {
+      java.nio.file.Files.move(tmpDir, finalDir)
+      if (deltaGens(layoutPath).size >= maxPendingGens)
+        compactLayout(spark, layoutPath, idCol)
+    }
   }
 
   /** Top-k cosine search against a [[writeIndex]] layout. The probed
