@@ -432,6 +432,34 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       .select(col(idCol), col("bucket"))
   }
 
+  /** No data file anywhere under the layout OR its pending generations —
+    * the nothing-to-search state (a fresh bootstrap index, or an index
+    * whose whole corpus was retired and compacted away). */
+  private[operators] def layoutIsEmpty(layoutPath: String): Boolean = {
+    def noParquet(p: java.nio.file.Path): Boolean =
+      !java.nio.file.Files.isDirectory(p) || {
+        val s = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          !s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+        } finally s.close()
+      }
+    noParquet(java.nio.file.Paths.get(layoutPath)) &&
+      deltaGens(layoutPath).forall(noParquet)
+  }
+
+  /** The (qid, id, score, rn) empty frame a candidate-less search returns
+    * (id typed like the query's id column). */
+  private[operators] def emptySearchResult(
+      spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = queries.schema(idCol).dataType
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("qid", idType), StructField(idCol, idType),
+        StructField("score", DoubleType), StructField("rn", LongType))))
+  }
+
   /** Pending generations allowed before [[compactLayout]] auto-triggers. */
   private[operators] def maxPendingGens: Int =
     sys.props.get("graft.index.delta.maxpending").map(_.toInt).getOrElse(8)
@@ -555,6 +583,10 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       queries: DataFrame, idCol: String, vecCol: String, nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorOps.register(spark)
+    // an EMPTY layout (bootstrap writeIndex, or a truncate-driven rebuild
+    // before the first re-seed fold) has no candidates — and no data files
+    // to infer a schema from: answer the empty result instead of crashing
+    if (layoutIsEmpty(s"$path/corpus")) return emptySearchResult(spark, queries, idCol)
     val centroids = readCentroids(spark, path).map(_.toSeq).toSeq
     val q = probes(
       queries.select(col(idCol).as("qid"), normalized(col(vecCol)).as("qv")),

@@ -255,6 +255,16 @@ object PqIndex {
       queries: DataFrame, idCol: String, vecCol: String,
       nprobe: Int, k: Int, shortlist: Int): DataFrame = {
     graft.functions.VectorOps.register(spark)
+    // empty codes layout (bootstrap / fully-retired corpus): empty answer,
+    // not a schema-inference crash — same guard as IvfIndex.searchIndex
+    if (IvfIndex.layoutIsEmpty(s"$path/codes")) {
+      import org.apache.spark.sql.types._
+      val idType = queries.schema(idCol).dataType
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("qid", idType), StructField(idCol, idType),
+          StructField("dist", DoubleType), StructField("rn", LongType))))
+    }
     val centroids = IvfIndex.readCentroids(spark, path).map(_.toSeq).toSeq
     val cb = readCodebook(spark, s"$path/codebook")
     val probes = IvfIndex.probes(

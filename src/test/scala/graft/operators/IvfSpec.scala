@@ -179,6 +179,20 @@ class IvfSpec extends AnyFunSuite {
     assert(!all.exists(id => id % 11 == 3 && id % 7 != 1)) // still no deleted ids
   }
 
+  test("searching an EMPTY index answers empty, not a schema-inference crash") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = IvfIndex.train(emb.limit(16), "vec_id", "embedding", k = 2, iters = 1)
+      .map(_.toSeq).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-empty").toString
+    // bootstrap-empty index (the streaming sink's starting state — also
+    // what a truncate-driven rebuild leaves before the first re-seed fold)
+    IvfIndex.writeIndex(emb.limit(0), "vec_id", "embedding", centroids, path)
+    val got = IvfIndex.searchIndex(spark, path, emb.limit(2),
+      "vec_id", "embedding", nprobe = 2, k = 3)
+    assert(got.columns.toSeq === Seq("qid", "vec_id", "score", "rn"))
+    assert(got.count() === 0L)
+  }
+
   test("delta maintenance writes O(delta) bytes; repeated folds auto-compact") {
     import java.nio.file.{Files => JF, Paths => JP}
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
