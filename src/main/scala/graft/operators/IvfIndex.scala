@@ -173,10 +173,21 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     val s = java.nio.file.Files.walk(dir)
     try {
       import scala.jdk.CollectionConverters._
-      s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
-        .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis ^
-          (java.nio.file.Files.size(p) << 20))
-        .foldLeft(0L)(_ ^ _)
+      // FNV-1a over the SORTED (relative path, mtime, size) tuples — a
+      // position-sensitive hash, unlike the old XOR fold, where two files
+      // with equal per-file stamps cancelled to 0 and a same-size rewrite
+      // within mtime granularity kept the fingerprint unchanged (a
+      // retrained index would then be maintained with stale geometry)
+      val tuples = s.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => s"${dir.relativize(p)}|" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}|" +
+          s"${java.nio.file.Files.size(p)}")
+        .toSeq.sorted
+      var h = 0xcbf29ce484222325L
+      tuples.foreach(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L })
+      h
     } finally s.close()
   }
 
@@ -385,9 +396,8 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       idCol: String, buckets: Option[Seq[Int]] = None): DataFrame = {
     def prune(df: DataFrame): DataFrame =
       buckets.fold(df)(bs => df.where(col("bucket").isin(bs: _*)))
-    val base = prune(spark.read.parquet(layoutPath))
     val gens = deltaGens(layoutPath)
-    if (gens.isEmpty) base
+    if (gens.isEmpty) prune(spark.read.parquet(layoutPath))
     else {
       // one read per generation root (each is its own bucket-partitioned
       // tree — a multi-root read trips partition-structure inference);
@@ -395,15 +405,24 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       // pushes into every leg
       val deltas = prune(gens.map(g => spark.read.parquet(g.toString))
         .reduce(_ unionByName _))
-      val all = base.withColumn("_gen", lit(0L)).withColumn("_del", lit(false))
-        .unionByName(deltas)
-      val dataCols = base.columns.filterNot(c => c == idCol || c == "bucket").toSeq
+      // a parquet-less base (an interrupted compaction removed every
+      // emptied live bucket before clearing the deltas) contributes an
+      // empty frame with the delta-derived schema instead of crashing
+      // parquet schema inference on the bare root
+      val base =
+        if (hasParquet(java.nio.file.Paths.get(layoutPath)))
+          prune(spark.read.parquet(layoutPath))
+            .withColumn("_gen", lit(0L)).withColumn("_del", lit(false))
+        else deltas.limit(0)
+      val all = base.unionByName(deltas)
+      val outCols = deltas.columns.filterNot(c => c == "_gen" || c == "_del").toSeq
+      val dataCols = outCols.filterNot(c => c == idCol || c == "bucket")
       val aggs = dataCols.map(c => max_by(col(c), col("_gen")).as(c)) :+
         max_by(col("_del"), col("_gen")).as("_del")
       all.groupBy(col("bucket"), col(idCol))
         .agg(aggs.head, aggs.tail: _*)
         .where(!col("_del"))
-        .select(base.columns.map(col).toSeq: _*)
+        .select(outCols.map(col): _*)
     }
   }
 
@@ -419,8 +438,10 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       layoutPath: String, idCol: String, touched: DataFrame): DataFrame = {
     def restrict(df: DataFrame): DataFrame =
       df.join(broadcast(touched), Seq(idCol), "left_semi")
-    val base = restrict(spark.read.parquet(layoutPath)
-      .select(col(idCol), col("bucket")))
+    // a parquet-less base (interrupted compaction) holds no live ids
+    val base = (if (hasParquet(java.nio.file.Paths.get(layoutPath)))
+        restrict(spark.read.parquet(layoutPath).select(col(idCol), col("bucket")))
+      else touched.select(col(idCol), lit(0).cast("int").as("bucket")).limit(0))
       .select(col(idCol), col("bucket"), lit(0L).as("_gen"), lit(false).as("_del"))
     val gens = deltaGens(layoutPath)
     val all = if (gens.isEmpty) base else base.unionByName(
@@ -432,21 +453,23 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       .select(col(idCol), col("bucket"))
   }
 
+  /** Any `.parquet` data file under `p`? (schema inference fails on a
+    * data-file-less root, so every base read checks this first). */
+  private def hasParquet(p: java.nio.file.Path): Boolean =
+    java.nio.file.Files.isDirectory(p) && {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+      } finally s.close()
+    }
+
   /** No data file anywhere under the layout OR its pending generations —
     * the nothing-to-search state (a fresh bootstrap index, or an index
     * whose whole corpus was retired and compacted away). */
-  private[operators] def layoutIsEmpty(layoutPath: String): Boolean = {
-    def noParquet(p: java.nio.file.Path): Boolean =
-      !java.nio.file.Files.isDirectory(p) || {
-        val s = java.nio.file.Files.walk(p)
-        try {
-          import scala.jdk.CollectionConverters._
-          !s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
-        } finally s.close()
-      }
-    noParquet(java.nio.file.Paths.get(layoutPath)) &&
-      deltaGens(layoutPath).forall(noParquet)
-  }
+  private[operators] def layoutIsEmpty(layoutPath: String): Boolean =
+    !hasParquet(java.nio.file.Paths.get(layoutPath)) &&
+      deltaGens(layoutPath).forall(p => !hasParquet(p))
 
   /** The (qid, id, score, rn) empty frame a candidate-less search returns
     * (id typed like the query's id column). */
@@ -472,26 +495,59 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * anywhere is harmless). */
   def compactLayout(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String, idCol: String): Unit = {
-    if (deltaGens(layoutPath).isEmpty) return
     val tmp = java.nio.file.Paths.get(s"$layoutPath.compact.tmp")
+    val freshMarker = tmp.resolve("_FRESH")
+    // a COMPLETE tmp from an interrupted prior run (its _FRESH manifest
+    // was the write's last step) holds the only full copy of the buckets
+    // not yet swapped in — FINISH its swap instead of deleting it (the
+    // old delete-first recovery lost any bucket whose live dir was
+    // removed before the crash). An incomplete tmp (no _FRESH) is
+    // discarded: nothing was swapped yet, so base + deltas are intact.
+    if (java.nio.file.Files.exists(freshMarker)) { finishSwap(layoutPath); return }
     graft.core.Storage.deleteRecursively(tmp)
+    if (deltaGens(layoutPath).isEmpty) return
     readLayout(spark, layoutPath, idCol)
       .write.partitionBy("bucket").parquet(tmp.toString)
-    import scala.jdk.CollectionConverters._
-    def bucketDirs(p: java.nio.file.Path): Seq[java.nio.file.Path] =
-      if (!java.nio.file.Files.isDirectory(p)) Seq.empty
-      else {
-        val s = java.nio.file.Files.list(p)
-        try s.iterator().asScala.toSeq
-          .filter(_.getFileName.toString.startsWith("bucket="))
-        finally s.close()
-      }
+    // completion point: record the fold's bucket set, then swap. Every
+    // step after this line is idempotent and replayed by finishSwap on
+    // the next maintenance call if we crash anywhere inside it.
+    val names = bucketDirs(tmp).map(_.getFileName.toString)
+    val tmpList = tmp.resolve("_FRESH.tmp")
+    java.nio.file.Files.write(tmpList,
+      names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmpList, freshMarker)
+    finishSwap(layoutPath)
+  }
+
+  private def bucketDirs(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("bucket="))
+      finally s.close()
+    }
+
+  /** The idempotent tail of [[compactLayout]]: swap each fresh bucket from
+    * the completed `.compact.tmp` into the live layout (skipping buckets a
+    * prior attempt already moved), remove live buckets the fold emptied,
+    * then clear the delta generations and the tmp — in that order, so a
+    * crash at ANY point leaves a state this method finishes from. */
+  private def finishSwap(layoutPath: String): Unit = {
+    val tmp = java.nio.file.Paths.get(s"$layoutPath.compact.tmp")
     val live = java.nio.file.Paths.get(layoutPath)
-    val fresh = bucketDirs(tmp).map(_.getFileName.toString).toSet
-    bucketDirs(tmp).foreach { b =>
-      val target = live.resolve(b.getFileName.toString)
-      graft.core.Storage.deleteRecursively(target)
-      java.nio.file.Files.move(b, target)
+    val fresh = new String(
+      java.nio.file.Files.readAllBytes(tmp.resolve("_FRESH")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).toSet
+    fresh.foreach { name =>
+      val src = tmp.resolve(name)
+      if (java.nio.file.Files.isDirectory(src)) {
+        val target = live.resolve(name)
+        graft.core.Storage.deleteRecursively(target)
+        java.nio.file.Files.move(src, target)
+      } // else: already swapped by a prior attempt
     }
     // buckets absent from the fold were emptied entirely by tombstones
     bucketDirs(live).filterNot(b => fresh.contains(b.getFileName.toString))

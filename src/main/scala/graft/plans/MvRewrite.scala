@@ -287,10 +287,16 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // null-insensitive on both sides (SQL count(distinct) skips nulls;
       // the view excludes null-dimension rows). Any other DISTINCT
       // aggregate has no maintained decomposition.
+      // the view GRAIN must be exactly (group keys + the distinct column):
+      // a view keyed by (grp, day, u) answering GROUP BY grp with
+      // count(DISTINCT u) would count live (day, u) CELLS, overcounting u
+      // values that appear under several day cells — so any extra
+      // dimension beyond the distinct column disqualifies the view.
       if (ae.isDistinct) return ae.aggregateFunction match {
         case c: Count => c.children match {
           case Seq(a: Attribute) if rollup && !gNames.contains(a.name) &&
-              view.schema.dimNames.contains(a.name) =>
+              view.schema.dimNames.toSet == gNames + a.name &&
+              view.schema.dimNames.size == gs.size + 1 =>
             vAttr(a.name).map { v =>
               val e: Expression = Count(Seq(v)).toAggregateExpression()
               if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)

@@ -281,6 +281,13 @@ object GraftProcedures {
           val dir = parts.foldLeft(root)(_.resolve(_))
           require(java.nio.file.Files.isDirectory(dir.resolve("centroids")),
             s"'$ix' is not an index layout (no centroids/ under it)")
+          // IvfIndex.retrain re-trains the $path/corpus layout; an IVF-PQ
+          // index (codes/ layout) also has centroids/ but no corpus — give
+          // it a clear answer instead of a raw path-does-not-exist crash
+          require(java.nio.file.Files.isDirectory(dir.resolve("corpus")),
+            s"'$ix' has no corpus/ layout — retrain_index serves IVF " +
+              "indexes only; an IVF-PQ index (codes/ layout) is rebuilt by " +
+              "re-running PqIndex.writeIvfPq over its source vectors")
           val spark = SparkSession.active
           graft.operators.IvfIndex.retrain(spark, dir.toString)
           new GenericInternalRow(Array[Any](

@@ -179,6 +179,79 @@ class IvfSpec extends AnyFunSuite {
     assert(!all.exists(id => id % 11 == 3 && id % 7 != 1)) // still no deleted ids
   }
 
+  test("an interrupted compaction resumes losslessly; a parquet-less base still reads") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(200)
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .map(_.toSeq).toSeq
+    val path = JF.createTempDirectory("graft-ivf-crash").toString
+    IvfIndex.writeIndex(emb, "vec_id", "embedding", centroids, path)
+    val layout = s"$path/corpus"
+    // one fold: a few upserts (antipodes move buckets) + a few deletes
+    val ups = emb.where(col("vec_id") % 9 === 1)
+      .select(col("vec_id"), expr("transform(embedding, x -> -x)").as("embedding"))
+    val dels = emb.where(col("vec_id") % 13 === 2 && col("vec_id") % 9 =!= 1)
+      .select(col("vec_id"))
+    IvfIndex.maintainIndex(spark, path, "vec_id", ups, dels)
+    assert(IvfIndex.deltaGens(layout).nonEmpty)
+    val expected = IvfIndex.readLayout(spark, layout, "vec_id")
+      .orderBy("vec_id").collect().toSeq
+
+    // CRASH SIM at the worst window: the fold landed in .compact.tmp and
+    // its _FRESH completion marker was written, a live bucket was deleted,
+    // the fresh copy was NOT yet moved in — the pre-fix delete-tmp-first
+    // recovery lost that bucket's base rows permanently
+    val tmp = JP.get(s"$layout.compact.tmp")
+    IvfIndex.readLayout(spark, layout, "vec_id")
+      .write.partitionBy("bucket").parquet(tmp.toString)
+    val freshNames = {
+      val s = JF.list(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("bucket=")).toSeq.sorted
+      } finally s.close()
+    }
+    JF.write(tmp.resolve("_FRESH"), freshNames.mkString("\n").getBytes("UTF-8"))
+    val victim = freshNames.head
+    graft.core.Storage.deleteRecursively(JP.get(s"$layout/$victim"))
+    // next compaction call must FINISH the interrupted swap from tmp
+    IvfIndex.compactLayout(spark, layout, "vec_id")
+    assert(IvfIndex.deltaGens(layout).isEmpty, "compaction clears deltas")
+    assert(!JF.exists(tmp), "tmp cleared after the finished swap")
+    assert(spark.read.parquet(layout).orderBy("vec_id").collect().toSeq
+      === expected, "resumed compaction must be lossless")
+
+    // an INCOMPLETE tmp (no _FRESH) is discarded and compaction reruns
+    IvfIndex.maintainIndex(spark, path, "vec_id", ups, dels.limit(0))
+    JF.createDirectories(tmp)
+    JF.write(tmp.resolve("part-junk.parquet.tmp"), Array[Byte](1, 2, 3))
+    val expected2 = IvfIndex.readLayout(spark, layout, "vec_id")
+      .orderBy("vec_id").collect().toSeq
+    IvfIndex.compactLayout(spark, layout, "vec_id")
+    assert(IvfIndex.deltaGens(layout).isEmpty && !JF.exists(tmp))
+    assert(spark.read.parquet(layout).orderBy("vec_id").collect().toSeq
+      === expected2)
+
+    // PARQUET-LESS BASE + pending deltas (interrupted compaction removed
+    // every emptied live bucket): readLayout answers from the deltas
+    // instead of crashing schema inference on the bare root
+    IvfIndex.maintainIndex(spark, path, "vec_id", ups, dels.limit(0))
+    val liveBuckets = {
+      val s = JF.list(JP.get(layout))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.getFileName.toString.startsWith("bucket="))
+          .toSeq
+      } finally s.close()
+    }
+    liveBuckets.foreach(graft.core.Storage.deleteRecursively)
+    val resolved = IvfIndex.readLayout(spark, layout, "vec_id")
+    // only the last fold's upserts survive (base rows are gone by sim)
+    assert(resolved.count() === ups.count())
+    assert(resolved.columns.contains("vec_id") && resolved.columns.contains("v"))
+  }
+
   test("searching an EMPTY index answers empty, not a schema-inference crash") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val centroids = IvfIndex.train(emb.limit(16), "vec_id", "embedding", k = 2, iters = 1)

@@ -518,6 +518,49 @@ class MvRewriteSpec extends AnyFunSuite {
     MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
   }
 
+  test("count(DISTINCT d) refuses a helper view with EXTRA dimensions") {
+    // view keyed by (grp, day, user_id): counting its live rows per grp
+    // counts (day, user_id) CELLS — a user active on several days would be
+    // counted once per day. The rewrite must require the view grain to be
+    // exactly (group keys + distinct column) and fall back to the base here.
+    val root = Files.createTempDirectory("graft-mv-cdx")
+    val base = MatDb.create(spark, MatSchema(Seq(Dimension("event_id", 100)),
+      Seq(ValueCol("grp"), ValueCol("day"), ValueCol("user_id"))),
+      root.resolve("base").toString, "manifest")
+    val helper = MatDb.create(spark, MatSchema(
+      Seq(Dimension("grp", 1000), Dimension("day", 1000),
+        Dimension("user_id", 1000)),
+      Seq(ValueCol("cnt"))),
+      root.resolve("view").toString, "manifest")
+    val t1 = base.newTransaction()
+    // user u = i % 5 appears under day = i % 3: every user spans all 3 days
+    t1.addRowsSeq(for (i <- 0L until 60L) yield Seq[Any](i, i % 2, i % 3, i % 5))
+    t1.commit()
+    IncrementalAgg.maintainAbsoluteMultiKeys(base, helper, 0L, 1L,
+      Seq("grp", "day", "user_id"))
+    base.registerMaterializedView(root.resolve("view").toString)
+    val q = base.snapshot().groupBy("grp")
+      .agg(countDistinct(col("user_id")).as("u")).orderBy("grp")
+    assert(scanRoots(q).exists(_.contains("/base/")),
+      s"over-grain helper view must NOT serve count(distinct): ${scanRoots(q)}")
+    // and the answer is the true distinct count (5 users per grp), not the
+    // 15 (day, user) cells the bad rewrite would have counted
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((0L, 5L), (1L, 5L)))
+    // the exact-grain rollup still rewrites: GROUP BY (grp, day) counting
+    // DISTINCT user_id over the (grp, day, user_id) view
+    val q2 = base.snapshot().groupBy("grp", "day")
+      .agg(countDistinct(col("user_id")).as("u"))
+    assert(scanRoots(q2).nonEmpty && scanRoots(q2).forall(_.contains("/view/")),
+      s"exact-grain count(distinct) must still rewrite, got ${scanRoots(q2)}")
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val truth2 =
+      try q2.orderBy("grp", "day").collect().toSeq
+      finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    assert(q2.orderBy("grp", "day").collect().toSeq === truth2)
+    MvRegistry.dropRoot(base.root.toAbsolutePath.toString)
+  }
+
   test("declared EXPRESSION min/max rewrite like columns (and roll up)") {
     val root = Files.createTempDirectory("graft-mv-xmm")
     val base = MatDb.create(spark, MatSchema(Seq(Dimension("event_id", 100)),
