@@ -32,6 +32,19 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // let AQE re-partition CACHED plans too (off by default): the
+      // maintenance folds persist O(batch)-row frames whose shuffles
+      // otherwise always run at the full spark.sql.shuffle.partitions —
+      // with this on, partition counts follow DATA SIZE at every scale
+      // (guide §2.2's size-the-partitions rule, extended to cached frames;
+      // measured −1.0 s on q153/q141/q117 each at sf0.1)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // prefer hash joins when a side fits per-partition (guide §3.1: no
+      // sort, spill-safe via AQE), and let AQE demote SMJ→SHJ at runtime;
+      // both are size-conditioned, so they scale with the data, not the
+      // host
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -238,7 +238,12 @@ final class Transaction private[core] (
       Storage.stampClaim(target)
       all
         .repartition(chunkCols: _*)
-        .sortWithinPartitions(schema.dimNames.map(col): _*)
+        // sort by (chunk cols, dims): the chunk-col prefix satisfies the
+        // partitioned write's required ordering, so V1Writes inserts NO
+        // second sort (one sort per flush, not two) — and the dims order
+        // within each chunk directory is now guaranteed by THIS sort
+        // rather than by the stability of the writer's own partition sort
+        .sortWithinPartitions((chunkCols ++ schema.dimNames.map(col)): _*)
         .write.mode("append")
         .option("compression", "zstd")
         .options(Storage.parquetWriteOptions(Storage.readProps(db.root)))

@@ -56,13 +56,22 @@ object CountMin {
   }
 
   /** Per-group CM counters (groupCols..., i, slot, c) — only occupied
-    * slots appear; absent ⇒ 0 ([[estimate]] coalesces). One scan, one
-    * aggregate. */
+    * slots appear; absent ⇒ 0 ([[estimate]] coalesces). One scan, two
+    * aggregates: rows pre-aggregate to (key, n) BEFORE the D-way hash
+    * explode, so the md5 slot hashes run once per DISTINCT key instead of
+    * once per row (C[i][s] = Σ_k n(k)·[slot_i(k)=s] — the weighted sum is
+    * the same counter matrix bit-for-bit). At any scale the explode then
+    * fans out O(distinct keys), not O(rows). */
   def sketch(df: DataFrame, groupCols: Seq[String], keyCol: String): DataFrame = {
     val g = groupCols.map(col)
-    exploded(df, groupCols, keyCol)
-      .groupBy(g ++ Seq(col("i"), col("slot")): _*)
-      .agg(count(lit(1)).as("c"))
+    val pre = df.groupBy((groupCols :+ keyCol).map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    val pairs = (0 until Depth).map { i =>
+      struct(lit(i).as("i"), slot(col(keyCol), i).as("slot"))
+    }
+    pre.select(g ++ Seq(col("_n"), explode(array(pairs: _*)).as("_is")): _*)
+      .groupBy(g ++ Seq(col("_is.i").as("i"), col("_is.slot").as("slot")): _*)
+      .agg(sum(col("_n")).as("c"))
   }
 
   /** Estimated frequency for each DISTINCT key in `probes`

@@ -86,7 +86,13 @@ object IncrementalAgg {
       viewDb.schema.valueNames == Seq(sumCol, "cnt"),
       s"view schema must be dims=($groupCol), values=($sumCol, cnt); " +
         s"got dims=${viewDb.schema.dimNames} values=${viewDb.schema.valueNames}")
-    val delta = base.changesBetween(fromTxn, toTxn, includeOld = true)
+    // the change scan is the expensive leg (two restricted dedups + a
+    // full-outer join) and FOUR references would otherwise re-run it (the
+    // null probe, both union legs, and the touched-group broadcast) —
+    // persist it for the duration of the maintenance, exactly like
+    // maintainAbsoluteMultiKeys does (O(batch) rows, never O(base))
+    val delta = base.changesBetween(fromTxn, toTxn, includeOld = true).persist()
+    val merged = {
     requireNoNullValues(delta, valueCol)
     val isDim = base.schema.dimNames.contains(groupCol)
     val oldG = if (isDim) col(groupCol) else col(s"_old_$groupCol")
@@ -110,16 +116,26 @@ object IncrementalAgg {
     // decimal addition widens precision (18,4 + 18,4 → 19,4); cast back to
     // the view's declared type so segments stay byte-compatible
     val sumType = viewDb.schema.values.find(_.name == sumCol).get.dataType
-    val merged = perGroup.join(current, Seq(groupCol), "left")
+    // persisted: BOTH write legs (tombstones and new rows) reference it
+    // inside the one commit write job
+    perGroup.join(current, Seq(groupCol), "left")
       .select(col(groupCol),
         (coalesce(col("_cur_sum"), lit(0).cast(sumType)) + col("dv"))
           .cast(sumType).as(sumCol),
         (coalesce(col("_cur_cnt"), lit(0L)) + col("dc")).as("cnt"))
-    val txn = viewDb.newTransaction()
-    txn.deleteRows(merged.where(col("cnt") === 0L).select(col(groupCol)))
-    txn.addRows(merged.where(col("cnt") =!= 0L))
-    txn.commit()
-    txn.id.getOrElse(-1L)
+      .persist()
+    }
+    try {
+      val txn = viewDb.newTransaction()
+      txn.deleteRows(merged.where(col("cnt") === 0L).select(col(groupCol)))
+      txn.addRows(merged.where(col("cnt") =!= 0L))
+      txn.commit()
+      txn.id.getOrElse(-1L)
+    } finally {
+      merged.unpersist()
+      delta.unpersist()
+      ()
+    }
   }
 
   /** As [[maintain]], but REPLAY-SAFE under at-least-once delivery: each
