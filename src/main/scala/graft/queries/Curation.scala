@@ -724,7 +724,8 @@ object Curation {
         |       CAST(sum_surprisal AS DOUBLE) / CAST(n_trigrams AS DOUBLE)
         |         AS mean_surprisal
         |FROM doc ORDER BY doc_id""".stripMargin)) { (s, d) =>
-      val docs = table(s, d, "documents")
+      // fanned out: four branches tokenize this one-split scan (Q.fanOut)
+      val docs = Q.fanOut(table(s, d, "documents"))
         .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
       val uni = docs.select(explode(col("ws")).as("w"))
         .agg(count_distinct(col("w")).cast("long").as("v"))

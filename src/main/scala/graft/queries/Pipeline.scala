@@ -343,7 +343,7 @@ object Pipeline {
       // the pair table never joins a per-document sizes side (which stops
       // broadcasting long before 100 TB)
       val ex = graft.operators.NearDup
-        .shinglesWithSize(table(s, d, "documents"), "doc_id", "text")
+        .shinglesWithSize(Q.fanOut(table(s, d, "documents")), "doc_id", "text")
         .select(col("doc_id"), col(graft.operators.NearDup.SizeCol),
           graft.functions.TextOps.h56Col(col("g")).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -363,14 +363,14 @@ object Pipeline {
       // sizes, cached: the exact-Jaccard verify joins it twice and its
       // denominators ride through (no sizes aggregate)
       val ex = graft.operators.NearDup
-        .shinglesWithSize(table(s, d, "documents"), "doc_id", "text")
+        .shinglesWithSize(Q.fanOut(table(s, d, "documents")), "doc_id", "text")
         .select(col("doc_id"), col(graft.operators.NearDup.SizeCol),
           graft.functions.TextOps.h56Col(col("g")).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // signatures via the minhash16 codegen kernel: a pure per-row map —
       // no shuffle of the exploded shingle table into a 16-column min
       // aggregate (TextOpsSpec pins equality with the aggregate form)
-      val mh = table(s, d, "documents")
+      val mh = Q.fanOut(table(s, d, "documents"))
         .select(col("doc_id"), graft.functions.TextOps.minhash16Col(
           graft.functions.TextOps.shinglesCol(col("text"), lit(3))).as("mh"))
         .where(col("mh").isNotNull)
@@ -1067,8 +1067,10 @@ object Pipeline {
       // luminance shift barely moves the hash while distinct content stays
       // far (no full-text dups exist in this corpus — q45's dups are
       // prefix-only — so un-edited renders alone would pair nothing)
-      val hashes = table(s, d, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      // fanned out: PNG render + ImageIO decode + DCT per row over a
+      // one-split file would serialize on a single core (Q.fanOut)
+      val hashes = Q.fanOut(table(s, d, "documents")
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           // render → REAL PNG encode → REAL ImageIO decode → DCT pHash;
           // rendered PNGs always decode, but stay total like the rest of
@@ -1126,9 +1128,10 @@ object Pipeline {
       val fixDir = Q.fixture("q99-mnd")
       graft.core.Storage.deleteRecursively(fixDir)
       import s.implicits._
-      val sigs = table(s, d, "documents")
+      // fanned out: 3 renders + decodes per doc (Q.fanOut, q93's pattern)
+      val sigs = Q.fanOut(table(s, d, "documents")
         .where(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           def ph(b: Array[Byte]) =
             Multimodal.decodeImage(b).map(Multimodal.phash64).getOrElse(0L)
@@ -1462,7 +1465,8 @@ object Pipeline {
          |             ${h56Sql("CAST(doc_id AS VARCHAR)")} % 10 AS bkt FROM keep) t
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      val docs = table(s, d, "documents")
+      // fanned out: seven regex scans per row over a one-split file
+      val docs = Q.fanOut(table(s, d, "documents"))
       def cnt(c: org.apache.spark.sql.Column, pat: String) =
         regexp_count(c, lit(pat)).cast("long")
       val en = cnt(lower(col("text")), "\\b(the|a|of|to|is|and)\\b")
@@ -1476,12 +1480,18 @@ object Pipeline {
         lit(0.3) * least(
           regexp_count(lower(col("text")), lit("\\b(the|a|of|to|is|and)\\b"))
             .cast("double") / 10, lit(1.0))
+      // persisted: THREE consumers (the exact-dedup aggregate, the join
+      // back, and the simhash semi-join) would each re-run the seven
+      // regex kernels — and the quality filter's pushdown through the
+      // projection doubles the quality regexes even within one consumer.
+      // O(surviving docs) rows; released by the harness clearCache.
       val f1 = docs
         .where(en >= greatest(de, es, fr, lit(1L)))
         .select(col("doc_id"), quality.as("quality"),
           trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
             " +", " ")).as("nt"))
         .where(col("quality") >= 0.7)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // exact dedup: hash aggregate + equi-join back (no sort window)
       val grp = f1.groupBy(col("nt")).agg(min(col("doc_id")).as("keep_id"))
       val f2 = f1.join(grp,
@@ -1853,7 +1863,9 @@ object Pipeline {
   private def simhashSpark(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     graft.functions.TextOps.register(s)
-    table(s, d, "documents")
+    // fanned out: the signature kernel is per-row CPU over a one-split
+    // file at bench scale — see Q.fanOut (no-op once the input has splits)
+    Q.fanOut(table(s, d, "documents"))
       .select(col("doc_id"),
         graft.functions.TextOps.simhash56Col(toksSpark(col("text"))).as("simhash"))
       .where(col("simhash").isNotNull)

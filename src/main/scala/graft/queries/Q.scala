@@ -70,6 +70,19 @@ object Q {
     s"graft-run-${ProcessHandle.current().pid()}")
   def fixture(name: String): java.nio.file.Path = fixtureRoot.resolve(name)
 
+  /** Fan a below-parallelism scan out to every core BEFORE heavy per-row
+    * compute (image decode, regex kernels, shingling): a small parquet
+    * file is one row group = ONE split, so the map stage otherwise
+    * serializes on a single task no matter the core count — byte-range
+    * splitting cannot parallelize inside a row group. Conditional, so at
+    * scale (input splits >= parallelism) it is an exact no-op and the
+    * payload is never shuffled; below it, the one-time shuffle of the
+    * small input is repaid by the per-row work it spreads out. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
+
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
   def dbl(c: Column): Column = c.cast("double")
