@@ -42,6 +42,12 @@ object MergeAction {
   * exactly the co-location needed so later scans get partition pruning and
   * near-sorted reads without a global sort.
   */
+private[core] object Transaction {
+  // diagnostic gate shared with IncrementalAgg.ph / tools.MaintProfile
+  private[core] val debug: Boolean =
+    sys.env.get("SPARK_GRAFT_MAINT_DEBUG").contains("1")
+}
+
 final class Transaction private[core] (
     db: MatDb,
     visibleAtOpen: Seq[SegmentId],
@@ -68,6 +74,16 @@ final class Transaction private[core] (
 
   private def requireOpen(): Unit =
     require(!closed, "transaction already committed or rolled back")
+
+  // diagnostic phase timing for tools.MaintProfile (same env gate as
+  // IncrementalAgg's): attributes commit latency to claim / write / publish
+  private def ph[A](label: String)(f: => A): A =
+    if (!Transaction.debug) f
+    else {
+      val s = System.nanoTime(); val r = f
+      println(f"[txnph] $label%-20s ${(System.nanoTime() - s) / 1e9}%.2f s")
+      r
+    }
 
   /** Columns added to a batch: chunk keys, txn id (MaxValue until commit —
     * own writes outrank all committed data, reference scan.rs:159-163 intent),
@@ -231,12 +247,14 @@ final class Transaction private[core] (
       // wall-clock so a concurrent open/vacuum never mistakes the
       // in-flight segment for an expired orphan during a write that
       // outlasts the mtime grace (Storage.stampClaim scaladoc).
-      if (!Storage.casStore(db.root).claimDirectory(target))
-        throw new java.util.ConcurrentModificationException(
-          s"transaction id ${id.txnId} already exists on disk — a concurrent " +
-            "writer claimed or committed it; reopen the table and retry")
-      Storage.stampClaim(target)
-      all
+      ph("flush:claim") {
+        if (!Storage.casStore(db.root).claimDirectory(target))
+          throw new java.util.ConcurrentModificationException(
+            s"transaction id ${id.txnId} already exists on disk — a concurrent " +
+              "writer claimed or committed it; reopen the table and retry")
+        Storage.stampClaim(target)
+      }
+      ph("flush:write")(all
         .repartition(chunkCols: _*)
         // sort by (chunk cols, dims): the chunk-col prefix satisfies the
         // partitioned write's required ordering, so V1Writes inserts NO
@@ -248,7 +266,7 @@ final class Transaction private[core] (
         .option("compression", "zstd")
         .options(Storage.parquetWriteOptions(Storage.readProps(db.root)))
         .partitionBy(schema.chunkColNames: _*)
-        .parquet(target.toString)
+        .parquet(target.toString))
       flushed = flushed :+ id
       db.registerInFlight(id) // shields it from vacuum() until commit/rollback
       buffered = Vector.empty
@@ -282,7 +300,7 @@ final class Transaction private[core] (
     requireOpen()
     flush()
     if (flushed.nonEmpty) {
-      val (cur, curVer) = Storage.readSchemaVersioned(db.root)
+      val (cur, curVer) = ph("commit:schemaGuard")(Storage.readSchemaVersioned(db.root))
       val gone = schema.valueNames.filterNot(cur.valueNames.contains)
       // name existence alone is check-then-act: a DROP + re-ADD of the same
       // name completed between open and commit would pass it and land the
@@ -312,7 +330,7 @@ final class Transaction private[core] (
             "since this transaction opened; committing its segments would " +
             "resurrect stale bytes — reopen against the current schema and retry")
       }
-      db.commitTransaction(flushed)
+      ph("commit:publish")(db.commitTransaction(flushed))
     }
     db.resolveInFlight(flushed)
     closed = true
